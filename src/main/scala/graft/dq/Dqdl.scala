@@ -1,0 +1,152 @@
+package graft.dq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality rules, modeled after the reference's DQDL
+  * rulesets (reference: terraform/modules/data_quality/glue.tf:1-26 —
+  * `IsComplete`, `ColumnLength`, `Uniqueness > 0.95`,
+  * `ColumnValues "price" <= 2`) and dbt's `unique` / `not_null` tests
+  * (reference: dbt_modeling/models/serving_layer/schema.yml:10-12,34-36,44-46).
+  *
+  * Design for scale: a whole ruleset compiles into ONE aggregation pass
+  * over the table — every rule contributes aggregate expressions that
+  * Catalyst evaluates in a single partial+final hash aggregate (no
+  * per-rule scans, no driver-side row iteration). At 100 TB this is a
+  * single scan with map-side partial aggregation; `Uniqueness` is the
+  * only rule that needs a distinct (Spark plans it as a two-phase
+  * aggregate on the key), and an `approxUniqueness` variant trades that
+  * shuffle for HyperLogLog when the 0.95-style threshold doesn't need
+  * exactness.
+  */
+sealed trait DqRule {
+  /** Aggregate metric columns this rule contributes (aliased). */
+  def metrics: Seq[Column]
+  /** Pass/fail predicate over the aliased metric columns. */
+  def passed: Column
+  def name: String
+}
+
+/** All values in `column` are non-null. (DQDL `IsComplete`.) */
+final case class IsComplete(column: String) extends DqRule {
+  val name = s"is_complete_$column"
+  def metrics: Seq[Column] =
+    Seq(sum(when(col(column).isNull, 1L).otherwise(0L)).as(s"null_$column"))
+  def passed: Column = col(s"null_$column") === 0L
+}
+
+/** Every value of `column` has string length exactly `len`.
+  * (DQDL `ColumnLength "song_id" = 18`.) */
+final case class ColumnLength(column: String, len: Int) extends DqRule {
+  val name = s"column_length_$column"
+  def metrics: Seq[Column] = Seq(
+    min(length(col(column))).as(s"min_len_$column"),
+    max(length(col(column))).as(s"max_len_$column"))
+  def passed: Column =
+    col(s"min_len_$column") === len && col(s"max_len_$column") === len
+}
+
+/** distinct(column)/count(*) strictly above `threshold`.
+  * (DQDL `Uniqueness "user_id" > 0.95`.) */
+final case class Uniqueness(column: String, threshold: Double) extends DqRule {
+  val name = s"uniqueness_$column"
+  def metrics: Seq[Column] = Seq(
+    (countDistinct(col(column)).cast("double") / count(lit(1)).cast("double"))
+      .as(s"uniq_ratio_$column"))
+  def passed: Column = col(s"uniq_ratio_$column") > threshold
+}
+
+/** Approximate variant of [[Uniqueness]]: HyperLogLog++ instead of an
+  * exact distinct — one pass, no distinct shuffle; the right choice at
+  * 100 TB when the threshold has slack (reference threshold is 0.95).
+  */
+final case class ApproxUniqueness(column: String, threshold: Double,
+    rsd: Double = 0.01) extends DqRule {
+  val name = s"approx_uniqueness_$column"
+  def metrics: Seq[Column] = Seq(
+    (approx_count_distinct(col(column), rsd).cast("double") /
+      count(lit(1)).cast("double")).as(s"uniq_ratio_$column"))
+  def passed: Column = col(s"uniq_ratio_$column") > threshold
+}
+
+/** Row-level predicate holds for every row.
+  * (DQDL `ColumnValues "price" <= 2`.) */
+final case class ColumnValues(column: String, predicate: Column => Column)
+    extends DqRule {
+  val name = s"column_values_$column"
+  def metrics: Seq[Column] = Seq(
+    sum(when(!predicate(col(column)), 1L).otherwise(0L))
+      .as(s"violations_$column"))
+  def passed: Column = col(s"violations_$column") === 0L
+}
+
+/** No value of `column` occurs more than once. (dbt `unique` test.)
+  * count(col) counts non-null rows; countDistinct ignores nulls — the
+  * difference is exactly the number of surplus duplicate rows. */
+final case class UniqueKey(column: String) extends DqRule {
+  val name = s"unique_$column"
+  def metrics: Seq[Column] = Seq(
+    (count(col(column)) - countDistinct(col(column))).as(s"dup_rows_$column"))
+  def passed: Column = col(s"dup_rows_$column") === 0L
+}
+
+/** dbt `not_null` test — alias of IsComplete with dbt naming. */
+final case class NotNull(column: String) extends DqRule {
+  val name = s"not_null_$column"
+  def metrics: Seq[Column] =
+    Seq(sum(when(col(column).isNull, 1L).otherwise(0L)).as(s"null_$column"))
+  def passed: Column = col(s"null_$column") === 0L
+}
+
+final case class Ruleset(name: String, rules: Seq[DqRule])
+
+final case class DqVerdict(ruleset: String, passed: Boolean,
+    ruleResults: Map[String, Boolean], metrics: Map[String, Any])
+
+object Dqdl {
+
+  /** Compile a ruleset to a one-row DataFrame: every metric column, one
+    * `<rule.name>_passed` boolean per rule, and `all_passed`. Exactly
+    * one aggregation over `df` regardless of rule count.
+    */
+  def evaluateDf(df: DataFrame, ruleset: Ruleset): DataFrame = {
+    val metricCols = ruleset.rules.flatMap(_.metrics) :+ count(lit(1)).as("row_count")
+    val agg = df.agg(metricCols.head, metricCols.tail: _*)
+    val withPassed = ruleset.rules.foldLeft(agg) { (acc, r) =>
+      acc.withColumn(s"${r.name}_passed", r.passed)
+    }
+    val allPassed = ruleset.rules.map(r => col(s"${r.name}_passed"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    withPassed.withColumn("all_passed", allPassed)
+  }
+
+  /** Evaluate and collect the single verdict row (driver-side: one row). */
+  def evaluate(df: DataFrame, ruleset: Ruleset): DqVerdict = {
+    val row = evaluateDf(df, ruleset).collect().head
+    val schema = row.schema
+    val ruleResults = ruleset.rules.map { r =>
+      r.name -> row.getAs[Boolean](s"${r.name}_passed")
+    }.toMap
+    val metrics = schema.fieldNames.filterNot(_.endsWith("_passed"))
+      .map(f => f -> row.getAs[Any](f)).toMap
+    DqVerdict(ruleset.name, row.getAs[Boolean]("all_passed"), ruleResults, metrics)
+  }
+
+  /** The reference's three rulesets, verbatim semantics.
+    * (reference: terraform/modules/data_quality/glue.tf:1-26) */
+  val songsRuleset: Ruleset = Ruleset("songs_dq", Seq(
+    IsComplete("song_id"), ColumnLength("song_id", 18),
+    IsComplete("track_id"), ColumnLength("track_id", 18),
+    IsComplete("artist_id")))
+
+  val sessionsRuleset: Ruleset = Ruleset("sessions_dq", Seq(
+    IsComplete("user_id"), ColumnLength("user_id", 36),
+    IsComplete("session_id"), ColumnLength("session_id", 36),
+    IsComplete("song_id"),
+    ColumnValues("price", _ <= 2)))
+
+  val usersRuleset: Ruleset = Ruleset("users_dq", Seq(
+    IsComplete("user_id"), Uniqueness("user_id", 0.95),
+    IsComplete("user_lastname"), IsComplete("user_name"),
+    IsComplete("user_since")))
+}

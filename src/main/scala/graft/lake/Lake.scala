@@ -1,0 +1,75 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Medallion-lake write layer: landing-zone raw writes plus the silver
+  * layer's partitioned append-or-create tables.
+  *
+  * Reference provenance:
+  *  - landing JSON overwrite write under `ingest_on=<d>/`:
+  *    de-c4w4a2-api-extract-job.py:66-72
+  *  - landing CSV write: de-c4w4a2-extract-songs-job.py:44-50
+  *  - Iceberg `writeTo(...).partitionedBy("ingest_on").append()` /
+  *    `.createOrReplace()` with a tableExists branch:
+  *    de-c4w4a2-transform-json-job.py:147-187,
+  *    de-c4w4a2-transform-songs-job.py:102-118
+  *  - dynamic partition overwrite for idempotent backfills:
+  *    transform-json-job.py:57
+  *
+  * No Iceberg jars ship offline, so the silver layer is partitioned
+  * Parquet in the session catalog — identical append / create-or-replace
+  * / dynamic-overwrite semantics for everything the reference exercises
+  * (it never uses row-level deletes). At cluster scale the partition
+  * column (`ingest_on`) keeps every incremental run confined to its own
+  * partition directory: reruns rewrite one date, readers prune to one
+  * date, and appends never rewrite history.
+  */
+object Lake {
+
+  /** The conf the reference sets so re-runs replace only the partitions
+    * they touch (idempotent backfill). */
+  def enableDynamicPartitionOverwrite(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  /** Landing write: raw JSON, compacted to one file per ingest date
+    * (small increments; the reference coalesces to 1 — api-extract-job
+    * .py:66). For large increments pass a higher fileCount. */
+  def writeLandingJson(df: DataFrame, basePath: String, ingestOn: String,
+      fileCount: Int = 1): Unit =
+    df.coalesce(fileCount).write.mode("overwrite")
+      .json(s"$basePath/ingest_on=$ingestOn/")
+
+  /** Landing write: raw CSV with header (extract-songs-job.py:44-50). */
+  def writeLandingCsv(df: DataFrame, basePath: String, ingestOn: String): Unit =
+    df.write.mode("overwrite").option("header", "true")
+      .csv(s"$basePath/ingest_on=$ingestOn/")
+
+  /** Silver-layer upsert-by-partition: append when the table exists,
+    * create-or-replace otherwise — the reference's K3/K4/K5 branch.
+    * With dynamic partition overwrite on, an `overwritePartitions()`
+    * rerun replaces only the `ingest_on` values present in `df`. */
+  def appendOrCreate(spark: SparkSession, df: DataFrame, table: String,
+      partitionCol: String = "ingest_on"): Unit =
+    if (spark.catalog.tableExists(table)) df.writeTo(table).append()
+    else df.writeTo(table).using("parquet")
+      .partitionedBy(col(partitionCol)).createOrReplace()
+
+  /** Idempotent incremental load: replace exactly the partitions present
+    * in `df` (create the table on first run). This is the rerun-safe
+    * flavor of [[appendOrCreate]] — what K1's overwrite + K6's dynamic
+    * mode jointly guarantee in the reference. */
+  def overwritePartitions(spark: SparkSession, df: DataFrame, table: String,
+      partitionCol: String = "ingest_on"): Unit =
+    if (spark.catalog.tableExists(table)) df.writeTo(table).overwritePartitions()
+    else df.writeTo(table).using("parquet")
+      .partitionedBy(col(partitionCol)).createOrReplace()
+
+  /** Serving-layer table materialization (dbt `table` → CTAS; K7). */
+  def materializeTable(spark: SparkSession, df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+  /** Serving-layer view materialization (dbt `view`; K8). */
+  def materializeView(df: DataFrame, viewName: String): Unit =
+    df.createOrReplaceTempView(viewName)
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.dq._
+import graft.pipeline.RunWindow
+import graft.util.Tables
+
+/** One driver-checkable query per SURVEY.md §2 operator, over the
+  * /root/testdata tables (domain mapping in FIXTURES.md §C). Each entry
+  * pairs the Spark plan with portable ANSI SQL the driver runs in
+  * DuckDB; column NAMES AND TYPES are aligned on both sides (sums are
+  * computed over DECIMAL(18,2) then cast to double so Spark and DuckDB
+  * produce bit-identical results regardless of accumulation order —
+  * double summation order is nondeterministic under parallelism, which
+  * matters at any scale).
+  */
+final case class QueryDef(name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object ParityQueries {
+
+  private def money(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // P1 — projection + rename (dim_songs-style reshape of `part`)
+    QueryDef("q_project_rename",
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey").as("song_key"), col("p_name").as("title"),
+        col("p_brand").as("artist_name"), col("p_type").as("release_kind"),
+        col("p_retailprice").as("price")),
+      Some("""SELECT p_partkey AS song_key, p_name AS title,
+             |p_brand AS artist_name, p_type AS release_kind,
+             |p_retailprice AS price FROM part""".stripMargin)),
+
+    // A3 — DISTINCT dim build (dim_artists-style)
+    QueryDef("q_distinct_dim",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_brand").as("artist_id"), col("p_type").as("artist_name"))
+        .distinct(),
+      Some("""SELECT DISTINCT p_brand AS artist_id, p_type AS artist_name
+             |FROM part""".stripMargin)),
+
+    // P6 — cast / schema enforcement. Spark's double→int cast truncates
+    // toward zero; the oracle spells that out with trunc().
+    QueryDef("q_cast_enforce",
+      (s, d) => Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("string").as("linenumber_str"),
+        col("l_quantity").cast("int").as("quantity_int"),
+        col("l_extendedprice").cast("float").as("price_float")),
+      Some("""SELECT l_orderkey,
+             |CAST(l_linenumber AS VARCHAR) AS linenumber_str,
+             |CAST(trunc(l_quantity) AS INTEGER) AS quantity_int,
+             |CAST(l_extendedprice AS REAL) AS price_float
+             |FROM lineitem""".stripMargin)),
+
+    // P2,P3 — literal metadata columns + string→date
+    QueryDef("q_lit_metadata",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        lit("postgres_rds").as("source_from"),
+        to_date(lit("2020-02-01"), "yyyy-MM-dd").as("ingest_on")),
+      Some("""SELECT o_orderkey, 'postgres_rds' AS source_from,
+             |DATE '2020-02-01' AS ingest_on FROM orders""".stripMargin)),
+
+    // P4,P5 — positional array extraction, drop the array
+    // (user_location[0..4] analog; DuckDB lists are 1-based)
+    QueryDef("q_array_extract",
+      (s, d) => Tables.embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").getItem(0).as("emb_0"),
+        col("embedding").getItem(1).as("emb_1"),
+        col("embedding").getItem(2).as("emb_2"),
+        col("label")),
+      Some("""SELECT vec_id, embedding[1] AS emb_0, embedding[2] AS emb_1,
+             |embedding[3] AS emb_2, label FROM embeddings""".stripMargin)),
+
+    // G1,G2 — explode/unnest (session_items analog)
+    QueryDef("q_explode_unnest",
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"), explode(split(col("p_type"), " ")).as("token")),
+      Some("""SELECT p_partkey, unnest(string_split(p_type, ' ')) AS token
+             |FROM part""".stripMargin)),
+
+    // P7 — ISO-8601 string → timestamp (the reference's UDF, done with
+    // the codegen'd built-in; the genuine UDF lives in Transforms and
+    // its spec)
+    QueryDef("q_iso_timestamp",
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        to_timestamp(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .as("session_start_time")),
+      Some("""SELECT event_id,
+             |strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')
+             |  AS session_start_time
+             |FROM events""".stripMargin)),
+
+    // P8 — date_part year/month
+    QueryDef("q_date_part",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("session_year"),
+        month(col("o_orderdate")).as("session_month")),
+      Some("""SELECT o_orderkey,
+             |CAST(year(o_orderdate) AS INTEGER) AS session_year,
+             |CAST(month(o_orderdate) AS INTEGER) AS session_month
+             |FROM orders""".stripMargin)),
+
+    // J1,A1 — sales_per_artist_vw analog: fact ⟕ dim, 2-key group, SUM.
+    // Dim side broadcast: `part` is ~0.1% of lineitem — at 100 TB the
+    // fact never shuffles for this join.
+    QueryDef("q_left_join_sales_artist",
+      (s, d) => {
+        val li = Tables.lineitem(s, d); val p = Tables.part(s, d)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+          .groupBy(year(col("l_shipdate")).as("session_year"),
+            col("p_brand").as("artist_name"))
+          .agg(money(col("l_extendedprice")).as("total_sales"))
+      },
+      Some("""SELECT CAST(year(l_shipdate) AS INTEGER) AS session_year,
+             |p_brand AS artist_name,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS total_sales
+             |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // J2,A2 — sales_per_country_vw analog: 2 left joins, 3-key group
+    QueryDef("q_left_join_sales_country",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+          .groupBy(month(col("o_orderdate")).as("session_month"),
+            year(col("o_orderdate")).as("session_year"),
+            col("n_name").as("country_code"))
+          .agg(money(col("o_totalprice")).as("total_sales"))
+      },
+      Some("""SELECT CAST(month(o_orderdate) AS INTEGER) AS session_month,
+             |CAST(year(o_orderdate) AS INTEGER) AS session_year,
+             |n_name AS country_code,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS total_sales
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |LEFT JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // A4 — DQ IsComplete (single-pass ruleset compile)
+    QueryDef("q_dq_is_complete",
+      (s, d) => Dqdl.evaluateDf(Tables.customer(s, d), Ruleset("cust", Seq(
+        IsComplete("c_custkey"), IsComplete("c_name"),
+        IsComplete("c_mktsegment")))),
+      Some("""SELECT
+             |CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS null_c_custkey,
+             |CAST(COUNT(*) - COUNT(c_name) AS BIGINT) AS null_c_name,
+             |CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT) AS null_c_mktsegment,
+             |CAST(COUNT(*) AS BIGINT) AS row_count,
+             |(COUNT(*) - COUNT(c_custkey)) = 0 AS is_complete_c_custkey_passed,
+             |(COUNT(*) - COUNT(c_name)) = 0 AS is_complete_c_name_passed,
+             |(COUNT(*) - COUNT(c_mktsegment)) = 0 AS is_complete_c_mktsegment_passed,
+             |((COUNT(*) - COUNT(c_custkey)) = 0 AND (COUNT(*) - COUNT(c_name)) = 0
+             |  AND (COUNT(*) - COUNT(c_mktsegment)) = 0) AS all_passed
+             |FROM customer""".stripMargin)),
+
+    // A5 — DQ Uniqueness > 0.95
+    QueryDef("q_dq_uniqueness",
+      (s, d) => Dqdl.evaluateDf(Tables.customer(s, d), Ruleset("cust_uniq",
+        Seq(Uniqueness("c_custkey", 0.95)))),
+      Some("""SELECT
+             |CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |  AS uniq_ratio_c_custkey,
+             |CAST(COUNT(*) AS BIGINT) AS row_count,
+             |(CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) > 0.95
+             |  AS uniqueness_c_custkey_passed,
+             |(CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) > 0.95
+             |  AS all_passed
+             |FROM customer""".stripMargin)),
+
+    // A6 — DQ ColumnLength = 18 (c_name is fixed 18 chars, like song_id)
+    QueryDef("q_dq_column_length",
+      (s, d) => Dqdl.evaluateDf(Tables.customer(s, d), Ruleset("cust_len",
+        Seq(ColumnLength("c_name", 18)))),
+      Some("""SELECT
+             |CAST(MIN(LENGTH(c_name)) AS INTEGER) AS min_len_c_name,
+             |CAST(MAX(LENGTH(c_name)) AS INTEGER) AS max_len_c_name,
+             |CAST(COUNT(*) AS BIGINT) AS row_count,
+             |(MIN(LENGTH(c_name)) = 18 AND MAX(LENGTH(c_name)) = 18)
+             |  AS column_length_c_name_passed,
+             |(MIN(LENGTH(c_name)) = 18 AND MAX(LENGTH(c_name)) = 18)
+             |  AS all_passed
+             |FROM customer""".stripMargin)),
+
+    // A7,P9 — DQ ColumnValues bound (price<=2 analog on l_discount)
+    QueryDef("q_dq_column_values",
+      (s, d) => Dqdl.evaluateDf(Tables.lineitem(s, d), Ruleset("li_vals",
+        Seq(ColumnValues("l_discount", _ <= 0.1)))),
+      Some("""SELECT
+             |CAST(SUM(CASE WHEN NOT (l_discount <= 0.1) THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS violations_l_discount,
+             |CAST(COUNT(*) AS BIGINT) AS row_count,
+             |SUM(CASE WHEN NOT (l_discount <= 0.1) THEN 1 ELSE 0 END) = 0
+             |  AS column_values_l_discount_passed,
+             |SUM(CASE WHEN NOT (l_discount <= 0.1) THEN 1 ELSE 0 END) = 0
+             |  AS all_passed
+             |FROM lineitem""".stripMargin)),
+
+    // A8,A9 — dbt unique + not_null tests on a key
+    QueryDef("q_dbt_unique_notnull",
+      (s, d) => Dqdl.evaluateDf(Tables.orders(s, d), Ruleset("orders_key",
+        Seq(UniqueKey("o_orderkey"), NotNull("o_orderkey")))),
+      Some("""SELECT
+             |CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+             |  AS dup_rows_o_orderkey,
+             |CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS null_o_orderkey,
+             |CAST(COUNT(*) AS BIGINT) AS row_count,
+             |(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)) = 0
+             |  AS unique_o_orderkey_passed,
+             |(COUNT(*) - COUNT(o_orderkey)) = 0 AS not_null_o_orderkey_passed,
+             |((COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)) = 0
+             |  AND (COUNT(*) - COUNT(o_orderkey)) = 0) AS all_passed
+             |FROM orders""".stripMargin)),
+
+    // O3 + S4 — incremental month window (partition-pruning predicate
+    // shape: at scale this prunes to one ingest partition)
+    QueryDef("q_incremental_window",
+      (s, d) => {
+        val w = RunWindow(LocalDate.parse("1995-06-01"),
+          LocalDate.parse("1995-07-01"))
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit(w.start.toString)) &&
+            col("o_orderdate") < to_timestamp(lit(w.endExclusive.toString)))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+             |AND o_orderdate < TIMESTAMP '1995-07-01'""".stripMargin)),
+
+    // P10,K1 — coalesce(1) preserves content (oracle checks the count)
+    QueryDef("q_coalesce_roundtrip",
+      (s, d) => Tables.lineitem(s, d).coalesce(1)
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem")),
+  )
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source abstraction covering the reference's three ingest kinds —
+  * REST API (JSON payload), JDBC table, and landing-zone files — behind
+  * one trait so pipelines are wired against `Source`, never a concrete
+  * endpoint.
+  *
+  * Reference provenance: API extract
+  * de-c4w4a2-api-extract-job.py:34-63, JDBC extract
+  * de-c4w4a2-extract-songs-job.py:30-38, landing CSV/JSON scans
+  * de-c4w4a2-transform-songs-job.py:62-78 /
+  * de-c4w4a2-transform-json-job.py:66-75.
+  */
+trait Source {
+  def read(spark: SparkSession): DataFrame
+}
+
+/** One JSON document (e.g. an API response body) → DataFrame with
+  * inferred schema. Mirrors the reference's
+  * `spark.read.json(sc.parallelize([payload]))` (api-extract-job.py:63).
+  */
+final case class JsonStringSource(payload: String) extends Source {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.json(spark.createDataset(Seq(payload))(Encoders.STRING))
+}
+
+/** Date-window-parameterized API source. `fetch` is pluggable so tests
+  * and the offline engine supply a local fixture with the same
+  * `?start_date=&end_date=` window semantics the reference passes to its
+  * HTTP GET (api-extract-job.py:34-60). A production impl would be a
+  * driver-side `java.net.http.HttpClient` call — the payload is one
+  * document, so it never belongs on executors.
+  */
+final case class ApiSource(fetch: (LocalDate, LocalDate) => String,
+    startDate: LocalDate, endDate: LocalDate) extends Source {
+  def read(spark: SparkSession): DataFrame =
+    JsonStringSource(fetch(startDate, endDate)).read(spark)
+}
+
+/** JDBC table scan (reference: Postgres `deftunes.songs`,
+  * extract-songs-job.py:30-38). `partitionOn`/`numPartitions` enable
+  * parallel reads at scale — a single-threaded JDBC scan is the classic
+  * 100 TB-pipeline bottleneck, so callers with a numeric key should
+  * always pass them (Spark then issues one range query per partition).
+  */
+final case class JdbcSource(url: String, table: String,
+    options: Map[String, String] = Map.empty,
+    partitionOn: Option[String] = None,
+    lowerBound: Long = 0L, upperBound: Long = 0L,
+    numPartitions: Int = 1) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).options(options)
+    val reader = partitionOn match {
+      case Some(colName) => base
+        .option("partitionColumn", colName)
+        .option("lowerBound", lowerBound.toString)
+        .option("upperBound", upperBound.toString)
+        .option("numPartitions", numPartitions.toString)
+      case None => base
+    }
+    reader.load()
+  }
+}
+
+/** CSV landing scan with the reference's options (header, quote,
+  * recursive lookup; transform-songs-job.py:62-78). All columns arrive
+  * as strings unless `schema` is supplied — matching the reference's
+  * header-driven string-typed contract, with casts applied downstream
+  * by `Transforms.enforceSongsSchema`. */
+final case class CsvSource(path: String, schema: Option[StructType] = None,
+    header: Boolean = true, quote: String = "\"", sep: String = ",")
+    extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val r = spark.read
+      .option("header", header.toString)
+      .option("quote", quote)
+      .option("sep", sep)
+      .option("recursiveFileLookup", "true")
+    schema.fold(r)(s => r.schema(s)).csv(path)
+  }
+}
+
+/** JSON landing-zone directory scan, optionally partition-selected by
+  * ingestion date (the reference constructs `ingest_on=<d>` paths —
+  * transform-json-job.py:66-75). Prefer passing the base path of a
+  * partitioned table plus `ingestOn` so Spark's file index prunes to the
+  * single date partition instead of listing everything. */
+final case class JsonDirSource(basePath: String,
+    ingestOn: Option[String] = None,
+    schema: Option[StructType] = None) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val path = ingestOn.fold(basePath)(d => s"$basePath/ingest_on=$d")
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+}
+
+/** Parquet table source (the engine's catalog/external-table scan — the
+  * Spectrum-external-scan analog, serving/redshift.tf:9-21). */
+final case class ParquetSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness check.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+
+For each query dir under verifyOutDir: load the Spark parquet result,
+run the corresponding oracle SQL from oracle_sql.json in DuckDB (with
+views for each testdata table), sort columns by name and rows by value,
+and compare cell-by-cell (exact for ints/strings/bools/dates, exact for
+floats too — the engine is expected to produce bit-identical numerics).
+"""
+import json, math, sys, glob, os
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    res_dir = f"{out_dir}/{name}"
+    if not os.path.isdir(res_dir):
+        print(f"FAIL {name}: no spark result dir"); fails += 1; continue
+    got = con.execute(
+        f"SELECT * FROM '{res_dir}/*.parquet'").df()
+    exp = con.execute(sql).df()
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+        fails += 1; continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
+    gs = got.sort_values(by=list(got.columns), na_position="first").reset_index(drop=True)
+    es = exp.sort_values(by=list(exp.columns), na_position="first").reset_index(drop=True)
+    bad = None
+    for c in gs.columns:
+        for i, (a, b) in enumerate(zip(gs[c], es[c])):
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                if a != b:
+                    bad = (c, i, a, b); break
+            elif str(a) != str(b):
+                bad = (c, i, a, b); break
+        if bad: break
+    # dtype check (schema parity)
+    dt_mismatch = [(c, str(gs[c].dtype), str(es[c].dtype))
+                   for c in gs.columns if str(gs[c].dtype) != str(es[c].dtype)]
+    if bad:
+        print(f"FAIL {name}: col={bad[0]} row={bad[1]} spark={bad[2]!r} oracle={bad[3]!r}")
+        fails += 1
+    elif dt_mismatch:
+        print(f"WARN {name}: dtype mismatch {dt_mismatch} (values match)")
+        print(f"PASS {name} ({len(gs)} rows, dtype-warn)")
+    else:
+        print(f"PASS {name} ({len(gs)} rows)")
+print(f"\n{len(oracle) - fails}/{len(oracle)} passed")
+sys.exit(1 if fails else 0)
