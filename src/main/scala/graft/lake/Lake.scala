@@ -45,25 +45,38 @@ object Lake {
     df.write.mode("overwrite").option("header", "true")
       .csv(s"$basePath/ingest_on=$ingestOn/")
 
+  /** Catalog tables keep partition columns at the end of the schema;
+    * align a frame to the table's column order before a positional
+    * `insertInto`. */
+  private def alignTo(spark: SparkSession, df: DataFrame,
+      table: String): DataFrame =
+    df.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+
   /** Silver-layer upsert-by-partition: append when the table exists,
-    * create-or-replace otherwise — the reference's K3/K4/K5 branch.
-    * With dynamic partition overwrite on, an `overwritePartitions()`
-    * rerun replaces only the `ingest_on` values present in `df`. */
+    * create otherwise — the reference's K3/K4/K5 branch. (The V1
+    * session catalog has no REPLACE TABLE AS SELECT, so this is the V1
+    * writer; against an Iceberg/Delta catalog the same calls would go
+    * through `writeTo(...).append()/createOrReplace()`.) */
   def appendOrCreate(spark: SparkSession, df: DataFrame, table: String,
       partitionCol: String = "ingest_on"): Unit =
-    if (spark.catalog.tableExists(table)) df.writeTo(table).append()
-    else df.writeTo(table).using("parquet")
-      .partitionedBy(col(partitionCol)).createOrReplace()
+    if (spark.catalog.tableExists(table))
+      alignTo(spark, df, table).write.mode("append").format("parquet")
+        .partitionBy(partitionCol).saveAsTable(table)
+    else df.write.format("parquet").partitionBy(partitionCol)
+      .saveAsTable(table)
 
   /** Idempotent incremental load: replace exactly the partitions present
-    * in `df` (create the table on first run). This is the rerun-safe
-    * flavor of [[appendOrCreate]] — what K1's overwrite + K6's dynamic
-    * mode jointly guarantee in the reference. */
+    * in `df` (create the table on first run). Overwrite + dynamic
+    * partition-overwrite mode rewrites only the `ingest_on` values in
+    * `df` — what K1's overwrite + K6's dynamic mode jointly guarantee
+    * in the reference. */
   def overwritePartitions(spark: SparkSession, df: DataFrame, table: String,
       partitionCol: String = "ingest_on"): Unit =
-    if (spark.catalog.tableExists(table)) df.writeTo(table).overwritePartitions()
-    else df.writeTo(table).using("parquet")
-      .partitionedBy(col(partitionCol)).createOrReplace()
+    if (spark.catalog.tableExists(table)) {
+      enableDynamicPartitionOverwrite(spark)
+      alignTo(spark, df, table).write.mode("overwrite").insertInto(table)
+    } else df.write.format("parquet").partitionBy(partitionCol)
+      .saveAsTable(table)
 
   /** Serving-layer table materialization (dbt `table` → CTAS; K7). */
   def materializeTable(spark: SparkSession, df: DataFrame, table: String): Unit =

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dq._
+import graft.transform.Transforms
+
+class DqdlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("IsComplete fails on nulls, passes on complete columns") {
+    val df = Seq(Some("a"), Some("b"), None).toDF("c")
+    val v = Dqdl.evaluate(df, Ruleset("t", Seq(IsComplete("c"))))
+    assert(!v.passed)
+    assert(v.metrics("null_c") == 1L)
+    val ok = Dqdl.evaluate(Seq("a", "b").toDF("c"),
+      Ruleset("t", Seq(IsComplete("c"))))
+    assert(ok.passed)
+  }
+
+  test("ColumnLength exact-length semantics") {
+    val df = Seq("abcdefgh", "12345678").toDF("id")
+    assert(Dqdl.evaluate(df, Ruleset("t", Seq(ColumnLength("id", 8)))).passed)
+    assert(!Dqdl.evaluate(df, Ruleset("t", Seq(ColumnLength("id", 7)))).passed)
+  }
+
+  test("Uniqueness ratio thresholding, exact and approx") {
+    val df = (1 to 99).map(_.toString).toDF("u")
+      .union(Seq("1").toDF("u")) // 99 distinct / 100 rows
+    val v = Dqdl.evaluate(df, Ruleset("t", Seq(Uniqueness("u", 0.95))))
+    assert(v.passed)
+    assert(v.metrics("uniq_ratio_u") == 0.99)
+    assert(!Dqdl.evaluate(df, Ruleset("t", Seq(Uniqueness("u", 0.99)))).passed)
+    // approx variant: rsd 1% comfortably resolves 0.99 vs 0.5
+    assert(Dqdl.evaluate(df,
+      Ruleset("t", Seq(ApproxUniqueness("u", 0.9)))).passed)
+  }
+
+  test("uniqueness ratio is always within (0, 1] (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val prop = forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 20))) { xs =>
+      val df = xs.map(_.toString).toDF("u")
+      val v = Dqdl.evaluate(df, Ruleset("t", Seq(Uniqueness("u", 0.5))))
+      val r = v.metrics("uniq_ratio_u").asInstanceOf[Double]
+      r > 0.0 && r <= 1.0
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ColumnValues predicate violations") {
+    val df = Seq(1.0, 1.99, 2.0, 2.5).toDF("price")
+    val v = Dqdl.evaluate(df,
+      Ruleset("t", Seq(ColumnValues("price", _ <= 2))))
+    assert(!v.passed)
+    assert(v.metrics("violations_price") == 1L)
+  }
+
+  test("UniqueKey and NotNull (dbt tests)") {
+    val df = Seq(Some(1), Some(2), Some(2), None).toDF("k")
+    val v = Dqdl.evaluate(df,
+      Ruleset("t", Seq(UniqueKey("k"), NotNull("k"))))
+    assert(!v.passed)
+    assert(v.metrics("dup_rows_k") == 1L)
+    assert(v.metrics("null_k") == 1L)
+    assert(v.ruleResults("unique_k") == false)
+    assert(v.ruleResults("not_null_k") == false)
+  }
+
+  test("the reference's three rulesets pass on conforming fixtures") {
+    val songs = Transforms.enforceSongsSchema(Fixtures.songsDf(spark))
+    assert(Dqdl.evaluate(songs, Dqdl.songsRuleset).passed)
+    val sessions = Transforms.explodeSessions(
+      Fixtures.sessionsDf(spark, month = 2))
+    assert(Dqdl.evaluate(sessions, Dqdl.sessionsRuleset).passed)
+    val users = Transforms.flattenUserLocation(
+      Fixtures.usersDf(spark, month = 2))
+    assert(Dqdl.evaluate(users, Dqdl.usersRuleset).passed)
+  }
+
+  test("whole ruleset is a single aggregation (one-pass plan)") {
+    val df = Fixtures.usersDf(spark, month = 2)
+    val plan = Dqdl.evaluateDf(df, Dqdl.usersRuleset)
+      .queryExecution.optimizedPlan.toString
+    // one Aggregate over the scan — no joins/unions of per-rule scans
+    assert(!plan.contains("Join"))
+    assert(!plan.contains("Union"))
+  }
+}
