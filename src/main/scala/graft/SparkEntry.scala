@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.ParityQueries
+import graft.queries.{ExtensionQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.ParityQueries
   */
 object SparkEntry {
 
-  private def slate: Seq[graft.queries.QueryDef] = ParityQueries.all
+  private def slate: Seq[graft.queries.QueryDef] =
+    ParityQueries.all ++ ExtensionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,254 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpora: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design, common to every flavor:
+  *  - candidate generation is ALWAYS bucketed (LSH bands / SimHash
+  *    chunks / hyperplane buckets) — never an all-pairs join. The only
+  *    shuffle is a hash partition on the bucket key.
+  *  - pair verification runs inside the bucket join (narrow after the
+  *    shuffle), against exact similarity on the candidate pair only.
+  *  - oversized buckets (degenerate content, hash skew) are capped with
+  *    an explicit threshold rather than silently exploding a join —
+  *    callers see what was dropped via `bucketStats`.
+  *  - "keep" policy is keep-min-id: any row that matches a smaller id
+  *    is dropped. One extra semi-join, no iterative connected
+  *    components on the hot path.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on key columns: keeps the smallest id per group.
+    * Plain hash aggregation — partial map-side combine, one shuffle. */
+  def exactDedup(df: DataFrame, idCol: String,
+      keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol) +: keyCols.map(col): _*)
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles of lowercased text (distinct). Empty/short
+    * text → empty array. Pure Catalyst higher-order functions: stays in
+    * codegen. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+    when(size(words) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n))))))
+  }
+
+  /** Exact Jaccard similarity of two string-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(array_union(a, b))
+    when(union === 0, lit(0.0))
+      .otherwise(inter.cast("double") / union.cast("double"))
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  /** k-element MinHash signature over a shingle array: element i is
+    * min(xxhash64(shingle, seed_i)). Deterministic (fixed seeds), no
+    * UDF. Empty shingle set → null signature (filtered out upstream). */
+  def minHashSignature(shinglesCol: Column, k: Int = 64): Column = {
+    val sigs = (0 until k).map(i =>
+      array_min(transform(shinglesCol, s => xxhash64(s, lit(i)))))
+    when(size(shinglesCol) === 0, lit(null).cast("array<bigint>"))
+      .otherwise(array(sigs: _*))
+  }
+
+  /** Banded signature for LSH: hash each of `bands` contiguous slices
+    * of the signature into one bucket key per band. A pair agreeing on
+    * ANY band becomes a candidate. b=16, r=4 over k=64 targets the
+    * ~0.5+ Jaccard region ((1/b)^(1/r) ≈ 0.5). */
+  private def bandKeys(sigCol: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sigCol, b * r + 1, r).cast("array<string>")).cast("string"))
+          .as("bucket"))): _*)
+  }
+
+  /** Candidate pairs from MinHash LSH banding, verified with exact
+    * Jaccard over the shingle sets. Returns (idA, idB, jaccard) with
+    * idA < idB, one row per pair, jaccard >= threshold.
+    *
+    * `maxBucketSize` caps degenerate buckets (boilerplate corpora):
+    * a bucket of m docs contributes m²/2 pairs — capping bounds the
+    * worst-case join output; use [[bucketStats]] to see what was
+    * dropped.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), k))
+    val banded = withSig
+      .select(col("id"), col("sh"),
+        explode(bandKeys(col("sig"), k, bands)).as("bk"))
+      .select(col("id"), col("sh"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    val a = capped.select(col("band"), col("bucket"),
+      col("id").as("idA"), col("sh").as("shA"))
+    val b = capped.select(col("band"), col("bucket"),
+      col("id").as("idB"), col("sh").as("shB"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), jaccard(col("shA"), col("shB")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("idA"), col("idB")).agg(first(col("jaccard")).as("jaccard"))
+  }
+
+  /** Remove near-duplicates: keep-min-id policy over [[minHashPairs]].
+    * A row is dropped iff it appears as idB (the larger id) in some
+    * matching pair — one anti-join, no iterative clustering. */
+  def dedupMinHash(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val losers = minHashPairs(df, idCol, textCol, threshold = threshold)
+      .select(col("idB").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Buckets larger than `maxSize` are dropped (skew guard). */
+  private def capBuckets(df: DataFrame, keys: Seq[String],
+      maxSize: Int): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+    df.join(counts.filter(col("__bucket_n") <= maxSize), keys)
+      .drop("__bucket_n")
+  }
+
+  /** Bucket-size distribution for a banded signature table — the
+    * observability hook for the skew cap. */
+  def bucketStats(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), k))
+    withSig.select(explode(bandKeys(col("sig"), k, bands)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("n").as("bucket_size"))
+      .agg(count(lit(1)).as("buckets"))
+      .orderBy(col("bucket_size"))
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Direct n-gram Jaccard near-dup pairs. Same LSH banding for
+    * candidates (all-pairs never materializes); verification is the
+    * exact n-gram Jaccard — this is [[minHashPairs]] with the verify
+    * step being the definition rather than an estimate, exposed
+    * separately because the reference point for training-data dedup is
+    * usually "n-gram Jaccard >= t". */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7): DataFrame =
+    minHashPairs(df, idCol, textCol, shingleSize = n, threshold = threshold)
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of a token array. Scala UDF (bit-vote loop is
+    * clearer and faster than a 64-wide expression tree); deterministic
+    * via xxhash64-style FNV-1a inside. */
+  val simHash64: UserDefinedFunction = udf { tokens: Seq[String] =>
+    if (tokens == null || tokens.isEmpty) 0L
+    else {
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        var h = 0xcbf29ce484222325L // FNV-1a 64
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  /** Hamming distance between two 64-bit SimHashes (codegen'd
+    * bit_count). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist.
+    * Candidates by the pigeonhole principle: split 64 bits into
+    * `chunks` pieces; distance <= chunks-1 guarantees an identical
+    * chunk, so bucketing on (chunk_idx, chunk_value) catches every such
+    * pair without an all-pairs join. Default 4 chunks ⇒ complete for
+    * maxDist <= 3. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, chunks: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxDist < chunks,
+      s"pigeonhole completeness needs maxDist < chunks ($maxDist >= $chunks)")
+    val bits = 64 / chunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val withSim = df.select(col(idCol).as("id"),
+      simHash64(graft.text.TextAnalysis.tokens(col(textCol))).as("sim"))
+    val chunked = withSim.select(col("id"), col("sim"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("sim"), c * bits)
+            .bitwiseAND(lit(mask)).as("v"))): _*)).as("ck"))
+      .select(col("id"), col("sim"), col("ck.chunk").as("chunk"),
+        col("ck.v").as("v"))
+    val capped = capBuckets(chunked, Seq("chunk", "v"), maxBucketSize)
+    val a = capped.select(col("chunk"), col("v"), col("id").as("idA"),
+      col("sim").as("simA"))
+    val b = capped.select(col("chunk"), col("v"), col("id").as("idB"),
+      col("sim").as("simB"))
+    a.join(b, Seq("chunk", "v"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        hamming(col("simA"), col("simB")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .groupBy(col("idA"), col("idB")).agg(min(col("dist")).as("dist"))
+  }
+
+  // --------------------------------------------- embedding cosine near-dup
+
+  /** Near-duplicate pairs by embedding cosine >= threshold. Candidates
+    * via multi-table random-hyperplane LSH (any-of-L amplification —
+    * Similarity.hyperplaneBucketTables); verification is exact cosine
+    * on the candidate pair; pair dedup collapses multi-table
+    * collisions. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, tables: Int = 8, planesPerTable: Int = 4,
+      dim: Int = 64, maxBucketSize: Int = 2000): DataFrame = {
+    import graft.similarity.Similarity
+    val bucketed = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"), explode(Similarity
+        .hyperplaneBucketTables(col("v"), tables, planesPerTable, dim)).as("bk"))
+      .select(col("id"), col("v"), col("bk.tbl").as("tbl"),
+        col("bk.bucket").as("bucket"))
+    val capped = capBuckets(bucketed, Seq("tbl", "bucket"), maxBucketSize)
+    val a = capped.select(col("tbl"), col("bucket"), col("id").as("idA"),
+      col("v").as("vA"))
+    val b = capped.select(col("tbl"), col("bucket"), col("id").as("idB"),
+      col("v").as("vB"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(first(col("vA")).as("vA"), first(col("vB")).as("vB"))
+      .select(col("idA"), col("idB"),
+        Similarity.cosine(col("vA"), col("vB")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

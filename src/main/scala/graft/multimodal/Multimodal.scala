@@ -1,0 +1,105 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: images/audio/video ride through the
+  * pipeline as opaque `binary` columns next to a typed metadata struct,
+  * exactly how a 100 TB multimodal training-data pipeline carries them
+  * (content-addressed bytes + queryable metadata, decode deferred to
+  * the last possible stage).
+  *
+  * The Spark-side plumbing here — schema, partition-preserving batch
+  * transforms, deterministic feature shape — is real and tested. The
+  * actual codec calls are STUBBED with deterministic fakes (no
+  * image/audio libraries ship in this container): every stub is marked
+  * `STUB:` and would be swapped for (e.g.) javax.imageio / ffmpeg
+  * bindings behind the same signatures.
+  */
+object Multimodal {
+
+  /** media(media_id, kind, bytes, meta(width, height, sample_rate,
+    * format)) — the canonical multimodal row. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("format", StringType, nullable = true))), nullable = true)))
+
+  final case class MediaMeta(width: Option[Int], height: Option[Int],
+      sample_rate: Option[Int], format: Option[String])
+  final case class MediaRecord(media_id: Long, kind: String,
+      bytes: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String,
+      byte_len: Int, feature: Array[Float])
+
+  /** STUB: "decode" an image — returns (width, height, channels) that a
+    * real codec would parse from the header. Deterministic fake: derives
+    * dims from the byte length so tests are stable. */
+  val decodeImageStub: UserDefinedFunction = udf { bytes: Array[Byte] =>
+    if (bytes == null) null
+    else {
+      val n = bytes.length
+      (math.max(1, n % 1024), math.max(1, (n / 1024) % 1024 + 1), 3)
+    }
+  }
+
+  /** STUB: resize — a real impl re-encodes pixels; the fake truncates
+    * bytes proportionally, preserving the (bytes → smaller bytes)
+    * contract the pipeline depends on. */
+  val resizeStub: UserDefinedFunction =
+    udf { (bytes: Array[Byte], maxDim: Int) =>
+      if (bytes == null) null
+      else bytes.take(math.max(1, math.min(bytes.length, maxDim * maxDim)))
+    }
+
+  /** STUB: frame sampling — slices the byte stream into `n` equal
+    * chunks standing in for decoded video frames. The array-of-binary
+    * output shape (what downstream per-frame ops consume) is real. */
+  val sampleFramesStub: UserDefinedFunction =
+    udf { (bytes: Array[Byte], n: Int) =>
+      if (bytes == null || n <= 0) Seq.empty[Array[Byte]]
+      else {
+        val stride = math.max(1, bytes.length / n)
+        (0 until math.min(n, bytes.length)).map(i =>
+          bytes.slice(i * stride, math.min(bytes.length, (i + 1) * stride)))
+      }
+    }
+
+  /** Feature extraction over batches. Runs as `mapPartitions` so a real
+    * implementation amortizes model/codec setup once per partition (the
+    * Scala analog of a Pandas-UDF batch loop). Partitioning is
+    * preserved — no shuffle. STUB: the "embedding" is a deterministic
+    * 8-float hash fold of the bytes. */
+  def extractFeatures(spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real impl: load codec/model ONCE here, then stream the batch
+      it.map { m =>
+        val bytes = Option(m.bytes).getOrElse(Array.empty[Byte])
+        val feat = new Array[Float](8)
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < bytes.length) {
+          h ^= bytes(i); h *= 0x100000001b3L
+          feat(i % 8) += ((h >>> 32).toInt % 1000) / 1000.0f
+          i += 1
+        }
+        MediaFeatures(m.media_id, m.kind, bytes.length, feat)
+      }
+    }
+  }
+
+  /** Attach decoded-metadata columns to a media frame (images only get
+    * width/height; the rest pass through). Narrow projection. */
+  def withDecodedMeta(df: DataFrame): DataFrame =
+    df.withColumn("decoded", when(col("kind") === "image",
+      decodeImageStub(col("bytes"))).otherwise(lit(null)))
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import graft.util.Tables
+
+/** The beyond-reference operators a large-scale training-data pipeline
+  * needs (BASELINE.json north star): dedup in five flavors, ANN
+  * similarity search, text analysis, multimodal plumbing. Oracle SQL is
+  * provided wherever DuckDB 1.0 can express the same deterministic
+  * computation; sketch/LSH operators get rows-only checks (their
+  * outputs are verified by ScalaTest instead — see DedupSpec /
+  * SimilaritySpec).
+  */
+object ExtensionQueries {
+
+  /** Tokens in portable SQL (DuckDB): mirrors TextAnalysis.tokens. */
+  private val sqlTokens =
+    "CASE WHEN length(trim(text)) = 0 THEN [] " +
+      "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // -------------------------------------------------------------- dedup
+
+    // exact dedup: keep min doc_id per identical text
+    QueryDef("q_dedup_exact",
+      (s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id",
+        Seq("text")),
+      Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
+             |FROM documents GROUP BY text""".stripMargin)),
+
+    // MinHash LSH near-dup pairs (rows-only; semantics in DedupSpec)
+    QueryDef("q_dedup_minhash",
+      (s, d) => Dedup.minHashPairs(Tables.documents(s, d), "doc_id",
+        "text", threshold = 0.3), None),
+
+    // survivors after near-dedup, keep-min-id policy (rows-only)
+    QueryDef("q_dedup_minhash_keep",
+      (s, d) => Dedup.dedupMinHash(Tables.documents(s, d), "doc_id",
+        "text", threshold = 0.3).select(col("doc_id"), col("lang")), None),
+
+    // SimHash Hamming<=3 pairs (rows-only)
+    QueryDef("q_dedup_simhash",
+      (s, d) => Dedup.simHashPairs(Tables.documents(s, d), "doc_id",
+        "text"), None),
+
+    // n-gram Jaccard pairs (rows-only)
+    QueryDef("q_dedup_ngram",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, threshold = 0.4), None),
+
+    // embedding-cosine near-dup pairs (rows-only). Threshold 0.35 sits
+    // at the top ~0.1% of this corpus's random-vector cosine
+    // distribution (max ≈ 0.51) — production near-dup would use ~0.95.
+    QueryDef("q_dedup_embed",
+      (s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.35), None),
+
+    // --------------------------------------------------------- similarity
+
+    // exact brute-force cosine top-10 for 5 query vectors (rows-only;
+    // exactness asserted against a scala reference in SimilaritySpec)
+    QueryDef("q_ann_bruteforce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      }, None),
+
+    // LSH-bucketed ANN, same shape (rows-only)
+    QueryDef("q_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      }, None),
+
+    // ------------------------------------------------------ text analysis
+
+    QueryDef("q_text_tokens",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      Some(s"""SELECT doc_id,
+              |CAST(len($sqlTokens) AS INTEGER) AS n_tokens
+              |FROM documents""".stripMargin)),
+
+    QueryDef("q_text_quality",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.meanTokenLength(col("text")).as("mean_token_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score")),
+      Some(s"""WITH t AS (SELECT doc_id, text, $sqlTokens AS toks
+              |FROM documents),
+              |m AS (SELECT doc_id, text, toks,
+              |CAST(len(toks) AS INTEGER) AS n_tokens,
+              |CASE WHEN length(text) = 0 THEN 0.0
+              |  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+              |       / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+              |CASE WHEN len(toks) = 0 THEN 0.0
+              |  ELSE CAST(len(list_filter(toks,
+              |    t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+              |       / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+              |CASE WHEN len(toks) = 0 THEN 0.0
+              |  ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+              |       / CAST(len(toks) AS DOUBLE) END AS mean_token_len
+              |FROM t)
+              |SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+              |mean_token_len,
+              |(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.25)
+              |+ ((1.0 - least(punct_ratio * 4.0, 1.0)) * 0.25)
+              |+ (least(stopword_ratio * 4.0, 1.0) * 0.25)
+              |+ ((CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0
+              |    THEN 1.0 ELSE 0.0 END) * 0.25) AS quality_score
+              |FROM m""".stripMargin)),
+
+    QueryDef("q_text_langid",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred")),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+              |c AS (SELECT doc_id,
+              |len(list_filter(toks, t -> t IN ('the','and','is','of'))) AS c_en,
+              |len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS c_de,
+              |len(list_filter(toks, t -> t IN ('le','la','les','et','est'))) AS c_fr,
+              |len(list_filter(toks, t -> t IN ('el','los','las','y','es'))) AS c_es
+              |FROM t)
+              |SELECT doc_id,
+              |CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+              |WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+              |WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+              |WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+              |ELSE 'es' END AS lang_pred
+              |FROM c""".stripMargin)),
+
+    QueryDef("q_text_fingerprint",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.contentFingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents""".stripMargin)),
+
+    // rolling 64-bit fingerprint (xxhash64 — Spark-specific; rows-only)
+    QueryDef("q_text_rolling_fp",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fp64")), None),
+
+    // --------------------------------------------------------- multimodal
+
+    // binary-column plumbing: text bytes stand in for media bytes; the
+    // deterministic byte_len IS oracle-checkable (ASCII corpus:
+    // byte length == n_chars)
+    QueryDef("q_multimodal_features",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select(
+          col("doc_id").as("media_id"), lit("image").as("kind"),
+          col("text").cast("binary").as("bytes"),
+          lit(null).cast(Multimodal.mediaSchema("meta").dataType).as("meta"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.extractFeatures(s, media)
+          .select(col("media_id"), col("kind"), col("byte_len"))
+      },
+      Some("""SELECT doc_id AS media_id, 'image' AS kind,
+             |CAST(length(text) AS INTEGER) AS byte_len
+             |FROM documents""".stripMargin)),
+  )
+}

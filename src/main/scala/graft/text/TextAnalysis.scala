@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, and document
+  * fingerprinting. Everything here is built from codegen'd built-in
+  * functions (no UDFs), so the whole stage stays inside whole-stage
+  * codegen and scales as a narrow map over the corpus — no shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed, lowercased text; empty text → empty
+    * array (split of "" would otherwise yield [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: count of alphanumeric runs + punctuation
+    * marks, the usual cheap stand-in for a tokenizer's token count when
+    * the real vocab isn't available at scan time. */
+  def subwordCountApprox(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Punctuation chars / total chars (0 for empty text). */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, lit(0.0)).otherwise(
+      (len - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") /
+        len.cast("double"))
+  }
+
+  /** Stopword tokens / total tokens (tiny built-in English list). */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val stops = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      size(filter(ts, t => t.isInCollection(stops))).cast("double") /
+        size(ts).cast("double"))
+  }
+
+  /** Mean token length in characters (0 for empty text). */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(ts).cast("double"))
+  }
+
+  /** Composite document quality score in [0,1] — the usual pretraining
+    * heuristics: enough tokens, not punctuation-soup, some stopwords
+    * (natural prose), sane word lengths. Deterministic IEEE arithmetic,
+    * identical in any engine. */
+  def qualityScore(text: Column): Column = {
+    val lengthTerm = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val punctTerm = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val wordLenTerm = when(
+      meanTokenLength(text).between(lit(2.0), lit(12.0)), lit(1.0))
+      .otherwise(lit(0.0))
+    (lengthTerm * lit(0.25)) + (punctTerm * lit(0.25)) +
+      (stopTerm * lit(0.25)) + (wordLenTerm * lit(0.25))
+  }
+
+  /** Language ID by stopword voting — the classic cheap n-gram/stopword
+    * heuristic. Deterministic argmax with fixed precedence
+    * en > de > fr > es, 'und' (undetermined) when no marker hits. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    def hits(words: Seq[String]): Column =
+      size(filter(ts, t => t.isInCollection(words)))
+    val en = hits(Seq("the", "and", "is", "of"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val fr = hits(Seq("le", "la", "les", "et", "est"))
+    val es = hits(Seq("el", "los", "las", "y", "es"))
+    val top = greatest(en, de, fr, es)
+    when(top === 0, lit("und"))
+      .when(en === top, lit("en"))
+      .when(de === top, lit("de"))
+      .when(fr === top, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * byte-stable across engines, the key for exact near-duplicate
+    * grouping after normalization. */
+  def contentFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** 64-bit rolling fingerprint: min of xxhash64 over word 3-shingles
+    * (a 1-element MinHash) — cheap doc sketch for clustering/bucketing
+    * at scale. Not portable SQL (xxhash64 is Spark's) — rows-only
+    * oracle. */
+  def rollingFingerprint(text: Column, shingleSize: Int = 3): Column = {
+    val sh = graft.dedup.Dedup.shingles(text, shingleSize)
+    when(size(sh) === 0, xxhash64(lit("")))
+      .otherwise(array_min(transform(sh, s => xxhash64(s))))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 8
+  // doc 2 = doc 1 with one word changed (high jaccard); doc 3 unrelated
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base.replaceFirst("lazy", "sleepy")),
+    (3L, "completely different content about spark query engines " * 8),
+    (4L, base), // exact duplicate of 1
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps min id per identical text") {
+    val out = Dedup.exactDedup(docs, "doc_id", Seq("text"))
+    assert(out.count() == 4)
+    assert(out.filter($"text" === base).select("doc_id")
+      .collect().head.getLong(0) == 1L)
+  }
+
+  test("shingles: word 3-grams, distinct, short-text empty") {
+    val sh = Seq(("a b c d", 1)).toDF("t", "i")
+      .select(Dedup.shingles($"t", 3).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(sh.toSet == Set("a b c", "b c d"))
+    val short = Seq(("a b", 1)).toDF("t", "i")
+      .select(Dedup.shingles($"t", 3).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("jaccard of known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard($"x", $"y")).collect().head.getDouble(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("minHashPairs finds planted near-dups, not unrelated docs") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    assert(pairs.contains((1L, 4L)), "exact dup must be caught")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard") {
+    val exact = docs.filter($"doc_id".isin(1L, 2L))
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val Seq(a, b) = exact.orderBy("doc_id").collect()
+      .map(_.getSeq[String](1).toSet).toSeq
+    val trueJ = a.intersect(b).size.toDouble / a.union(b).size
+    val est = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.1)
+      .filter($"idA" === 1L && $"idB" === 2L)
+      .collect().head.getDouble(2)
+    assert(math.abs(est - trueJ) < 1e-9,
+      "verification step reports EXACT jaccard, not the sketch estimate")
+  }
+
+  test("dedupMinHash keep-min-id drops later duplicates only") {
+    val kept = Dedup.dedupMinHash(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L))
+    assert(!kept.contains(2L) && !kept.contains(4L))
+    assert(kept.contains(3L) && kept.contains(5L))
+  }
+
+  test("simHashPairs: identical docs at distance 0, near at small dist") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 4L)).contains(0))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embeddingNearDupPairs finds a planted near-identical vector") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(64)(rnd.nextGaussian())
+    val v1 = vec()
+    val v2 = v1.map(_ + rnd.nextGaussian() * 0.05) // cosine ≈ 0.999
+    val emb = (Seq((1L, v1), (2L, v2)) ++
+      (3L to 40L).map(i => (i, vec()))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("candidate generation never materializes an all-pairs join") {
+    val plan = Dedup.minHashPairs(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"), s"cartesian in plan:\n$plan")
+  }
+}

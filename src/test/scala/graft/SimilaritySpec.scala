@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+      (Seq(1.0, 1.0), Seq(1.0, 1.0), 1.0),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0), 0.0) // zero-norm guard
+    ).toDF("a", "b", "expected")
+    val rows = df.select(Similarity.cosine($"a", $"b").as("c"), $"expected")
+      .collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(11)
+    (0L until 200L).map(i => (i, Seq.fill(64)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK: rank 1 is the query itself, ranks dense 1..k") {
+    val out = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      corpus.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 5))
+      assert(sorted.head.getLong(1) == q, "self must rank first")
+      assert(math.abs(sorted.head.getDouble(2) - 1.0) < 1e-9)
+      // cosine non-increasing with rank
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(w =>
+        w(0) >= w(1) - 1e-12))
+    }
+  }
+
+  test("lshTopK finds the self-match and only emits true candidates") {
+    val out = Similarity.lshTopK(corpus, "vec_id", "embedding",
+      corpus.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.head.getLong(1) == q, "self collides in every table")
+    }
+  }
+
+  test("lshTopK recall against brute force on a clustered corpus") {
+    // clustered data (where LSH is meant to shine): 10 centers + noise
+    val rnd = new scala.util.Random(13)
+    val centers = Seq.fill(10)(Seq.fill(64)(rnd.nextGaussian()))
+    val clustered = (0L until 300L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "embedding")
+    val queries = clustered.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(clustered, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("ANN plans broadcast the query side (no corpus shuffle join)") {
+    val plan = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      corpus.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"no broadcast in:\n$plan")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tokens/tokenCount edge cases") {
+    val df = Seq("hello  world", "  ", "", "one").toDF("t")
+    val counts = df.select(TextAnalysis.tokenCount($"t")).collect()
+      .map(_.getInt(0)).toSeq
+    assert(counts == Seq(2, 0, 0, 1))
+  }
+
+  test("punctRatio counts punctuation chars") {
+    val r = Seq("a,b.c!").toDF("t")
+      .select(TextAnalysis.punctRatio($"t")).collect().head.getDouble(0)
+    assert(r == 3.0 / 6.0)
+  }
+
+  test("stopwordRatio and meanTokenLength") {
+    val df = Seq("the cat sat on the mat").toDF("t")
+    val r = df.select(
+      TextAnalysis.stopwordRatio($"t"),
+      TextAnalysis.meanTokenLength($"t")).collect().head
+    assert(r.getDouble(0) == 2.0 / 6.0) // 'the' ×2
+    assert(r.getDouble(1) == 17.0 / 6.0)
+  }
+
+  test("qualityScore stays in [0,1] (property over random strings)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("the"),
+      Gen.const("..."), Gen.const(" "))).map(_.mkString(" "))
+    val prop = forAll(gen) { s =>
+      val v = Seq(s).toDF("t")
+        .select(TextAnalysis.qualityScore($"t")).collect().head.getDouble(0)
+      v >= 0.0 && v <= 1.0
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("langId on genuine sentences") {
+    val df = Seq(
+      ("the cat is on the mat and the dog", "en"),
+      ("der hund und die katze ist da", "de"),
+      ("le chat et la souris est dans les champs", "fr"),
+      ("el perro y los gatos es aqui", "es"),
+      ("xyzzy plugh qwerty", "und")).toDF("t", "expected")
+    val rows = df.select(TextAnalysis.langId($"t").as("got"), $"expected")
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got ${r.getString(0)} expected ${r.getString(1)}"))
+  }
+
+  test("contentFingerprint is whitespace/case-invariant, content-sensitive") {
+    val df = Seq(
+      ("Hello   World", "hello world", true),
+      ("hello world", "hello worlds", false)).toDF("a", "b", "same")
+    df.collect() // force
+    val rows = df.select(
+      (TextAnalysis.contentFingerprint($"a") ===
+        TextAnalysis.contentFingerprint($"b")).as("eq"), $"same").collect()
+    rows.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+  }
+
+  test("rollingFingerprint is deterministic and text-sensitive") {
+    val df = Seq("the quick brown fox jumps", "the quick brown fox leaps")
+      .toDF("t")
+    val fps = df.select(TextAnalysis.rollingFingerprint($"t")).collect()
+      .map(_.getLong(0))
+    val fps2 = df.select(TextAnalysis.rollingFingerprint($"t")).collect()
+      .map(_.getLong(0))
+    assert(fps.toSeq == fps2.toSeq)
+  }
+
+  test("text ops compile to pure expressions (single codegen stage)") {
+    val df = Seq("the quick brown fox").toDF("text")
+    val plan = df.select(TextAnalysis.qualityScore($"text"),
+      TextAnalysis.langId($"text"), TextAnalysis.contentFingerprint($"text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF leaked into text-analysis plan:\n$plan")
+  }
+}
