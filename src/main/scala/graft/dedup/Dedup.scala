@@ -46,7 +46,20 @@ object Dedup {
         i => concat_ws(" ", slice(words, i + 1, lit(n))))))
   }
 
-  /** Exact Jaccard similarity of two string-array columns. */
+  /** Shingles pre-hashed to 64-bit: words are hashed once over their
+    * UTF8 bytes and each n-gram window folds word hashes into one long
+    * (graft.functions.ShingleHashes — a fused codegen expression; no
+    * shingle strings are ever built). Downstream signatures, shuffles,
+    * and set intersections all work on longs (8 bytes vs ~25-byte
+    * strings; collision probability ~2^-64 per pair is noise next to
+    * the MinHash estimate itself). */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    val words = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+    graft.functions.ShingleFunctions.shingle_hashes(words, n)
+  }
+
+  /** Exact Jaccard similarity of two array columns (any element type). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     val union = size(array_union(a, b))
@@ -56,15 +69,15 @@ object Dedup {
 
   // -------------------------------------------------------------- MinHash
 
-  /** k-element MinHash signature over a shingle array: element i is
-    * min(xxhash64(shingle, seed_i)). Deterministic (fixed seeds), no
-    * UDF. Empty shingle set → null signature (filtered out upstream). */
-  def minHashSignature(shinglesCol: Column, k: Int = 64): Column = {
-    val sigs = (0 until k).map(i =>
-      array_min(transform(shinglesCol, s => xxhash64(s, lit(i)))))
+  /** k-element MinHash signature over a pre-hashed shingle array
+    * (array<bigint>): element i = min over shingles of a seeded
+    * splitmix64 re-hash. One fused codegen loop
+    * (graft.functions.MinHashSignature) — the composable k×array_min
+    * form walks the array k times through interpreted lambdas. Empty
+    * shingle set → null signature (filtered out upstream). */
+  def minHashSignature(shinglesCol: Column, k: Int = 64): Column =
     when(size(shinglesCol) === 0, lit(null).cast("array<bigint>"))
-      .otherwise(array(sigs: _*))
-  }
+      .otherwise(graft.functions.MinHashFunctions.minhash_sig(shinglesCol, k))
 
   /** Banded signature for LSH: hash each of `bands` contiguous slices
     * of the signature into one bucket key per band. A pair agreeing on
@@ -91,25 +104,41 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
+    // (id, sh) with shingles pre-hashed to longs — everything downstream
+    // (signature, shuffle payloads, set intersection) works on int64
+    // persisted: the signature pipeline feeds BOTH sides of the bucket
+    // self-join plus the two verification joins — without persistence
+    // Spark recomputes the k×|shingles| hashing once per reference.
+    // MEMORY_AND_DISK: at cluster scale this spills rather than OOMs.
     val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minHashSignature(col("sh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // banding carries ONLY (id, band, bucket) — never the shingle array.
+    // At scale the band shuffle is the widest exchange in this job; 16
+    // bands × an attached array would multiply it by the document size.
     val banded = withSig
-      .select(col("id"), col("sh"),
-        explode(bandKeys(col("sig"), k, bands)).as("bk"))
-      .select(col("id"), col("sh"),
+      .select(col("id"), explode(bandKeys(col("sig"), k, bands)).as("bk"))
+      .select(col("id"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
-    val a = capped.select(col("band"), col("bucket"),
-      col("id").as("idA"), col("sh").as("shA"))
-    val b = capped.select(col("band"), col("bucket"),
-      col("id").as("idB"), col("sh").as("shB"))
-    a.join(b, Seq("band", "bucket"))
+    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"))
+    // dedupe candidate pairs BEFORE verification: a true near-dup
+    // collides in many bands, and exact-jaccard verification is the
+    // expensive step — run it once per pair, not once per collision
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), jaccard(col("shA"), col("shB")).as("jaccard"))
+      .select(col("idA"), col("idB")).distinct()
+    val shTbl = withSig.select(col("id"), col("sh"))
+    candidates
+      .join(shTbl.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
+      .join(shTbl.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
+      .select(col("idA"), col("idB"),
+        jaccard(col("shA"), col("shB")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("idA"), col("idB")).agg(first(col("jaccard")).as("jaccard"))
   }
 
   /** Remove near-duplicates: keep-min-id policy over [[minHashPairs]].
@@ -122,12 +151,15 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Buckets larger than `maxSize` are dropped (skew guard). */
+  /** Buckets larger than `maxSize` are dropped (skew guard). Window
+    * count, not a count-join: one scan of the input and one exchange on
+    * the same key the downstream bucket join needs anyway. */
   private def capBuckets(df: DataFrame, keys: Seq[String],
       maxSize: Int): DataFrame = {
-    val counts = df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__bucket_n"))
-    df.join(counts.filter(col("__bucket_n") <= maxSize), keys)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    df.withColumn("__bucket_n", count(lit(1)).over(w))
+      .filter(col("__bucket_n") <= maxSize)
       .drop("__bucket_n")
   }
 
@@ -238,17 +270,20 @@ object Dedup {
         .hyperplaneBucketTables(col("v"), tables, planesPerTable, dim)).as("bk"))
       .select(col("id"), col("v"), col("bk.tbl").as("tbl"),
         col("bk.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = capBuckets(bucketed, Seq("tbl", "bucket"), maxBucketSize)
     val a = capped.select(col("tbl"), col("bucket"), col("id").as("idA"),
       col("v").as("vA"))
     val b = capped.select(col("tbl"), col("bucket"), col("id").as("idB"),
       col("v").as("vB"))
+    // cosine computed inside the bucket join (narrow), threshold applied
+    // immediately — only scalar (idA, idB, cosine) survivors reach the
+    // pair-dedup shuffle, never the vectors
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("idA") < col("idB"))
-      .groupBy(col("idA"), col("idB"))
-      .agg(first(col("vA")).as("vA"), first(col("vB")).as("vB"))
       .select(col("idA"), col("idB"),
         Similarity.cosine(col("vA"), col("vB")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .groupBy(col("idA"), col("idB")).agg(first(col("cosine")).as("cosine"))
   }
 }
