@@ -80,6 +80,24 @@ object ExtensionQueries {
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
       }, None),
 
+    // ---------------------------------------------------- event windows
+
+    // tumbling event-time window aggregation (the batch shape of
+    // streaming.StreamingIngest.windowedEventAgg; day buckets align to
+    // midnight UTC in both engines)
+    QueryDef("q_event_window_agg",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total")),
+      Some("""SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+             |event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // ------------------------------------------------------ text analysis
 
     QueryDef("q_text_tokens",
