@@ -31,7 +31,14 @@ object StreamingIngest {
   /** Watermarked tumbling-window aggregation over an event-time
     * column: counts + value sum per (window, event_type). Late rows
     * beyond the watermark are dropped — state is bounded, which is
-    * what makes this runnable forever at scale. */
+    * what makes this runnable forever at scale.
+    *
+    * Append-mode emission gotcha: a window only emits after the
+    * watermark passes its end, and the watermark advances BETWEEN
+    * microbatches — an `AvailableNow` drain that fits in one batch
+    * emits nothing. For batch-style drains either lower
+    * `maxFilesPerTrigger` (so the watermark advances across batches)
+    * or use the batch equivalent (SparkEntry `q_event_window_agg`). */
   def windowedEventAgg(events: DataFrame, tsCol: String = "ts",
       window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
     events
