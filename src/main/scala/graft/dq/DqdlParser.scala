@@ -1,0 +1,69 @@
+package graft.dq
+
+import org.apache.spark.sql.Column
+
+/** Parser for the DQDL ruleset strings the reference stores verbatim in
+  * its terraform (terraform/modules/data_quality/glue.tf:1-26), e.g.
+  *
+  * {{{
+  * Rules = [ IsComplete "song_id", ColumnLength "song_id" = 18,
+  *           Uniqueness "user_id" > 0.95, ColumnValues "price" <= 2 ]
+  * }}}
+  *
+  * Covers the rule kinds the reference uses (IsComplete, ColumnLength,
+  * Uniqueness, ColumnValues with a comparison) — each parsed into the
+  * [[DqRule]] ADT, so a parsed ruleset compiles to the same single
+  * aggregation pass as a hand-built one.
+  */
+object DqdlParser {
+
+  private val RulesRe = """(?s)\s*Rules\s*=\s*\[(.*)\]\s*""".r
+  private val IsCompleteRe = """IsComplete\s+"([^"]+)"""".r
+  private val ColumnLengthRe = """ColumnLength\s+"([^"]+)"\s*=\s*(\d+)""".r
+  private val UniquenessRe = """Uniqueness\s+"([^"]+)"\s*>\s*([\d.]+)""".r
+  private val ColumnValuesRe =
+    """ColumnValues\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*(-?[\d.]+)""".r
+
+  def parse(name: String, dqdl: String): Ruleset = {
+    val body = dqdl match {
+      case RulesRe(inner) => inner
+      case other => throw new IllegalArgumentException(
+        s"not a DQDL ruleset (expected Rules = [...]): ${other.take(80)}")
+    }
+    val rules = splitTopLevel(body).filter(_.nonEmpty).map(parseRule)
+    Ruleset(name, rules)
+  }
+
+  private def parseRule(s: String): DqRule = s.trim match {
+    case IsCompleteRe(c) => IsComplete(c)
+    case ColumnLengthRe(c, n) => ColumnLength(c, n.toInt)
+    case UniquenessRe(c, th) => Uniqueness(c, th.toDouble)
+    case ColumnValuesRe(c, op, v) =>
+      val lit = v.toDouble
+      val pred: Column => Column = op match {
+        case "<=" => _ <= lit
+        case ">=" => _ >= lit
+        case "<"  => _ < lit
+        case ">"  => _ > lit
+        case "="  => _ === lit
+        case "!=" => _ =!= lit
+      }
+      ColumnValues(c, pred)
+    case other => throw new IllegalArgumentException(
+      s"unsupported DQDL rule: $other")
+  }
+
+  /** Split on commas that are not inside quotes. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach {
+      case '"' => inQuote = !inQuote; cur += '"'
+      case ',' if !inQuote => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.result().trim
+    out.result()
+  }
+}

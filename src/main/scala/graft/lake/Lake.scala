@@ -78,6 +78,19 @@ object Lake {
     } else df.write.format("parquet").partitionBy(partitionCol)
       .saveAsTable(table)
 
+  /** Bucketed catalog table: co-locates rows by hash of `bucketCol`
+    * across `numBuckets` files per partition, so equi-joins and
+    * aggregations on the bucket key read pre-shuffled data — at 100 TB
+    * this converts every fact⋈fact join on the bucket key from a full
+    * shuffle into a zero-exchange sort-merge join (see LakeSpec's plan
+    * assertion). Sorting within buckets makes the merge side cheap. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+  }
+
   /** Serving-layer table materialization (dbt `table` → CTAS; K7). */
   def materializeTable(spark: SparkSession, df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
