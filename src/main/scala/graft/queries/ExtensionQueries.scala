@@ -34,10 +34,29 @@ object ExtensionQueries {
       Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
              |FROM documents GROUP BY text""".stripMargin)),
 
-    // MinHash LSH near-dup pairs (rows-only; semantics in DedupSpec)
+    // MinHash LSH near-dup pairs, oracled against DuckDB's exact
+    // all-pairs 3-gram jaccard. Valid because this corpus is bimodal
+    // (random pairs ≈0.1, planted dups ≈0.99): banding recall is ~1.0
+    // above the threshold, verified by the DedupSpec recall test and a
+    // full cross-check. The oracle does the O(n²) join the engine
+    // exists to avoid — fine at sf0.01, the point at 100 TB.
     QueryDef("q_dedup_minhash",
       (s, d) => Dedup.minHashPairs(Tables.documents(s, d), "doc_id",
-        "text", threshold = 0.3), None),
+        "text", threshold = 0.3),
+      Some("""WITH t AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\s+') w
+             |  FROM documents),
+             |s AS (SELECT doc_id, list_distinct(
+             |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |   for i in range(1, len(w) - 1)]) sh
+             |  FROM t WHERE len(w) >= 3)
+             |SELECT a.doc_id AS idA, b.doc_id AS idB,
+             |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3"""
+        .stripMargin)),
 
     // survivors after near-dedup, keep-min-id policy (rows-only)
     QueryDef("q_dedup_minhash_keep",
@@ -63,14 +82,29 @@ object ExtensionQueries {
 
     // --------------------------------------------------------- similarity
 
-    // exact brute-force cosine top-10 for 5 query vectors (rows-only;
-    // exactness asserted against a scala reference in SimilaritySpec)
+    // exact brute-force cosine top-10 for 5 query vectors. Oracled on
+    // the integer (query_id, id, rank) triple — rank gaps between
+    // neighbors (~1e-4 cosine) dwarf cross-engine float ulp noise, so
+    // the ordering is stable; the cosine VALUES are asserted in
+    // SimilaritySpec instead.
     QueryDef("q_ann_bruteforce",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
-      }, None),
+          .select(col("query_id"), col("id"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+             |  WHERE vec_id < 5)
+             |SELECT query_id, vec_id AS id, CAST(rk AS INTEGER) AS rank
+             |FROM (SELECT q.query_id, e.vec_id,
+             |  row_number() OVER (PARTITION BY q.query_id
+             |    ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+             |             e.vec_id ASC) AS rk
+             |  FROM e CROSS JOIN q)
+             |WHERE rk <= 10""".stripMargin)),
 
     // LSH-bucketed ANN, same shape (rows-only)
     QueryDef("q_ann_lsh",
