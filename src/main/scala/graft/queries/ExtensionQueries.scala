@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.Similarity
+import graft.similarity.{Ivf, Similarity}
 import graft.text.TextAnalysis
 import graft.util.Tables
 
@@ -112,6 +112,17 @@ object ExtensionQueries {
         val emb = Tables.embeddings(s, d)
         Similarity.lshTopK(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      }, None),
+
+    // IVF ANN: trained coarse quantizer, nprobe cells per query
+    // (rows-only; recall asserted in SimilaritySpec)
+    QueryDef("q_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+        Ivf.ivfTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          model, k = 10, nprobe = 4)
       }, None),
 
     // ---------------------------------------------------- event windows

@@ -1,0 +1,101 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) approximate nearest neighbor: a trained coarse
+  * quantizer partitions the corpus into cells; queries probe only the
+  * `nprobe` nearest cells.
+  *
+  * Scale design: training runs as distributed aggregates (assignment is
+  * a narrow map against centroid literals; the mean-update is one
+  * posexplode + groupBy over (cell, dim)); only the k×dim centroid
+  * matrix is ever collected to the driver. Corpus assignment is
+  * computed once and can be persisted as a column (the "inverted
+  * file"); query-time work is a join on cell id — the corpus is hash-
+  * partitioned by cell, so each query touches nprobe partitions' worth
+  * of vectors instead of the full corpus.
+  *
+  * Versus [[Similarity.lshTopK]]: LSH needs no training and gives
+  * probabilistic recall; IVF adapts to the data's cluster structure
+  * (much better recall/compute on clustered embeddings — the common
+  * case for real encoder outputs).
+  */
+object Ivf {
+
+  final case class IvfModel(centroids: Seq[Seq[Double]]) {
+    def k: Int = centroids.size
+  }
+
+  /** Cosine of `v` against each centroid, as (cos, idx) structs —
+    * argmax via array_max's lexicographic struct ordering. */
+  private def cellScores(v: Column, model: IvfModel): Column =
+    array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.cosine_sim(v, typedLit(c)).as("cos"),
+        lit(i).as("cell"))
+    }: _*)
+
+  /** Nearest-centroid cell id for a vector column. */
+  def assignCell(v: Column, model: IvfModel): Column =
+    array_max(cellScores(v, model)).getField("cell")
+
+  /** The query side's nprobe nearest cells. */
+  private def probeCells(v: Column, model: IvfModel, nprobe: Int): Column =
+    slice(reverse(array_sort(cellScores(v, model))), 1, nprobe)
+      .getField("cell")
+
+  /** Train centroids with Lloyd iterations (cosine assignment, mean
+    * update). Deterministic: seeded by the first k vectors in id
+    * order. On a 100 TB corpus you'd train on a sample — pass one in. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3): IvfModel = {
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var model = IvfModel(vecs.orderBy("id").limit(k)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq)
+    for (_ <- 0 until iters) {
+      val means = vecs
+        .withColumn("cell", assignCell(col("v"), model))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      model = IvfModel(model.centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
+          case None => model.centroids(c) // empty cell keeps its centroid
+        }
+      })
+    }
+    model
+  }
+
+  /** ANN top-k: corpus rows live in one cell each; every query probes
+    * its `nprobe` nearest cells. Output shape matches
+    * Similarity.bruteForceTopK. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      model: IvfModel, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", assignCell(col("v"), model))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).cast("array<double>").as("qv"))
+      .withColumn("cell",
+        explode(probeCells(col("qv"), model, nprobe)))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .select(col("query_id"), col("id"),
+        VectorFunctions.cosine_sim(col("v"), col("qv")).as("cosine"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("cosine"), col("rank"))
+  }
+}

@@ -72,6 +72,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("IVF: training converges and recall beats LSH on clustered data") {
+    import graft.similarity.Ivf
+    val rnd = new scala.util.Random(13)
+    val centers = Seq.fill(10)(Seq.fill(64)(rnd.nextGaussian()))
+    val clustered = (0L until 300L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.map(_ + rnd.nextGaussian() * 0.15))
+    }.toDF("vec_id", "embedding")
+    val model = Ivf.train(clustered, "vec_id", "embedding", k = 10, iters = 3)
+    assert(model.k == 10)
+    // assignment should be stable: cells partition the corpus
+    val cells = clustered.select(
+      Ivf.assignCell($"embedding".cast("array<double>"), model).as("c"))
+      .groupBy("c").count().collect()
+    assert(cells.map(_.getLong(1)).sum == 300)
+    val queries = clustered.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.ivfTopK(clustered, "vec_id", "embedding",
+      queries, "vec_id", "embedding", model, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall too low on clustered data")
+  }
+
   test("ANN plans broadcast the query side (no corpus shuffle join)") {
     val plan = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
       corpus.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
