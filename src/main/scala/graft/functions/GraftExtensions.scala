@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+
+/** SparkSessionExtensions hook registering the engine's native
+  * expressions for SQL use — the idiomatic deployment path:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)        // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * After which `SELECT cosine_sim(a, b)`, `dot_product(a, b)`,
+  * `minhash_sig(hashes, k)`, `shingle_hashes(words, n)` work in any
+  * SQL context of the session (views, spark.sql, thrift server).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def d(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity"),
+      (exprs: Seq[Expression]) => CosineSimilarity(d(exprs(0)), d(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - inner product"),
+      (exprs: Seq[Expression]) => DotProduct(d(exprs(0)), d(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(hashes, k) - MinHash signature"),
+      (exprs: Seq[Expression]) => MinHashSignature(
+        Cast(exprs(0), ArrayType(LongType)),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(words, n) - word n-gram hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+  }
+}
