@@ -22,24 +22,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def d(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
 
+  private def arity(name: String, n: Int, exprs: Seq[Expression]): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$name requires $n arguments, got ${exprs.length}")
+
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", name)
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(d(exprs(0)), d(exprs(1)))))
+      (exprs: Seq[Expression]) => {
+        arity("cosine_sim", 2, exprs)
+        CosineSimilarity(d(exprs(0)), d(exprs(1)))
+      }))
     e.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - inner product"),
-      (exprs: Seq[Expression]) => DotProduct(d(exprs(0)), d(exprs(1)))))
+      (exprs: Seq[Expression]) => {
+        arity("dot_product", 2, exprs)
+        DotProduct(d(exprs(0)), d(exprs(1)))
+      }))
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(hashes, k) - MinHash signature"),
-      (exprs: Seq[Expression]) => MinHashSignature(
-        Cast(exprs(0), ArrayType(LongType)),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => {
+        arity("minhash_sig", 2, exprs)
+        MinHashSignature(Cast(exprs(0), ArrayType(LongType)),
+          exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
     e.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(words, n) - word n-gram hashes"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => {
+        arity("shingle_hashes", 2, exprs)
+        ShingleHashes(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
   }
 }

@@ -133,9 +133,16 @@ object VectorFunctions {
     import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.types.{ArrayType => AT, DoubleType => DT}
     def d(e: Expression): Expression = Cast(e, AT(DT))
+    def two(name: String, exprs: Seq[Expression]): Unit =
+      if (exprs.length != 2) throw new IllegalArgumentException(
+        s"$name requires 2 arguments, got ${exprs.length}")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(d(exprs(0)), d(exprs(1))), "built-in")
+      "cosine_sim", exprs => {
+        two("cosine_sim", exprs); CosineSimilarity(d(exprs(0)), d(exprs(1)))
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(d(exprs(0)), d(exprs(1))), "built-in")
+      "dot_product", exprs => {
+        two("dot_product", exprs); DotProduct(d(exprs(0)), d(exprs(1)))
+      }, "built-in")
   }
 }
