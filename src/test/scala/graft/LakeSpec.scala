@@ -52,6 +52,20 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.json(s"$base/ingest_on=2020_02_01").count() == 2)
   }
 
+  test("external-location table: query without load (Spectrum analog)") {
+    // S6: the reference queries Iceberg in place via Redshift Spectrum
+    // external schemas (serving/redshift.tf:9-21) — here: an external
+    // parquet table over an existing directory, no data movement
+    val dir = Files.createTempDirectory("external").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    spark.sql(s"CREATE TABLE ext_songs USING parquet LOCATION '$dir'")
+    assert(spark.table("ext_songs").count() == 2)
+    // external: dropping the table must not delete the data
+    spark.sql("DROP TABLE ext_songs")
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("landing CSV write with header round-trips") {
     val base = Files.createTempDirectory("landing-csv").toString
     val df = Seq(("a", "1"), ("b", "2")).toDF("k", "n")
