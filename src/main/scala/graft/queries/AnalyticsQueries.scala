@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.util.Tables
+
+/** Analytic-SQL breadth beyond the reference's surface (the reference
+  * has no window functions, rollups, or set ops — SURVEY §2.6): ranking
+  * windows, gap-based sessionization as a batch query, rollup
+  * aggregation, and set operations, each with a DuckDB oracle.
+  *
+  * Scale notes: ranking/sessionization shuffle once on the partition
+  * key (user/customer) and sort within partitions — the canonical
+  * "analytic over entity history" shape; rollup adds one extra
+  * aggregation level per grouping set over partial aggregates.
+  */
+object AnalyticsQueries {
+
+  private def money(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // top-3 orders per customer by price (ranking window)
+    QueryDef("q_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |CAST(rn AS INTEGER) AS rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3""".stripMargin)),
+
+    // gap-based sessionization (30 min) of the event stream as a batch
+    // query — the batch shape of streaming.StreamingIngest.sessionize
+    QueryDef("q_user_sessions",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+                1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_idx", sum(col("new_sess")).over(w))
+          .groupBy(col("user_id"), col("sess_idx"))
+          .agg(count(lit(1)).as("n"), min(col("ts")).as("started"),
+            max(col("ts")).as("ended"), money(col("value")).as("total_value"))
+      },
+      // CAST(ts AS TIMESTAMP) truncates DuckDB's ns-precision read of
+      // events.ts to µs, matching Spark's timestamp precision
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+             |  user_id, value FROM events),
+             |x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+             |  ORDER BY ts, event_id) AS prev_ts FROM e),
+             |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+             |  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+             |  THEN 1 ELSE 0 END AS new_sess FROM x),
+             |z AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+             |  ORDER BY ts, event_id) AS sess_idx FROM y)
+             |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+             |CAST(COUNT(*) AS BIGINT) AS n, MIN(ts) AS started,
+             |MAX(ts) AS ended,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM z GROUP BY 1, 2""".stripMargin)),
+
+    // rollup: sales by (year, priority) with subtotals and grand total
+    QueryDef("q_rollup_sales",
+      (s, d) => Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).as("session_year"),
+          col("o_orderpriority"))
+        .agg(money(col("o_totalprice")).as("total_sales"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS session_year,
+             |o_orderpriority,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS total_sales,
+             |CAST(COUNT(*) AS BIGINT) AS n
+             |FROM orders
+             |GROUP BY ROLLUP(1, 2)""".stripMargin)),
+
+    // set operations over two predicate-defined part sets (partial
+    // overlap by construction, so both branches are non-trivial at any
+    // scale — the synthetic data's FK coverage is complete, which makes
+    // key-vs-key differences degenerate)
+    QueryDef("q_set_ops",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val big = p.filter(col("p_size") > 25).select(col("p_partkey").as("pk"))
+        val pricey = p.filter(col("p_retailprice") > 950.0)
+          .select(col("p_partkey").as("pk"))
+        big.intersect(pricey).withColumn("op", lit("intersect"))
+          .unionByName(big.except(pricey).withColumn("op", lit("except")))
+          .select(col("op"), col("pk"))
+      },
+      Some("""SELECT 'intersect' AS op, pk FROM
+             |  (SELECT p_partkey AS pk FROM part WHERE p_size > 25
+             |   INTERSECT
+             |   SELECT p_partkey FROM part WHERE p_retailprice > 950.0)
+             |UNION ALL
+             |SELECT 'except' AS op, pk FROM
+             |  (SELECT p_partkey AS pk FROM part WHERE p_size > 25
+             |   EXCEPT
+             |   SELECT p_partkey FROM part WHERE p_retailprice > 950.0)"""
+        .stripMargin)),
+  )
+}
