@@ -213,6 +213,31 @@ object ExtensionQueries {
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.rollingFingerprint(col("text")).as("fp64")), None),
 
+    // ---------------------------------------------------------- profiling
+
+    // single-pass numeric profile of customer (deterministic metrics
+    // only; approx_distinct is HLL and engine-specific, so the query
+    // filters it out and DedupSpec-style unit tests cover it instead)
+    QueryDef("q_dq_profile",
+      (s, d) => graft.dq.Profiler
+        .profileNumeric(Tables.customer(s, d),
+          Seq("c_custkey", "c_nationkey", "c_acctbal"))
+        .filter(col("metric") =!= "approx_distinct"),
+      Some(Seq("c_custkey", "c_nationkey", "c_acctbal").map { c =>
+        s"""SELECT '$c' AS "column", 'row_count' AS metric,
+           |CAST(COUNT(*) AS DOUBLE) AS value FROM customer
+           |UNION ALL SELECT '$c', 'null_count',
+           |CAST(COUNT(*) - COUNT($c) AS DOUBLE) FROM customer
+           |UNION ALL SELECT '$c', 'min', CAST(MIN($c) AS DOUBLE) FROM customer
+           |UNION ALL SELECT '$c', 'max', CAST(MAX($c) AS DOUBLE) FROM customer
+           |UNION ALL SELECT '$c', 'sum',
+           |CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) FROM customer
+           |UNION ALL SELECT '$c', 'mean',
+           |CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+           |  / (CAST(COUNT(*) AS DOUBLE) - CAST(COUNT(*) - COUNT($c) AS DOUBLE))
+           |FROM customer""".stripMargin
+      }.mkString("\nUNION ALL\n"))),
+
     // --------------------------------------------------------- multimodal
 
     // binary-column plumbing: text bytes stand in for media bytes; the
