@@ -209,6 +209,51 @@ object ExtensionQueries {
              |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
              |FROM documents""".stripMargin)),
 
+    // corpus vocabulary: top 100 tokens by document frequency
+    // (vocabulary building — integer-deterministic, fully oracled)
+    QueryDef("q_text_vocab",
+      (s, d) => TextAnalysis.vocabulary(Tables.documents(s, d),
+        "doc_id", "text")
+        .orderBy(col("df").desc, col("token").asc).limit(100),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($sqlTokens) AS token
+              |FROM documents)
+              |SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+              |CAST(COUNT(*) AS BIGINT) AS tf_total
+              |FROM toks GROUP BY token
+              |ORDER BY df DESC, token ASC LIMIT 100""".stripMargin)),
+
+    // salient terms per doc: top-3 by (tf DESC, df ASC, token) — the
+    // integer-deterministic shape of tf-idf ranking (cross-engine ln()
+    // differs in the last ulp, so the real tf_idf double stays in the
+    // library + spec)
+    QueryDef("q_text_salient_terms",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+        val scored = TextAnalysis.tfIdf(docs, "doc_id", "text")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            col("rn"))
+      },
+      Some(s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 50),
+              |toks AS (SELECT doc_id, unnest(
+              |  CASE WHEN length(trim(text)) = 0 THEN []
+              |  ELSE string_split_regex(lower(trim(text)), '\\s+') END)
+              |  AS token FROM docs),
+              |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+              |  FROM toks GROUP BY 1, 2),
+              |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM
+              |  (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+              |r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+              |  row_number() OVER (PARTITION BY tf.doc_id
+              |    ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rn
+              |  FROM tf JOIN df USING (token))
+              |SELECT doc_id, token, tf, df, CAST(rn AS INTEGER) AS rn
+              |FROM r WHERE rn <= 3""".stripMargin)),
+
     // rolling 64-bit fingerprint (xxhash64 — Spark-specific; rows-only)
     QueryDef("q_text_rolling_fp",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),

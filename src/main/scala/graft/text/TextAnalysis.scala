@@ -86,6 +86,38 @@ object TextAnalysis {
       .otherwise(lit("es"))
   }
 
+  /** Corpus vocabulary: one row per token with document frequency and
+    * total term frequency. Two aggregations (per-doc distinct, then
+    * corpus-wide) — the classic vocabulary-building job; at 100 TB the
+    * only shuffle is on the token key with map-side partial counts. */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    toks.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf_total"))
+  }
+
+  /** TF-IDF scores: (doc_id, token, tf, df, tf_idf) with
+    * idf = ln(N / df). Library form with real doubles; for oracle
+    * comparisons use the integer-ranked salient-terms query (ln()
+    * implementations differ across engines in the last ulp). */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val n = docs.count().toDouble
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("token"))
+      .withColumn("tf_idf",
+        col("tf").cast("double") * log(lit(n) / col("df").cast("double")))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tf_idf"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * byte-stable across engines, the key for exact near-duplicate
     * grouping after normalization. */

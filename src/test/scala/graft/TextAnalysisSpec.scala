@@ -80,6 +80,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps.toSeq == fps2.toSeq)
   }
 
+  test("vocabulary and tfIdf on a tiny corpus") {
+    val docs = Seq(
+      (1L, "spark spark hash join"),
+      (2L, "spark sort merge join"),
+      (3L, "filter scan")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(vocab("spark") == ((2L, 3L))) // df=2 docs, tf_total=3
+    assert(vocab("join") == ((2L, 2L)))
+    assert(vocab("scan") == ((1L, 1L)))
+    val tfidf = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (tf, df, score) = tfidf((1L, "spark"))
+    assert(tf == 2 && df == 2)
+    assert(math.abs(score - 2.0 * math.log(3.0 / 2.0)) < 1e-12)
+    // a corpus-wide token has idf 0 → tf_idf 0
+    assert(tfidf((2L, "spark"))._3 == 1.0 * math.log(3.0 / 2.0))
+  }
+
   test("text ops compile to pure expressions (single codegen stage)") {
     val df = Seq("the quick brown fox").toDF("text")
     val plan = df.select(TextAnalysis.qualityScore($"text"),
