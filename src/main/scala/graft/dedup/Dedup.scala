@@ -22,6 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // Cache bookkeeping: minHashPairs / embeddingNearDupPairs persist the
+  // signature/bucket stage (it feeds 2-3 downstream joins). In a
+  // long-lived session those cached blocks would otherwise accumulate
+  // until eviction pressure — callers that are done with the returned
+  // DataFrames should call releaseCaches().
+  private val persistedDfs =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def trackPersist(df: DataFrame): DataFrame = synchronized {
+    persistedDfs += df
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Unpersist every intermediate this module cached (blocking=false).
+    * Safe to call while results are still referenced — Spark will
+    * recompute on next action. */
+  def releaseCaches(): Unit = synchronized {
+    persistedDfs.foreach(_.unpersist(false))
+    persistedDfs.clear()
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on key columns: keeps the smallest id per group.
@@ -110,12 +131,11 @@ object Dedup {
     // self-join plus the two verification joins — without persistence
     // Spark recomputes the k×|shingles| hashing once per reference.
     // MEMORY_AND_DISK: at cluster scale this spills rather than OOMs.
-    val withSig = df
+    val withSig = trackPersist(df
       .select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), k))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", minHashSignature(col("sh"), k)))
     // banding carries ONLY (id, band, bucket) — never the shingle array.
     // At scale the band shuffle is the widest exchange in this job; 16
     // bands × an attached array would multiply it by the document size.
@@ -167,8 +187,12 @@ object Dedup {
     * observability hook for the skew cap. */
   def bucketStats(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    // shingleHashes (array<bigint>), NOT string shingles —
+    // minHashSignature reads pre-hashed int64 shingles, exactly as
+    // minHashPairs feeds it
     val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minHashSignature(col("sh"), k))
     withSig.select(explode(bandKeys(col("sig"), k, bands)).as("bk"))
@@ -264,13 +288,12 @@ object Dedup {
       threshold: Double = 0.95, tables: Int = 8, planesPerTable: Int = 4,
       dim: Int = 64, maxBucketSize: Int = 2000): DataFrame = {
     import graft.similarity.Similarity
-    val bucketed = df.select(col(idCol).as("id"),
+    val bucketed = trackPersist(df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .select(col("id"), col("v"), explode(Similarity
         .hyperplaneBucketTables(col("v"), tables, planesPerTable, dim)).as("bk"))
       .select(col("id"), col("v"), col("bk.tbl").as("tbl"),
-        col("bk.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        col("bk.bucket").as("bucket")))
     val capped = capBuckets(bucketed, Seq("tbl", "bucket"), maxBucketSize)
     val a = capped.select(col("tbl"), col("bucket"), col("id").as("idA"),
       col("v").as("vA"))

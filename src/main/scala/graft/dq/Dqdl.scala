@@ -13,15 +13,23 @@ import org.apache.spark.sql.functions._
   * over the table — every rule contributes aggregate expressions that
   * Catalyst evaluates in a single partial+final hash aggregate (no
   * per-rule scans, no driver-side row iteration). At 100 TB this is a
-  * single scan with map-side partial aggregation; `Uniqueness` is the
-  * only rule that needs a distinct (Spark plans it as a two-phase
-  * aggregate on the key), and an `approxUniqueness` variant trades that
-  * shuffle for HyperLogLog when the 0.95-style threshold doesn't need
-  * exactness.
+  * single scan with map-side partial aggregation. The one exception is
+  * `Uniqueness` (Glue's exactly-once-ratio semantics), which needs a
+  * grouped pre-aggregation on the key — it contributes a side
+  * aggregation (two-phase: groupBy(key).count, then one global
+  * aggregate) whose single-row result is cross-joined into the verdict
+  * row; `ApproxDistinctness` trades that groupBy shuffle for
+  * HyperLogLog when a distinctness-style threshold has slack.
   */
 sealed trait DqRule {
-  /** Aggregate metric columns this rule contributes (aliased). */
+  /** Aggregate metric columns this rule contributes to the shared
+    * single-pass aggregation (aliased). */
   def metrics: Seq[Column]
+  /** Optional side aggregation: a 1-row DataFrame of extra metric
+    * columns, for rules not expressible as plain aggregates over the
+    * unaggregated input (e.g. exactly-once Uniqueness). Cross-joined
+    * (1×1) into the verdict row. */
+  def sideMetrics(df: DataFrame): Option[DataFrame] = None
   /** Pass/fail predicate over the aliased metric columns. */
   def passed: Column
   def name: String
@@ -46,27 +54,34 @@ final case class ColumnLength(column: String, len: Int) extends DqRule {
     col(s"min_len_$column") === len && col(s"max_len_$column") === len
 }
 
-/** distinct(column)/count(*) strictly above `threshold`.
-  * (DQDL `Uniqueness "user_id" > 0.95`.) */
+/** Fraction of rows whose value occurs EXACTLY once, strictly above
+  * `threshold` — AWS Glue DQDL `Uniqueness "user_id" > 0.95` semantics:
+  * 100 rows with 4 values duplicated (2×) scores 92/100 = 0.92, not the
+  * distinctness 96/100. Needs a grouped pre-aggregation, so it runs as
+  * a side aggregation (two-phase: partial map-side combine on the key,
+  * then one tiny global pass over the group counts). */
 final case class Uniqueness(column: String, threshold: Double) extends DqRule {
   val name = s"uniqueness_$column"
-  def metrics: Seq[Column] = Seq(
-    (countDistinct(col(column)).cast("double") / count(lit(1)).cast("double"))
-      .as(s"uniq_ratio_$column"))
+  def metrics: Seq[Column] = Seq.empty
+  override def sideMetrics(df: DataFrame): Option[DataFrame] = Some(
+    df.groupBy(col(column)).agg(count(lit(1)).as("__cnt"))
+      .agg((sum(when(col("__cnt") === 1L, 1L).otherwise(0L)).cast("double") /
+        sum(col("__cnt")).cast("double")).as(s"uniq_ratio_$column")))
   def passed: Column = col(s"uniq_ratio_$column") > threshold
 }
 
-/** Approximate variant of [[Uniqueness]]: HyperLogLog++ instead of an
-  * exact distinct — one pass, no distinct shuffle; the right choice at
-  * 100 TB when the threshold has slack (reference threshold is 0.95).
-  */
-final case class ApproxUniqueness(column: String, threshold: Double,
+/** Approximate DISTINCTNESS (not Glue Uniqueness): HyperLogLog++
+  * distinct-count over total rows — one pass, no shuffle on the key;
+  * the right scale tradeoff when a distinctness-style threshold has
+  * slack. Named honestly: HLL cannot estimate the exactly-once ratio,
+  * so this is a different (more lenient) metric than [[Uniqueness]]. */
+final case class ApproxDistinctness(column: String, threshold: Double,
     rsd: Double = 0.01) extends DqRule {
-  val name = s"approx_uniqueness_$column"
+  val name = s"approx_distinctness_$column"
   def metrics: Seq[Column] = Seq(
     (approx_count_distinct(col(column), rsd).cast("double") /
-      count(lit(1)).cast("double")).as(s"uniq_ratio_$column"))
-  def passed: Column = col(s"uniq_ratio_$column") > threshold
+      count(lit(1)).cast("double")).as(s"distinct_ratio_$column"))
+  def passed: Column = col(s"distinct_ratio_$column") > threshold
 }
 
 /** Row-level predicate holds for every row.
@@ -106,12 +121,16 @@ final case class DqVerdict(ruleset: String, passed: Boolean,
 object Dqdl {
 
   /** Compile a ruleset to a one-row DataFrame: every metric column, one
-    * `<rule.name>_passed` boolean per rule, and `all_passed`. Exactly
-    * one aggregation over `df` regardless of rule count.
+    * `<rule.name>_passed` boolean per rule, and `all_passed`. One shared
+    * aggregation over `df` for all plain-aggregate rules, plus one side
+    * aggregation per rule that needs a grouped pre-pass (Uniqueness);
+    * side results are 1-row and cross-join for free.
     */
   def evaluateDf(df: DataFrame, ruleset: Ruleset): DataFrame = {
     val metricCols = ruleset.rules.flatMap(_.metrics) :+ count(lit(1)).as("row_count")
-    val agg = df.agg(metricCols.head, metricCols.tail: _*)
+    val mainAgg = df.agg(metricCols.head, metricCols.tail: _*)
+    val agg = ruleset.rules.flatMap(_.sideMetrics(df))
+      .foldLeft(mainAgg)(_ crossJoin _)
     val withPassed = ruleset.rules.foldLeft(agg) { (acc, r) =>
       acc.withColumn(s"${r.name}_passed", r.passed)
     }

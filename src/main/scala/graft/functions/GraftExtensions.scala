@@ -26,8 +26,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     if (exprs.length != n) throw new IllegalArgumentException(
       s"$name requires $n arguments, got ${exprs.length}")
 
+  /** Resolution-time check that an argument is a foldable integer
+    * (e.g. `k` in minhash_sig(hashes, k)): evaluating a non-foldable
+    * expression here would surface as an internal unbound-reference
+    * error — fail with a clear analysis error instead. */
+  private def foldableInt(fn: String, param: String, e: Expression): Int = {
+    if (!e.foldable) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map("funcName" -> s"`$fn`",
+        "paramName" -> s"`$param`", "paramType" -> "\"INT\""))
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $param must be an integer literal, got $other")
+    }
+  }
+
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions", name)
+    new ExpressionInfo("graft.functions", null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
@@ -47,14 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("minhash_sig", 2, exprs)
         MinHashSignature(Cast(exprs(0), ArrayType(LongType)),
-          exprs(1).eval().asInstanceOf[Number].intValue())
+          foldableInt("minhash_sig", "k", exprs(1)))
       }))
     e.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(words, n) - word n-gram hashes"),
       (exprs: Seq[Expression]) => {
         arity("shingle_hashes", 2, exprs)
         ShingleHashes(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())
+          foldableInt("shingle_hashes", "n", exprs(1)))
       }))
   }
 }

@@ -15,6 +15,18 @@ object Skew {
 
   private val SaltCol = "__graft_salt"
 
+  /** Deterministic per-row salt: a content hash of every column, mod
+    * `salts`. NEVER derived from monotonically_increasing_id/rand: a
+    * recomputed shuffle map task (fetch-failure retry) must re-salt
+    * each row to the SAME value, or reducers that already consumed the
+    * old output see rows duplicated/dropped — the classic
+    * nondeterministic-repartition hazard at cluster scale. Identical
+    * rows share a salt, which is harmless for aggregation correctness
+    * and still spreads hot KEYS (a hot key's rows differ in their other
+    * columns). */
+  private def contentSalt(df: DataFrame, salts: Int) =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
+
   /** Two-phase salted aggregation: partial sums over (keys, salt) —
     * spreading a hot key over `salts` reducers — then a final cheap
     * re-aggregation over the (keys) partials. Identical result to a
@@ -23,8 +35,7 @@ object Skew {
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {
     require(salts > 0)
-    val keyed = df.withColumn(SaltCol,
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val keyed = df.withColumn(SaltCol, contentSalt(df, salts))
     val partial = keyed
       .groupBy((keyCols :+ SaltCol).map(col): _*)
       .agg(sum(col(valueCol)).as("__partial"))
@@ -43,8 +54,7 @@ object Skew {
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
     require(salts > 0)
-    val saltedL = skewed.withColumn(SaltCol,
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val saltedL = skewed.withColumn(SaltCol, contentSalt(skewed, salts))
     val replicated = other.withColumn(SaltCol,
       explode(typedLit((0L until salts.toLong).toArray)))
     saltedL.join(replicated, Seq(key, SaltCol)).drop(SaltCol)

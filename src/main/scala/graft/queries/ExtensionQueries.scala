@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.dq.{ApproxUniqueness, Dqdl, Ruleset}
+import graft.dq.{ApproxDistinctness, Dqdl, Ruleset}
 import graft.multimodal.Multimodal
 import graft.similarity.{Ivf, Similarity}
 import graft.text.TextAnalysis
@@ -259,12 +259,12 @@ object ExtensionQueries {
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.rollingFingerprint(col("text")).as("fp64")), None),
 
-    // A5 at scale: HyperLogLog uniqueness — one pass, no distinct
-    // shuffle. HLL estimates are engine-specific, so rows-only; the
+    // A5 at scale: HyperLogLog distinctness — one pass, no shuffle on
+    // the key. HLL estimates are engine-specific, so rows-only; the
     // exact-vs-approx agreement is asserted in DqdlSpec.
     QueryDef("q_dq_approx_uniqueness",
       (s, d) => Dqdl.evaluateDf(Tables.customer(s, d), Ruleset("cust_approx",
-        Seq(ApproxUniqueness("c_custkey", 0.9)))), None),
+        Seq(ApproxDistinctness("c_custkey", 0.9)))), None),
 
     // ---------------------------------------------------------- profiling
 

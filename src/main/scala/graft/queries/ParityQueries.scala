@@ -171,19 +171,21 @@ object ParityQueries {
              |  AND (COUNT(*) - COUNT(c_mktsegment)) = 0) AS all_passed
              |FROM customer""".stripMargin)),
 
-    // A5 — DQ Uniqueness > 0.95
+    // A5 — DQ Uniqueness > 0.95 (Glue semantics: fraction of rows whose
+    // value occurs exactly once)
     QueryDef("q_dq_uniqueness",
       (s, d) => Dqdl.evaluateDf(Tables.customer(s, d), Ruleset("cust_uniq",
         Seq(Uniqueness("c_custkey", 0.95)))),
-      Some("""SELECT
-             |CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-             |  AS uniq_ratio_c_custkey,
-             |CAST(COUNT(*) AS BIGINT) AS row_count,
-             |(CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) > 0.95
-             |  AS uniqueness_c_custkey_passed,
-             |(CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) > 0.95
-             |  AS all_passed
-             |FROM customer""".stripMargin)),
+      Some("""WITH g AS (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_custkey)
+             |SELECT
+             |CAST(SUM(cnt) AS BIGINT) AS row_count,
+             |CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |  / CAST(SUM(cnt) AS DOUBLE) AS uniq_ratio_c_custkey,
+             |(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |  / CAST(SUM(cnt) AS DOUBLE)) > 0.95 AS uniqueness_c_custkey_passed,
+             |(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |  / CAST(SUM(cnt) AS DOUBLE)) > 0.95 AS all_passed
+             |FROM g""".stripMargin)),
 
     // A6 — DQ ColumnLength = 18 (c_name is fixed 18 chars, like song_id)
     QueryDef("q_dq_column_length",

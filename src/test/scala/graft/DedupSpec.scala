@@ -94,6 +94,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("bucketStats executes and reports band-bucket sizes") {
+    // regression (ADVICE r1): bucketStats fed string shingles into the
+    // array<bigint> MinHashSignature expression → ClassCastException
+    val stats = Dedup.bucketStats(docs, "doc_id", "text").collect()
+    assert(stats.nonEmpty)
+    // 4 docs survive the empty-shingle filter ("short text" has < 3
+    // words); every bucket size is within [1, 4]
+    val sizes = stats.map(_.getLong(0))
+    assert(sizes.forall(s => s >= 1 && s <= 4))
+    // docs 1 and 4 are byte-identical → identical signatures → at least
+    // one bucket holds 2+ docs across the 16 bands
+    assert(sizes.exists(_ >= 2))
+  }
+
   test("candidate generation never materializes an all-pairs join") {
     val plan = Dedup.minHashPairs(docs, "doc_id", "text")
       .queryExecution.optimizedPlan.toString

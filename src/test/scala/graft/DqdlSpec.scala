@@ -25,16 +25,25 @@ class DqdlSpec extends AnyFunSuite {
     assert(!Dqdl.evaluate(df, Ruleset("t", Seq(ColumnLength("id", 7)))).passed)
   }
 
-  test("Uniqueness ratio thresholding, exact and approx") {
+  test("Uniqueness is Glue's exactly-once ratio, not distinctness") {
     val df = (1 to 99).map(_.toString).toDF("u")
-      .union(Seq("1").toDF("u")) // 99 distinct / 100 rows
+      .union(Seq("1").toDF("u")) // value "1" appears twice
+    // 98 of 100 rows hold a value occurring exactly once → 0.98
+    // (distinctness would say 99/100 = 0.99 — strictly more lenient)
     val v = Dqdl.evaluate(df, Ruleset("t", Seq(Uniqueness("u", 0.95))))
     assert(v.passed)
-    assert(v.metrics("uniq_ratio_u") == 0.99)
-    assert(!Dqdl.evaluate(df, Ruleset("t", Seq(Uniqueness("u", 0.99)))).passed)
-    // approx variant: rsd 1% comfortably resolves 0.99 vs 0.5
+    assert(v.metrics("uniq_ratio_u") == 0.98)
+    assert(!Dqdl.evaluate(df, Ruleset("t", Seq(Uniqueness("u", 0.98)))).passed)
+    // Glue reference case: 92 singletons + 4 values ×2 = 100 rows → 0.92
+    val glue = Dqdl.evaluate(
+      ((101 to 192).map(_.toString) ++
+        Seq("a", "b", "c", "d").flatMap(x => Seq(x, x))).toDF("u"),
+      Ruleset("t", Seq(Uniqueness("u", 0.95))))
+    assert(glue.metrics("uniq_ratio_u") == 0.92)
+    assert(!glue.passed)
+    // approx distinctness variant: rsd 1% comfortably resolves 0.99 vs 0.5
     assert(Dqdl.evaluate(df,
-      Ruleset("t", Seq(ApproxUniqueness("u", 0.9)))).passed)
+      Ruleset("t", Seq(ApproxDistinctness("u", 0.9)))).passed)
   }
 
   test("uniqueness ratio is always within (0, 1] (property)") {
@@ -81,12 +90,19 @@ class DqdlSpec extends AnyFunSuite {
     assert(Dqdl.evaluate(users, Dqdl.usersRuleset).passed)
   }
 
-  test("whole ruleset is a single aggregation (one-pass plan)") {
+  test("plain-aggregate rules compile to a single aggregation pass") {
     val df = Fixtures.usersDf(spark, month = 2)
-    val plan = Dqdl.evaluateDf(df, Dqdl.usersRuleset)
+    val noUniq = Dqdl.usersRuleset.copy(rules =
+      Dqdl.usersRuleset.rules.filterNot(_.isInstanceOf[Uniqueness]))
+    val plan = Dqdl.evaluateDf(df, noUniq)
       .queryExecution.optimizedPlan.toString
     // one Aggregate over the scan — no joins/unions of per-rule scans
     assert(!plan.contains("Join"))
     assert(!plan.contains("Union"))
+    // Uniqueness adds exactly one side aggregation (a 1×1 cross join),
+    // never a union of per-rule scans
+    val full = Dqdl.evaluateDf(df, Dqdl.usersRuleset)
+      .queryExecution.optimizedPlan.toString
+    assert(!full.contains("Union"))
   }
 }

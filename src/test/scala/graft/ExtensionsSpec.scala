@@ -35,6 +35,16 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))")
         .collect().head.getDouble(0)
       assert(f == 1.0)
+      // non-foldable k → clear analysis error, not an internal
+      // unbound-reference failure (ADVICE r1)
+      val err = intercept[Exception] {
+        spark.sql(
+          """SELECT minhash_sig(array(1L), CAST(id AS INT))
+            |FROM range(3)""".stripMargin).collect()
+      }
+      assert(err.getMessage.contains("foldable") ||
+        err.getMessage.contains("NON_FOLDABLE"),
+        s"expected a foldable-argument error, got: ${err.getMessage}")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
