@@ -59,20 +59,51 @@ object ExtensionQueries {
              |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3"""
         .stripMargin)),
 
-    // survivors after near-dedup, keep-min-id policy (rows-only)
+    // survivors after near-dedup, keep-min-id policy. Oracle: survivors
+    // of the exact all-pairs jaccard (valid on this bimodal corpus —
+    // banding recall 1.0 above threshold, cross-checked empirically)
     QueryDef("q_dedup_minhash_keep",
       (s, d) => Dedup.dedupMinHash(Tables.documents(s, d), "doc_id",
-        "text", threshold = 0.3).select(col("doc_id"), col("lang")), None),
+        "text", threshold = 0.3).select(col("doc_id"), col("lang")),
+      Some("""WITH t AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\s+') w
+             |  FROM documents),
+             |s AS (SELECT doc_id, list_distinct(
+             |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |   for i in range(1, len(w) - 1)]) sh
+             |  FROM t WHERE len(w) >= 3),
+             |losers AS (SELECT DISTINCT b.doc_id
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3)
+             |SELECT doc_id, lang FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
 
     // SimHash Hamming<=3 pairs (rows-only)
     QueryDef("q_dedup_simhash",
       (s, d) => Dedup.simHashPairs(Tables.documents(s, d), "doc_id",
         "text"), None),
 
-    // n-gram Jaccard pairs (rows-only)
+    // n-gram Jaccard pairs, oracled against the exact all-pairs 3-gram
+    // jaccard at 0.4 (same validity argument as q_dedup_minhash: the
+    // jaccard values are exact rationals — bit-identical cross-engine)
     QueryDef("q_dedup_ngram",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
-        "text", n = 3, threshold = 0.4), None),
+        "text", n = 3, threshold = 0.4),
+      Some("""WITH t AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\s+') w
+             |  FROM documents),
+             |s AS (SELECT doc_id, list_distinct(
+             |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |   for i in range(1, len(w) - 1)]) sh
+             |  FROM t WHERE len(w) >= 3)
+             |SELECT a.doc_id AS idA, b.doc_id AS idB,
+             |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.4"""
+        .stripMargin)),
 
     // embedding-cosine near-dup pairs (rows-only). Threshold 0.35 sits
     // at the top ~0.1% of this corpus's random-vector cosine
@@ -254,10 +285,24 @@ object ExtensionQueries {
               |SELECT doc_id, token, tf, df, CAST(rn AS INTEGER) AS rn
               |FROM r WHERE rn <= 3""".stripMargin)),
 
-    // rolling 64-bit fingerprint (xxhash64 — Spark-specific; rows-only)
+    // rolling min-shingle fingerprint, portable base-31 polynomial
+    // flavor — exactly reproducible in DuckDB (the xxhash64-based
+    // rollingFingerprint stays library-only: faster, engine-specific)
     QueryDef("q_text_rolling_fp",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.rollingFingerprint(col("text")).as("fp64")), None),
+        TextAnalysis.polyFingerprint(col("text")).as("fp64")),
+      Some("""WITH t AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\s+') w
+             |  FROM documents),
+             |s AS (SELECT t.doc_id, CASE WHEN len(w) >= 3 THEN
+             |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |   for i in range(1, len(w) - 1)] ELSE [] END sh FROM t)
+             |SELECT doc_id, CASE WHEN len(sh) = 0 THEN CAST(-1 AS BIGINT)
+             |ELSE list_min(list_transform(sh, g ->
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007))) END AS fp64
+             |FROM s""".stripMargin)),
 
     // A5 at scale: HyperLogLog distinctness — one pass, no shuffle on
     // the key. HLL estimates are engine-specific, so rows-only; the

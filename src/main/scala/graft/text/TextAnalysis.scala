@@ -126,11 +126,26 @@ object TextAnalysis {
 
   /** 64-bit rolling fingerprint: min of xxhash64 over word 3-shingles
     * (a 1-element MinHash) — cheap doc sketch for clustering/bucketing
-    * at scale. Not portable SQL (xxhash64 is Spark's) — rows-only
-    * oracle. */
+    * at scale. Fastest variant (codegen'd xxhash64) but not portable
+    * SQL; see [[polyFingerprint]] for the cross-engine-checkable
+    * form. */
   def rollingFingerprint(text: Column, shingleSize: Int = 3): Column = {
     val sh = graft.dedup.Dedup.shingles(text, shingleSize)
     when(size(sh) === 0, xxhash64(lit("")))
       .otherwise(array_min(transform(sh, s => xxhash64(s))))
+  }
+
+  /** Portable rolling fingerprint: min over word 3-shingles of the
+    * classic base-31 polynomial rolling hash mod 1e9+7, computed per
+    * character (`h = (h*31 + codepoint) mod p`). Same sketch semantics
+    * as [[rollingFingerprint]] but exactly reproducible in any engine
+    * with integer arithmetic — the hash-checkable flavor. -1 marks
+    * docs too short to shingle. */
+  def polyFingerprint(text: Column, shingleSize: Int = 3): Column = {
+    val sh = graft.dedup.Dedup.shingles(text, shingleSize)
+    val polyHash = (s: Column) => aggregate(split(s, ""), lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
+    when(size(sh) === 0, lit(-1L))
+      .otherwise(array_min(transform(sh, polyHash)))
   }
 }

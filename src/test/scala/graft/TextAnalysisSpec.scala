@@ -80,6 +80,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps.toSeq == fps2.toSeq)
   }
 
+  test("polyFingerprint matches the reference polynomial, marks short text") {
+    // reference implementation of the base-31 mod-1e9+7 rolling hash
+    def poly(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31L + c.toLong) % 1000000007L)
+    def expected(text: String): Long = {
+      val w = text.trim.toLowerCase.split("\\s+")
+      if (w.length < 3) -1L
+      else w.sliding(3).map(g => poly(g.mkString(" "))).min
+    }
+    val texts = Seq("a b c d", "The Quick  Brown Fox jumps", "too short", "")
+    val got = texts.toDF("t")
+      .select(TextAnalysis.polyFingerprint($"t")).collect().map(_.getLong(0))
+    assert(got.toSeq == texts.map(expected),
+      s"got ${got.toSeq}, want ${texts.map(expected)}")
+  }
+
   test("vocabulary and tfIdf on a tiny corpus") {
     val docs = Seq(
       (1L, "spark spark hash join"),
