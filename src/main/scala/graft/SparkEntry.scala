@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, ExtensionQueries, ParityQueries}
+import graft.queries.{AnalyticsQueries, BreadthQueries, ExtensionQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.{AnalyticsQueries, ExtensionQueries, ParityQueries}
 object SparkEntry {
 
   private def slate: Seq[graft.queries.QueryDef] =
-    ParityQueries.all ++ ExtensionQueries.all ++ AnalyticsQueries.all
+    ParityQueries.all ++ ExtensionQueries.all ++ AnalyticsQueries.all ++
+      BreadthQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Temporal
+import graft.util.Tables
+
+/** Second breadth ring beyond AnalyticsQueries: temporal joins (as-of,
+  * bounded-gap band join), pivot/cube/grouping-sets aggregation, a full
+  * window-function battery, exact medians, JSON extraction, string
+  * functions, and semi/anti joins. Every query carries a DuckDB oracle;
+  * sums ride DECIMAL(18,2) so both engines agree bit-for-bit.
+  */
+object BreadthQueries {
+
+  private def money(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Shared oracle CTE: events with timestamps truncated to µs to match
+    * Spark's timestamp precision (the parquet holds ns). */
+  private val evCte =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |event_type, value, props FROM events)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------ temporal joins
+
+    // as-of join: each purchase matched to the user's latest click
+    // at-or-before it (union + running last_value — one shuffle, no
+    // range explosion; oracle uses DuckDB's native ASOF JOIN)
+    QueryDef("q_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+        Temporal.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+          Seq("click_id", "ts"))
+      },
+      Some(s"""$evCte,
+              |p AS (SELECT event_id, user_id, ts, value FROM e
+              |  WHERE event_type = 'purchase'),
+              |c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM e
+              |  WHERE event_type = 'click' GROUP BY 1, 2)
+              |SELECT p.event_id, p.user_id, p.ts, p.value,
+              |c.click_id AS asof_click_id, c.ts AS asof_ts
+              |FROM p ASOF LEFT JOIN c
+              |ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)),
+
+    // bounded-gap band self-join: event pairs of the same user within
+    // 2 hours, via time-bin bucketing (equi-join on (user, bin), no
+    // range cross product; oracle does the quadratic join the operator
+    // exists to avoid)
+    QueryDef("q_range_join_pairs",
+      (s, d) => Temporal.boundedGapSelfJoin(Tables.events(s, d),
+        "user_id", "ts", "event_id", 2L * 3600 * 1000000),
+      Some(s"""$evCte,
+              |t AS (SELECT event_id, epoch_us(ts) AS t, user_id FROM e)
+              |SELECT a.user_id, a.event_id AS idA, b.event_id AS idB,
+              |b.t - a.t AS gap_us
+              |FROM t a JOIN t b ON a.user_id = b.user_id
+              |AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))
+              |AND b.t - a.t <= 7200000000""".stripMargin)),
+
+    // ------------------------------------------- pivot / cube / group sets
+
+    // pivot: sales by year × order priority as columns (explicit value
+    // list — no extra distinct job to discover pivot values)
+    QueryDef("q_pivot_priority",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("prio",
+          concat(lit("p"), substring(col("o_orderpriority"), 1, 1)))
+        .groupBy(year(col("o_orderdate")).as("session_year"))
+        .pivot("prio", Seq("p1", "p2", "p3", "p4", "p5"))
+        .agg(money(col("o_totalprice"))),
+      Some {
+        val cols = (1 to 5).map(i =>
+          s"""CAST(SUM(CASE WHEN substring(o_orderpriority, 1, 1) = '$i'
+             |  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+             |  AS p$i""".stripMargin).mkString(",\n")
+        s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS session_year,
+           |$cols
+           |FROM orders GROUP BY 1""".stripMargin
+      }),
+
+    // cube: all 4 grouping combinations of (year, status) + grouping_id
+    QueryDef("q_cube_sales",
+      (s, d) => Tables.orders(s, d)
+        .cube(year(col("o_orderdate")).as("session_year"),
+          col("o_orderstatus"))
+        .agg(money(col("o_totalprice")).as("total_sales"),
+          count(lit(1)).as("n"), grouping_id().as("gid")),
+      Some("""WITH o AS (SELECT year(o_orderdate) AS sy, o_orderstatus,
+             |  o_totalprice FROM orders)
+             |SELECT CAST(sy AS INTEGER) AS session_year, o_orderstatus,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS total_sales,
+             |CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(GROUPING(sy, o_orderstatus) AS BIGINT) AS gid
+             |FROM o GROUP BY CUBE(sy, o_orderstatus)""".stripMargin)),
+
+    // explicit grouping sets via SQL (year-only and priority-only)
+    QueryDef("q_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT year(o_orderdate) AS session_year, o_orderpriority,
+                |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                |  AS total_sales
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((year(o_orderdate)),
+                |  (o_orderpriority))""".stripMargin)
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS session_year,
+             |o_orderpriority,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS total_sales
+             |FROM orders
+             |GROUP BY GROUPING SETS ((year(o_orderdate)),
+             |  (o_orderpriority))""".stripMargin)),
+
+    // ----------------------------------------------------------- windows
+
+    // the full analytic-window battery over per-customer order history:
+    // lag/lead, running decimal total, dense_rank/percent_rank/ntile
+    // (rank windows totally ordered via the unique key so tile
+    // assignment is deterministic in any engine)
+    QueryDef("q_window_analytics",
+      (s, d) => {
+        val seq = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderkey"))
+        val run = seq.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val rnk = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(seq).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(seq).as("next_price"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(run)
+            .cast("double").as("run_total"),
+          dense_rank().over(rnk).as("price_rank"),
+          percent_rank().over(rnk).as("price_pct"),
+          ntile(4).over(rnk).as("quartile"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |lag(o_totalprice, 1) OVER seq AS prev_price,
+             |lead(o_totalprice, 1) OVER seq AS next_price,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             |  (PARTITION BY o_custkey ORDER BY o_orderkey
+             |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total,
+             |CAST(dense_rank() OVER rnk AS INTEGER) AS price_rank,
+             |percent_rank() OVER rnk AS price_pct,
+             |CAST(ntile(4) OVER rnk AS INTEGER) AS quartile
+             |FROM orders
+             |WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+             |rnk AS (PARTITION BY o_custkey
+             |  ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin)),
+
+    // exact median per group via middle-row selection (sort-based — the
+    // deterministic cross-engine shape; percentile_cont interpolation
+    // formulas differ across engines in the last ulp)
+    QueryDef("q_median_acctbal",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        val p = Window.partitionBy(col("c_mktsegment"))
+        Tables.customer(s, d)
+          .select(col("c_mktsegment"),
+            col("c_acctbal").cast(DecimalType(12, 2)).as("bal"),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(p).as("cnt"))
+          .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long") ||
+            col("rn") === ((col("cnt") + 2) / 2).cast("long"))
+          .groupBy(col("c_mktsegment"))
+          .agg(avg(col("bal")).cast("double").as("median_acctbal"))
+      },
+      Some("""WITH r AS (SELECT c_mktsegment,
+             |  CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+             |  row_number() OVER (PARTITION BY c_mktsegment
+             |    ORDER BY c_acctbal ASC, c_custkey ASC) AS rn,
+             |  COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+             |  FROM customer)
+             |SELECT c_mktsegment,
+             |CAST(AVG(bal) AS DOUBLE) AS median_acctbal
+             |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+             |GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------------- scalar breadth
+
+    // JSON extraction from the event props payload (S2/P-family analog
+    // for semi-structured columns)
+    QueryDef("q_json_extract",
+      (s, d) => Tables.events(s, d).select(col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")),
+      Some("""SELECT event_id, event_type,
+             |CAST(props->>'$.k' AS INTEGER) AS k
+             |FROM events""".stripMargin)),
+
+    // string-function battery over part names
+    QueryDef("q_string_funcs",
+      (s, d) => Tables.part(s, d).select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        lpad(col("p_brand"), 12, "#").as("brand_pad"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_size")).as("brand_size")),
+      Some("""SELECT p_partkey,
+             |upper(p_name) AS name_upper,
+             |substring(p_name, 1, 5) AS name5,
+             |regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+             |lpad(p_brand, 12, '#') AS brand_pad,
+             |replace(p_type, ' ', '_') AS type_snake,
+             |CAST(length(p_name) AS INTEGER) AS name_len,
+             |concat_ws('|', p_brand, p_size) AS brand_size
+             |FROM part""".stripMargin)),
+
+    // semi + anti join: customers with/without 1995 orders (EXISTS /
+    // NOT EXISTS — Spark plans LeftSemi/LeftAnti, dim side broadcast)
+    QueryDef("q_semi_anti_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o95 = Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === 1995)
+        val semi = c.join(o95, c("c_custkey") === o95("o_custkey"),
+          "left_semi").select(lit("semi").as("op"), col("c_custkey"))
+        val anti = c.join(o95, c("c_custkey") === o95("o_custkey"),
+          "left_anti").select(lit("anti").as("op"), col("c_custkey"))
+        semi.unionByName(anti)
+      },
+      Some("""SELECT 'semi' AS op, c_custkey FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  AND year(o.o_orderdate) = 1995)
+             |UNION ALL
+             |SELECT 'anti' AS op, c_custkey FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  AND year(o.o_orderdate) = 1995)""".stripMargin)),
+  )
+}
