@@ -52,26 +52,32 @@ object Ivf {
     * order. On a 100 TB corpus you'd train on a sample — pass one in. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3): IvfModel = {
+    // persisted: every Lloyd iteration (and the seed read) scans the
+    // vectors — without this, each of the iters+1 jobs re-reads and
+    // re-decodes the parquet
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    var model = IvfModel(vecs.orderBy("id").limit(k)
-      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq)
-    for (_ <- 0 until iters) {
-      val means = vecs
-        .withColumn("cell", assignCell(col("v"), model))
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
-        .collect()
-      val byCell = means.groupBy(_.getInt(0))
-      model = IvfModel(model.centroids.indices.map { c =>
-        byCell.get(c) match {
-          case Some(rows) =>
-            rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
-          case None => model.centroids(c) // empty cell keeps its centroid
-        }
-      })
-    }
-    model
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var model = IvfModel(vecs.orderBy("id").limit(k)
+        .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq)
+      for (_ <- 0 until iters) {
+        val means = vecs
+          .withColumn("cell", assignCell(col("v"), model))
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+          .collect()
+        val byCell = means.groupBy(_.getInt(0))
+        model = IvfModel(model.centroids.indices.map { c =>
+          byCell.get(c) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
+            case None => model.centroids(c) // empty cell keeps its centroid
+          }
+        })
+      }
+      model
+    } finally vecs.unpersist(false)
   }
 
   /** ANN top-k: corpus rows live in one cell each; every query probes
