@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.lake.Layout
 import graft.operators.Temporal
 import graft.util.Tables
 
@@ -221,6 +222,21 @@ object BreadthQueries {
              |CAST(length(p_name) AS INTEGER) AS name_len,
              |concat_ws('|', p_brand, p_size) AS brand_size
              |FROM part""".stripMargin)),
+
+    // Morton (Z-curve) clustering value over two part dimensions — the
+    // multi-column data-skipping layout key (Layout.zOrderBy); pure
+    // bit-interleave expression, reproduced bit-for-bit in the oracle
+    QueryDef("q_zorder_value",
+      (s, d) => Tables.part(s, d).select(col("p_partkey"),
+        Layout.zValue(Seq(col("p_size"), col("p_partkey")), bits = 16)
+          .as("z")),
+      Some {
+        val terms = (0 until 16).flatMap(i => Seq(
+          s"(((CAST(p_size AS BIGINT) >> $i) & 1) << ${i * 2})",
+          s"(((CAST(p_partkey AS BIGINT) >> $i) & 1) << ${i * 2 + 1})"))
+        s"""SELECT p_partkey, ${terms.mkString(" | ")} AS z
+           |FROM part""".stripMargin
+      }),
 
     // semi + anti join: customers with/without 1995 orders (EXISTS /
     // NOT EXISTS — Spark plans LeftSemi/LeftAnti, dim side broadcast)

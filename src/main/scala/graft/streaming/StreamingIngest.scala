@@ -103,6 +103,18 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming exact dedup on key columns, state bounded by the
+    * watermark: a duplicate arriving within `watermark` of the first
+    * occurrence is dropped; state for a key is evicted once the
+    * watermark passes it. This is the streaming face of
+    * `Dedup.exactDedup` — at ingest scale it prevents re-delivered
+    * landing records (at-least-once sources) from reaching the silver
+    * layer, with O(active window keys) state instead of O(history). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Drain everything currently in the source, write to a parquet
     * sink, stop — the reference's "process this month's landing files"
     * as a checkpointed streaming run. */

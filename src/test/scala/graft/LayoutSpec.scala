@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("zValue interleaves bits (known values)") {
+    // x=0b11, y=0b01 with 2 bits → bits: x0→out0, y0→out1, x1→out2,
+    // y1→out3 → 0b0111 = 7
+    val r = Seq((3L, 1L)).toDF("x", "y")
+      .select(Layout.zValue(Seq($"x", $"y"), bits = 2)).head.getLong(0)
+    assert(r == 7L)
+    // identity for a single column
+    val one = Seq(12345L).toDF("x")
+      .select(Layout.zValue(Seq($"x"), bits = 16)).head.getLong(0)
+    assert(one == 12345L)
+  }
+
+  test("scaleToRank clamps and spans the range") {
+    val df = Seq(-5.0, 0.0, 50.0, 100.0, 200.0).toDF("v")
+      .select(Layout.scaleToRank($"v", 0.0, 100.0, bits = 8).as("r"))
+    val rs = df.collect().map(_.getLong(0))
+    assert(rs(0) == 0L)             // clamped below
+    assert(rs(1) == 0L)
+    assert(rs(2) == 127L)           // midpoint ≈ 255/2
+    assert(rs(3) == 255L)
+    assert(rs(4) == 255L)           // clamped above
+  }
+
+  test("z-ordered files have small bounding boxes in BOTH dimensions") {
+    val n = 20000
+    val rnd = new scala.util.Random(3)
+    val pts = (1 to n).map(_ => (rnd.nextDouble() * 1000,
+      rnd.nextDouble() * 1000)).toDF("x", "y")
+    val dir = Files.createTempDirectory("zorder").toFile.getPath
+    val files = 16
+    Layout.zOrderBy(pts, Seq(("x", 0.0, 1000.0), ("y", 0.0, 1000.0)),
+      numFiles = files).write.mode("overwrite").parquet(dir)
+    // read each physical file separately; its per-file x/y extents must
+    // be much smaller than the global 1000×1000 extent — that locality
+    // is exactly what row-group min/max pruning exploits
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(parts.length >= files / 2, s"expected ~$files files")
+    val spans = parts.map { p =>
+      val r = spark.read.parquet(p)
+        .agg(max($"x") - min($"x"), max($"y") - min($"y")).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val avgX = spans.map(_._1).sum / spans.length
+    val avgY = spans.map(_._2).sum / spans.length
+    // a single-column sort gives ~1000 span on the other axis; the Z
+    // curve keeps both well under half the global extent on average
+    assert(avgX < 500.0, s"avg x-span $avgX")
+    assert(avgY < 500.0, s"avg y-span $avgY")
+    // no rows lost
+    assert(spark.read.parquet(dir).count() == n)
+  }
+
+  test("compact merges small files losslessly") {
+    val dir = Files.createTempDirectory("compact-in").toFile.getPath
+    val out = Files.createTempDirectory("compact-out").toFile.getPath
+    spark.range(1000).repartition(50).write.mode("overwrite").parquet(dir)
+    val inFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(inFiles >= 40)
+    val rows = Layout.compact(spark, dir, out, numFiles = 2)
+    assert(rows == 1000L)
+    val outFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == 2)
+  }
+}

@@ -64,6 +64,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.forall(_._3 == 15L))
   }
 
+  test("streaming dedup drops within-watermark re-deliveries") {
+    val base = Files.createTempDirectory("stream-dedup").toString
+    // 30 logical events, each delivered twice (at-least-once source)
+    val rows = (0 until 30).flatMap { i =>
+      val r = s"""{"user_id":$i,"ts":"2024-01-01T00:${"%02d".format(i % 30)}:00.000Z","event_type":"play","value":1.0}"""
+      Seq(r, r)
+    }
+    writeLanding(base, rows)
+    val deduped = StreamingIngest.dedupStream(
+      StreamingIngest.readLandingStream(spark, base, eventSchema),
+      keyCols = Seq("user_id", "event_type"), watermark = "1 hour")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedupstream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.sql("SELECT user_id FROM dedupstream").collect()
+      .map(_.getLong(0))
+    assert(out.length == 30, s"expected 30 unique, got ${out.length}")
+    assert(out.toSet.size == 30)
+  }
+
   test("stateful sessionization closes sessions on inactivity gaps") {
     import StreamingIngest.Event
     def ev(u: Long, minute: Int, v: Double) = Event(u,
