@@ -171,16 +171,22 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Buckets larger than `maxSize` are dropped (skew guard). Window
-    * count, not a count-join: one scan of the input and one exchange on
-    * the same key the downstream bucket join needs anyway. */
+  /** Buckets larger than `maxSize` are dropped (skew guard).
+    * Implemented as a partial-aggregated count of OVERSIZED keys only,
+    * anti-joined back: the aggregate is map-side-combined (tiny output
+    * — only keys above the cap survive the filter, usually none), and
+    * the anti-join broadcasts it. The window-count alternative would
+    * sort every band row inside the exchange; this shape touches the
+    * rows once more with a broadcast probe instead — no sort, and the
+    * exchange on (band, bucket) is left to the downstream bucket join
+    * where AQE sizes it. */
   private def capBuckets(df: DataFrame, keys: Seq[String],
       maxSize: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-    df.withColumn("__bucket_n", count(lit(1)).over(w))
-      .filter(col("__bucket_n") <= maxSize)
-      .drop("__bucket_n")
+    val oversized = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxSize)
+      .select(keys.map(col): _*)
+    df.join(broadcast(oversized), keys, "left_anti")
   }
 
   /** Bucket-size distribution for a banded signature table — the
