@@ -223,6 +223,17 @@ object BreadthQueries {
              |concat_ws('|', p_brand, p_size) AS brand_size
              |FROM part""".stripMargin)),
 
+    // approximate quantiles via Spark's built-in sketch (one pass, no
+    // sort — the 100 TB way to get percentiles). Sketch internals are
+    // engine-specific → rows-only; QuantileSpec pins the accuracy
+    // against exact sort-based percentiles.
+    QueryDef("q_approx_quantiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
+          lit(10000)).as("quantiles")), None),
+
     // Morton (Z-curve) clustering value over two part dimensions — the
     // multi-column data-skipping layout key (Layout.zOrderBy); pure
     // bit-interleave expression, reproduced bit-for-bit in the oracle

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits for the breadth slate: asserts each query
+  * compiles to the shape that survives a 100× scale-up — broadcast
+  * where a dim meets a fact, no cartesian products, pushdown reaching
+  * the scan, windows/aggregations without redundant exchanges. These
+  * are the `.explain("formatted")` checks from development, pinned as
+  * regressions.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("semi/anti joins broadcast the filtered order keys") {
+    val p = plan("q_semi_anti_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("LeftSemi") ||
+      p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("as-of join plans no join operator at all (union + window)") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("band join is a pure equi-join — no nested-loop fallback") {
+    val p = plan("q_range_join_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("pivot and cube compile to single-scan aggregations") {
+    val pivot = plan("q_pivot_priority")
+    // one scan of orders (pivot values are explicit — no discovery job)
+    assert("Scan parquet".r.findAllIn(pivot).length == 1, pivot)
+    val cube = plan("q_cube_sales")
+    assert("Scan parquet".r.findAllIn(cube).length == 1, cube)
+    assert(cube.contains("Expand"), cube)
+  }
+
+  test("scalar batteries stay narrow: no exchange in row-level queries") {
+    for (q <- Seq("q_json_extract", "q_string_funcs", "q_zorder_value")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q plans a shuffle:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q fell out of codegen:\n$p")
+    }
+  }
+
+  test("column pruning reaches the scan in projection queries") {
+    // q_json_extract needs only 3 of events' 6 columns
+    val p = plan("q_json_extract")
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("props"))
+    assert(!readSchema.contains("user_id"),
+      s"user_id not pruned from scan: $readSchema")
+  }
+
+  test("window battery: one exchange per distinct partitioning") {
+    // q_window_analytics uses two window specs over the same partition
+    // key (o_custkey) — they must share a single exchange
+    val p = plan("q_window_analytics")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+}
