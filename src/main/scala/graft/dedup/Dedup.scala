@@ -161,6 +161,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a pair list: assigns every id the
+    * minimum id reachable through the pair graph (cluster
+    * representative). Iterative min-label propagation — each round is
+    * one union + groupBy-min (map-side combined), converging in
+    * O(log(longest path)) rounds; `maxIters` bounds the work and the
+    * method fails loudly rather than returning a partial clustering.
+    * This is the operator behind "group all transitive near-dups into
+    * one cluster" — keep-min-id dropping ([[dedupMinHash]]) does NOT
+    * need it, but cluster-level analytics (pick best doc per cluster,
+    * cluster size stats) do.
+    *
+    * At 100 TB: every round shuffles only (id, label) longs; the pair
+    * list from LSH is orders of magnitude smaller than the corpus. The
+    * classic large-star/small-star optimization halves round count on
+    * adversarial graphs; near-dup graphs are shallow (cliques and short
+    * chains), where plain propagation already converges in 2-4 rounds.
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String = "idA",
+      idBCol: String = "idB", maxIters: Int = 10): DataFrame = {
+    // localCheckpoint each round: an iterative plan otherwise nests its
+    // whole history (label N derives from label N-1's full lineage) and
+    // the plan grows exponentially — truncating lineage keeps every
+    // round's plan constant-size. On a production cluster swap for a
+    // reliable checkpoint dir.
+    val edges = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
+      .localCheckpoint(true)
+    val undirected = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = undirected.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each id adopts the min label among itself and its neighbors
+      val neighborLabels = undirected
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .select(col("a").as("id"), col("label"))
+      val viaNeighbors = labels.select(col("id"), col("label"))
+        .union(neighborLabels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      // pointer jumping: follow label → label's label, halving path
+      // lengths so chains converge in O(log n) rounds, not O(n)
+      val labelMap = viaNeighbors
+        .select(col("id").as("__lbl"), col("label").as("__ll"))
+      val next = viaNeighbors
+        .join(labelMap, col("label") === col("__lbl"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__ll"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIters iterations")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Remove near-duplicates: keep-min-id policy over [[minHashPairs]].
     * A row is dropped iff it appears as idB (the larger id) in some
     * matching pair — one anti-join, no iterative clustering. */

@@ -78,6 +78,49 @@ object Lake {
     } else df.write.format("parquet").partitionBy(partitionCol)
       .saveAsTable(table)
 
+  /** Keyed upsert (MERGE emulation on a partitioned parquet table):
+    * apply `updates` so the latest `versionCol` wins per `keyCols`.
+    * Without Iceberg/Delta row-level ops, the scale-correct rewrite
+    * unit is the PARTITION: only partitions present in `updates` are
+    * read back (partition pruning via an IN filter on collected
+    * partition values — small by construction: an incremental batch
+    * touches few partitions), merged with a window-latest per key, and
+    * rewritten under dynamic partition overwrite. Untouched partitions
+    * are never read or written.
+    *
+    * Contract: a key's partition value is stable (updates arrive with
+    * the same `partitionCol` value as the original row) — the usual
+    * ingest-date model. Cross-partition key moves would need a full
+    * key-index read, i.e. a real table format. The pre-write
+    * materialization uses localCheckpoint (executor blocks); on a
+    * production cluster prefer a reliable checkpoint/staging path. */
+  def upsertByKey(spark: SparkSession, updates: DataFrame, table: String,
+      keyCols: Seq[String], versionCol: String,
+      partitionCol: String = "ingest_on"): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      updates.write.format("parquet").partitionBy(partitionCol)
+        .saveAsTable(table)
+      return
+    }
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    val existing = spark.table(table)
+      .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    val merged = alignTo(spark, updates, table)
+      .unionByName(existing)
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    enableDynamicPartitionOverwrite(spark)
+    // materialize before overwriting: the merged plan reads the very
+    // partitions the write replaces
+    val staged = merged.localCheckpoint(true)
+    alignTo(spark, staged, table).write.mode("overwrite").insertInto(table)
+  }
+
   /** Bucketed catalog table: co-locates rows by hash of `bucketCol`
     * across `numBuckets` files per partition, so equi-joins and
     * aggregations on the bucket key read pre-shuffled data — at 100 TB

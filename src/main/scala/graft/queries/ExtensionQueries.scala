@@ -79,6 +79,38 @@ object ExtensionQueries {
              |SELECT doc_id, lang FROM documents
              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
 
+    // transitive near-dup clusters: connected components over the
+    // minhash pair graph (distributed min-label propagation with
+    // pointer jumping). Oracle: recursive-CTE transitive closure over
+    // the exact all-pairs jaccard graph
+    QueryDef("q_dedup_clusters",
+      (s, d) => Dedup.connectedComponents(
+        Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.3))
+        .select(col("id"), col("cluster").as("cluster_id")),
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\s+') w
+             |  FROM documents),
+             |s AS (SELECT doc_id, list_distinct(
+             |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |   for i in range(1, len(w) - 1)]) sh
+             |  FROM t WHERE len(w) >= 3),
+             |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3),
+             |edges AS (SELECT ida AS a, idb AS b FROM pairs
+             |  UNION SELECT idb, ida FROM pairs),
+             |nodes AS (SELECT a AS id FROM edges),
+             |reach AS (
+             |  SELECT id AS a, id AS b FROM nodes
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+             |SELECT CAST(a AS BIGINT) AS id,
+             |CAST(MIN(b) AS BIGINT) AS cluster_id
+             |FROM reach GROUP BY a""".stripMargin)),
+
     // SimHash Hamming<=3 pairs (rows-only)
     QueryDef("q_dedup_simhash",
       (s, d) => Dedup.simHashPairs(Tables.documents(s, d), "doc_id",

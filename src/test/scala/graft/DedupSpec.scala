@@ -108,6 +108,19 @@ class DedupSpec extends AnyFunSuite {
     assert(sizes.exists(_ >= 2))
   }
 
+  test("connectedComponents clusters transitive chains to min id") {
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3) + island 7-9 + singleton edge 5-5
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("idA", "idB")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // long chain needs multiple propagation rounds
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(_.getLong(1)).distinct
+    assert(labels.toSeq == Seq(1L))
+  }
+
   test("candidate generation never materializes an all-pairs join") {
     val plan = Dedup.minHashPairs(docs, "doc_id", "text")
       .queryExecution.optimizedPlan.toString

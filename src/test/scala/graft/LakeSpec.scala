@@ -41,6 +41,32 @@ class LakeSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("upsertByKey: latest version wins, untouched partitions intact") {
+    val tbl = "lake_upsert_t"
+    def kv(ingestOn: String, rows: Seq[(Long, String, Long)]) =
+      rows.toDF("k", "payload", "version")
+        .withColumn("ingest_on", to_date(lit(ingestOn)))
+    // seed: two partitions
+    Lake.upsertByKey(spark,
+      kv("2020-02-01", Seq((1L, "a", 1L), (2L, "b", 1L)))
+        .unionByName(kv("2020-03-01", Seq((3L, "c", 1L)))),
+      tbl, Seq("k"), "version")
+    assert(spark.table(tbl).count() == 3)
+    // update k=1 (newer version), insert k=4, both in Feb; March untouched
+    Lake.upsertByKey(spark,
+      kv("2020-02-01", Seq((1L, "a2", 2L), (4L, "d", 1L))),
+      tbl, Seq("k"), "version")
+    val out = spark.table(tbl).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 2L -> "b", 3L -> "c", 4L -> "d"))
+    // stale update (older version) must NOT win
+    Lake.upsertByKey(spark,
+      kv("2020-02-01", Seq((1L, "stale", 1L))), tbl, Seq("k"), "version")
+    assert(spark.table(tbl).filter(col("k") === 1L)
+      .head.getString(1) == "a2")
+    assert(spark.table(tbl).count() == 4)
+  }
+
   test("landing JSON write is overwrite-idempotent and single-file") {
     val base = Files.createTempDirectory("landing").toString
     val df = Seq(("a", 1), ("b", 2)).toDF("k", "n")
