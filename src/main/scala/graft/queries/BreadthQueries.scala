@@ -249,6 +249,82 @@ object BreadthQueries {
            |FROM part""".stripMargin
       }),
 
+    // date-function battery (P3/P8 extended): arithmetic, truncation,
+    // calendar parts — DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday,
+    // aligned with +1 in the oracle
+    QueryDef("q_date_funcs",
+      (s, d) => Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(lit("1998-12-31").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_end"),
+        trunc(col("o_orderdate").cast("date"), "month").as("month_start"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        dayofweek(col("o_orderdate").cast("date")).as("dow"),
+        dayofyear(col("o_orderdate").cast("date")).as("doy"),
+        weekofyear(col("o_orderdate").cast("date")).as("woy"),
+        quarter(col("o_orderdate").cast("date")).as("qtr")),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             |CAST(o_orderdate AS DATE) + 30 AS plus30,
+             |CAST(datediff('day', CAST(o_orderdate AS DATE),
+             |  DATE '1998-12-31') AS INTEGER) AS days_to_end,
+             |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             |last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+             |CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS doy,
+             |CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS woy,
+             |CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr
+             |FROM orders""".stripMargin)),
+
+    // array-function battery over tokenized part names (1-based
+    // element_at in both engines; slice start/length vs start/end
+    // aligned explicitly). Array results are serialized with
+    // array_join so the hash compare sees scalar strings.
+    QueryDef("q_array_funcs",
+      (s, d) => {
+        val words = split(col("p_name"), " ")
+        Tables.part(s, d).select(col("p_partkey"),
+          array_join(array_sort(words), ",").as("sorted_words"),
+          element_at(words, 1).as("first_word"),
+          array_contains(words, "green").as("has_green"),
+          array_join(slice(words, 1, 2), ",").as("first_two"),
+          array_join(reverse(words), ",").as("rev_words"),
+          array_join(array_sort(array_distinct(words)), ",").as("uniq_words"),
+          size(words).as("n_words"))
+      },
+      Some("""WITH w AS (SELECT p_partkey,
+             |  string_split(p_name, ' ') AS words FROM part)
+             |SELECT p_partkey,
+             |array_to_string(list_sort(words), ',') AS sorted_words,
+             |words[1] AS first_word,
+             |list_contains(words, 'green') AS has_green,
+             |array_to_string(list_slice(words, 1, 2), ',') AS first_two,
+             |array_to_string(list_reverse(words), ',') AS rev_words,
+             |array_to_string(list_sort(list_distinct(words)), ',') AS uniq_words,
+             |CAST(len(words) AS INTEGER) AS n_words
+             |FROM w""".stripMargin)),
+
+    // null-handling battery: nullif/coalesce/greatest/least/CASE
+    QueryDef("q_null_funcs",
+      (s, d) => Tables.orders(s, d).select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("F")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("F")), lit("CLOSED"))
+          .as("status_label"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
+        least(col("o_totalprice"), lit(100000.0)).as("cap_price"),
+        when(col("o_totalprice") > 200000.0, lit("big"))
+          .when(col("o_totalprice") > 100000.0, lit("mid"))
+          .otherwise(lit("small")).as("bucket")),
+      Some("""SELECT o_orderkey,
+             |nullif(o_orderstatus, 'F') AS status_or_null,
+             |coalesce(nullif(o_orderstatus, 'F'), 'CLOSED') AS status_label,
+             |greatest(o_totalprice, 100000.0) AS floor_price,
+             |least(o_totalprice, 100000.0) AS cap_price,
+             |CASE WHEN o_totalprice > 200000.0 THEN 'big'
+             |WHEN o_totalprice > 100000.0 THEN 'mid'
+             |ELSE 'small' END AS bucket
+             |FROM orders""".stripMargin)),
+
     // semi + anti join: customers with/without 1995 orders (EXISTS /
     // NOT EXISTS — Spark plans LeftSemi/LeftAnti, dim side broadcast)
     QueryDef("q_semi_anti_join",
