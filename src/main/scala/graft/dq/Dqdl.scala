@@ -105,6 +105,50 @@ final case class UniqueKey(column: String) extends DqRule {
   def passed: Column = col(s"dup_rows_$column") === 0L
 }
 
+/** Table row count satisfies `op` against `n`.
+  * (DQDL `RowCount > 1000` — the emptiness/volume guard.) */
+final case class RowCount(op: String, n: Long) extends DqRule {
+  val name = s"row_count_${op match {
+    case ">" => "gt"; case ">=" => "ge"; case "<" => "lt"
+    case "<=" => "le"; case "=" => "eq"; case o =>
+      throw new IllegalArgumentException(s"bad RowCount op $o")
+  }}_$n"
+  def metrics: Seq[Column] = Seq.empty // row_count is always emitted
+  def passed: Column = op match {
+    case ">" => col("row_count") > n
+    case ">=" => col("row_count") >= n
+    case "<" => col("row_count") < n
+    case "<=" => col("row_count") <= n
+    case "=" => col("row_count") === n
+  }
+}
+
+/** Non-null ratio of `column` strictly above `threshold` — the
+  * tolerance-carrying sibling of [[IsComplete]].
+  * (DQDL `Completeness "email" > 0.9`.) */
+final case class Completeness(column: String, threshold: Double)
+    extends DqRule {
+  val name = s"completeness_$column"
+  def metrics: Seq[Column] = Seq(
+    (count(col(column)).cast("double") / count(lit(1)).cast("double"))
+      .as(s"complete_ratio_$column"))
+  def passed: Column = col(s"complete_ratio_$column") > threshold
+}
+
+/** Mean of `column` within [lo, hi]. Sum rides DECIMAL(18,2) so the
+  * mean is independent of partition merge order — at any parallelism
+  * the metric is bit-stable. (DQDL `Mean "price" between 0 and 2`.) */
+final case class MeanInRange(column: String, lo: Double, hi: Double)
+    extends DqRule {
+  val name = s"mean_$column"
+  def metrics: Seq[Column] = Seq(
+    (sum(col(column).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .cast("double") / count(col(column)).cast("double"))
+      .as(s"mean_$column"))
+  def passed: Column =
+    col(s"mean_$column") >= lo && col(s"mean_$column") <= hi
+}
+
 /** dbt `not_null` test — alias of IsComplete with dbt naming. */
 final case class NotNull(column: String) extends DqRule {
   val name = s"not_null_$column"

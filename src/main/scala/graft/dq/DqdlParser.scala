@@ -11,9 +11,10 @@ import org.apache.spark.sql.Column
   * }}}
   *
   * Covers the rule kinds the reference uses (IsComplete, ColumnLength,
-  * Uniqueness, ColumnValues with a comparison) — each parsed into the
-  * [[DqRule]] ADT, so a parsed ruleset compiles to the same single
-  * aggregation pass as a hand-built one.
+  * Uniqueness, ColumnValues with a comparison) plus the common DQDL
+  * volume/statistics rules (RowCount, Completeness, Mean between) —
+  * each parsed into the [[DqRule]] ADT, so a parsed ruleset compiles to
+  * the same single aggregation pass as a hand-built one.
   */
 object DqdlParser {
 
@@ -23,6 +24,10 @@ object DqdlParser {
   private val UniquenessRe = """Uniqueness\s+"([^"]+)"\s*>\s*([\d.]+)""".r
   private val ColumnValuesRe =
     """ColumnValues\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*(-?[\d.]+)""".r
+  private val RowCountRe = """RowCount\s*(<=|>=|<|>|=)\s*(\d+)""".r
+  private val CompletenessRe = """Completeness\s+"([^"]+)"\s*>\s*([\d.]+)""".r
+  private val MeanRe =
+    """Mean\s+"([^"]+)"\s+between\s+(-?[\d.]+)\s+and\s+(-?[\d.]+)""".r
 
   def parse(name: String, dqdl: String): Ruleset = {
     val body = dqdl match {
@@ -38,6 +43,9 @@ object DqdlParser {
     case IsCompleteRe(c) => IsComplete(c)
     case ColumnLengthRe(c, n) => ColumnLength(c, n.toInt)
     case UniquenessRe(c, th) => Uniqueness(c, th.toDouble)
+    case RowCountRe(op, n) => RowCount(op, n.toLong)
+    case CompletenessRe(c, th) => Completeness(c, th.toDouble)
+    case MeanRe(c, lo, hi) => MeanInRange(c, lo.toDouble, hi.toDouble)
     case ColumnValuesRe(c, op, v) =>
       val lit = v.toDouble
       val pred: Column => Column = op match {

@@ -215,6 +215,37 @@ object ParityQueries {
              |  AS all_passed
              |FROM lineitem""".stripMargin)),
 
+    // DQDL volume/statistics rules, built through the string PARSER
+    // (RowCount / Completeness / Mean between) — the declarative path
+    // from ruleset text to a one-pass verdict
+    QueryDef("q_dq_volume_stats",
+      (s, d) => Dqdl.evaluateDf(Tables.lineitem(s, d),
+        graft.dq.DqdlParser.parse("li_volume",
+          """Rules = [ RowCount > 1000, Completeness "l_returnflag" > 0.9,
+            | Mean "l_quantity" between 20 and 30 ]""".stripMargin)),
+      Some("""SELECT
+             |CAST(COUNT(l_returnflag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |  AS complete_ratio_l_returnflag,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |  / CAST(COUNT(l_quantity) AS DOUBLE) AS mean_l_quantity,
+             |CAST(COUNT(*) AS BIGINT) AS row_count,
+             |COUNT(*) > 1000 AS row_count_gt_1000_passed,
+             |(CAST(COUNT(l_returnflag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) > 0.9
+             |  AS completeness_l_returnflag_passed,
+             |((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |   / CAST(COUNT(l_quantity) AS DOUBLE)) >= 20
+             | AND (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |   / CAST(COUNT(l_quantity) AS DOUBLE)) <= 30)
+             |  AS mean_l_quantity_passed,
+             |(COUNT(*) > 1000
+             | AND (CAST(COUNT(l_returnflag) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) > 0.9
+             | AND ((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |   / CAST(COUNT(l_quantity) AS DOUBLE)) >= 20
+             |  AND (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |   / CAST(COUNT(l_quantity) AS DOUBLE)) <= 30))
+             |  AS all_passed
+             |FROM lineitem""".stripMargin)),
+
     // A8,A9 — dbt unique + not_null tests on a key
     QueryDef("q_dbt_unique_notnull",
       (s, d) => Dqdl.evaluateDf(Tables.orders(s, d), Ruleset("orders_key",

@@ -79,6 +79,29 @@ class DqdlSpec extends AnyFunSuite {
     assert(v.ruleResults("not_null_k") == false)
   }
 
+  test("RowCount / Completeness / MeanInRange rules") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("v")
+    val v = Dqdl.evaluate(df, Ruleset("t", Seq(
+      RowCount(">", 3L), RowCount("<=", 4L),
+      Completeness("v", 0.7), MeanInRange("v", 1.5, 2.5))))
+    assert(v.passed)
+    assert(v.metrics("complete_ratio_v") == 0.75)
+    assert(v.metrics("mean_v") == 2.0) // (1+2+3)/3 over non-null
+    assert(!Dqdl.evaluate(df, Ruleset("t", Seq(RowCount(">", 4L)))).passed)
+    assert(!Dqdl.evaluate(df, Ruleset("t",
+      Seq(Completeness("v", 0.8)))).passed)
+    assert(!Dqdl.evaluate(df, Ruleset("t",
+      Seq(MeanInRange("v", 0.0, 1.0)))).passed)
+  }
+
+  test("parser handles RowCount/Completeness/Mean rules") {
+    val rs = DqdlParser.parse("vol",
+      """Rules = [ RowCount > 10, Completeness "email" > 0.9,
+        | Mean "price" between 0 and 2 ]""".stripMargin)
+    assert(rs.rules == Seq(RowCount(">", 10L),
+      Completeness("email", 0.9), MeanInRange("price", 0.0, 2.0)))
+  }
+
   test("the reference's three rulesets pass on conforming fixtures") {
     val songs = Transforms.enforceSongsSchema(Fixtures.songsDf(spark))
     assert(Dqdl.evaluate(songs, Dqdl.songsRuleset).passed)
