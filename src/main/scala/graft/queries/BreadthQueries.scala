@@ -27,6 +27,71 @@ object BreadthQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // --------------------------------------------- classic warehouse shapes
+
+    // TPC-H Q1 shape (pricing summary): the canonical scan-heavy
+    // aggregate. All money math runs in DECIMAL end-to-end (price ×
+    // (1-disc) × (1+tax) as exact decimal products), so every engine
+    // and every partition order produces identical bits.
+    QueryDef("q_tpch_q1",
+      (s, d) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(18, 2))
+        val frac = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(4, 2))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * frac(lit(1) - col("l_discount")))
+              .cast("double").as("sum_disc_price"),
+            sum(dec(col("l_extendedprice")) * frac(lit(1) - col("l_discount")) *
+              frac(lit(1) + col("l_tax"))).cast("double").as("sum_charge"),
+            (sum(dec(col("l_quantity"))).cast("double") /
+              count(lit(1)).cast("double")).as("avg_qty"),
+            (sum(dec(col("l_discount"))).cast("double") /
+              count(lit(1)).cast("double")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS sum_base_price,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |  * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             |  AS sum_disc_price,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |  * CAST(1 - l_discount AS DECIMAL(4,2))
+             |  * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |  / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+             |CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             |  / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+             |CAST(COUNT(*) AS BIGINT) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // TPC-H Q6 shape (forecast revenue): selective filters that must
+    // all push into the parquet scan, one global decimal sum
+    QueryDef("q_tpch_q6",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(4, 2)))
+          .cast("double").as("revenue")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |  * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             |AND l_shipdate < TIMESTAMP '1996-01-01'
+             |AND l_discount BETWEEN 0.05 AND 0.07
+             |AND l_quantity < 24""".stripMargin)),
+
     // ------------------------------------------------------ temporal joins
 
     // as-of join: each purchase matched to the user's latest click

@@ -108,6 +108,19 @@ class DedupSpec extends AnyFunSuite {
     assert(sizes.exists(_ >= 2))
   }
 
+  test("maxBucketSize skew guard drops degenerate buckets entirely") {
+    // 50 identical docs: every band bucket holds all 50 — over a cap of
+    // 10 the guard must drop them rather than emit 50²/2 pairs
+    val dup = (1L to 50L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.minHashPairs(dup, "doc_id", "text",
+      threshold = 0.3, maxBucketSize = 10)
+    assert(capped.count() == 0)
+    // with a generous cap the same corpus yields all pairs
+    val full = Dedup.minHashPairs(dup, "doc_id", "text",
+      threshold = 0.3, maxBucketSize = 200)
+    assert(full.count() == 50L * 49 / 2)
+  }
+
   test("connectedComponents clusters transitive chains to min id") {
     // chain 1-2-3 (1~2, 2~3 but NOT 1~3) + island 7-9 + singleton edge 5-5
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("idA", "idB")
