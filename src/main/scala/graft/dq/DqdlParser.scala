@@ -25,6 +25,8 @@ object DqdlParser {
   private val ColumnValuesRe =
     """ColumnValues\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*(-?[\d.]+)""".r
   private val RowCountRe = """RowCount\s*(<=|>=|<|>|=)\s*(\d+)""".r
+  private val ColumnValuesInRe =
+    """ColumnValues\s+"([^"]+)"\s+in\s+\[([^\]]*)\]""".r
   private val CompletenessRe = """Completeness\s+"([^"]+)"\s*>\s*([\d.]+)""".r
   private val MeanRe =
     """Mean\s+"([^"]+)"\s+between\s+(-?[\d.]+)\s+and\s+(-?[\d.]+)""".r
@@ -43,6 +45,11 @@ object DqdlParser {
     case IsCompleteRe(c) => IsComplete(c)
     case ColumnLengthRe(c, n) => ColumnLength(c, n.toInt)
     case UniquenessRe(c, th) => Uniqueness(c, th.toDouble)
+    case ColumnValuesInRe(c, items) =>
+      val values = items.split(",").map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).toSeq.filter(_.nonEmpty)
+      require(values.nonEmpty, s"""empty in-set for ColumnValues "$c"""")
+      ColumnValues(c, _.isin(values: _*))
     case RowCountRe(op, n) => RowCount(op, n.toLong)
     case CompletenessRe(c, th) => Completeness(c, th.toDouble)
     case MeanRe(c, lo, hi) => MeanInRange(c, lo.toDouble, hi.toDouble)
@@ -61,14 +68,19 @@ object DqdlParser {
       s"unsupported DQDL rule: $other")
   }
 
-  /** Split on commas that are not inside quotes. */
+  /** Split on commas that are not inside quotes or brackets (in-set
+    * literals like `in ["A", "B"]` carry commas of their own). */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inQuote = false
+    var depth = 0
     s.foreach {
       case '"' => inQuote = !inQuote; cur += '"'
-      case ',' if !inQuote => out += cur.result().trim; cur.clear()
+      case '[' if !inQuote => depth += 1; cur += '['
+      case ']' if !inQuote => depth -= 1; cur += ']'
+      case ',' if !inQuote && depth == 0 =>
+        out += cur.result().trim; cur.clear()
       case c => cur += c
     }
     out += cur.result().trim

@@ -74,6 +74,39 @@ object BreadthQueries {
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
              |GROUP BY 1, 2""".stripMargin)),
 
+    // TPC-H Q3 shape (shipping priority): selective dim filter,
+    // fact⋈fact join on the order key, decimal-exact revenue, top-10
+    // with a full tiebreak so the cut line is deterministic
+    QueryDef("q_tpch_q3",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount")).cast(DecimalType(4, 2)))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |  * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |AND o_orderdate < TIMESTAMP '1995-03-15'
+             |AND l_shipdate > TIMESTAMP '1995-03-15'
+             |GROUP BY 1, 2
+             |ORDER BY revenue DESC, l_orderkey ASC
+             |LIMIT 10""".stripMargin)),
+
     // TPC-H Q6 shape (forecast revenue): selective filters that must
     // all push into the parquet scan, one global decimal sum
     QueryDef("q_tpch_q6",

@@ -102,6 +102,18 @@ class DqdlSpec extends AnyFunSuite {
       Completeness("email", 0.9), MeanInRange("price", 0.0, 2.0)))
   }
 
+  test("parser handles in-set ColumnValues (bracket-nested commas)") {
+    val rs = DqdlParser.parse("set",
+      """Rules = [ ColumnValues "status" in ["A", "B"], RowCount > 1 ]""")
+    assert(rs.rules.length == 2)
+    val df = Seq("A", "B", "A").toDF("status")
+    assert(Dqdl.evaluate(df, rs).passed)
+    val bad = Seq("A", "X").toDF("status")
+    assert(!Dqdl.evaluate(bad,
+      DqdlParser.parse("set2",
+        """Rules = [ ColumnValues "status" in ["A", "B"] ]""")).passed)
+  }
+
   test("the reference's three rulesets pass on conforming fixtures") {
     val songs = Transforms.enforceSongsSchema(Fixtures.songsDf(spark))
     assert(Dqdl.evaluate(songs, Dqdl.songsRuleset).passed)
