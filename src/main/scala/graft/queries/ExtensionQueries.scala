@@ -343,6 +343,23 @@ object ExtensionQueries {
       (s, d) => Dqdl.evaluateDf(Tables.customer(s, d), Ruleset("cust_approx",
         Seq(ApproxDistinctness("c_custkey", 0.9)))), None),
 
+    // deterministic train/eval split: membership is a pure function of
+    // the row id (polynomial hash), so the split survives reruns,
+    // repartitions, and engine changes — reproduced exactly in DuckDB
+    QueryDef("q_split_train_test",
+      (s, d) => graft.operators.Sampling
+        .splitByHash(Tables.documents(s, d), "doc_id", trainPct = 90)
+        .select(col("doc_id"), col("lang"), col("split")),
+      Some("""WITH h AS (SELECT doc_id, lang,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+             |      ch -> CAST(ascii(ch) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) % 100 AS b
+             |  FROM documents)
+             |SELECT doc_id, lang,
+             |CASE WHEN b < 90 THEN 'train' ELSE 'eval' END AS split
+             |FROM h""".stripMargin)),
+
     // ---------------------------------------------------------- profiling
 
     // single-pass numeric profile of customer (deterministic metrics
