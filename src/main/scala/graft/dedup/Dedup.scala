@@ -253,6 +253,29 @@ object Dedup {
     df.join(broadcast(oversized), keys, "left_anti")
   }
 
+  /** Benchmark decontamination: drop corpus documents sharing ANY word
+    * n-gram with a benchmark/eval set — the standard guard against
+    * train-on-test leakage in LLM data pipelines.
+    *
+    * Scale shape: both sides explode to int64 shingle hashes (the fused
+    * codegen expression, no shingle strings); the benchmark side is
+    * tiny by construction (eval sets are thousands of docs, the corpus
+    * is billions) so its distinct hash set broadcasts, and
+    * contamination detection is a broadcast semi-join on the corpus's
+    * exploded grams — narrow over the corpus, no corpus shuffle at all.
+    * The final keep-step is one broadcast anti-join of contaminated ids.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingleHashes(col(textCol), n)).as("__g")).distinct()
+    val contaminated = corpus
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** Bucket-size distribution for a banded signature table — the
     * observability hook for the skew cap. */
   def bucketStats(df: DataFrame, idCol: String, textCol: String,

@@ -343,6 +343,31 @@ object ExtensionQueries {
       (s, d) => Dqdl.evaluateDf(Tables.customer(s, d), Ruleset("cust_approx",
         Seq(ApproxDistinctness("c_custkey", 0.9)))), None),
 
+    // benchmark decontamination: docs 0-9 play the eval set; any
+    // training doc sharing a 5-gram with them is dropped (broadcast
+    // semi-join on hashed grams — no corpus shuffle). Oracle computes
+    // the same string-shingle intersection exactly.
+    QueryDef("q_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontaminate(docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10), "doc_id", "text", n = 5)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\s+') w
+             |  FROM documents),
+             |s AS (SELECT doc_id, CASE WHEN len(w) >= 5 THEN
+             |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+             |   || ' ' || w[i+4] for i in range(1, len(w) - 3)]
+             |  ELSE [] END AS sh FROM t),
+             |bench AS (SELECT flatten(list(sh)) AS bg FROM s
+             |  WHERE doc_id < 10)
+             |SELECT s.doc_id, d.lang
+             |FROM s JOIN documents d USING (doc_id), bench
+             |WHERE s.doc_id >= 10
+             |AND len(list_intersect(s.sh, bench.bg)) = 0""".stripMargin)),
+
     // deterministic train/eval split: membership is a pure function of
     // the row id (polynomial hash), so the split survives reruns,
     // repartitions, and engine changes — reproduced exactly in DuckDB

@@ -121,6 +121,22 @@ class DedupSpec extends AnyFunSuite {
     assert(full.count() == 50L * 49 / 2)
   }
 
+  test("decontaminate drops any-gram overlap with the benchmark set") {
+    val corpus = Seq(
+      (10L, base),                                  // overlaps bench doc
+      (11L, "completely different content about spark query engines " * 8),
+      (12L, "tiny")                                 // too short to shingle
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, base)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L), s"got $kept")
+    // plan: corpus side must not shuffle (broadcast joins only)
+    val plan = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("connectedComponents clusters transitive chains to min id") {
     // chain 1-2-3 (1~2, 2~3 but NOT 1~3) + island 7-9 + singleton edge 5-5
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("idA", "idB")
