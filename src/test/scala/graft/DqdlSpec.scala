@@ -46,14 +46,16 @@ class DqdlSpec extends AnyFunSuite {
       Ruleset("t", Seq(ApproxDistinctness("u", 0.9)))).passed)
   }
 
-  test("uniqueness ratio is always within (0, 1] (property)") {
+  test("uniqueness ratio is always within [0, 1] (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.Prop.forAll
+    // exactly-once semantics: the ratio IS 0 when every value repeats
+    // (e.g. [x, x]) — the lower bound is inclusive, unlike distinctness
     val prop = forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 20))) { xs =>
       val df = xs.map(_.toString).toDF("u")
       val v = Dqdl.evaluate(df, Ruleset("t", Seq(Uniqueness("u", 0.5))))
       val r = v.metrics("uniq_ratio_u").asInstanceOf[Double]
-      r > 0.0 && r <= 1.0
+      r >= 0.0 && r <= 1.0
     }
     val res = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
