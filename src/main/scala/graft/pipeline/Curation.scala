@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import scala.concurrent.ExecutionContext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.dq.{Dqdl, IsComplete, RowCount, Ruleset, UniqueKey}
+import graft.operators.Sampling
+import graft.text.TextAnalysis
+
+/** End-to-end training-data curation as a [[Pipeline]] DAG — the
+  * north-star operators (quality scoring, PII redaction, exact + near
+  * dedup, benchmark decontamination, deterministic splitting) wired
+  * through the same runner that executes the reference's ETL DAGs,
+  * with a blocking DQ gate before the final split.
+  *
+  * Stages hand off through parquet staging dirs (the lake pattern —
+  * each stage is independently rerunnable and inspectable; at 100 TB
+  * the staging dirs are the recovery points). Linear deps except the
+  * gate, which mirrors the reference's `wait_for_completion=True` DQ
+  * blocking.
+  */
+object Curation {
+
+  final case class Config(
+      inPath: String,        // documents parquet
+      benchPath: String,     // benchmark/eval documents parquet
+      workDir: String,       // staging root
+      minQuality: Double = 0.3,
+      nearDupThreshold: Double = 0.5,
+      trainPct: Int = 90)
+
+  def pipeline(spark: SparkSession, cfg: Config)(
+      implicit ec: ExecutionContext): Pipeline = {
+
+    def stagePath(s: String) = s"${cfg.workDir}/$s"
+    def read(s: String): DataFrame = spark.read.parquet(stagePath(s))
+    def write(df: DataFrame, s: String): StageOutcome = {
+      df.write.mode("overwrite").parquet(stagePath(s)); StageOk
+    }
+
+    val stages = Seq(
+      Stage("clean")(_ => write(
+        spark.read.parquet(cfg.inPath)
+          .withColumn("text", TextAnalysis.redactPii(col("text")))
+          .filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality),
+        "clean")),
+      Stage("exact_dedup", Seq("clean"))(_ => write(
+        Dedup.exactDedup(read("clean")
+          .withColumn("fp", TextAnalysis.contentFingerprint(col("text"))),
+          "doc_id", Seq("fp"))
+          .join(read("clean"), Seq("doc_id"))
+          .drop("fp"),
+        "exact_dedup")),
+      Stage("near_dedup", Seq("exact_dedup"))(_ => write(
+        Dedup.dedupMinHash(read("exact_dedup"), "doc_id", "text",
+          threshold = cfg.nearDupThreshold),
+        "near_dedup")),
+      Stage("decontaminate", Seq("near_dedup"))(_ => write(
+        Dedup.decontaminate(read("near_dedup"),
+          spark.read.parquet(cfg.benchPath), "doc_id", "text"),
+        "decontaminate")),
+      Stage("dq_gate", Seq("decontaminate")) { _ =>
+        val verdict = Dqdl.evaluate(read("decontaminate"),
+          Ruleset("curation_gate", Seq(
+            RowCount(">", 0L), IsComplete("doc_id"),
+            UniqueKey("doc_id"), IsComplete("text"))))
+        if (verdict.passed) StageOk
+        else GateFailed(verdict.ruleResults.filterNot(_._2).keys
+          .mkString("failed rules: ", ", ", ""))
+      },
+      Stage("split", Seq("dq_gate"))(_ => write(
+        Sampling.splitByHash(read("decontaminate"), "doc_id",
+          cfg.trainPct),
+        "split")))
+
+    new Pipeline("curation", stages)
+  }
+
+  /** The final curated output (after a successful run). */
+  def result(spark: SparkSession, cfg: Config): DataFrame =
+    spark.read.parquet(s"${cfg.workDir}/split")
+}

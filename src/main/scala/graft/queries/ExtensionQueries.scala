@@ -343,6 +343,26 @@ object ExtensionQueries {
       (s, d) => Dqdl.evaluateDf(Tables.customer(s, d), Ruleset("cust_approx",
         Seq(ApproxDistinctness("c_custkey", 0.9)))), None),
 
+    // PII redaction: email/phone masking as a pure regexp chain —
+    // oracle proves the regex semantics line up across engines (the
+    // corpus is synthetic; a doctored column with planted PII keeps the
+    // check meaningful)
+    QueryDef("q_text_redact_pii",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.redactPii(concat(col("text"),
+          lit(" reach me: user"), col("doc_id"),
+          lit("@mail.example or +1 (555) 000-"), col("doc_id")))
+          .as("clean_text")),
+      Some("""SELECT doc_id,
+             |regexp_replace(
+             |  regexp_replace(
+             |    text || ' reach me: user' || CAST(doc_id AS VARCHAR)
+             |      || '@mail.example or +1 (555) 000-' || CAST(doc_id AS VARCHAR),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |    '<EMAIL>', 'g'),
+             |  '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS clean_text
+             |FROM documents""".stripMargin)),
+
     // benchmark decontamination: docs 0-9 play the eval set; any
     // training doc sharing a 5-gram with them is dropped (broadcast
     // semi-join on hashed grams — no corpus shuffle). Oracle computes

@@ -118,6 +118,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tf_idf"))
   }
 
+  /** PII redaction: mask emails and phone-number-shaped digit runs —
+    * the standard scrub before text enters a training corpus. Pure
+    * regexp_replace chain (codegen'd, narrow); patterns deliberately
+    * conservative (over-masking beats leaking). */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail,
+      "\\+?\\d[\\d() -]{7,}\\d", "<PHONE>")
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * byte-stable across engines, the key for exact near-duplicate
     * grouping after normalization. */

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Curation, RunWindow}
+import graft.text.TextAnalysis
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val window = RunWindow(
+    LocalDate.parse("2020-02-01"), LocalDate.parse("2020-03-01"))
+
+  test("redactPii masks emails and phone runs, leaves prose alone") {
+    val out = Seq(
+      "contact me at jane.doe+x@example.org today",
+      "call +1 (555) 123-4567 now",
+      "no pii here at all").toDF("t")
+      .select(TextAnalysis.redactPii($"t")).collect().map(_.getString(0))
+    assert(out(0) == "contact me at <EMAIL> today")
+    assert(out(1) == "call <PHONE> now")
+    assert(out(2) == "no pii here at all")
+  }
+
+  test("curation pipeline runs end-to-end: dedup, decontaminate, split") {
+    val work = Files.createTempDirectory("curation").toString
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val in = s"$work/in"; val bench = s"$work/bench"
+    docs.filter($"doc_id" >= 5).write.parquet(in)
+    docs.filter($"doc_id" < 5).write.parquet(bench)
+    val cfg = Curation.Config(in, bench, s"$work/stages")
+    val res = Curation.pipeline(spark, cfg).run(window)
+    assert(res.succeeded, res.reports.filterNot(
+      _.outcome.isSuccess).mkString("; "))
+    val out = Curation.result(spark, cfg)
+    assert(out.count() > 0)
+    // every surviving row has a split, ids unique, no bench overlap ids
+    assert(out.select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "eval")))
+    assert(out.select("doc_id").distinct().count() == out.count())
+    assert(out.filter($"doc_id" < 5).count() == 0)
+  }
+
+  test("DQ gate failure halts the split stage") {
+    val work = Files.createTempDirectory("curation-fail").toString
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val in = s"$work/in"; val bench = s"$work/bench"
+    // benchmark == corpus → decontamination removes every doc →
+    // RowCount > 0 gate fails → split must be skipped
+    docs.write.parquet(in)
+    docs.write.parquet(bench)
+    val cfg = Curation.Config(in, bench, s"$work/stages")
+    val res = Curation.pipeline(spark, cfg).run(window)
+    assert(!res.succeeded)
+    val gate = res.report("dq_gate").get
+    assert(gate.outcome.isFailure)
+    val split = res.report("split").get
+    assert(split.outcome.isFailure)
+    assert(!new java.io.File(s"$work/stages/split").exists())
+  }
+}
