@@ -423,6 +423,30 @@ object BreadthQueries {
              |ELSE 'small' END AS bucket
              |FROM orders""".stripMargin)),
 
+    // full outer join: per-nation supplier vs customer counts — keys
+    // existing on only one side survive with nulls on the other
+    QueryDef("q_full_outer_join",
+      (s, d) => {
+        val sup = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_suppliers"))
+        val cust = Tables.customer(s, d)
+          .filter(col("c_acctbal") > 9000.0)
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_rich"))
+        sup.join(cust, sup("s_nationkey") === cust("c_nationkey"),
+          "full_outer")
+          .select(coalesce(col("s_nationkey"), col("c_nationkey"))
+            .as("nationkey"), col("n_suppliers"), col("n_rich"))
+      },
+      Some("""WITH s AS (SELECT s_nationkey,
+             |  CAST(COUNT(*) AS BIGINT) AS n_suppliers
+             |  FROM supplier GROUP BY 1),
+             |c AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich
+             |  FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1)
+             |SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+             |n_suppliers, n_rich
+             |FROM s FULL OUTER JOIN c ON s_nationkey = c_nationkey"""
+        .stripMargin)),
+
     // semi + anti join: customers with/without 1995 orders (EXISTS /
     // NOT EXISTS — Spark plans LeftSemi/LeftAnti, dim side broadcast)
     QueryDef("q_semi_anti_join",

@@ -216,6 +216,19 @@ object ExtensionQueries {
               |CAST(len($sqlTokens) AS INTEGER) AS n_tokens
               |FROM documents""".stripMargin)),
 
+    // BPE-ish subword count (alnum runs + punctuation marks) next to
+    // the whitespace token count — both tokenizer-cost estimators
+    QueryDef("q_text_subwords",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCountApprox(col("text")).as("n_subwords")),
+      Some(s"""SELECT doc_id,
+              |CAST(len($sqlTokens) AS INTEGER) AS n_tokens,
+              |CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+              |  + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+              |  AS INTEGER) AS n_subwords
+              |FROM documents""".stripMargin)),
+
     QueryDef("q_text_quality",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),

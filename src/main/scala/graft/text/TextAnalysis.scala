@@ -20,12 +20,14 @@ object TextAnalysis {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** A BPE-ish subword proxy: count of alphanumeric runs + punctuation
-    * marks, the usual cheap stand-in for a tokenizer's token count when
-    * the real vocab isn't available at scan time. */
+  /** A BPE-ish subword proxy: count of alphanumeric runs + count of
+    * non-space punctuation marks, the usual cheap stand-in for a
+    * tokenizer's token count when the real vocab isn't available at
+    * scan time. RE2-compatible patterns (no lookaround) so the metric
+    * reproduces in any engine. */
   def subwordCountApprox(text: Column): Column =
-    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))) +
+      size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Punctuation chars / total chars (0 for empty text). */
   def punctRatio(text: Column): Column = {
