@@ -78,6 +78,40 @@ object Lake {
     } else df.write.format("parquet").partitionBy(partitionCol)
       .saveAsTable(table)
 
+  /** Schema-evolving append: add any NEW columns in `df` to the table
+    * first (ALTER TABLE ADD COLUMNS — metadata-only, no data rewrite;
+    * history rows read the new columns as null), then append with the
+    * table's full schema. The parquet-table equivalent of the Iceberg
+    * v2 schema evolution the reference chose its format for; renames/
+    * drops/type-changes need a real table format and are rejected
+    * loudly rather than guessed. */
+  def appendEvolved(spark: SparkSession, df: DataFrame, table: String,
+      partitionCol: String = "ingest_on"): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      df.write.format("parquet").partitionBy(partitionCol)
+        .saveAsTable(table)
+      return
+    }
+    val existing = spark.table(table).schema
+    val incoming = df.schema
+    val added = incoming.filterNot(f => existing.fieldNames.contains(f.name))
+    val missingOk = existing.filterNot(f =>
+      incoming.fieldNames.contains(f.name)).forall(_.nullable)
+    require(missingOk, s"append to $table drops non-nullable columns")
+    if (added.nonEmpty) {
+      val colsDdl = added.map(f => s"${f.name} ${f.dataType.sql}")
+        .mkString(", ")
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS ($colsDdl)")
+    }
+    val full = spark.table(table).columns
+    val aligned = df.select(full.map(c =>
+      if (incoming.fieldNames.contains(c)) col(c)
+      else org.apache.spark.sql.functions.lit(null)
+        .cast(spark.table(table).schema(c).dataType).as(c)).toIndexedSeq: _*)
+    aligned.write.mode("append").format("parquet")
+      .partitionBy(partitionCol).saveAsTable(table)
+  }
+
   /** Keyed upsert (MERGE emulation on a partitioned parquet table):
     * apply `updates` so the latest `versionCol` wins per `keyCols`.
     * Without Iceberg/Delta row-level ops, the scale-correct rewrite

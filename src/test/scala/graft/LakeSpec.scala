@@ -67,6 +67,25 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.table(tbl).count() == 4)
   }
 
+  test("appendEvolved: new columns appear, history reads them as null") {
+    val tbl = "lake_evolve_t"
+    Lake.appendEvolved(spark, frame("2020-02-01", Seq(1, 2)), tbl)
+    // second batch arrives with an extra column
+    val evolved = Seq((3, "mobile")).toDF("v", "channel")
+      .withColumn("ingest_on", to_date(lit("2020-03-01")))
+    Lake.appendEvolved(spark, evolved, tbl)
+    val out = spark.table(tbl)
+    assert(out.columns.toSet == Set("v", "channel", "ingest_on"))
+    assert(out.count() == 3)
+    // history rows surface the evolved column as null
+    assert(out.filter(col("channel").isNull).count() == 2)
+    assert(out.filter(col("channel") === "mobile").count() == 1)
+    // a third batch WITHOUT the evolved column still appends (nulls)
+    Lake.appendEvolved(spark, frame("2020-04-01", Seq(9)), tbl)
+    assert(spark.table(tbl).count() == 4)
+    assert(spark.table(tbl).filter(col("channel").isNull).count() == 3)
+  }
+
   test("landing JSON write is overwrite-idempotent and single-file") {
     val base = Files.createTempDirectory("landing").toString
     val df = Seq(("a", 1), ("b", 2)).toDF("k", "n")
