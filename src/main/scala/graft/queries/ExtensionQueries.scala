@@ -418,6 +418,95 @@ object ExtensionQueries {
              |CASE WHEN b < 90 THEN 'train' ELSE 'eval' END AS split
              |FROM h""".stripMargin)),
 
+    // the FULL curation chain as one verifiable query: redact → quality
+    // filter → exact dedup → minhash near-dedup → benchmark
+    // decontamination → deterministic split. Every stage is
+    // individually oracled elsewhere; this composes them end-to-end and
+    // hash-checks the final corpus against DuckDB computing the same
+    // six stages
+    QueryDef("q_curation_e2e",
+      (s, d) => {
+        import graft.operators.Sampling
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") < 5)
+        val clean = docs.filter(col("doc_id") >= 5)
+          .withColumn("text", TextAnalysis.redactPii(col("text")))
+          .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+        val exact = Dedup.exactDedup(
+          clean.withColumn("fp",
+            TextAnalysis.contentFingerprint(col("text"))),
+          "doc_id", Seq("fp"))
+          .select("doc_id").join(clean, Seq("doc_id"))
+        val near = Dedup.dedupMinHash(exact, "doc_id", "text",
+          threshold = 0.5)
+        val decon = Dedup.decontaminate(near, bench, "doc_id", "text")
+        Sampling.splitByHash(decon, "doc_id", 90)
+          .select(col("doc_id"), col("lang"), col("split"))
+      },
+      Some("""WITH corpus AS (SELECT doc_id, lang,
+             |  regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |    '<EMAIL>', 'g'),
+             |    '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS text
+             |  FROM documents WHERE doc_id >= 5),
+             |m AS (SELECT doc_id, lang, text,
+             |  CASE WHEN length(trim(text)) = 0 THEN []
+             |    ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+             |  FROM corpus),
+             |sc AS (SELECT doc_id, lang, text, toks,
+             |  (least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.25)
+             |  + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+             |      ELSE CAST(length(text) - length(regexp_replace(text,
+             |        '[.,!?;:]', '', 'g')) AS DOUBLE)
+             |        / CAST(length(text) AS DOUBLE) END) * 4.0, 1.0)) * 0.25)
+             |  + (least((CASE WHEN len(toks) = 0 THEN 0.0
+             |      ELSE CAST(len(list_filter(toks, t -> t IN
+             |        ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+             |        / CAST(len(toks) AS DOUBLE) END) * 4.0, 1.0) * 0.25)
+             |  + ((CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+             |      ELSE CAST(list_sum(list_transform(toks,
+             |        t -> length(t))) AS DOUBLE)
+             |        / CAST(len(toks) AS DOUBLE) END) BETWEEN 2.0 AND 12.0
+             |      THEN 1.0 ELSE 0.0 END) * 0.25) AS score
+             |  FROM m),
+             |q AS (SELECT doc_id, lang, text, toks FROM sc
+             |  WHERE score >= 0.3),
+             |fp AS (SELECT *, md5(regexp_replace(lower(trim(text)),
+             |  '\s+', ' ', 'g')) AS f FROM q),
+             |keepx AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+             |ex AS (SELECT fp.doc_id, fp.lang, fp.text, fp.toks
+             |  FROM fp JOIN keepx USING (doc_id)),
+             |s3 AS (SELECT doc_id, lang, text, toks, list_distinct(
+             |  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |   for i in range(1, len(toks) - 1)]) AS sh
+             |  FROM ex WHERE len(toks) >= 3),
+             |losers AS (SELECT DISTINCT b.doc_id
+             |  FROM s3 a JOIN s3 b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5),
+             |nd AS (SELECT * FROM ex
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+             |s5 AS (SELECT doc_id, lang, CASE WHEN len(toks) >= 5 THEN
+             |  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+             |   || toks[i+3] || ' ' || toks[i+4]
+             |   for i in range(1, len(toks) - 3)] ELSE [] END AS sh
+             |  FROM nd),
+             |bw AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+             |  FROM documents WHERE doc_id < 5),
+             |bg AS (SELECT flatten(list(CASE WHEN len(w) >= 5 THEN
+             |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+             |   || w[i+3] || ' ' || w[i+4]
+             |   for i in range(1, len(w) - 3)] ELSE [] END)) AS g FROM bw),
+             |dec AS (SELECT s5.doc_id, s5.lang FROM s5, bg
+             |  WHERE len(list_intersect(s5.sh, bg.g)) = 0)
+             |SELECT doc_id, lang,
+             |CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |  list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+             |    ch -> CAST(ascii(ch) AS BIGINT))),
+             |  (acc, x) -> (acc * 31 + x) % 1000000007) % 100 < 90
+             |THEN 'train' ELSE 'eval' END AS split
+             |FROM dec""".stripMargin)),
+
     // ---------------------------------------------------------- profiling
 
     // single-pass numeric profile of customer (deterministic metrics
