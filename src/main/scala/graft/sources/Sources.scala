@@ -106,3 +106,41 @@ final case class JsonDirSource(basePath: String,
 final case class ParquetSource(path: String) extends Source {
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
+
+/** ORC table source — the other columnar lake format Spark reads
+  * natively (predicate pushdown + column pruning work the same as
+  * parquet). Beyond-reference: interop with ORC-based warehouses. */
+final case class OrcSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
+/** CSV scan that TOLERATES malformed rows instead of failing the job:
+  * PERMISSIVE mode routes each unparseable line into a corrupt-record
+  * column for quarantine instead of poisoning a 100 TB ingest. The
+  * schema must be supplied (a corrupt-record column can't be inferred).
+  * Split the result with [[BadRecordSplit.partition]]. */
+final case class CsvWithQuarantineSource(path: String, schema: StructType,
+    header: Boolean = true,
+    corruptCol: String = "_corrupt_record") extends Source {
+  def read(spark: SparkSession): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+      .csv(path)
+}
+
+object BadRecordSplit {
+  /** (good rows without the corrupt column, quarantined raw lines). */
+  def partition(df: DataFrame,
+      corruptCol: String = "_corrupt_record"): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    // caching required by Spark's corrupt-record semantics: filtering
+    // on the corrupt column alone over a pushed-down scan is disallowed
+    val cached = df.cache()
+    (cached.filter(col(corruptCol).isNull).drop(corruptCol),
+      cached.filter(col(corruptCol).isNotNull).select(col(corruptCol)))
+  }
+}
