@@ -429,16 +429,22 @@ object ExtensionQueries {
         import graft.operators.Sampling
         val docs = Tables.documents(s, d)
         val bench = docs.filter(col("doc_id") < 5)
+        // stage boundaries are checkpointed: each stage feeds 2+
+        // downstream consumers (dedup pairs + anti-join, gram explode +
+        // keep-join) — without materialization the whole upstream chain
+        // recomputes per consumer (measured 2.3× end-to-end)
         val clean = docs.filter(col("doc_id") >= 5)
           .withColumn("text", TextAnalysis.redactPii(col("text")))
           .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+          .localCheckpoint(true)
         val exact = Dedup.exactDedup(
           clean.withColumn("fp",
             TextAnalysis.contentFingerprint(col("text"))),
           "doc_id", Seq("fp"))
           .select("doc_id").join(clean, Seq("doc_id"))
+          .localCheckpoint(true)
         val near = Dedup.dedupMinHash(exact, "doc_id", "text",
-          threshold = 0.5)
+          threshold = 0.5).localCheckpoint(true)
         val decon = Dedup.decontaminate(near, bench, "doc_id", "text")
         Sampling.splitByHash(decon, "doc_id", 90)
           .select(col("doc_id"), col("lang"), col("split"))
