@@ -237,20 +237,21 @@ object Dedup {
 
   /** Buckets larger than `maxSize` are dropped (skew guard).
     * Implemented as a partial-aggregated count of OVERSIZED keys only,
-    * anti-joined back: the aggregate is map-side-combined (tiny output
-    * — only keys above the cap survive the filter, usually none), and
-    * the anti-join broadcasts it. The window-count alternative would
-    * sort every band row inside the exchange; this shape touches the
-    * rows once more with a broadcast probe instead — no sort, and the
-    * exchange on (band, bucket) is left to the downstream bucket join
-    * where AQE sizes it. */
+    * anti-joined back: the aggregate is map-side-combined and its
+    * output is tiny in the healthy case (only keys above the cap
+    * survive the filter, usually none). No forced broadcast: on a
+    * degenerate boilerplate corpus the oversized-key set itself can be
+    * huge — AQE broadcasts it when it measures small and falls back to
+    * a shuffle join when it doesn't, instead of OOMing the driver. The
+    * window-count alternative would sort every band row inside the
+    * exchange. */
   private def capBuckets(df: DataFrame, keys: Seq[String],
       maxSize: Int): DataFrame = {
     val oversized = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > maxSize)
       .select(keys.map(col): _*)
-    df.join(broadcast(oversized), keys, "left_anti")
+    df.join(oversized, keys, "left_anti")
   }
 
   /** Benchmark decontamination: drop corpus documents sharing ANY word
@@ -273,7 +274,11 @@ object Dedup {
       .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__g"))
       .join(broadcast(benchGrams), Seq("__g"), "left_semi")
       .select(col(idCol)).distinct()
-    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    // NO broadcast hint on the keep-join: `contaminated` is a
+    // data-dependent fraction of the corpus (a widely-quoted benchmark
+    // can contaminate a large share) — let AQE broadcast it only when
+    // it measures small
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Bucket-size distribution for a banded signature table — the

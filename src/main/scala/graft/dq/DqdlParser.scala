@@ -46,8 +46,10 @@ object DqdlParser {
     case ColumnLengthRe(c, n) => ColumnLength(c, n.toInt)
     case UniquenessRe(c, th) => Uniqueness(c, th.toDouble)
     case ColumnValuesInRe(c, items) =>
-      val values = items.split(",").map(_.trim.stripPrefix("\"")
-        .stripSuffix("\"")).toSeq.filter(_.nonEmpty)
+      // quote-aware item split: a quoted value may itself contain commas
+      val values = splitTopLevel(items)
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty)
       require(values.nonEmpty, s"""empty in-set for ColumnValues "$c"""")
       ColumnValues(c, _.isin(values: _*))
     case RowCountRe(op, n) => RowCount(op, n.toLong)

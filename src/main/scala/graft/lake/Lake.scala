@@ -94,9 +94,15 @@ object Lake {
     }
     val existing = spark.table(table).schema
     val incoming = df.schema
-    val added = incoming.filterNot(f => existing.fieldNames.contains(f.name))
+    // name comparison mirrors Spark's default case-INsensitive
+    // resolution: a case-variant of an existing column must append to
+    // it, not trigger a doomed ALTER TABLE ADD COLUMNS
+    val existingNames = existing.fieldNames.map(_.toLowerCase).toSet
+    val incomingNames = incoming.fieldNames.map(_.toLowerCase).toSet
+    val added = incoming.filterNot(f =>
+      existingNames.contains(f.name.toLowerCase))
     val missingOk = existing.filterNot(f =>
-      incoming.fieldNames.contains(f.name)).forall(_.nullable)
+      incomingNames.contains(f.name.toLowerCase)).forall(_.nullable)
     require(missingOk, s"append to $table drops non-nullable columns")
     if (added.nonEmpty) {
       val colsDdl = added.map(f => s"${f.name} ${f.dataType.sql}")
@@ -105,7 +111,7 @@ object Lake {
     }
     val full = spark.table(table).columns
     val aligned = df.select(full.map(c =>
-      if (incoming.fieldNames.contains(c)) col(c)
+      if (incomingNames.contains(c.toLowerCase)) col(c)
       else org.apache.spark.sql.functions.lit(null)
         .cast(spark.table(table).schema(c).dataType).as(c)).toIndexedSeq: _*)
     aligned.write.mode("append").format("parquet")
@@ -140,14 +146,20 @@ object Lake {
       .collect().map(_.get(0))
     val existing = spark.table(table)
       .filter(col(partitionCol).isin(touched.toIndexedSeq: _*))
+    // deterministic tie-break: on EQUAL versions the incoming update
+    // wins — producers that re-emit corrections without bumping the
+    // version get reproducible "last writer wins" instead of an
+    // arbitrary row_number pick that differs across retries
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc)
-    val merged = alignTo(spark, updates, table)
-      .unionByName(existing)
+      .orderBy(col(versionCol).desc, col("__is_update").desc)
+    val lit1 = org.apache.spark.sql.functions.lit(1)
+    val lit0 = org.apache.spark.sql.functions.lit(0)
+    val merged = alignTo(spark, updates, table).withColumn("__is_update", lit1)
+      .unionByName(existing.withColumn("__is_update", lit0))
       .withColumn("__rn",
         org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("__rn") === 1).drop("__rn", "__is_update")
     enableDynamicPartitionOverwrite(spark)
     // materialize before overwriting: the merged plan reads the very
     // partitions the write replaces

@@ -20,10 +20,16 @@ object Skew {
     * recomputed shuffle map task (fetch-failure retry) must re-salt
     * each row to the SAME value, or reducers that already consumed the
     * old output see rows duplicated/dropped — the classic
-    * nondeterministic-repartition hazard at cluster scale. Identical
-    * rows share a salt, which is harmless for aggregation correctness
-    * and still spreads hot KEYS (a hot key's rows differ in their other
-    * columns). */
+    * nondeterministic-repartition hazard at cluster scale.
+    *
+    * Known tradeoff: byte-identical duplicate rows share a salt. For
+    * aggregation this is harmless (map-side combine collapses them);
+    * for [[saltedJoin]] a hot key made of mostly IDENTICAL rows will
+    * still land on one reducer — for that shape, collapse duplicates
+    * to (row, count) first (one exact-dedup aggregation), join, and
+    * re-weight; a random salt would spread them but reintroduces the
+    * retry-correctness hazard above, which is worse (silent wrong
+    * results vs a slow task). */
   private def contentSalt(df: DataFrame, salts: Int) =
     pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
 

@@ -40,9 +40,15 @@ object Temporal {
     val leftCols = left.columns.toSeq
     val payloadType = right
       .select(struct(payloadCols.map(col): _*)).schema.head.dataType
-    val rTagged = right.select(col(keyCol).as("__k"),
-      col(rightTsCol).as("__ts"), lit(1).as("__is_right"),
-      struct(payloadCols.map(col): _*).as("__payload"))
+    // SQL as-of semantics for nulls: a right row with null key or null
+    // ts can never satisfy `right.ts <= left.ts on key` — drop them
+    // here, or the nulls-first sort would carry a null-ts payload into
+    // every left row (and null keys would match each other)
+    val rTagged = right
+      .filter(col(keyCol).isNotNull && col(rightTsCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        col(rightTsCol).as("__ts"), lit(1).as("__is_right"),
+        struct(payloadCols.map(col): _*).as("__payload"))
     val lTagged = left.select(col(keyCol).as("__k"),
       col(leftTsCol).as("__ts"), lit(0).as("__is_right"),
       lit(null).cast(payloadType).as("__payload"),

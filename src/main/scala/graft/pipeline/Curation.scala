@@ -54,10 +54,15 @@ object Curation {
           .join(read("clean"), Seq("doc_id"))
           .drop("fp"),
         "exact_dedup")),
-      Stage("near_dedup", Seq("exact_dedup"))(_ => write(
-        Dedup.dedupMinHash(read("exact_dedup"), "doc_id", "text",
-          threshold = cfg.nearDupThreshold),
-        "near_dedup")),
+      Stage("near_dedup", Seq("exact_dedup"))(_ =>
+        try write(
+          Dedup.dedupMinHash(read("exact_dedup"), "doc_id", "text",
+            threshold = cfg.nearDupThreshold),
+          "near_dedup")
+        // the staged parquet write materializes the result — release
+        // the signature caches dedupMinHash persisted, or repeated
+        // pipeline runs pin blocks for the session's lifetime
+        finally Dedup.releaseCaches()),
       Stage("decontaminate", Seq("near_dedup"))(_ => write(
         Dedup.decontaminate(read("near_dedup"),
           spark.read.parquet(cfg.benchPath), "doc_id", "text"),

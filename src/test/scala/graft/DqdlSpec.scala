@@ -114,6 +114,12 @@ class DqdlSpec extends AnyFunSuite {
     assert(!Dqdl.evaluate(bad,
       DqdlParser.parse("set2",
         """Rules = [ ColumnValues "status" in ["A", "B"] ]""")).passed)
+    // a quoted value containing a comma stays ONE value
+    val comma = DqdlParser.parse("set3",
+      """Rules = [ ColumnValues "status" in ["A,B", "C"] ]""")
+    assert(Dqdl.evaluate(Seq("A,B", "C").toDF("status"), comma).passed)
+    assert(!Dqdl.evaluate(Seq("A").toDF("status"), comma).passed)
+    assert(!Dqdl.evaluate(Seq("B").toDF("status"), comma).passed)
   }
 
   test("the reference's three rulesets pass on conforming fixtures") {

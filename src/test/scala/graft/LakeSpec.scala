@@ -65,6 +65,27 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.table(tbl).filter(col("k") === 1L)
       .head.getString(1) == "a2")
     assert(spark.table(tbl).count() == 4)
+    // version TIE: the incoming update wins deterministically
+    Lake.upsertByKey(spark,
+      kv("2020-02-01", Seq((1L, "corrected", 2L))), tbl, Seq("k"), "version")
+    assert(spark.table(tbl).filter(col("k") === 1L)
+      .head.getString(1) == "corrected")
+  }
+
+  test("appendEvolved resolves case-variant columns, not as new ones") {
+    val tbl = "lake_evolve_case_t"
+    Lake.appendEvolved(spark,
+      Seq((1, "web")).toDF("v", "channel")
+        .withColumn("ingest_on", to_date(lit("2020-02-01"))), tbl)
+    // second batch spells the column `Channel` — Spark resolution is
+    // case-insensitive, so this must append, not ALTER TABLE
+    Lake.appendEvolved(spark,
+      Seq((2, "mobile")).toDF("v", "Channel")
+        .withColumn("ingest_on", to_date(lit("2020-03-01"))), tbl)
+    val out = spark.table(tbl)
+    assert(out.count() == 2)
+    assert(out.columns.count(_.equalsIgnoreCase("channel")) == 1)
+    assert(out.filter(col("channel") === "mobile").count() == 1)
   }
 
   test("appendEvolved: new columns appear, history reads them as null") {

@@ -33,6 +33,20 @@ class TemporalSpec extends AnyFunSuite {
       1L -> Some(10.0), 2L -> Some(11.0), 3L -> None, 4L -> Some(20.0)))
   }
 
+  test("asofJoin ignores null-ts and null-key right rows (SQL semantics)") {
+    val trades = Seq((1L, "A", ts("2024-01-01 10:00:00")))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      (Some("A"), None, 99.0),                              // null ts
+      (None, Some(ts("2024-01-01 09:00:00")), 98.0),        // null key
+      (Some("A"), Some(ts("2024-01-01 09:30:00")), 10.0)    // the real match
+    ).toDF("sym", "qts", "price")
+    val out = Temporal.asofJoin(trades, quotes, "sym", "ts", "qts",
+      Seq("price")).select("asof_price").head
+    assert(out.getDouble(0) == 10.0,
+      "null-ts/null-key right rows must never match")
+  }
+
   test("asofJoin matches the naive range-join on random data") {
     val rnd = new scala.util.Random(7)
     val left = (1 to 200).map(i =>
