@@ -423,6 +423,23 @@ object BreadthQueries {
              |ELSE 'small' END AS bucket
              |FROM orders""".stripMargin)),
 
+    // histogram binning: fixed-width buckets via floor(x / width) —
+    // IEEE division is bit-identical cross-engine, so bucket edges
+    // agree exactly; the one-scan shape of a numeric distribution
+    // profile at any data size
+    QueryDef("q_histogram_binning",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          money(col("o_totalprice")).as("bucket_total")),
+      Some("""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+             |  AS bucket,
+             |CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS bucket_total
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // full outer join: per-nation supplier vs customer counts — keys
     // existing on only one side survive with nulls on the other
     QueryDef("q_full_outer_join",
