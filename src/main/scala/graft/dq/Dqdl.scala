@@ -149,6 +149,17 @@ final case class MeanInRange(column: String, lo: Double, hi: Double)
     col(s"mean_$column") >= lo && col(s"mean_$column") <= hi
 }
 
+/** No COMBINATION of `columns` occurs more than once (dbt `unique`
+  * over a composite key / `dbt_utils.unique_combination_of_columns`). */
+final case class UniqueCombination(columns: Seq[String]) extends DqRule {
+  require(columns.nonEmpty)
+  val name = s"unique_combo_${columns.mkString("_")}"
+  def metrics: Seq[Column] = Seq(
+    (count(lit(1)) - countDistinct(columns.map(col).head,
+      columns.map(col).tail: _*)).as(s"dup_rows_${columns.mkString("_")}"))
+  def passed: Column = col(s"dup_rows_${columns.mkString("_")}") === 0L
+}
+
 /** dbt `not_null` test — alias of IsComplete with dbt naming. */
 final case class NotNull(column: String) extends DqRule {
   val name = s"not_null_$column"
@@ -176,6 +187,40 @@ object Dqdl {
     val agg = ruleset.rules.flatMap(_.sideMetrics(df))
       .foldLeft(mainAgg)(_ crossJoin _)
     val withPassed = ruleset.rules.foldLeft(agg) { (acc, r) =>
+      acc.withColumn(s"${r.name}_passed", r.passed)
+    }
+    val allPassed = ruleset.rules.map(r => col(s"${r.name}_passed"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    withPassed.withColumn("all_passed", allPassed)
+  }
+
+  /** Per-partition verdicts: the same compiled metrics, grouped by a
+    * partition column — one row per partition value, each with its own
+    * pass flags. At 100 TB this answers "WHICH monthly increment is
+    * bad" in the same single scan a global verdict costs (plus the
+    * usual grouped side-pass per Uniqueness rule, joined back on the
+    * partition key — a tiny table of one row per partition). */
+  def evaluateByPartition(df: DataFrame, ruleset: Ruleset,
+      partitionCol: String): DataFrame = {
+    // defensive: every side-aggregating rule must have a per-partition
+    // compilation below (today that is exactly Uniqueness)
+    ruleset.rules.filter(_.sideMetrics(df).nonEmpty).foreach(r =>
+      require(r.isInstanceOf[Uniqueness],
+        s"rule ${r.name} has no per-partition compilation"))
+    val metricCols = ruleset.rules.flatMap(_.metrics) :+
+      count(lit(1)).as("row_count")
+    val main = df.groupBy(col(partitionCol))
+      .agg(metricCols.head, metricCols.tail: _*)
+    val withSides = ruleset.rules.collect {
+      case Uniqueness(column, _) =>
+        df.groupBy(col(partitionCol), col(column))
+          .agg(count(lit(1)).as("__cnt"))
+          .groupBy(col(partitionCol))
+          .agg((sum(when(col("__cnt") === 1L, 1L).otherwise(0L))
+            .cast("double") / sum(col("__cnt")).cast("double"))
+            .as(s"uniq_ratio_$column"))
+    }.foldLeft(main)(_.join(_, Seq(partitionCol)))
+    val withPassed = ruleset.rules.foldLeft(withSides) { (acc, r) =>
       acc.withColumn(s"${r.name}_passed", r.passed)
     }
     val allPassed = ruleset.rules.map(r => col(s"${r.name}_passed"))

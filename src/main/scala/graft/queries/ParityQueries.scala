@@ -246,6 +246,36 @@ object ParityQueries {
              |  AS all_passed
              |FROM lineitem""".stripMargin)),
 
+    // per-partition DQ: one verdict row per l_returnflag group — the
+    // "which increment is bad" shape, same single scan as the global
+    // verdict (+ the grouped Uniqueness side-pass)
+    QueryDef("q_dq_by_partition",
+      (s, d) => Dqdl.evaluateByPartition(Tables.lineitem(s, d),
+        Ruleset("li_part", Seq(
+          IsComplete("l_partkey"), Uniqueness("l_orderkey", 0.05),
+          ColumnValues("l_discount", _ <= 0.1))), "l_returnflag"),
+      Some("""WITH g AS (SELECT l_returnflag, COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY l_returnflag, l_orderkey),
+             |u AS (SELECT l_returnflag,
+             |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(SUM(cnt) AS DOUBLE) AS uniq_ratio_l_orderkey
+             |  FROM g GROUP BY 1),
+             |m AS (SELECT l_returnflag,
+             |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS null_l_partkey,
+             |  CAST(SUM(CASE WHEN NOT (l_discount <= 0.1) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS violations_l_discount,
+             |  CAST(COUNT(*) AS BIGINT) AS row_count
+             |  FROM lineitem GROUP BY 1)
+             |SELECT m.l_returnflag, null_l_partkey, violations_l_discount,
+             |row_count, uniq_ratio_l_orderkey,
+             |null_l_partkey = 0 AS is_complete_l_partkey_passed,
+             |uniq_ratio_l_orderkey > 0.05 AS uniqueness_l_orderkey_passed,
+             |violations_l_discount = 0 AS column_values_l_discount_passed,
+             |(null_l_partkey = 0 AND uniq_ratio_l_orderkey > 0.05
+             | AND violations_l_discount = 0) AS all_passed
+             |FROM m JOIN u USING (l_returnflag)""".stripMargin)),
+
     // A8,A9 — dbt unique + not_null tests on a key
     QueryDef("q_dbt_unique_notnull",
       (s, d) => Dqdl.evaluateDf(Tables.orders(s, d), Ruleset("orders_key",

@@ -122,6 +122,30 @@ class DqdlSpec extends AnyFunSuite {
     assert(!Dqdl.evaluate(Seq("B").toDF("status"), comma).passed)
   }
 
+  test("UniqueCombination catches composite-key duplicates") {
+    val ok = Seq((1, "a"), (1, "b"), (2, "a")).toDF("k1", "k2")
+    assert(Dqdl.evaluate(ok,
+      Ruleset("t", Seq(UniqueCombination(Seq("k1", "k2"))))).passed)
+    val dup = ok.union(Seq((1, "a")).toDF("k1", "k2"))
+    val v = Dqdl.evaluate(dup,
+      Ruleset("t", Seq(UniqueCombination(Seq("k1", "k2")))))
+    assert(!v.passed)
+    assert(v.metrics("dup_rows_k1_k2") == 1L)
+  }
+
+  test("evaluateByPartition isolates the bad increment") {
+    val df = Seq(
+      ("2020-02", Some(1), 1.0), ("2020-02", Some(2), 1.5),
+      ("2020-03", None, 9.0), ("2020-03", Some(3), 0.5),
+      ("2020-03", Some(3), 0.7)).toDF("ingest_on", "k", "price")
+    val out = Dqdl.evaluateByPartition(df, Ruleset("t", Seq(
+      IsComplete("k"), Uniqueness("k", 0.5),
+      ColumnValues("price", _ <= 2.0))), "ingest_on")
+      .collect().map(r => r.getAs[String]("ingest_on") ->
+        r.getAs[Boolean]("all_passed")).toMap
+    assert(out == Map("2020-02" -> true, "2020-03" -> false))
+  }
+
   test("the reference's three rulesets pass on conforming fixtures") {
     val songs = Transforms.enforceSongsSchema(Fixtures.songsDf(spark))
     assert(Dqdl.evaluate(songs, Dqdl.songsRuleset).passed)
