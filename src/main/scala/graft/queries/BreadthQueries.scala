@@ -260,6 +260,27 @@ object BreadthQueries {
              |rnk AS (PARTITION BY o_custkey
              |  ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin)),
 
+    // RANGE-frame window: rolling 90-day spend per customer — the
+    // time-based sibling of the ROWS frames above; the frame is
+    // defined on the ordering VALUE (epoch seconds), so ties share a
+    // frame and gaps shrink it
+    QueryDef("q_rolling_time_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(unix_timestamp(col("o_orderdate")))
+          .rangeBetween(-90L * 86400, 0)
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("spend_90d"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |  PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+             |  AS DOUBLE) AS spend_90d
+             |FROM orders""".stripMargin)),
+
     // exact median per group via middle-row selection (sort-based — the
     // deterministic cross-engine shape; percentile_cont interpolation
     // formulas differ across engines in the last ulp)
