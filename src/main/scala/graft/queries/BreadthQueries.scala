@@ -444,6 +444,47 @@ object BreadthQueries {
              |ELSE 'small' END AS bucket
              |FROM orders""".stripMargin)),
 
+    // Pearson correlation computed from EXACT decimal sums (Σx Σy Σxy
+    // Σx² Σy² ride DECIMAL; the final formula runs on doubles cast from
+    // exact values — deterministic at any parallelism, unlike the
+    // streaming corr() aggregate whose merge order varies)
+    QueryDef("q_manual_corr",
+      (s, d) => {
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(18, 2))
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(dec(col("l_quantity"))).cast("double").as("sx"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+            sum(dec(col("l_quantity")) * dec(col("l_extendedprice")))
+              .cast("double").as("sxy"),
+            sum(dec(col("l_quantity")) * dec(col("l_quantity")))
+              .cast("double").as("sxx"),
+            sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
+              .cast("double").as("syy"))
+          .withColumn("corr_qty_price",
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+      },
+      Some("""WITH a AS (SELECT l_returnflag,
+             |  CAST(COUNT(*) AS DOUBLE) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             |    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             |    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+             |(n * sxy - sx * sy) /
+             |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             |  AS corr_qty_price
+             |FROM a""".stripMargin)),
+
     // histogram binning: fixed-width buckets via floor(x / width) —
     // IEEE division is bit-identical cross-engine, so bucket edges
     // agree exactly; the one-scan shape of a numeric distribution
