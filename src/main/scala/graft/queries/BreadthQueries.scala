@@ -260,6 +260,32 @@ object BreadthQueries {
              |rnk AS (PARTITION BY o_custkey
              |  ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin)),
 
+    // first/last/nth_value window functions: running-first under the
+    // default ANSI frame, partition-final via an explicit full frame,
+    // nth under the running frame (null until the frame holds n rows)
+    QueryDef("q_first_last_value",
+      (s, d) => {
+        val seq = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderkey"))
+        val full = seq.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(seq).as("first_price"),
+          last(col("o_totalprice")).over(full).as("final_price"),
+          nth_value(col("o_totalprice"), 2).over(seq).as("second_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |first_value(o_totalprice) OVER seq AS first_price,
+             |last_value(o_totalprice) OVER
+             |  (PARTITION BY o_custkey ORDER BY o_orderkey
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |  AS final_price,
+             |nth_value(o_totalprice, 2) OVER seq AS second_price
+             |FROM orders
+             |WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderkey)"""
+        .stripMargin)),
+
     // RANGE-frame window: rolling 90-day spend per customer — the
     // time-based sibling of the ROWS frames above; the frame is
     // defined on the ordering VALUE (epoch seconds), so ties share a

@@ -39,8 +39,10 @@ object ExtensionQueries {
     // all-pairs 3-gram jaccard. Valid because this corpus is bimodal
     // (random pairs ≈0.1, planted dups ≈0.99): banding recall is ~1.0
     // above the threshold, verified by the DedupSpec recall test and a
-    // full cross-check. The oracle does the O(n²) join the engine
-    // exists to avoid — fine at sf0.01, the point at 100 TB.
+    // full cross-check — also re-confirmed at sf0.1 (5000 docs:
+    // 256/256 pairs identical to the 12.5M-pair exact join, values
+    // bit-equal). The oracle does the O(n²) join the engine exists to
+    // avoid — fine at small SF, the point at 100 TB.
     QueryDef("q_dedup_minhash",
       (s, d) => Dedup.minHashPairs(Tables.documents(s, d), "doc_id",
         "text", threshold = 0.3),
