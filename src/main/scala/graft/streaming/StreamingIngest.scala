@@ -115,6 +115,35 @@ object StreamingIngest {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream → silver catalog table via foreachBatch: each micro-batch
+    * lands with the lake's dynamic-partition-overwrite semantics, so
+    * the streaming path and the batch path produce the SAME table
+    * layout (partition pruning, schema, catalog entry). Checkpointed
+    * source progress + partition overwrite per batch give effective
+    * exactly-once for file sources: a batch replayed after a crash
+    * rewrites exactly its own partitions instead of duplicating rows.
+    *
+    * Contract: one `partitionCol` value must not span micro-batches
+    * (or a later batch would overwrite an earlier one's rows) — true
+    * for the reference's shape where a drain covers whole ingest
+    * dates; set maxFilesPerTrigger accordingly. The partition column
+    * must exist on the stream (added at read time, as the reference's
+    * transform jobs do). */
+  def sinkToSilver(df: DataFrame, spark: SparkSession, table: String,
+      checkpoint: String, partitionCol: String = "ingest_on"): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        graft.lake.Lake.overwritePartitions(spark, batch, table,
+          partitionCol)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain everything currently in the source, write to a parquet
     * sink, stop — the reference's "process this month's landing files"
     * as a checkpointed streaming run. */

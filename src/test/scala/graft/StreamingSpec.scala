@@ -85,6 +85,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSet.size == 30)
   }
 
+  test("sinkToSilver lands a stream as a partitioned catalog table") {
+    val base = Files.createTempDirectory("stream-silver").toString
+    val ckpt = Files.createTempDirectory("stream-silver-ckpt").toString
+    writeLanding(base, (1 to 12).map(i =>
+      s"""{"user_id":$i,"ts":"2024-01-01T00:0${i % 10}:00.000Z","event_type":"play","value":$i.0}"""))
+    val tbl = "silver_stream_events"
+    val stream = StreamingIngest.readLandingStream(spark, base, eventSchema)
+      .withColumn("ingest_on", to_date(lit("2024-01-01")))
+    StreamingIngest.sinkToSilver(stream, spark, tbl, ckpt)
+    assert(spark.table(tbl).count() == 12)
+    // partition column materialized for pruning
+    assert(spark.table(tbl).columns.contains("ingest_on"))
+    // re-drain with same checkpoint: no new files → no duplicates
+    StreamingIngest.sinkToSilver(
+      StreamingIngest.readLandingStream(spark, base, eventSchema)
+        .withColumn("ingest_on", to_date(lit("2024-01-01"))),
+      spark, tbl, ckpt)
+    assert(spark.table(tbl).count() == 12)
+  }
+
   test("stateful sessionization closes sessions on inactivity gaps") {
     import StreamingIngest.Event
     def ev(u: Long, minute: Int, v: Double) = Event(u,
