@@ -31,6 +31,11 @@ object Bench {
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       finally graft.dedup.Dedup.releaseCaches()
     }
+    // settle the JVM between the warmup sweep and the timed pass: drop
+    // leftover cached blocks and let the old-gen collect, so timed
+    // queries aren't charged the warmup's garbage
+    spark.catalog.clearCache()
+    System.gc()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
