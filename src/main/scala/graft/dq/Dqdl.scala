@@ -150,14 +150,22 @@ final case class MeanInRange(column: String, lo: Double, hi: Double)
 }
 
 /** No COMBINATION of `columns` occurs more than once (dbt `unique`
-  * over a composite key / `dbt_utils.unique_combination_of_columns`). */
+  * over a composite key / `dbt_utils.unique_combination_of_columns`).
+  * Rows with a null in ANY key column are excluded from the check
+  * (countDistinct skips them, so the row side must too — the same
+  * null-handling [[UniqueKey]] uses). */
 final case class UniqueCombination(columns: Seq[String]) extends DqRule {
   require(columns.nonEmpty)
-  val name = s"unique_combo_${columns.mkString("_")}"
+  // length-prefixed encoding keeps distinct column lists from
+  // colliding to the same alias (Seq("a","b_c") vs Seq("a_b","c"))
+  private val tag = columns.map(c => s"${c.length}$c").mkString("_")
+  val name = s"unique_combo_$tag"
+  private def allNonNull: Column =
+    columns.map(col(_).isNotNull).reduce(_ && _)
   def metrics: Seq[Column] = Seq(
-    (count(lit(1)) - countDistinct(columns.map(col).head,
-      columns.map(col).tail: _*)).as(s"dup_rows_${columns.mkString("_")}"))
-  def passed: Column = col(s"dup_rows_${columns.mkString("_")}") === 0L
+    (count(when(allNonNull, 1L)) - countDistinct(columns.map(col).head,
+      columns.map(col).tail: _*)).as(s"dup_rows_$tag"))
+  def passed: Column = col(s"dup_rows_$tag") === 0L
 }
 
 /** dbt `not_null` test — alias of IsComplete with dbt naming. */
@@ -181,17 +189,27 @@ object Dqdl {
     * aggregation per rule that needs a grouped pre-pass (Uniqueness);
     * side results are 1-row and cross-join for free.
     */
-  def evaluateDf(df: DataFrame, ruleset: Ruleset): DataFrame = {
-    val metricCols = ruleset.rules.flatMap(_.metrics) :+ count(lit(1)).as("row_count")
-    val mainAgg = df.agg(metricCols.head, metricCols.tail: _*)
-    val agg = ruleset.rules.flatMap(_.sideMetrics(df))
-      .foldLeft(mainAgg)(_ crossJoin _)
+  /** Shared metric list for one compiled pass. */
+  private def compiledMetrics(ruleset: Ruleset): Seq[Column] =
+    ruleset.rules.flatMap(_.metrics) :+ count(lit(1)).as("row_count")
+
+  /** Attach per-rule `_passed` flags + `all_passed` to an aggregated
+    * frame (shared by the global and per-partition evaluators). */
+  private def attachVerdicts(agg: DataFrame, ruleset: Ruleset): DataFrame = {
     val withPassed = ruleset.rules.foldLeft(agg) { (acc, r) =>
       acc.withColumn(s"${r.name}_passed", r.passed)
     }
     val allPassed = ruleset.rules.map(r => col(s"${r.name}_passed"))
       .reduceOption(_ && _).getOrElse(lit(true))
     withPassed.withColumn("all_passed", allPassed)
+  }
+
+  def evaluateDf(df: DataFrame, ruleset: Ruleset): DataFrame = {
+    val metricCols = compiledMetrics(ruleset)
+    val mainAgg = df.agg(metricCols.head, metricCols.tail: _*)
+    val agg = ruleset.rules.flatMap(_.sideMetrics(df))
+      .foldLeft(mainAgg)(_ crossJoin _)
+    attachVerdicts(agg, ruleset)
   }
 
   /** Per-partition verdicts: the same compiled metrics, grouped by a
@@ -207,10 +225,13 @@ object Dqdl {
     ruleset.rules.filter(_.sideMetrics(df).nonEmpty).foreach(r =>
       require(r.isInstanceOf[Uniqueness],
         s"rule ${r.name} has no per-partition compilation"))
-    val metricCols = ruleset.rules.flatMap(_.metrics) :+
-      count(lit(1)).as("row_count")
+    val metricCols = compiledMetrics(ruleset)
     val main = df.groupBy(col(partitionCol))
       .agg(metricCols.head, metricCols.tail: _*)
+    // side-pass join is NULL-SAFE on the partition key: a null
+    // partition value (the malformed increment a DQ check most needs
+    // to flag) must keep its verdict row, and null != null under a
+    // plain equi-join
     val withSides = ruleset.rules.collect {
       case Uniqueness(column, _) =>
         df.groupBy(col(partitionCol), col(column))
@@ -219,13 +240,11 @@ object Dqdl {
           .agg((sum(when(col("__cnt") === 1L, 1L).otherwise(0L))
             .cast("double") / sum(col("__cnt")).cast("double"))
             .as(s"uniq_ratio_$column"))
-    }.foldLeft(main)(_.join(_, Seq(partitionCol)))
-    val withPassed = ruleset.rules.foldLeft(withSides) { (acc, r) =>
-      acc.withColumn(s"${r.name}_passed", r.passed)
-    }
-    val allPassed = ruleset.rules.map(r => col(s"${r.name}_passed"))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    withPassed.withColumn("all_passed", allPassed)
+          .withColumnRenamed(partitionCol, "__side_pc")
+    }.foldLeft(main)((acc, side) =>
+      acc.join(side, acc(partitionCol) <=> side("__side_pc"))
+        .drop("__side_pc"))
+    attachVerdicts(withSides, ruleset)
   }
 
   /** Evaluate and collect the single verdict row (driver-side: one row). */

@@ -44,9 +44,17 @@ object IncrementalAgg {
           .groupBy(keyCols.map(col): _*)
           .agg(reAggs.head, reAggs.tail: _*)
       }
-    // break lineage before overwriting the table the plan reads
-    val staged = merged.localCheckpoint(true)
-    staged.write.mode("overwrite").format("parquet")
+    // durability: stage the merged result as its own catalog table
+    // FIRST (a real parquet write, fault-tolerant), then rewrite the
+    // main table from the staged copy. The overwrite's input is the
+    // staged table, not the table being replaced (no lineage cycle,
+    // no executor-memory checkpoint), and a crash mid-swap leaves the
+    // staged table intact for recovery — this aggregate is by design
+    // the only copy (no history to rebuild from).
+    val stagedTable = s"${aggTable}__staged"
+    merged.write.mode("overwrite").format("parquet")
+      .saveAsTable(stagedTable)
+    spark.table(stagedTable).write.mode("overwrite").format("parquet")
       .saveAsTable(aggTable)
   }
 }

@@ -490,9 +490,13 @@ object BreadthQueries {
             sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
               .cast("double").as("syy"))
           .withColumn("corr_qty_price",
+            // nullif guards the zero-variance group identically in
+            // both engines (Spark's non-ANSI divide yields null,
+            // DuckDB's IEEE divide yields inf — nullif normalizes)
             (col("n") * col("sxy") - col("sx") * col("sy")) /
-              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              nullif(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")),
+                lit(0.0)))
       },
       Some("""WITH a AS (SELECT l_returnflag,
              |  CAST(COUNT(*) AS DOUBLE) AS n,
@@ -507,8 +511,8 @@ object BreadthQueries {
              |  FROM lineitem GROUP BY 1)
              |SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
              |(n * sxy - sx * sy) /
-             |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-             |  AS corr_qty_price
+             |  nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy),
+             |    0.0) AS corr_qty_price
              |FROM a""".stripMargin)),
 
     // histogram binning: fixed-width buckets via floor(x / width) —

@@ -131,11 +131,26 @@ object StreamingIngest {
     * transform jobs do). */
   def sinkToSilver(df: DataFrame, spark: SparkSession, table: String,
       checkpoint: String, partitionCol: String = "ingest_on"): Unit = {
+    // runtime guard for the one-partition-one-batch contract: if a
+    // partition value reappears in a LATER batch of this run, the
+    // overwrite would silently discard the earlier batch's rows —
+    // fail loudly instead (resize maxFilesPerTrigger or pre-bucket
+    // the landing files by date). foreachBatch runs on the driver, so
+    // plain mutable state is safe here.
+    val seen = scala.collection.mutable.Set.empty[Any]
     val q = df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], _: Long) =>
+        val parts = batch.select(partitionCol).distinct()
+          .collect().map(_.get(0)).toSet
+        val overlap = parts.intersect(seen)
+        require(overlap.isEmpty,
+          s"partition value(s) $overlap span micro-batches — rows from " +
+            "the earlier batch would be overwritten; lower the ingest " +
+            "granularity or raise maxFilesPerTrigger")
+        seen ++= parts
         graft.lake.Lake.overwritePartitions(spark, batch, table,
           partitionCol)
       }

@@ -130,7 +130,13 @@ class DqdlSpec extends AnyFunSuite {
     val v = Dqdl.evaluate(dup,
       Ruleset("t", Seq(UniqueCombination(Seq("k1", "k2")))))
     assert(!v.passed)
-    assert(v.metrics("dup_rows_k1_k2") == 1L)
+    assert(v.metrics("dup_rows_2k1_2k2") == 1L)
+    // a null in any key column excludes the row (countDistinct skips
+    // it) — must NOT be counted as a duplicate
+    val withNull = Seq((Some(1), Some("a")), (Some(2), None))
+      .toDF("k1", "k2")
+    assert(Dqdl.evaluate(withNull,
+      Ruleset("t", Seq(UniqueCombination(Seq("k1", "k2"))))).passed)
   }
 
   test("evaluateByPartition isolates the bad increment") {
@@ -144,6 +150,17 @@ class DqdlSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("ingest_on") ->
         r.getAs[Boolean]("all_passed")).toMap
     assert(out == Map("2020-02" -> true, "2020-03" -> false))
+    // a NULL partition value keeps its verdict row even with a
+    // Uniqueness side-pass in play (null-safe join)
+    val withNullPart = df.union(
+      Seq((null.asInstanceOf[String], Some(9), 1.0),
+        (null.asInstanceOf[String], Some(9), 1.0))
+        .toDF("ingest_on", "k", "price"))
+    val rows = Dqdl.evaluateByPartition(withNullPart, Ruleset("t", Seq(
+      IsComplete("k"), Uniqueness("k", 0.5))), "ingest_on").collect()
+    assert(rows.length == 3)
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(!nullRow.getAs[Boolean]("all_passed")) // 9 duplicated → 0.0
   }
 
   test("the reference's three rulesets pass on conforming fixtures") {

@@ -30,15 +30,17 @@ class IncrementalAggSpec extends AnyFunSuite {
       ("c", 7.0, 1L)))
   }
 
-  test("refresh cost reads the aggregate, not history (plan audit)") {
-    val tbl = "inc_agg_plan"
-    val m = Seq(("a", 1.0)).toDF("k", "v")
-    IncrementalAgg.refreshAdditive(spark, tbl, m, Seq("k"), Seq("v"))
-    // second refresh: the plan may scan the increment and the AGG table
-    // only — nothing else (no history table exists to scan, which is
-    // the point: the design never needs one)
-    IncrementalAgg.refreshAdditive(spark, tbl,
-      Seq(("a", 2.0)).toDF("k", "v"), Seq("k"), Seq("v"))
-    assert(spark.table(tbl).count() == 1)
+  test("many refreshes stay correct and leave a recoverable staged copy") {
+    val tbl = "inc_agg_many"
+    (1 to 10).foreach { i =>
+      IncrementalAgg.refreshAdditive(spark, tbl,
+        Seq(("a", i.toDouble)).toDF("k", "v"), Seq("k"), Seq("v"))
+    }
+    val row = spark.table(tbl).head
+    assert(row.getAs[java.math.BigDecimal]("sum_v").doubleValue == 55.0)
+    assert(row.getAs[Long]("n") == 10L)
+    // the staged table (the crash-recovery copy) matches the main one
+    assert(spark.table(s"${tbl}__staged").collect().toSeq ==
+      spark.table(tbl).collect().toSeq)
   }
 }
