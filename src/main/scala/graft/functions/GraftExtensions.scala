@@ -72,5 +72,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashes(exprs(0),
           foldableInt("shingle_hashes", "n", exprs(1)))
       }))
+    // z_value is registered as a RAW catalyst expression tree (shifts/
+    // masks) — a Column composed of sql.functions builders cannot be
+    // returned from a function builder (its ColumnNode wrapper never
+    // re-enters analysis), so SQL registration is reserved for
+    // functions expressible directly in catalyst nodes.
+    e.injectFunction((FunctionIdentifier("z_value"),
+      info("z_value",
+        "z_value(a, b) - Morton bit-interleave of two 16-bit ranks"),
+      (exprs: Seq[Expression]) => {
+        arity("z_value", 2, exprs)
+        import org.apache.spark.sql.catalyst.expressions.{
+          BitwiseAnd, BitwiseOr, Literal, ShiftLeft, ShiftRightUnsigned}
+        val terms = for {
+          (arg, j) <- exprs.take(2).zipWithIndex
+          i <- 0 until 16
+        } yield ShiftLeft(
+          BitwiseAnd(
+            ShiftRightUnsigned(Cast(arg, LongType), Literal(i)),
+            Literal(1L)),
+          Literal(i * 2 + j))
+        terms.reduce[Expression](BitwiseOr(_, _))
+      }))
   }
 }

@@ -35,6 +35,12 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))")
         .collect().head.getDouble(0)
       assert(f == 1.0)
+      // z_value registered as a raw catalyst tree; must agree with the
+      // Column-API Layout.zValue
+      val z = spark.sql("SELECT z_value(3, 1) AS z").collect().head
+      // x=0b11 → out bits 0 and 2; y=0b01 → out bit 1 → 0b0111 = 7
+      // (same as LayoutSpec's Column-API zValue known-values case)
+      assert(z.getLong(0) == 7L)
       // non-foldable k → clear analysis error, not an internal
       // unbound-reference failure (ADVICE r1)
       val err = intercept[Exception] {
