@@ -163,6 +163,29 @@ class DqdlSpec extends AnyFunSuite {
     assert(!nullRow.getAs[Boolean]("all_passed")) // 9 duplicated → 0.0
   }
 
+  test("parser round-trips random rule mixes (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val colGen = Gen.identifier.suchThat(_.nonEmpty).map(_.take(10))
+    val ruleGen: org.scalacheck.Gen[String] = Gen.oneOf(
+      colGen.map(c => s"""IsComplete "$c""""),
+      for { c <- colGen; n <- Gen.chooseNum(1, 64) }
+        yield s"""ColumnLength "$c" = $n""",
+      for { c <- colGen; t <- Gen.chooseNum(1, 99) }
+        yield s"""Uniqueness "$c" > 0.$t""",
+      for { n <- Gen.chooseNum(1, 100000) } yield s"RowCount > $n",
+      for { c <- colGen; lo <- Gen.chooseNum(0, 10); hi <- Gen.chooseNum(11, 99) }
+        yield s"""Mean "$c" between $lo and $hi""")
+    val prop = forAll(Gen.nonEmptyListOf(ruleGen)) { rules =>
+      val parsed = DqdlParser.parse("fuzz",
+        rules.mkString("Rules = [ ", ", ", " ]"))
+      parsed.rules.length == rules.length
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("the reference's three rulesets pass on conforming fixtures") {
     val songs = Transforms.enforceSongsSchema(Fixtures.songsDf(spark))
     assert(Dqdl.evaluate(songs, Dqdl.songsRuleset).passed)

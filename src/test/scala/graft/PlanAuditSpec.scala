@@ -62,6 +62,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"user_id not pruned from scan: $readSchema")
   }
 
+  test("range predicates push into the parquet scan") {
+    // (the PushedFilters list is truncated in toString — assert on the
+    // individual pushed-filter entries instead of the bracketed list)
+    val p = plan("q_incremental_window")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("selective filters of TPC-H Q6 reach the scan") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"Q6 shipdate filter not pushed:\n$p")
+  }
+
   test("window battery: one exchange per distinct partitioning") {
     // q_window_analytics uses two window specs over the same partition
     // key (o_custkey) — they must share a single exchange

@@ -92,6 +92,29 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.length == brute.length)
   }
 
+  test("boundedGapSelfJoin equals brute force across random seeds (property)") {
+    for (seed <- Seq(1, 23, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val ev = (1 to n).map(i => (i.toLong, rnd.nextInt(3).toLong,
+        Timestamp.from(java.time.Instant.ofEpochSecond(rnd.nextInt(50000)))))
+        .toDF("id", "user", "ts")
+      val gapUs = 1800L * 1000000
+      val got = Temporal.boundedGapSelfJoin(ev, "user", "ts", "id", gapUs)
+        .select("idA", "idB").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = ev.select($"user", $"id", unix_micros($"ts").as("t"))
+        .as("a").join(
+          ev.select($"user", $"id", unix_micros($"ts").as("t")).as("b"),
+          $"a.user" === $"b.user" &&
+            ($"a.t" < $"b.t" || ($"a.t" === $"b.t" && $"a.id" < $"b.id")) &&
+            $"b.t" - $"a.t" <= gapUs)
+        .select($"a.id", $"b.id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"seed $seed mismatch")
+    }
+  }
+
   test("temporal operators never plan a cartesian/range cross product") {
     val ev = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("id", "user", "ts")
     val band = Temporal.boundedGapSelfJoin(ev, "user", "ts", "id", 1000L)
