@@ -471,32 +471,42 @@ object BreadthQueries {
              |FROM orders""".stripMargin)),
 
     // Pearson correlation computed from EXACT decimal sums (Σx Σy Σxy
-    // Σx² Σy² ride DECIMAL; the final formula runs on doubles cast from
-    // exact values — deterministic at any parallelism, unlike the
-    // streaming corr() aggregate whose merge order varies)
+    // Σx² Σy² ride DECIMAL; the final formula runs on doubles cast
+    // from exact values — deterministic at any parallelism, unlike the
+    // streaming corr() aggregate whose merge order varies). Output
+    // discipline learned the hard way: the statistic is emitted as
+    // float32 (engines may fuse a*b-c*d with FMA → last-ulp double
+    // drift), and the giant scale-4 product sums stay INTERNAL —
+    // DuckDB's decimal→double conversion is not correctly rounded at
+    // those magnitudes, while the scale-2 money sums convert exactly.
     QueryDef("q_manual_corr",
       (s, d) => {
         val dec = (c: org.apache.spark.sql.Column) =>
           c.cast(DecimalType(18, 2))
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).cast("double").as("n"),
-            sum(dec(col("l_quantity"))).cast("double").as("sx"),
-            sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+          .agg(count(lit(1)).cast("double").as("__n"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
             sum(dec(col("l_quantity")) * dec(col("l_extendedprice")))
-              .cast("double").as("sxy"),
+              .cast("double").as("__sxy"),
             sum(dec(col("l_quantity")) * dec(col("l_quantity")))
-              .cast("double").as("sxx"),
+              .cast("double").as("__sxx"),
             sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
-              .cast("double").as("syy"))
+              .cast("double").as("__syy"))
           .withColumn("corr_qty_price",
             // nullif guards the zero-variance group identically in
             // both engines (Spark's non-ANSI divide yields null,
             // DuckDB's IEEE divide yields inf — nullif normalizes)
-            (col("n") * col("sxy") - col("sx") * col("sy")) /
-              nullif(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-                sqrt(col("n") * col("syy") - col("sy") * col("sy")),
-                lit(0.0)))
+            ((col("__n") * col("__sxy") - col("sum_qty") * col("sum_price")) /
+              nullif(
+                sqrt(col("__n") * col("__sxx") -
+                  col("sum_qty") * col("sum_qty")) *
+                sqrt(col("__n") * col("__syy") -
+                  col("sum_price") * col("sum_price")),
+                lit(0.0))).cast("float"))
+          .select(col("l_returnflag"), col("__n").cast("long").as("n"),
+            col("sum_qty"), col("sum_price"), col("corr_qty_price"))
       },
       Some("""WITH a AS (SELECT l_returnflag,
              |  CAST(COUNT(*) AS DOUBLE) AS n,
@@ -509,10 +519,11 @@ object BreadthQueries {
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
              |    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
              |  FROM lineitem GROUP BY 1)
-             |SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
-             |(n * sxy - sx * sy) /
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             |sx AS sum_qty, sy AS sum_price,
+             |CAST((n * sxy - sx * sy) /
              |  nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy),
-             |    0.0) AS corr_qty_price
+             |    0.0) AS REAL) AS corr_qty_price
              |FROM a""".stripMargin)),
 
     // histogram binning: fixed-width buckets via floor(x / width) —
