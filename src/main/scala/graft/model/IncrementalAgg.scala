@@ -16,15 +16,46 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
+  private val GenProp = "graft.generation"
+
+  /** The staged/main generation counter: table property `graft.generation`,
+    * set only AFTER the corresponding data write fully succeeded. A
+    * missing table or property reads as generation 0, so a half-written
+    * table (crash mid-write drops/recreates without the property) is
+    * indistinguishable from an old one — exactly what recovery wants. */
+  private def generation(spark: SparkSession, table: String): Long =
+    if (!spark.catalog.tableExists(table)) 0L
+    else spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(table))
+      .properties.get(GenProp).map(_.toLong).getOrElse(0L)
+
+  private def setGeneration(spark: SparkSession, table: String,
+      gen: Long): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$GenProp'='$gen')")
+
   /** Refresh `aggTable` with `increment` (raw rows, not aggregated):
     * result equals aggregating (history + increment) from scratch, for
     * SUM/COUNT measures declared in `sums`/`counts`. Creates the table
     * on first call. Sums ride DECIMAL(18,2) so merge order never
-    * changes the result. */
+    * changes the result.
+    *
+    * Crash safety: the merged result is staged as `aggTable__staged`
+    * first, then swapped into `aggTable`, with a generation counter in
+    * table properties stamped after each successful write. On entry,
+    * a staged generation AHEAD of the main table means a previous run
+    * crashed mid-swap — the staged copy is then the ONLY copy of that
+    * increment's merge, so the swap is completed before anything
+    * overwrites it. Every crash point re-runs to a consistent state:
+    * crash before staged's stamp → staged is stale, safely rebuilt;
+    * crash after stamp (mid-swap or before main's stamp) → recovery
+    * finishes the idempotent swap. */
   def refreshAdditive(spark: SparkSession, aggTable: String,
       increment: DataFrame, keyCols: Seq[String], sums: Seq[String],
       counts: Boolean = true): Unit = {
     require(keyCols.nonEmpty && (sums.nonEmpty || counts))
+    val stagedTable = s"${aggTable}__staged"
+    recoverIfCrashed(spark, aggTable)
     val sumAggs = sums.map(c =>
       sum(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
         .as(s"sum_$c"))
@@ -48,13 +79,29 @@ object IncrementalAgg {
     // FIRST (a real parquet write, fault-tolerant), then rewrite the
     // main table from the staged copy. The overwrite's input is the
     // staged table, not the table being replaced (no lineage cycle,
-    // no executor-memory checkpoint), and a crash mid-swap leaves the
-    // staged table intact for recovery — this aggregate is by design
-    // the only copy (no history to rebuild from).
-    val stagedTable = s"${aggTable}__staged"
+    // no executor-memory checkpoint).
+    val nextGen = generation(spark, aggTable) + 1
     merged.write.mode("overwrite").format("parquet")
       .saveAsTable(stagedTable)
+    setGeneration(spark, stagedTable, nextGen)
     spark.table(stagedTable).write.mode("overwrite").format("parquet")
       .saveAsTable(aggTable)
+    setGeneration(spark, aggTable, nextGen)
+  }
+
+  /** Detect and repair a crash between staging and swap: if the staged
+    * table's generation is ahead of the main table's, the staged copy
+    * holds a merge the main table never received — finish the swap
+    * (idempotent: re-running after another crash repeats it). Public
+    * so operators can also run it standalone after an incident. */
+  def recoverIfCrashed(spark: SparkSession, aggTable: String): Unit = {
+    val stagedTable = s"${aggTable}__staged"
+    val stagedGen = generation(spark, stagedTable)
+    val mainGen = generation(spark, aggTable)
+    if (stagedGen > mainGen) {
+      spark.table(stagedTable).write.mode("overwrite").format("parquet")
+        .saveAsTable(aggTable)
+      setGeneration(spark, aggTable, stagedGen)
+    }
   }
 }

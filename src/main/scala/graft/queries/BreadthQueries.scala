@@ -371,13 +371,18 @@ object BreadthQueries {
     // approximate quantiles via Spark's built-in sketch (one pass, no
     // sort — the 100 TB way to get percentiles). Sketch internals are
     // engine-specific → rows-only; QuantileSpec pins the accuracy
-    // against exact sort-based percentiles.
+    // against exact sort-based percentiles. The quantile array is
+    // exploded to one (flag, pct, quantile) row per percentile so the
+    // output is all-scalar — array cells crash the driver's
+    // pandas-based rows-only compare (CORRECTNESS_r02).
     QueryDef("q_approx_quantiles",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"),
           array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
-          lit(10000)).as("quantiles")), None),
+          lit(10000)).as("qs"))
+        .select(col("l_returnflag"),
+          posexplode(col("qs")).as(Seq("pct_idx", "quantile"))), None),
 
     // Morton (Z-curve) clustering value over two part dimensions — the
     // multi-column data-skipping layout key (Layout.zOrderBy); pure

@@ -133,14 +133,35 @@ final case class CsvWithQuarantineSource(path: String, schema: StructType,
 }
 
 object BadRecordSplit {
-  /** (good rows without the corrupt column, quarantined raw lines). */
+  /** Split of a PERMISSIVE-mode read into good and quarantined rows.
+    * The split pins the parsed input in the block cache (required by
+    * Spark's corrupt-record semantics — see [[partition]]); callers
+    * MUST call [[release]] once both sides have been consumed, or the
+    * cached blocks stay pinned for the life of the session. */
+  final case class Split(good: DataFrame, quarantined: DataFrame,
+      private val cached: DataFrame) {
+    /** Unpersist the shared cached input. Do not run further queries
+      * on `good`/`quarantined` afterwards: without the cache Spark
+      * re-plans against the raw scan, and queries that prune down to
+      * only the corrupt-record column are disallowed
+      * (QUERY_ONLY_CORRUPT_RECORD_COLUMN). Consume both sides, then
+      * release. */
+    def release(): Unit = { cached.unpersist(); () }
+  }
+
+  /** Good rows (without the corrupt column) vs quarantined raw lines.
+    * Caching is required by Spark's corrupt-record semantics: filtering
+    * on the corrupt column alone over a pushed-down scan is disallowed,
+    * and both sides share one parse of the input. The cache is scoped
+    * to the returned [[Split]] — call `release()` when done (e.g. after
+    * landing both sides), mirroring the Ivf.train try/finally pattern. */
   def partition(df: DataFrame,
-      corruptCol: String = "_corrupt_record"): (DataFrame, DataFrame) = {
+      corruptCol: String = "_corrupt_record"): Split = {
     import org.apache.spark.sql.functions.col
-    // caching required by Spark's corrupt-record semantics: filtering
-    // on the corrupt column alone over a pushed-down scan is disallowed
     val cached = df.cache()
-    (cached.filter(col(corruptCol).isNull).drop(corruptCol),
-      cached.filter(col(corruptCol).isNotNull).select(col(corruptCol)))
+    Split(
+      cached.filter(col(corruptCol).isNull).drop(corruptCol),
+      cached.filter(col(corruptCol).isNotNull).select(col(corruptCol)),
+      cached)
   }
 }

@@ -131,32 +131,87 @@ object StreamingIngest {
     * transform jobs do). */
   def sinkToSilver(df: DataFrame, spark: SparkSession, table: String,
       checkpoint: String, partitionCol: String = "ingest_on"): Unit = {
-    // runtime guard for the one-partition-one-batch contract: if a
-    // partition value reappears in a LATER batch of this run, the
+    // Runtime guard for the one-partition-one-batch contract: if a
+    // partition value reappears in a DIFFERENT batch, the dynamic
     // overwrite would silently discard the earlier batch's rows —
     // fail loudly instead (resize maxFilesPerTrigger or pre-bucket
-    // the landing files by date). foreachBatch runs on the driver, so
-    // plain mutable state is safe here.
-    val seen = scala.collection.mutable.Set.empty[Any]
+    // the landing files by date). Drained values are persisted under
+    // the checkpoint dir (one ledger file per batchId), so the guard
+    // holds ACROSS drains sharing a checkpoint — e.g. late-arriving
+    // files for an already-landed partition picked up by a later run.
+    // A crash-replayed batch rewrites exactly its own ledger entry
+    // (same batchId → same partitions → idempotent), so replays pass.
+    val ledger = new PartitionLedger(spark, checkpoint)
     val q = df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
         val parts = batch.select(partitionCol).distinct()
           .collect().map(_.get(0)).toSet
-        val overlap = parts.intersect(seen)
+        val overlap = ledger.overlap(batchId, parts)
         require(overlap.isEmpty,
-          s"partition value(s) $overlap span micro-batches — rows from " +
-            "the earlier batch would be overwritten; lower the ingest " +
-            "granularity or raise maxFilesPerTrigger")
-        seen ++= parts
+          s"partition value(s) $overlap were already landed by an " +
+            "earlier micro-batch (possibly a previous drain of this " +
+            "checkpoint) — overwriting would drop its rows; lower the " +
+            "ingest granularity, raise maxFilesPerTrigger, or use a " +
+            "fresh silver table + checkpoint for backfills")
         graft.lake.Lake.overwritePartitions(spark, batch, table,
           partitionCol)
+        // record AFTER the write: a crash in between replays the batch,
+        // which re-records the same values under the same batchId
+        ledger.record(batchId, parts)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Durable ledger of partition values drained by [[sinkToSilver]],
+    * one file per micro-batch under `<checkpoint>/graft_partitions/`.
+    * Lives with the checkpoint (same filesystem — HDFS/S3A/local), so
+    * its lifetime matches the source-progress state: delete the
+    * checkpoint to reset both. Values are URL-encoded one-per-line;
+    * nulls ride a sentinel. */
+  private[streaming] final class PartitionLedger(spark: SparkSession,
+      checkpoint: String) {
+    import org.apache.hadoop.fs.Path
+    private val dir = new Path(checkpoint, "graft_partitions")
+    private val fs = dir.getFileSystem(
+      spark.sessionState.newHadoopConf())
+
+    // non-null values get a "v:" prefix before encoding so the bare
+    // "null" sentinel can never collide with a real value
+    private def enc(v: Any): String =
+      if (v == null) "null"
+      else "v:" + java.net.URLEncoder.encode(v.toString, "UTF-8")
+
+    /** Members of `parts` already recorded by any batch EXCEPT
+      * `batchId` (a replay of batchId overwrites its own partitions —
+      * that's idempotent, not a conflict). */
+    def overlap(batchId: Long, parts: Set[Any]): Set[Any] = {
+      val seen = seenByOthers(batchId)
+      parts.filter(p => seen.contains(enc(p)))
+    }
+
+    private def seenByOthers(batchId: Long): Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).iterator
+        .filter(s => s.isFile && s.getPath.getName.startsWith("batch-"))
+        .filterNot(_.getPath.getName == s"batch-$batchId")
+        .flatMap { s =>
+          val in = fs.open(s.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList
+          finally in.close()
+        }.toSet
+
+    def record(batchId: Long, parts: Set[Any]): Unit = {
+      val out = fs.create(new Path(dir, s"batch-$batchId"), true)
+      try out.write(parts.map(enc).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   /** Drain everything currently in the source, write to a parquet

@@ -35,6 +35,12 @@ object Telemetry {
       nodeFilter: String => Boolean): Long = {
     var total = 0L
     def walk(p: SparkPlan): Unit = {
+      // ReusedExchange aliases the ORIGINAL exchange's SQLMetrics —
+      // counting it double-counts shuffle bytes whenever AQE reuses an
+      // exchange (self-joins, cube/pivot). It is a leaf (the reused
+      // subtree is not among its children), so skipping collection
+      // here drops nothing else.
+      if (p.nodeName.startsWith("ReusedExchange")) return
       if (nodeFilter(p.nodeName))
         p.metrics.foreach { case (k, m) =>
           if (names.contains(k) && m.value > 0) total += m.value

@@ -43,4 +43,35 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(spark.table(s"${tbl}__staged").collect().toSeq ==
       spark.table(tbl).collect().toSeq)
   }
+
+  test("crash between stage and swap is detected and repaired") {
+    val tbl = "inc_agg_crash"
+    IncrementalAgg.refreshAdditive(spark, tbl,
+      Seq(("a", 1.0)).toDF("k", "v"), Seq("k"), Seq("v"))
+    // Simulate a crash AFTER the staged write+stamp but BEFORE the
+    // swap: stage a divergent merge with a bumped generation, leaving
+    // the main table stale (exactly the state refreshAdditive leaves
+    // if the process dies mid-swap).
+    val staged = s"${tbl}__staged"
+    Seq(("a", java.math.BigDecimal.valueOf(99.0), 2L))
+      .toDF("k", "sum_v", "n")
+      .select($"k", $"sum_v".cast(DecimalType(18, 2)).as("sum_v"), $"n")
+      .write.mode("overwrite").format("parquet").saveAsTable(staged)
+    spark.sql(
+      s"ALTER TABLE $staged SET TBLPROPERTIES ('graft.generation'='2')")
+    // ADVICE r2: the next routine refresh used to overwrite the staged
+    // copy (the ONLY copy of the lost merge). Now it completes the
+    // swap first, so the staged state lands in the main table...
+    IncrementalAgg.refreshAdditive(spark, tbl,
+      Seq(("a", 0.5)).toDF("k", "v"), Seq("k"), Seq("v"))
+    val row = spark.table(tbl).head
+    // ...and the new increment applies on top of the RECOVERED 99.0,
+    // not the stale 1.0
+    assert(row.getAs[java.math.BigDecimal]("sum_v").doubleValue == 99.5)
+    assert(row.getAs[Long]("n") == 3L)
+    // standalone recovery on a consistent table is a no-op
+    IncrementalAgg.recoverIfCrashed(spark, tbl)
+    assert(spark.table(tbl).head.getAs[java.math.BigDecimal]("sum_v")
+      .doubleValue == 99.5)
+  }
 }

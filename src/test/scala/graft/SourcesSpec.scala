@@ -43,10 +43,16 @@ class SourcesSpec extends AnyFunSuite {
       StructField("id", LongType), StructField("name", StringType),
       StructField("score", DoubleType)))
     val raw = CsvWithQuarantineSource(dir, schema).read(spark)
-    val (good, bad) = BadRecordSplit.partition(raw)
-    assert(good.count() == 2)
-    assert(good.columns.toSeq == Seq("id", "name", "score"))
-    assert(bad.count() == 1)
-    assert(bad.head.getString(0).contains("not_a_number"))
+    val split = BadRecordSplit.partition(raw)
+    try {
+      assert(split.good.count() == 2)
+      assert(split.good.columns.toSeq == Seq("id", "name", "score"))
+      assert(split.quarantined.count() == 1)
+      assert(split.quarantined.head.getString(0).contains("not_a_number"))
+    } finally split.release()
+    // release must actually free the pinned blocks (ADVICE r2: the
+    // split used to leak its cache for the life of the session)
+    assert(spark.sharedState.cacheManager.lookupCachedData(
+      raw.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty)
   }
 }

@@ -103,6 +103,23 @@ class StreamingSpec extends AnyFunSuite {
         .withColumn("ingest_on", to_date(lit("2024-01-01"))),
       spark, tbl, ckpt)
     assert(spark.table(tbl).count() == 12)
+    // ADVICE r2: late-arriving files for an ALREADY-LANDED partition,
+    // drained later with the same checkpoint, must fail loudly instead
+    // of silently overwriting the partition with only the new rows
+    Files.writeString(java.nio.file.Paths.get(s"$base/part-late.json"),
+      """{"user_id":99,"ts":"2024-01-01T05:00:00.000Z","event_type":"play","value":1.0}""")
+    val err = intercept[Exception] {
+      StreamingIngest.sinkToSilver(
+        StreamingIngest.readLandingStream(spark, base, eventSchema)
+          .withColumn("ingest_on", to_date(lit("2024-01-01"))),
+        spark, tbl, ckpt)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("already landed")),
+      s"wrong failure: $err")
+    // the earlier drain's rows survived
+    assert(spark.table(tbl).count() == 12)
   }
 
   test("stateful sessionization closes sessions on inactivity gaps") {

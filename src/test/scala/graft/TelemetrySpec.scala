@@ -29,4 +29,25 @@ class TelemetrySpec extends AnyFunSuite {
     // partial aggregation: shuffled records must not exceed input rows
     assert(m.shuffleRecordsWritten <= m.scanOutputRows)
   }
+
+  test("AQE exchange reuse is not double-counted (ReusedExchange)") {
+    // self-join on an aggregated subquery: AQE plans ONE shuffle and a
+    // ReusedExchange for the second occurrence, whose metrics alias the
+    // original's SQLMetrics (ADVICE r2: the walk used to count both)
+    val agg = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    val selfJoined = agg.as("a").join(agg.as("b"), "l_orderkey")
+    val m = Telemetry.measure(selfJoined)
+    val plan = selfJoined.queryExecution.executedPlan.toString
+    assume(plan.contains("ReusedExchange"),
+      "planner did not reuse the exchange; nothing to assert")
+    // baseline: the same agg measured once, joined against a distinct
+    // (non-reusable) copy would write the shuffle twice; with reuse the
+    // measured bytes must be ~one shuffle's worth, i.e. strictly less
+    // than 1.5× a single agg's shuffle volume
+    val single = Telemetry.measure(agg)
+    assert(m.shuffleBytesWritten > 0)
+    assert(m.shuffleBytesWritten < single.shuffleBytesWritten * 3 / 2,
+      s"reused exchange double-counted: joined=$m single=$single")
+  }
 }
