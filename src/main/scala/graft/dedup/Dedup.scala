@@ -43,6 +43,29 @@ object Dedup {
     persistedDfs.clear()
   }
 
+  /** Spread the expensive per-row stage across the cluster when the
+    * upstream scan under-parallelizes (small files, single row-group
+    * parquet): if the plan has fewer partitions than the scheduler's
+    * parallelism, repartition up; otherwise no-op. At 100 TB a scan
+    * already has thousands of splits and this adds nothing — the guard
+    * exists so the signature/hash compute never serializes onto a
+    * handful of cores just because the input arrived in few splits. */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Persist + materialize a multi-consumer intermediate. Without the
+    * eager count, AQE submits every consumer's map stage concurrently
+    * and each recomputes the partition while racing to populate the
+    * cache (block "already exists" churn) — one materialization up
+    * front means every consumer reads warm cache. */
+  private def persistEager(df: DataFrame): DataFrame = {
+    val p = trackPersist(df)
+    p.count()
+    p
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on key columns: keeps the smallest id per group.
@@ -131,9 +154,10 @@ object Dedup {
     // self-join plus the two verification joins — without persistence
     // Spark recomputes the k×|shingles| hashing once per reference.
     // MEMORY_AND_DISK: at cluster scale this spills rather than OOMs.
-    val withSig = trackPersist(df
-      .select(col(idCol).as("id"),
-        shingleHashes(col(textCol), shingleSize).as("sh"))
+    val withSig = persistEager(
+      ensureParallelism(df.select(col(idCol).as("id"),
+          col(textCol).as("__text")))
+      .select(col("id"), shingleHashes(col("__text"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minHashSignature(col("sh"), k)))
     // banding carries ONLY (id, band, bucket) — never the shingle array.
@@ -143,15 +167,17 @@ object Dedup {
       .select(col("id"), explode(bandKeys(col("sig"), k, bands)).as("bk"))
       .select(col("id"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
-    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"))
-    // dedupe candidate pairs BEFORE verification: a true near-dup
-    // collides in many bands, and exact-jaccard verification is the
-    // expensive step — run it once per pair, not once per collision
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB")).distinct()
+    // One aggregation replaces the bucket-size count, the oversized
+    // anti-join, AND the bucket self-join: collect each bucket's ids
+    // (bounded by maxBucketSize — oversized buckets are dropped whole,
+    // same semantics as before; see bucketStats for what was cut) and
+    // emit every in-bucket pair by exploding the id-list combinations.
+    // Cuts three shuffles to one; the collect_list payload is ids only
+    // (8 bytes/doc, ≤ maxBucketSize per key), never the documents.
+    // Pairs dedupe BEFORE verification: a true near-dup collides in
+    // many bands, and exact-jaccard verification is the expensive step.
+    val candidates = bucketPairs(banded, Seq("band", "bucket"),
+      maxBucketSize)
     val shTbl = withSig.select(col("id"), col("sh"))
     candidates
       .join(shTbl.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
@@ -235,23 +261,37 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Buckets larger than `maxSize` are dropped (skew guard).
-    * Implemented as a partial-aggregated count of OVERSIZED keys only,
-    * anti-joined back: the aggregate is map-side-combined and its
-    * output is tiny in the healthy case (only keys above the cap
-    * survive the filter, usually none). No forced broadcast: on a
-    * degenerate boilerplate corpus the oversized-key set itself can be
-    * huge — AQE broadcasts it when it measures small and falls back to
-    * a shuffle join when it doesn't, instead of OOMing the driver. The
-    * window-count alternative would sort every band row inside the
-    * exchange. */
-  private def capBuckets(df: DataFrame, keys: Seq[String],
-      maxSize: Int): DataFrame = {
-    val oversized = df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") > maxSize)
-      .select(keys.map(col): _*)
-    df.join(oversized, keys, "left_anti")
+  /** Distinct unordered candidate pairs (idA < idB) from a bucketed
+    * id table, in ONE aggregation: collect each bucket's ids, drop
+    * oversized buckets whole (same cap semantics as [[capBuckets]] —
+    * a bucket of m docs contributes m²/2 pairs, so the cap bounds the
+    * explode), and emit in-bucket combinations from the sorted list.
+    * Compared to the count + anti-join + self-join formulation this
+    * trades three shuffles on the bucket key for one; the aggregation
+    * payload is ids only (8 bytes/doc, ≤ maxSize per key). */
+  private def bucketPairs(df: DataFrame, keys: Seq[String],
+      maxSize: Int): DataFrame =
+    bucketPairsRaw(df, keys, col("id"), maxSize)
+      .select(col("a").as("idA"), col("b").as("idB"))
+      .distinct()
+
+  /** All unordered in-bucket element pairs (a < b by element order)
+    * from one aggregation over the bucket keys; `elem` is what each
+    * row contributes (an id, or a struct of id + verification
+    * payload). Oversized buckets are dropped whole. */
+  private def bucketPairsRaw(df: DataFrame, keys: Seq[String],
+      elem: Column, maxSize: Int): DataFrame = {
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(elem)).as("__es"))
+      .filter(size(col("__es")).between(2, maxSize))
+    val l = col("__es")
+    val n = size(l)
+    val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(sequence(i + 1, n - 1), j =>
+        struct(element_at(l, i + 1).as("a"),
+          element_at(l, j + 1).as("b")))))
+    grouped.select(explode(pairs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 
   /** Benchmark decontamination: drop corpus documents sharing ANY word
@@ -353,8 +393,10 @@ object Dedup {
       s"pigeonhole completeness needs maxDist < chunks ($maxDist >= $chunks)")
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val withSim = df.select(col(idCol).as("id"),
-      simHash64(graft.text.TextAnalysis.tokens(col(textCol))).as("sim"))
+    val withSim = ensureParallelism(
+      df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        simHash64(graft.text.TextAnalysis.tokens(col("__text"))).as("sim"))
     val chunked = withSim.select(col("id"), col("sim"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("chunk"),
@@ -362,15 +404,13 @@ object Dedup {
             .bitwiseAND(lit(mask)).as("v"))): _*)).as("ck"))
       .select(col("id"), col("sim"), col("ck.chunk").as("chunk"),
         col("ck.v").as("v"))
-    val capped = capBuckets(chunked, Seq("chunk", "v"), maxBucketSize)
-    val a = capped.select(col("chunk"), col("v"), col("id").as("idA"),
-      col("sim").as("simA"))
-    val b = capped.select(col("chunk"), col("v"), col("id").as("idB"),
-      col("sim").as("simB"))
-    a.join(b, Seq("chunk", "v"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        hamming(col("simA"), col("simB")).as("dist"))
+    // single aggregation on the chunk key: the pair payload is the
+    // 8-byte simhash itself, so Hamming verification rides the pair
+    // explode — no self-join, no verification join (see bucketPairsRaw)
+    bucketPairsRaw(chunked, Seq("chunk", "v"),
+        struct(col("id"), col("sim")), maxBucketSize)
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        hamming(col("a.sim"), col("b.sim")).as("dist"))
       .filter(col("dist") <= maxDist)
       .groupBy(col("idA"), col("idB")).agg(min(col("dist")).as("dist"))
   }
@@ -386,24 +426,23 @@ object Dedup {
       threshold: Double = 0.95, tables: Int = 8, planesPerTable: Int = 4,
       dim: Int = 64, maxBucketSize: Int = 2000): DataFrame = {
     import graft.similarity.Similarity
-    val bucketed = trackPersist(df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+    // single downstream consumer since the bucketPairsRaw rewrite — no
+    // persist needed (the old self-join formulation read this 2-3×)
+    val bucketed = ensureParallelism(df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")))
       .select(col("id"), col("v"), explode(Similarity
         .hyperplaneBucketTables(col("v"), tables, planesPerTable, dim)).as("bk"))
       .select(col("id"), col("v"), col("bk.tbl").as("tbl"),
-        col("bk.bucket").as("bucket")))
-    val capped = capBuckets(bucketed, Seq("tbl", "bucket"), maxBucketSize)
-    val a = capped.select(col("tbl"), col("bucket"), col("id").as("idA"),
-      col("v").as("vA"))
-    val b = capped.select(col("tbl"), col("bucket"), col("id").as("idB"),
-      col("v").as("vB"))
-    // cosine computed inside the bucket join (narrow), threshold applied
-    // immediately — only scalar (idA, idB, cosine) survivors reach the
-    // pair-dedup shuffle, never the vectors
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        Similarity.cosine(col("vA"), col("vB")).as("cosine"))
+        col("bk.bucket").as("bucket"))
+    // single aggregation on the bucket key: each element carries its
+    // vector (dim doubles × ≤ maxBucketSize per bucket — the cap
+    // bounds the aggregation payload), cosine is computed inside the
+    // pair explode (narrow), and only scalar (idA, idB, cosine)
+    // survivors reach the pair-dedup shuffle — never the vectors
+    bucketPairsRaw(bucketed, Seq("tbl", "bucket"),
+        struct(col("id"), col("v")), maxBucketSize)
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .groupBy(col("idA"), col("idB")).agg(first(col("cosine")).as("cosine"))
   }
