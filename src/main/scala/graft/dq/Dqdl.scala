@@ -30,9 +30,31 @@ sealed trait DqRule {
     * unaggregated input (e.g. exactly-once Uniqueness). Cross-joined
     * (1×1) into the verdict row. */
   def sideMetrics(df: DataFrame): Option[DataFrame] = None
+  /** True when [[sideMetrics]] is a schema-level constant (no data
+    * scan) — per-partition evaluation can cross-join it unchanged
+    * instead of needing a per-partition recompilation. */
+  def sideIsConstant: Boolean = false
   /** Pass/fail predicate over the aliased metric columns. */
   def passed: Column
   def name: String
+}
+
+private object DqOps {
+  /** Shared comparison-operator compilation + a name-safe tag. */
+  def compare(c: Column, op: String, v: Column): Column = op match {
+    case ">" => c > v
+    case ">=" => c >= v
+    case "<" => c < v
+    case "<=" => c <= v
+    case "=" => c === v
+    case "!=" => c =!= v
+    case o => throw new IllegalArgumentException(s"bad comparison op $o")
+  }
+  def tag(op: String): String = op match {
+    case ">" => "gt"; case ">=" => "ge"; case "<" => "lt"
+    case "<=" => "le"; case "=" => "eq"; case "!=" => "ne"
+    case o => throw new IllegalArgumentException(s"bad comparison op $o")
+  }
 }
 
 /** All values in `column` are non-null. (DQDL `IsComplete`.) */
@@ -168,6 +190,70 @@ final case class UniqueCombination(columns: Seq[String]) extends DqRule {
   def passed: Column = col(s"dup_rows_$tag") === 0L
 }
 
+/** The column is present in the schema at all — the guard against a
+  * renamed/dropped upstream field arriving as a silently-null column.
+  * (DQDL `ColumnExists "c"`.) Schema-level: contributes a constant
+  * 1-row side (no scan), so it composes with any evaluation shape. */
+final case class ColumnExists(column: String) extends DqRule {
+  val name = s"column_exists_$column"
+  def metrics: Seq[Column] = Seq.empty
+  override def sideIsConstant: Boolean = true
+  override def sideMetrics(df: DataFrame): Option[DataFrame] = Some(
+    df.sparkSession.range(1)
+      .select(lit(df.columns.contains(column)).as(s"exists_$column")))
+  def passed: Column = col(s"exists_$column")
+}
+
+/** Sample standard deviation of `column` within [lo, hi]. Computed from
+  * DECIMAL sums (sum and sum-of-squares), so the metric is bit-stable
+  * under any partition merge order — the same determinism contract as
+  * [[MeanInRange]]. (DQDL `StandardDeviation "c" between x and y`.) */
+final case class StdDevInRange(column: String, lo: Double, hi: Double)
+    extends DqRule {
+  val name = s"stddev_$column"
+  import org.apache.spark.sql.types.DecimalType
+  def metrics: Seq[Column] = {
+    val n = count(col(column)).cast("double")
+    val s = sum(col(column).cast(DecimalType(28, 4))).cast("double")
+    val s2 = sum((col(column) * col(column)).cast(DecimalType(38, 6)))
+      .cast("double")
+    Seq(when(n > 1, sqrt((s2 - s * s / n) / (n - lit(1.0))))
+      .as(s"stddev_$column"))
+  }
+  def passed: Column =
+    col(s"stddev_$column") >= lo && col(s"stddev_$column") <= hi
+}
+
+/** DECIMAL-summed total of `column` compared against `value`.
+  * (DQDL `Sum "c" > n`.) */
+final case class SumCmp(column: String, op: String, value: Double)
+    extends DqRule {
+  private val t = DqOps.tag(op)
+  val name = s"sum_${column}_$t"
+  // op tag in the alias: two Sum rules on one column (e.g. > lo and
+  // < hi) must not collide in the shared aggregation
+  def metrics: Seq[Column] = Seq(
+    sum(col(column).cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+      .cast("double").as(s"sum_${column}_$t"))
+  def passed: Column =
+    DqOps.compare(col(s"sum_${column}_$t"), op, lit(value))
+}
+
+/** EXACT distinct-value count of `column` compared against `n` — the
+  * enumerable-domain guard (country codes, flags, currencies).
+  * countDistinct shuffles on the value; for high-cardinality columns
+  * with threshold slack use [[ApproxDistinctness]] instead.
+  * (DQDL `DistinctValuesCount "c" = 3`.) */
+final case class DistinctCount(column: String, op: String, n: Long)
+    extends DqRule {
+  private val t = DqOps.tag(op)
+  val name = s"distinct_${column}_$t"
+  def metrics: Seq[Column] =
+    Seq(countDistinct(col(column)).as(s"distinct_${column}_$t"))
+  def passed: Column =
+    DqOps.compare(col(s"distinct_${column}_$t"), op, lit(n))
+}
+
 /** dbt `not_null` test — alias of IsComplete with dbt naming. */
 final case class NotNull(column: String) extends DqRule {
   val name = s"not_null_$column"
@@ -221,9 +307,10 @@ object Dqdl {
   def evaluateByPartition(df: DataFrame, ruleset: Ruleset,
       partitionCol: String): DataFrame = {
     // defensive: every side-aggregating rule must have a per-partition
-    // compilation below (today that is exactly Uniqueness)
+    // compilation below (today: Uniqueness, plus constant sides like
+    // ColumnExists that hold for every partition unchanged)
     ruleset.rules.filter(_.sideMetrics(df).nonEmpty).foreach(r =>
-      require(r.isInstanceOf[Uniqueness],
+      require(r.isInstanceOf[Uniqueness] || r.sideIsConstant,
         s"rule ${r.name} has no per-partition compilation"))
     val metricCols = compiledMetrics(ruleset)
     val main = df.groupBy(col(partitionCol))
@@ -244,7 +331,12 @@ object Dqdl {
     }.foldLeft(main)((acc, side) =>
       acc.join(side, acc(partitionCol) <=> side("__side_pc"))
         .drop("__side_pc"))
-    attachVerdicts(withSides, ruleset)
+    // schema-level constant sides (ColumnExists) apply to every
+    // partition identically: 1-row cross join
+    val withConstSides = ruleset.rules
+      .filter(_.sideIsConstant).flatMap(_.sideMetrics(df))
+      .foldLeft(withSides)(_ crossJoin _)
+    attachVerdicts(withConstSides, ruleset)
   }
 
   /** Evaluate and collect the single verdict row (driver-side: one row). */

@@ -27,9 +27,19 @@ object DqdlParser {
   private val RowCountRe = """RowCount\s*(<=|>=|<|>|=)\s*(\d+)""".r
   private val ColumnValuesInRe =
     """ColumnValues\s+"([^"]+)"\s+in\s+\[([^\]]*)\]""".r
+  private val ColumnValuesBetweenRe =
+    """ColumnValues\s+"([^"]+)"\s+between\s+(-?[\d.]+)\s+and\s+(-?[\d.]+)""".r
   private val CompletenessRe = """Completeness\s+"([^"]+)"\s*>\s*([\d.]+)""".r
   private val MeanRe =
     """Mean\s+"([^"]+)"\s+between\s+(-?[\d.]+)\s+and\s+(-?[\d.]+)""".r
+  private val ColumnExistsRe = """ColumnExists\s+"([^"]+)"""".r
+  private val IsUniqueRe = """IsUnique\s+"([^"]+)"""".r
+  private val StdDevRe =
+    """StandardDeviation\s+"([^"]+)"\s+between\s+(-?[\d.]+)\s+and\s+(-?[\d.]+)""".r
+  private val SumRe =
+    """Sum\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*(-?[\d.]+)""".r
+  private val DistinctCountRe =
+    """DistinctValuesCount\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*(\d+)""".r
 
   def parse(name: String, dqdl: String): Ruleset = {
     val body = dqdl match {
@@ -55,6 +65,13 @@ object DqdlParser {
     case RowCountRe(op, n) => RowCount(op, n.toLong)
     case CompletenessRe(c, th) => Completeness(c, th.toDouble)
     case MeanRe(c, lo, hi) => MeanInRange(c, lo.toDouble, hi.toDouble)
+    case ColumnExistsRe(c) => ColumnExists(c)
+    case IsUniqueRe(c) => UniqueKey(c) // DQDL IsUnique = dbt unique
+    case StdDevRe(c, lo, hi) => StdDevInRange(c, lo.toDouble, hi.toDouble)
+    case SumRe(c, op, v) => SumCmp(c, op, v.toDouble)
+    case DistinctCountRe(c, op, n) => DistinctCount(c, op, n.toLong)
+    case ColumnValuesBetweenRe(c, lo, hi) =>
+      ColumnValues(c, _.between(lo.toDouble, hi.toDouble))
     case ColumnValuesRe(c, op, v) =>
       val lit = v.toDouble
       val pred: Column => Column = op match {

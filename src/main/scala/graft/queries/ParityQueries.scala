@@ -246,6 +246,47 @@ object ParityQueries {
              |  AS all_passed
              |FROM lineitem""".stripMargin)),
 
+    // widened Glue-DQDL surface through the string parser: schema
+    // guard (ColumnExists), decimal-summed statistics (StandardDeviation
+    // / Sum), exact domain cardinality (DistinctValuesCount), and the
+    // between form of ColumnValues — still ONE aggregation pass
+    QueryDef("q_dq_glue_rules",
+      (s, d) => Dqdl.evaluateDf(Tables.lineitem(s, d),
+        graft.dq.DqdlParser.parse("li_glue",
+          """Rules = [ ColumnExists "l_tax",
+            | StandardDeviation "l_quantity" between 10 and 20,
+            | Sum "l_quantity" > 1000,
+            | DistinctValuesCount "l_returnflag" = 3,
+            | ColumnValues "l_quantity" between 1 and 50 ]""".stripMargin)),
+      Some("""WITH m AS (SELECT
+             |  sqrt((CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             |    - CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+             |      * CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+             |      / CAST(COUNT(l_quantity) AS DOUBLE))
+             |    / (CAST(COUNT(l_quantity) AS DOUBLE) - 1.0)) AS stddev_l_quantity,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+             |    AS sum_l_quantity_gt,
+             |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT)
+             |    AS distinct_l_returnflag_eq,
+             |  CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS violations_l_quantity,
+             |  CAST(COUNT(*) AS BIGINT) AS row_count,
+             |  TRUE AS exists_l_tax
+             |  FROM lineitem)
+             |SELECT m.*,
+             |  exists_l_tax AS column_exists_l_tax_passed,
+             |  (stddev_l_quantity >= 10 AND stddev_l_quantity <= 20)
+             |    AS stddev_l_quantity_passed,
+             |  sum_l_quantity_gt > 1000 AS sum_l_quantity_gt_passed,
+             |  distinct_l_returnflag_eq = 3 AS distinct_l_returnflag_eq_passed,
+             |  violations_l_quantity = 0 AS column_values_l_quantity_passed,
+             |  (exists_l_tax
+             |   AND (stddev_l_quantity >= 10 AND stddev_l_quantity <= 20)
+             |   AND sum_l_quantity_gt > 1000
+             |   AND distinct_l_returnflag_eq = 3
+             |   AND violations_l_quantity = 0) AS all_passed
+             |FROM m""".stripMargin)),
+
     // per-partition DQ: one verdict row per l_returnflag group — the
     // "which increment is bad" shape, same single scan as the global
     // verdict (+ the grouped Uniqueness side-pass)

@@ -104,6 +104,50 @@ class DqdlSpec extends AnyFunSuite {
       Completeness("email", 0.9), MeanInRange("price", 0.0, 2.0)))
   }
 
+  test("parser handles widened Glue rules (exists/unique/stats/between)") {
+    val rs = DqdlParser.parse("wide",
+      """Rules = [ ColumnExists "v", IsUnique "k",
+        | StandardDeviation "v" between 0 and 10, Sum "v" > 5,
+        | DistinctValuesCount "k" = 3,
+        | ColumnValues "v" between 1 and 100 ]""".stripMargin)
+    assert(rs.rules.collect { case ColumnExists(c) => c } == Seq("v"))
+    assert(rs.rules.collect { case UniqueKey(c) => c } == Seq("k"))
+    assert(rs.rules.collect { case StdDevInRange(c, lo, hi) =>
+      (c, lo, hi) } == Seq(("v", 0.0, 10.0)))
+    assert(rs.rules.collect { case SumCmp(c, op, v) => (c, op, v) } ==
+      Seq(("v", ">", 5.0)))
+    assert(rs.rules.collect { case DistinctCount(c, op, n) =>
+      (c, op, n) } == Seq(("k", "=", 3L)))
+    val df = Seq(("a", 2.0), ("b", 4.0), ("c", 6.0)).toDF("k", "v")
+    val verdict = Dqdl.evaluate(df, rs)
+    assert(verdict.passed, verdict.toString)
+    // sample stddev of {2,4,6} = 2; sum = 12; 3 distinct keys
+    assert(math.abs(verdict.metrics("stddev_v")
+      .asInstanceOf[Double] - 2.0) < 1e-12)
+    assert(verdict.metrics("sum_v_gt") == 12.0)
+    assert(verdict.metrics("distinct_k_eq") == 3L)
+    // failure paths: missing column, duplicate key, wrong cardinality
+    assert(!Dqdl.evaluate(df, Ruleset("t",
+      Seq(ColumnExists("nope")))).passed)
+    val dup = Seq(("a", 2.0), ("a", 4.0)).toDF("k", "v")
+    assert(!Dqdl.evaluate(dup, Ruleset("t", Seq(UniqueKey("k")))).passed)
+    assert(!Dqdl.evaluate(dup, Ruleset("t",
+      Seq(DistinctCount("k", "=", 3L)))).passed)
+    assert(!Dqdl.evaluate(df, Ruleset("t",
+      Seq(SumCmp("v", "<", 10.0)))).passed)
+    assert(!Dqdl.evaluate(df, Ruleset("t",
+      Seq(ColumnValues("v", _.between(1.0, 3.0))))).passed)
+  }
+
+  test("ColumnExists composes with per-partition evaluation") {
+    val df = Seq(("p1", 1.0), ("p1", 2.0), ("p2", 3.0)).toDF("p", "v")
+    val out = Dqdl.evaluateByPartition(df, Ruleset("t", Seq(
+      ColumnExists("v"), IsComplete("v"))), "p").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Boolean]("column_exists_v_passed")))
+    assert(out.forall(_.getAs[Boolean]("all_passed")))
+  }
+
   test("parser handles in-set ColumnValues (bracket-nested commas)") {
     val rs = DqdlParser.parse("set",
       """Rules = [ ColumnValues "status" in ["A", "B"], RowCount > 1 ]""")
