@@ -125,6 +125,26 @@ object BreadthQueries {
              |AND l_discount BETWEEN 0.05 AND 0.07
              |AND l_quantity < 24""".stripMargin)),
 
+    // Bloom-pruned fact-to-dimension join: the large side is filtered
+    // by a driver-merged Bloom filter over the selective dimension's
+    // keys BEFORE its shuffle (operators.Joins) — result is exactly
+    // the plain inner join (the join clears false positives), which is
+    // what the oracle checks
+    QueryDef("q_bloom_join",
+      (s, d) => {
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        graft.operators.Joins.bloomPrunedJoin(Tables.lineitem(s, d),
+            "l_orderkey", urgent, "o_orderkey")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("o_totalprice"))
+      },
+      Some("""SELECT l_orderkey,
+             |CAST(l_linenumber AS INTEGER) AS l_linenumber, o_totalprice
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
+
     // ------------------------------------------------------ temporal joins
 
     // as-of join: each purchase matched to the user's latest click
