@@ -205,7 +205,8 @@ object Dedup {
     * chains), where plain propagation already converges in 2-4 rounds.
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "idA",
-      idBCol: String = "idB", maxIters: Int = 10): DataFrame = {
+      idBCol: String = "idB", maxIters: Int = 10,
+      driverThreshold: Long = 5000000L): DataFrame = {
     // localCheckpoint each round: an iterative plan otherwise nests its
     // whole history (label N derives from label N-1's full lineage) and
     // the plan grows exponentially — truncating lineage keeps every
@@ -213,6 +214,45 @@ object Dedup {
     // reliable checkpoint dir.
     val edges = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
       .localCheckpoint(true)
+    // Adaptive small-graph path: the edge list out of LSH is orders of
+    // magnitude smaller than the corpus (near-dup pairs only). When it
+    // fits comfortably on the driver, path-compressed union-find in a
+    // hash map beats 2-4 distributed label-propagation rounds (each
+    // round is several jobs); the distributed loop below remains the
+    // path for genuinely large pair graphs. Same contract either way:
+    // every id labeled with the min id reachable through the graph.
+    val idType = edges.schema("a").dataType
+    val integralId = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    val edgeCount = edges.count()
+    if (integralId && edgeCount <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root)
+          root = parent.getOrElse(root, root)
+        var cur = x // path compression
+        while (parent.getOrElse(cur, cur) != cur) {
+          val next = parent.getOrElse(cur, cur); parent(cur) = root
+          cur = next
+        }
+        root
+      }
+      edges.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (ra != rb) { // union by min: smaller id becomes the root
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+          parent.getOrElseUpdate(math.min(ra, rb), math.min(ra, rb))
+        }
+      val labeled = parent.keys.toSeq.map(id => (id, find(id)))
+      return labeled.toDF("id", "cluster")
+        .select(col("id").cast(idType).as("id"),
+          col("cluster").cast(idType).as("cluster"))
+    }
     val undirected = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)

@@ -150,6 +150,19 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.toSeq == Seq(1L))
   }
 
+  test("connectedComponents driver and distributed paths agree") {
+    // random-ish graph exercising merges of established clusters
+    val pairs = Seq((10L, 2L), (2L, 30L), (4L, 5L), (5L, 2L), (8L, 9L),
+      (40L, 8L), (100L, 100L)).toDF("idA", "idB")
+    def run(threshold: Long) =
+      Dedup.connectedComponents(pairs, driverThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val driver = run(1000000L) // small-graph union-find path
+    val dist = run(0L)         // force distributed label propagation
+    assert(driver == dist, s"driver=$driver dist=$dist")
+    assert(driver.count(_._2 == 2L) == 5) // {2,4,5,10,30}
+  }
+
   test("candidate generation never materializes an all-pairs join") {
     val plan = Dedup.minHashPairs(docs, "doc_id", "text")
       .queryExecution.optimizedPlan.toString
