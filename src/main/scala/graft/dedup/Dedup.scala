@@ -301,6 +301,31 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware keep policy: among each duplicate CLUSTER (labels
+    * from [[connectedComponents]]), keep the row with the highest
+    * `scoreCol` — smallest id on ties, so the choice is deterministic
+    * at any parallelism. Rows with no cluster label (never matched any
+    * pair) are all keepers.
+    *
+    * One hash aggregation picks the winner per cluster
+    * (graft.functions.ArgMaxLong — map-side combined, one (score, id)
+    * pair per cluster crosses the exchange; the window-rank top-1
+    * idiom would shuffle and sort every clustered row), then a
+    * semi-join restricts the corpus to winners + unclustered. */
+  def keepBestPerCluster(df: DataFrame, clusters: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val labeled = df.select(col(idCol).as("id"), col(scoreCol).as("s"))
+      .join(clusters.select(col("id"), col("cluster")), Seq("id"))
+    val winners = labeled.filter(col("s").isNotNull)
+      .groupBy(col("cluster"))
+      .agg(graft.functions.ArgMaxFunctions
+        .arg_max_id(col("s"), col("id")).as("id"))
+      .select(col("id").as(idCol))
+    val clustered = clusters.select(col("id").as(idCol))
+    df.join(clustered, Seq(idCol), "left_anti")
+      .unionByName(df.join(winners, Seq(idCol), "left_semi"))
+  }
+
   /** Distinct unordered candidate pairs (idA < idB) from a bucketed
     * id table, in ONE aggregation: collect each bucket's ids, drop
     * oversized buckets whole (same cap semantics as [[capBuckets]] —

@@ -113,6 +113,24 @@ object ExtensionQueries {
              |CAST(MIN(b) AS BIGINT) AS cluster_id
              |FROM reach GROUP BY a""".stripMargin)),
 
+    // deterministic argmax via the typed Aggregator UDAF (ArgMaxLong):
+    // best (longest) document per (lang, source) in ONE map-side-
+    // combined hash aggregation — the scale alternative to window-rank
+    // top-1, which shuffles and sorts every row. Ties break to the
+    // smallest doc_id, so the oracle's window formulation is exact.
+    QueryDef("q_best_per_group",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(graft.functions.ArgMaxFunctions.arg_max_id(
+          col("n_chars").cast("double"), col("doc_id"))
+          .as("best_doc_id")),
+      Some("""WITH r AS (SELECT lang, source, doc_id,
+             |  row_number() OVER (PARTITION BY lang, source
+             |    ORDER BY n_chars DESC, doc_id ASC) AS rn
+             |  FROM documents)
+             |SELECT lang, source, doc_id AS best_doc_id
+             |FROM r WHERE rn = 1""".stripMargin)),
+
     // SimHash Hamming<=3 pairs (rows-only)
     QueryDef("q_dedup_simhash",
       (s, d) => Dedup.simHashPairs(Tables.documents(s, d), "doc_id",

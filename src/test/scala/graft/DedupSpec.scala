@@ -163,6 +163,40 @@ class DedupSpec extends AnyFunSuite {
     assert(driver.count(_._2 == 2L) == 5) // {2,4,5,10,30}
   }
 
+  test("keepBestPerCluster keeps the highest-quality doc per cluster") {
+    // two clusters {1,2,3} (best=2 by score) and {7,9} (tie → min id 7),
+    // plus unclustered 42 which must survive untouched
+    val corpus = Seq((1L, 0.1, "a"), (2L, 0.9, "b"), (3L, 0.5, "c"),
+      (7L, 0.4, "d"), (9L, 0.4, "e"), (42L, 0.0, "f"))
+      .toDF("doc_id", "score", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "cluster")
+    val kept = Dedup.keepBestPerCluster(corpus, clusters, "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 7L, 42L))
+    // agrees with the window-rank formulation on a real clustering
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3)
+    val cc = Dedup.connectedComponents(pairs)
+    val scored = docs.withColumn("q",
+      graft.text.TextAnalysis.qualityScore(col("text")))
+    val viaAgg = Dedup.keepBestPerCluster(scored, cc, "doc_id", "q")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    import org.apache.spark.sql.expressions.Window
+    val viaWindow = {
+      val labeled = scored.join(cc,
+        scored("doc_id") === cc("id"), "left")
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("q").desc, col("doc_id").asc)
+      labeled.filter(col("cluster").isNull).select("doc_id")
+        .union(labeled.filter(col("cluster").isNotNull)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(viaAgg == viaWindow)
+    Dedup.releaseCaches()
+  }
+
   test("candidate generation never materializes an all-pairs join") {
     val plan = Dedup.minHashPairs(docs, "doc_id", "text")
       .queryExecution.optimizedPlan.toString
