@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets) from the string form of `id` —
-    * polynomial char hash, portable integer arithmetic. */
+  /** Base-31 polynomial hash of the string form of `id`, mod 1e9+7 —
+    * portable integer arithmetic (reproducible in plain SQL on any
+    * engine). */
+  def contentHash(id: Column): Column =
+    aggregate(split(id.cast("string"), ""), lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
+
+  /** Stable bucket in [0, buckets) from the string form of `id`. */
   def hashBucket(id: Column, buckets: Int): Column = {
     require(buckets > 0)
-    val h = aggregate(split(id.cast("string"), ""), lit(0L),
-      (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
-    pmod(h, lit(buckets.toLong))
+    pmod(contentHash(id), lit(buckets.toLong))
   }
 
   /** Keep ~pct% of rows, deterministically (bucket < pct of 100). */
@@ -41,5 +45,30 @@ object Sampling {
     df.withColumn("split",
       when(hashBucket(col(idCol), 100) < trainPct, lit("train"))
         .otherwise(lit("eval")))
+  }
+
+  /** EXACT per-stratum quota sample: within each `stratumCol` value,
+    * keep exactly ceil(frac × stratum size) rows — the corpus-balancing
+    * operator (per-language / per-source quotas for training mixes).
+    * Row selection orders each stratum by the content hash (then id),
+    * so which rows survive is a pure function of the data: same result
+    * on any cluster, partitioning, or engine.
+    *
+    * Scale shape: one shuffle on the stratum key + per-partition sort
+    * (the window). Exact quotas REQUIRE per-stratum ranking; when a
+    * few-percent deviation is acceptable at 10^10 rows, use
+    * [[deterministicSample]] per stratum instead — a narrow map with no
+    * shuffle at all. Skewed strata (one language dominating the corpus)
+    * sort within their own partitions and AQE splits oversized ones. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0)
+    import org.apache.spark.sql.expressions.Window
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val w = byStratum.orderBy(contentHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(byStratum))
+      .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
+      .drop("__rn", "__n")
   }
 }

@@ -438,6 +438,28 @@ object ExtensionQueries {
              |CASE WHEN b < 90 THEN 'train' ELSE 'eval' END AS split
              |FROM h""".stripMargin)),
 
+    // exact per-stratum quota sampling (corpus balancing): within each
+    // lang keep exactly ceil(0.2 × stratum size) rows, selection
+    // ordered by the portable content hash — deterministic on any
+    // engine, which is what lets DuckDB replicate it row-for-row
+    QueryDef("q_stratified_sample",
+      (s, d) => graft.operators.Sampling
+        .stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 0.2)
+        .select(col("doc_id"), col("lang")),
+      Some("""WITH h AS (SELECT doc_id, lang,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+             |      ch -> CAST(ascii(ch) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS hh
+             |  FROM documents),
+             |r AS (SELECT doc_id, lang,
+             |  row_number() OVER (PARTITION BY lang
+             |    ORDER BY hh ASC, doc_id ASC) AS rn,
+             |  COUNT(*) OVER (PARTITION BY lang) AS n
+             |  FROM h)
+             |SELECT doc_id, lang FROM r
+             |WHERE rn <= CEIL(0.2 * CAST(n AS DOUBLE))""".stripMargin)),
+
     // the FULL curation chain as one verifiable query: redact → quality
     // filter → exact dedup → minhash near-dedup → benchmark
     // decontamination → deterministic split. Every stage is

@@ -39,4 +39,22 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("stratifiedSample takes exact per-stratum quotas, deterministically") {
+    val df = (1L to 100L).map(i => (i, if (i <= 70) "en" else "de"))
+      .toDF("id", "lang")
+    val sampled = Sampling.stratifiedSample(df, "lang", "id", 0.2)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 14L, "de" -> 6L)) // ceil(.2*70), ceil(.2*30)
+    // membership is a pure function of the data: identical under
+    // repartitioning
+    val a = sampled.collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(df.repartition(17), "lang", "id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // edge fractions
+    assert(Sampling.stratifiedSample(df, "lang", "id", 0.0).count() == 0)
+    assert(Sampling.stratifiedSample(df, "lang", "id", 1.0).count() == 100)
+  }
 }
