@@ -173,7 +173,7 @@ object StreamingIngest {
     * its lifetime matches the source-progress state: delete the
     * checkpoint to reset both. Values are URL-encoded one-per-line;
     * nulls ride a sentinel. */
-  private[streaming] final class PartitionLedger(spark: SparkSession,
+  private[graft] final class PartitionLedger(spark: SparkSession,
       checkpoint: String) {
     import org.apache.hadoop.fs.Path
     private val dir = new Path(checkpoint, "graft_partitions")

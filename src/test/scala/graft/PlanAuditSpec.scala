@@ -85,4 +85,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
+
+  test("stratified sample: one exchange on the stratum key, both " +
+      "windows share it") {
+    val p = plan("q_stratified_sample")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("best-per-group argmax is a pure hash aggregate — no window, " +
+      "no sort") {
+    val p = plan("q_best_per_group")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort"), p)
+    // partial + final aggregation around the single exchange
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("bloom-pruned join probes before the large side's exchange") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -122,6 +122,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table(tbl).count() == 12)
   }
 
+  test("partition ledger: replays idempotent, cross-batch overlap flagged") {
+    val ckpt = Files.createTempDirectory("ledger").toString
+    val ledger = new StreamingIngest.PartitionLedger(spark, ckpt)
+    ledger.record(0L, Set[Any]("2024-01-01", "2024-01-02"))
+    // a crash-REPLAY of batch 0 re-lands the same partitions — not a
+    // conflict (it rewrites exactly its own output)
+    assert(ledger.overlap(0L, Set[Any]("2024-01-01")).isEmpty)
+    // a DIFFERENT batch touching a landed partition is the data-loss
+    // case the guard exists for
+    assert(ledger.overlap(1L, Set[Any]("2024-01-01", "2024-01-03"))
+      == Set[Any]("2024-01-01"))
+    // null partition values round-trip without colliding with the
+    // string "null"
+    ledger.record(2L, Set[Any](null))
+    assert(ledger.overlap(3L, Set[Any](null)) == Set[Any](null))
+    assert(ledger.overlap(3L, Set[Any]("null")).isEmpty)
+    // a fresh ledger instance over the same checkpoint sees history
+    // (this is what makes the guard hold across drains)
+    val reopened = new StreamingIngest.PartitionLedger(spark, ckpt)
+    assert(reopened.overlap(9L, Set[Any]("2024-01-02"))
+      == Set[Any]("2024-01-02"))
+  }
+
   test("stateful sessionization closes sessions on inactivity gaps") {
     import StreamingIngest.Event
     def ev(u: Long, minute: Int, v: Double) = Event(u,
