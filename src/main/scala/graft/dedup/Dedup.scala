@@ -49,10 +49,24 @@ object Dedup {
     * parallelism, repartition up; otherwise no-op. At 100 TB a scan
     * already has thousands of splits and this adds nothing — the guard
     * exists so the signature/hash compute never serializes onto a
-    * handful of cores just because the input arrived in few splits. */
+    * handful of cores just because the input arrived in few splits.
+    *
+    * The partition-count probe runs ONLY on exchange-free plans
+    * (scan + narrow ops): under AQE, `df.rdd` on a plan with shuffles
+    * would materialize every query stage just to read a count, and
+    * that work is thrown away. A plan that already shuffles has its
+    * parallelism set by shuffle.partitions/AQE anyway — nothing to
+    * fix. */
   private def ensureParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (hasExchange) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 
   /** Persist + materialize a multi-consumer intermediate. Without the
@@ -206,7 +220,7 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "idA",
       idBCol: String = "idB", maxIters: Int = 10,
-      driverThreshold: Long = 5000000L): DataFrame = {
+      driverThreshold: Long = 1000000L): DataFrame = {
     // localCheckpoint each round: an iterative plan otherwise nests its
     // whole history (label N derives from label N-1's full lineage) and
     // the plan grows exponentially — truncating lineage keeps every
@@ -316,10 +330,15 @@ object Dedup {
       idCol: String, scoreCol: String): DataFrame = {
     val labeled = df.select(col(idCol).as("id"), col(scoreCol).as("s"))
       .join(clusters.select(col("id"), col("cluster")), Seq("id"))
-    val winners = labeled.filter(col("s").isNotNull)
+    // null scores rank below every real score (coalesce to -Inf)
+    // instead of being filtered: a cluster whose scores are ALL null
+    // must still keep one representative (its min id), not silently
+    // lose every copy
+    val winners = labeled
       .groupBy(col("cluster"))
-      .agg(graft.functions.ArgMaxFunctions
-        .arg_max_id(col("s"), col("id")).as("id"))
+      .agg(graft.functions.ArgMaxFunctions.arg_max_id(
+        coalesce(col("s").cast("double"),
+          lit(Double.NegativeInfinity)), col("id")).as("id"))
       .select(col("id").as(idCol))
     val clustered = clusters.select(col("id").as(idCol))
     df.join(clustered, Seq(idCol), "left_anti")
@@ -343,12 +362,19 @@ object Dedup {
   /** All unordered in-bucket element pairs (a < b by element order)
     * from one aggregation over the bucket keys; `elem` is what each
     * row contributes (an id, or a struct of id + verification
-    * payload). Oversized buckets are dropped whole. */
+    * payload). Oversized buckets are dropped whole — via
+    * capped_collect_list, whose buffer stops growing AT the cap: a
+    * degenerate bucket (boilerplate corpus, hash skew) costs
+    * O(maxSize) memory and surfaces as null, never a full
+    * multi-million-element aggregation buffer (a single group's list
+    * cannot spill). */
   private def bucketPairsRaw(df: DataFrame, keys: Seq[String],
       elem: Column, maxSize: Int): DataFrame = {
     val grouped = df.groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(elem)).as("__es"))
-      .filter(size(col("__es")).between(2, maxSize))
+      .agg(graft.functions.CappedCollectFunctions
+        .capped_collect_list(elem, maxSize).as("__raw"))
+      .filter(col("__raw").isNotNull && size(col("__raw")) >= 2)
+      .select(keys.map(col) :+ sort_array(col("__raw")).as("__es"): _*)
     val l = col("__es")
     val n = size(l)
     val pairs = flatten(transform(sequence(lit(0), n - 2), i =>

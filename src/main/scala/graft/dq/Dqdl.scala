@@ -55,6 +55,14 @@ private object DqOps {
     case "<=" => "le"; case "=" => "eq"; case "!=" => "ne"
     case o => throw new IllegalArgumentException(s"bad comparison op $o")
   }
+  /** Name-safe rendering of a numeric threshold, so rule/metric names
+    * carry the VALUE too — two same-op rules on one column (tiered
+    * thresholds) must not collide in the shared aggregation. */
+  def numTag(v: Double): String = {
+    val s = if (v == v.floor && !v.isInfinite) v.toLong.toString
+      else v.toString
+    s.replace("-", "m").replace(".", "p")
+  }
 }
 
 /** All values in `column` are non-null. (DQDL `IsComplete`.) */
@@ -213,11 +221,27 @@ final case class StdDevInRange(column: String, lo: Double, hi: Double)
   val name = s"stddev_$column"
   import org.apache.spark.sql.types.DecimalType
   def metrics: Seq[Column] = {
-    val n = count(col(column)).cast("double")
-    val s = sum(col(column).cast(DecimalType(28, 4))).cast("double")
-    val s2 = sum((col(column) * col(column)).cast(DecimalType(38, 6)))
-      .cast("double")
-    Seq(when(n > 1, sqrt((s2 - s * s / n) / (n - lit(1.0))))
+    // Exact-decimal variance numerator n·Σx² − (Σx)², then one double
+    // division + sqrt. The naive all-double closed form catastrophically
+    // cancels when stddev ≪ |mean| (epoch-second columns: Σx² and
+    // (Σx)²/n agree in every representable digit), squaring in the
+    // column's own integral type would wrap silently, and squaring in
+    // double rounds above 2^26.5 — so squares are computed in DECIMAL
+    // ((19,4)² is exact to |x| ~ 1e15) and the whole numerator stays
+    // decimal-exact. If the combination overflows 38 digits
+    // (astronomical sums), it nulls and falls back to the naive double
+    // form — accurate exactly when values are that large, where the
+    // mean dwarfs any thresholdable stddev anyway.
+    val nL = count(col(column))
+    val n = nL.cast("double")
+    val s = sum(col(column).cast(DecimalType(28, 4)))
+    val s2 = sum(col(column).cast(DecimalType(19, 4)) *
+      col(column).cast(DecimalType(19, 4)))
+    val numExact = (nL.cast(DecimalType(18, 0)) * s2) - (s * s)
+    val varExact = numExact.cast("double") / (n * (n - lit(1.0)))
+    val sD = s.cast("double"); val s2D = s2.cast("double")
+    val varNaive = (s2D - sD * sD / n) / (n - lit(1.0))
+    Seq(when(nL > 1, sqrt(coalesce(varExact, varNaive)))
       .as(s"stddev_$column"))
   }
   def passed: Column =
@@ -228,10 +252,11 @@ final case class StdDevInRange(column: String, lo: Double, hi: Double)
   * (DQDL `Sum "c" > n`.) */
 final case class SumCmp(column: String, op: String, value: Double)
     extends DqRule {
-  private val t = DqOps.tag(op)
+  // op AND value in the alias: two Sum rules on one column (tiered
+  // thresholds like > 5 and > 100) must not collide in the shared
+  // aggregation
+  private val t = s"${DqOps.tag(op)}_${DqOps.numTag(value)}"
   val name = s"sum_${column}_$t"
-  // op tag in the alias: two Sum rules on one column (e.g. > lo and
-  // < hi) must not collide in the shared aggregation
   def metrics: Seq[Column] = Seq(
     sum(col(column).cast(org.apache.spark.sql.types.DecimalType(28, 4)))
       .cast("double").as(s"sum_${column}_$t"))
@@ -246,7 +271,7 @@ final case class SumCmp(column: String, op: String, value: Double)
   * (DQDL `DistinctValuesCount "c" = 3`.) */
 final case class DistinctCount(column: String, op: String, n: Long)
     extends DqRule {
-  private val t = DqOps.tag(op)
+  private val t = s"${DqOps.tag(op)}_$n"
   val name = s"distinct_${column}_$t"
   def metrics: Seq[Column] =
     Seq(countDistinct(col(column)).as(s"distinct_${column}_$t"))

@@ -20,10 +20,19 @@ import org.apache.spark.sql.functions.udaf
   * the corpus and shuffling the group directory.
   */
 object ArgMaxLong extends Aggregator[(Double, Long), (Double, Long), Long] {
-  /** Neutral element: any real (score, id) beats it. */
+  /** Neutral element: any real (score, id) beats it (NaN included —
+    * comparison uses the total order below, where NaN sorts above
+    * +Inf). */
   def zero: (Double, Long) = (Double.NegativeInfinity, Long.MaxValue)
-  private def better(x: (Double, Long), y: (Double, Long)): (Double, Long) =
-    if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x
+  // java.lang.Double.compare is a TOTAL order (NaN greater than
+  // everything, -0.0 < 0.0) — the same ordering Spark's sort uses, so
+  // this agrees with the window-rank formulation even on NaN scores.
+  // Naive `>` would skip NaN candidates entirely (NaN > x is false)
+  // and emit the sentinel id for an all-NaN group.
+  private def better(x: (Double, Long), y: (Double, Long)): (Double, Long) = {
+    val c = java.lang.Double.compare(y._1, x._1)
+    if (c > 0 || (c == 0 && y._2 < x._2)) y else x
+  }
   def reduce(b: (Double, Long), a: (Double, Long)): (Double, Long) =
     better(b, a)
   def merge(b1: (Double, Long), b2: (Double, Long)): (Double, Long) =

@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
 
   private val GenProp = "graft.generation"
+  private val IncProp = "graft.increment"
 
   /** The staged/main generation counter: table property `graft.generation`,
     * set only AFTER the corresponding data write fully succeeded. A
@@ -31,8 +32,19 @@ object IncrementalAgg {
       .properties.get(GenProp).map(_.toLong).getOrElse(0L)
 
   private def setGeneration(spark: SparkSession, table: String,
-      gen: Long): Unit =
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$GenProp'='$gen')")
+      gen: Long, incrementId: Option[String]): Unit = {
+    val inc = incrementId.map(i =>
+      s", '$IncProp'='${i.replace("'", "''")}'").getOrElse("")
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES ('$GenProp'='$gen'$inc)")
+  }
+
+  private def incrementOf(spark: SparkSession, table: String): Option[String] =
+    if (!spark.catalog.tableExists(table)) None
+    else spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(table))
+      .properties.get(IncProp)
 
   /** Refresh `aggTable` with `increment` (raw rows, not aggregated):
     * result equals aggregating (history + increment) from scratch, for
@@ -49,12 +61,35 @@ object IncrementalAgg {
     * overwrites it. Every crash point re-runs to a consistent state:
     * crash before staged's stamp → staged is stale, safely rebuilt;
     * crash after stamp (mid-swap or before main's stamp) → recovery
-    * finishes the idempotent swap. */
+    * finishes the idempotent swap.
+    *
+    * At-least-once callers MUST pass `incrementId` (the window label —
+    * e.g. "2020-03"): it is stamped alongside the generation, and a
+    * retry of the SAME increment after any crash point is then exactly
+    * once — if the staged or main table already carries this id, the
+    * increment is already merged there and the call completes the swap
+    * (or no-ops) instead of applying it twice. Without an id a retry
+    * after a crash-after-stage would double-count the increment
+    * (recovery has no way to know the staged merge already contains
+    * it). Only the LATEST increment's id is tracked, so retries must
+    * be of the most recent window — the sequential one-active-run
+    * orchestration model (the reference's `max_active_runs=1`). */
   def refreshAdditive(spark: SparkSession, aggTable: String,
       increment: DataFrame, keyCols: Seq[String], sums: Seq[String],
-      counts: Boolean = true): Unit = {
+      counts: Boolean = true, incrementId: Option[String] = None): Unit = {
     require(keyCols.nonEmpty && (sums.nonEmpty || counts))
     val stagedTable = s"${aggTable}__staged"
+    // exactly-once fast paths for identified increments
+    if (incrementId.isDefined) {
+      if (incrementOf(spark, aggTable) == incrementId) return // applied
+      if (incrementOf(spark, stagedTable) == incrementId &&
+          generation(spark, stagedTable) > generation(spark, aggTable)) {
+        // crashed after staging THIS increment: the staged copy already
+        // contains its merge — finish the swap, do NOT merge again
+        recoverIfCrashed(spark, aggTable)
+        return
+      }
+    }
     recoverIfCrashed(spark, aggTable)
     val sumAggs = sums.map(c =>
       sum(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
@@ -83,10 +118,10 @@ object IncrementalAgg {
     val nextGen = generation(spark, aggTable) + 1
     merged.write.mode("overwrite").format("parquet")
       .saveAsTable(stagedTable)
-    setGeneration(spark, stagedTable, nextGen)
+    setGeneration(spark, stagedTable, nextGen, incrementId)
     spark.table(stagedTable).write.mode("overwrite").format("parquet")
       .saveAsTable(aggTable)
-    setGeneration(spark, aggTable, nextGen)
+    setGeneration(spark, aggTable, nextGen, incrementId)
   }
 
   /** Detect and repair a crash between staging and swap: if the staged
@@ -101,7 +136,8 @@ object IncrementalAgg {
     if (stagedGen > mainGen) {
       spark.table(stagedTable).write.mode("overwrite").format("parquet")
         .saveAsTable(aggTable)
-      setGeneration(spark, aggTable, stagedGen)
+      setGeneration(spark, aggTable, stagedGen,
+        incrementOf(spark, stagedTable))
     }
   }
 }

@@ -259,15 +259,21 @@ object ParityQueries {
             | DistinctValuesCount "l_returnflag" = 3,
             | ColumnValues "l_quantity" between 1 and 50 ]""".stripMargin)),
       Some("""WITH m AS (SELECT
-             |  sqrt((CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE)
-             |    - CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
-             |      * CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
-             |      / CAST(COUNT(l_quantity) AS DOUBLE))
-             |    / (CAST(COUNT(l_quantity) AS DOUBLE) - 1.0)) AS stddev_l_quantity,
+             |  sqrt(CAST(
+             |    CAST(COUNT(l_quantity) AS DECIMAL(13,0))
+             |      * CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+             |                 * CAST(l_quantity AS DECIMAL(19,4)))
+             |             AS DECIMAL(24,6))
+             |    - CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DECIMAL(19,4))
+             |      * CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DECIMAL(19,4))
+             |    AS DOUBLE)
+             |    / (CAST(COUNT(l_quantity) AS DOUBLE)
+             |       * (CAST(COUNT(l_quantity) AS DOUBLE) - 1.0)))
+             |    AS stddev_l_quantity,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
-             |    AS sum_l_quantity_gt,
+             |    AS sum_l_quantity_gt_1000,
              |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT)
-             |    AS distinct_l_returnflag_eq,
+             |    AS distinct_l_returnflag_eq_3,
              |  CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0)
              |    THEN 1 ELSE 0 END) AS BIGINT) AS violations_l_quantity,
              |  CAST(COUNT(*) AS BIGINT) AS row_count,
@@ -277,13 +283,13 @@ object ParityQueries {
              |  exists_l_tax AS column_exists_l_tax_passed,
              |  (stddev_l_quantity >= 10 AND stddev_l_quantity <= 20)
              |    AS stddev_l_quantity_passed,
-             |  sum_l_quantity_gt > 1000 AS sum_l_quantity_gt_passed,
-             |  distinct_l_returnflag_eq = 3 AS distinct_l_returnflag_eq_passed,
+             |  sum_l_quantity_gt_1000 > 1000 AS sum_l_quantity_gt_1000_passed,
+             |  distinct_l_returnflag_eq_3 = 3 AS distinct_l_returnflag_eq_3_passed,
              |  violations_l_quantity = 0 AS column_values_l_quantity_passed,
              |  (exists_l_tax
              |   AND (stddev_l_quantity >= 10 AND stddev_l_quantity <= 20)
-             |   AND sum_l_quantity_gt > 1000
-             |   AND distinct_l_returnflag_eq = 3
+             |   AND sum_l_quantity_gt_1000 > 1000
+             |   AND distinct_l_returnflag_eq_3 = 3
              |   AND violations_l_quantity = 0) AS all_passed
              |FROM m""".stripMargin)),
 

@@ -174,6 +174,17 @@ class DedupSpec extends AnyFunSuite {
     val kept = Dedup.keepBestPerCluster(corpus, clusters, "doc_id", "score")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 7L, 42L))
+    // a cluster whose scores are ALL null keeps one representative
+    // (min id), never zero; NaN scores pick a real row, not a phantom
+    val nullScores = Seq((1L, Option.empty[Double]),
+      (2L, Option.empty[Double]), (5L, Some(Double.NaN)),
+      (6L, Some(1.0))).toDF("doc_id", "score")
+    val cl2 = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "cluster")
+    val kept2 = Dedup.keepBestPerCluster(nullScores, cl2, "doc_id",
+      "score").select("doc_id").collect().map(_.getLong(0)).toSet
+    // NaN sorts above every double in Spark's total order — 5 wins
+    assert(kept2 == Set(1L, 5L), kept2.toString)
     // agrees with the window-rank formulation on a real clustering
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3)
     val cc = Dedup.connectedComponents(pairs)

@@ -124,8 +124,8 @@ class DqdlSpec extends AnyFunSuite {
     // sample stddev of {2,4,6} = 2; sum = 12; 3 distinct keys
     assert(math.abs(verdict.metrics("stddev_v")
       .asInstanceOf[Double] - 2.0) < 1e-12)
-    assert(verdict.metrics("sum_v_gt") == 12.0)
-    assert(verdict.metrics("distinct_k_eq") == 3L)
+    assert(verdict.metrics("sum_v_gt_5") == 12.0)
+    assert(verdict.metrics("distinct_k_eq_3") == 3L)
     // failure paths: missing column, duplicate key, wrong cardinality
     assert(!Dqdl.evaluate(df, Ruleset("t",
       Seq(ColumnExists("nope")))).passed)
@@ -137,6 +137,29 @@ class DqdlSpec extends AnyFunSuite {
       Seq(SumCmp("v", "<", 10.0)))).passed)
     assert(!Dqdl.evaluate(df, Ruleset("t",
       Seq(ColumnValues("v", _.between(1.0, 3.0))))).passed)
+  }
+
+  test("tiered same-op rules on one column do not collide") {
+    val df = Seq(("a", 2.0), ("b", 4.0), ("c", 6.0)).toDF("k", "v")
+    // two Sum > rules and two DistinctValuesCount = rules on the same
+    // column: value-carrying aliases keep them apart in the shared agg
+    val v = Dqdl.evaluate(df, Ruleset("tiered", Seq(
+      SumCmp("v", ">", 5.0), SumCmp("v", ">", 100.0),
+      DistinctCount("k", "=", 3L), DistinctCount("k", "=", 4L))))
+    assert(!v.passed)
+    assert(v.ruleResults("sum_v_gt_5"))
+    assert(!v.ruleResults("sum_v_gt_100"))
+    assert(v.ruleResults("distinct_k_eq_3"))
+    assert(!v.ruleResults("distinct_k_eq_4"))
+  }
+
+  test("StandardDeviation does not overflow integral columns") {
+    // values ~4e9: squaring in LongType would wrap; the double-first
+    // form stays finite and correct
+    val big = Seq(4000000000L, 4000000002L, 4000000004L).toDF("v")
+    val v = Dqdl.evaluate(big,
+      Ruleset("t", Seq(StdDevInRange("v", 1.9, 2.1))))
+    assert(v.passed, v.toString) // sample stddev of {0,2,4}+c = 2
   }
 
   test("ColumnExists composes with per-partition evaluation") {

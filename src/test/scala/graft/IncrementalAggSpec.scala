@@ -74,4 +74,41 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(spark.table(tbl).head.getAs[java.math.BigDecimal]("sum_v")
       .doubleValue == 99.5)
   }
+
+  test("retry of an identified increment after crash-mid-swap is exactly once") {
+    val tbl = "inc_agg_retry"
+    def sumV = spark.table(tbl).head
+      .getAs[java.math.BigDecimal]("sum_v").doubleValue
+    IncrementalAgg.refreshAdditive(spark, tbl,
+      Seq(("a", 10.0)).toDF("k", "v"), Seq("k"), Seq("v"),
+      incrementId = Some("2020-02"))
+    assert(sumV == 10.0)
+    // Simulate a crash AFTER staging increment 2020-03 but BEFORE the
+    // swap: stage main+inc (= 15.0) with a bumped generation + the
+    // increment id, leaving the main table at 10.0.
+    val staged = s"${tbl}__staged"
+    Seq(("a", java.math.BigDecimal.valueOf(15.0), 2L))
+      .toDF("k", "sum_v", "n")
+      .select($"k", $"sum_v".cast(DecimalType(18, 2)).as("sum_v"), $"n")
+      .write.mode("overwrite").format("parquet").saveAsTable(staged)
+    spark.sql(s"ALTER TABLE $staged SET TBLPROPERTIES " +
+      "('graft.generation'='2', 'graft.increment'='2020-03')")
+    // the at-least-once RETRY of the same increment: must complete the
+    // swap, NOT merge the 5.0 a second time (20.0 would be the
+    // double-count bug)
+    IncrementalAgg.refreshAdditive(spark, tbl,
+      Seq(("a", 5.0)).toDF("k", "v"), Seq("k"), Seq("v"),
+      incrementId = Some("2020-03"))
+    assert(sumV == 15.0)
+    // and a re-call after full success is a pure no-op
+    IncrementalAgg.refreshAdditive(spark, tbl,
+      Seq(("a", 5.0)).toDF("k", "v"), Seq("k"), Seq("v"),
+      incrementId = Some("2020-03"))
+    assert(sumV == 15.0)
+    // the NEXT window applies normally
+    IncrementalAgg.refreshAdditive(spark, tbl,
+      Seq(("a", 1.0)).toDF("k", "v"), Seq("k"), Seq("v"),
+      incrementId = Some("2020-04"))
+    assert(sumV == 16.0)
+  }
 }
