@@ -47,6 +47,23 @@ object Sampling {
         .otherwise(lit("eval")))
   }
 
+  /** Leakage-safe split: assignment is hashed from `groupCol` (a
+    * dedup cluster label, a source domain, a user id) instead of the
+    * row id, so every member of a group lands in the SAME split. This
+    * is the train/test-contamination guard for near-duplicates: with
+    * per-row splitting, two near-dup documents can straddle the
+    * train/eval boundary and leak; hashing the [[graft.dedup.Dedup
+    * .connectedComponents]] cluster label keeps whole duplicate
+    * clusters together. Same narrow-map scale shape as
+    * [[splitByHash]]. */
+  def splitByGroup(df: DataFrame, groupCol: String,
+      trainPct: Int = 90): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100)
+    df.withColumn("split",
+      when(hashBucket(col(groupCol), 100) < trainPct, lit("train"))
+        .otherwise(lit("eval")))
+  }
+
   /** EXACT per-stratum quota sample: within each `stratumCol` value,
     * keep exactly ceil(frac × stratum size) rows — the corpus-balancing
     * operator (per-language / per-source quotas for training mixes).

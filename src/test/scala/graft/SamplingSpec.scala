@@ -57,4 +57,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.stratifiedSample(df, "lang", "id", 0.0).count() == 0)
     assert(Sampling.stratifiedSample(df, "lang", "id", 1.0).count() == 100)
   }
+
+  test("splitByGroup keeps whole near-dup clusters in one split") {
+    // real clustering: minhash pairs over the documents fixture, then
+    // split on the cluster label — no cluster may straddle the
+    // train/eval boundary (the leakage case per-row splitting allows)
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = graft.dedup.Dedup.minHashPairs(docs, "doc_id", "text",
+      threshold = 0.3)
+    val clusters = graft.dedup.Dedup.connectedComponents(pairs)
+    val labeled = docs.join(clusters,
+        docs("doc_id") === clusters("id"), "left")
+      .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
+    val split = Sampling.splitByGroup(labeled, "grp", trainPct = 70)
+    val straddling = split.groupBy("grp")
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .filter(col("nsplits") > 1).count()
+    assert(straddling == 0)
+    // both splits are populated and assignment is deterministic
+    val sizes = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("train", "eval"), sizes.toString)
+    val again = Sampling.splitByGroup(labeled.repartition(11), "grp", 70)
+      .filter(col("split") === "train").count()
+    assert(again == sizes("train"))
+    graft.dedup.Dedup.releaseCaches()
+  }
 }
