@@ -242,7 +242,19 @@ class DqdlSpec extends AnyFunSuite {
         yield s"""Uniqueness "$c" > 0.$t""",
       for { n <- Gen.chooseNum(1, 100000) } yield s"RowCount > $n",
       for { c <- colGen; lo <- Gen.chooseNum(0, 10); hi <- Gen.chooseNum(11, 99) }
-        yield s"""Mean "$c" between $lo and $hi""")
+        yield s"""Mean "$c" between $lo and $hi""",
+      colGen.map(c => s"""ColumnExists "$c""""),
+      colGen.map(c => s"""IsUnique "$c""""),
+      for { c <- colGen; lo <- Gen.chooseNum(0, 10); hi <- Gen.chooseNum(11, 99) }
+        yield s"""StandardDeviation "$c" between $lo and $hi""",
+      for { c <- colGen; op <- Gen.oneOf("<=", ">=", "<", ">", "=", "!=");
+            v <- Gen.chooseNum(-1000, 1000) }
+        yield s"""Sum "$c" $op $v""",
+      for { c <- colGen; op <- Gen.oneOf("<=", ">=", "<", ">", "=", "!=");
+            n <- Gen.chooseNum(0, 10000) }
+        yield s"""DistinctValuesCount "$c" $op $n""",
+      for { c <- colGen; lo <- Gen.chooseNum(-50, 0); hi <- Gen.chooseNum(1, 50) }
+        yield s"""ColumnValues "$c" between $lo and $hi""")
     val prop = forAll(Gen.nonEmptyListOf(ruleGen)) { rules =>
       val parsed = DqdlParser.parse("fuzz",
         rules.mkString("Rules = [ ", ", ", " ]"))
