@@ -359,5 +359,34 @@ object ParityQueries {
       (s, d) => Tables.lineitem(s, d).coalesce(1)
         .agg(count(lit(1)).as("n")),
       Some("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem")),
+
+    // Incremental aggregate maintenance end-to-end: two window-split
+    // refreshes of the crash-safe staged-swap table must equal one
+    // from-scratch aggregation over everything — decimal sums make the
+    // equality exact regardless of merge order. This puts the
+    // IncrementalAgg durability path itself under the oracle gate.
+    QueryDef("q_incremental_agg",
+      (s, d) => {
+        val tbl = "inc_agg_oracle_q"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"DROP TABLE IF EXISTS ${tbl}__staged")
+        val orders = Tables.orders(s, d)
+        graft.model.IncrementalAgg.refreshAdditive(s, tbl,
+          orders.filter(year(col("o_orderdate")) <= 1995),
+          Seq("o_orderpriority"), Seq("o_totalprice"),
+          incrementId = Some("w1"))
+        graft.model.IncrementalAgg.refreshAdditive(s, tbl,
+          orders.filter(year(col("o_orderdate")) > 1995),
+          Seq("o_orderpriority"), Seq("o_totalprice"),
+          incrementId = Some("w2"))
+        s.table(tbl).select(col("o_orderpriority"),
+          col("sum_o_totalprice").cast("double").as("total"),
+          col("n"))
+      },
+      Some("""SELECT o_orderpriority,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS total,
+             |CAST(COUNT(*) AS BIGINT) AS n
+             |FROM orders GROUP BY 1""".stripMargin)),
   )
 }
