@@ -24,13 +24,24 @@ import graft.text.TextAnalysis
   */
 object Curation {
 
+  /** Near-dup survivor policy: [[KeepMinId]] drops any row matching a
+    * smaller id (one anti-join — the cheap default); [[KeepBest]]
+    * clusters the pair graph and keeps the highest-quality doc per
+    * cluster (connectedComponents + the argmax aggregation — one extra
+    * clustering pass, survivors chosen by content quality instead of
+    * id order). */
+  sealed trait KeepPolicy
+  case object KeepMinId extends KeepPolicy
+  case object KeepBest extends KeepPolicy
+
   final case class Config(
       inPath: String,        // documents parquet
       benchPath: String,     // benchmark/eval documents parquet
       workDir: String,       // staging root
       minQuality: Double = 0.3,
       nearDupThreshold: Double = 0.5,
-      trainPct: Int = 90)
+      trainPct: Int = 90,
+      keepPolicy: KeepPolicy = KeepMinId)
 
   def pipeline(spark: SparkSession, cfg: Config)(
       implicit ec: ExecutionContext): Pipeline = {
@@ -56,8 +67,20 @@ object Curation {
         "exact_dedup")),
       Stage("near_dedup", Seq("exact_dedup"))(_ =>
         try write(
-          Dedup.dedupMinHash(read("exact_dedup"), "doc_id", "text",
-            threshold = cfg.nearDupThreshold),
+          cfg.keepPolicy match {
+            case KeepMinId =>
+              Dedup.dedupMinHash(read("exact_dedup"), "doc_id", "text",
+                threshold = cfg.nearDupThreshold)
+            case KeepBest =>
+              val in = read("exact_dedup")
+              val pairs = Dedup.minHashPairs(in, "doc_id", "text",
+                threshold = cfg.nearDupThreshold)
+              val clusters = Dedup.connectedComponents(pairs)
+              Dedup.keepBestPerCluster(
+                in.withColumn("__q",
+                  TextAnalysis.qualityScore(col("text"))),
+                clusters, "doc_id", "__q").drop("__q")
+          },
           "near_dedup")
         // the staged parquet write materializes the result — release
         // the signature caches dedupMinHash persisted, or repeated

@@ -48,6 +48,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter($"doc_id" < 5).count() == 0)
   }
 
+  test("KeepBest policy keeps the highest-quality doc of each cluster") {
+    val work = Files.createTempDirectory("curation-best").toString
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val in = s"$work/in"; val bench = s"$work/bench"
+    docs.filter($"doc_id" >= 5).write.parquet(in)
+    docs.filter($"doc_id" < 5).write.parquet(bench)
+    val cfg = Curation.Config(in, bench, s"$work/stages",
+      keepPolicy = Curation.KeepBest)
+    val res = Curation.pipeline(spark, cfg).run(window)
+    assert(res.succeeded, res.reports.filterNot(
+      _.outcome.isSuccess).mkString("; "))
+    val out = Curation.result(spark, cfg)
+    assert(out.count() > 0)
+    assert(out.select("doc_id").distinct().count() == out.count())
+    // same cardinality as min-id keep (one survivor per cluster) —
+    // only WHICH doc survives differs
+    val cfgMin = Curation.Config(in, bench, s"$work/stages_min")
+    assert(Curation.pipeline(spark, cfgMin).run(window).succeeded)
+    assert(out.count() == Curation.result(spark, cfgMin).count())
+  }
+
   test("DQ gate failure halts the split stage") {
     val work = Files.createTempDirectory("curation-fail").toString
     val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
