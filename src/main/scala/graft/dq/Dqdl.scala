@@ -279,6 +279,22 @@ final case class DistinctCount(column: String, op: String, n: Long)
     DqOps.compare(col(s"distinct_${column}_$t"), op, lit(n))
 }
 
+/** Newest event in `column` is at most `maxLagSeconds` behind `asOf`
+  * (DQDL `DataFreshness`): the did-the-feed-stop guard. `asOf` is an
+  * EXPLICIT reference instant rather than now() — rule evaluation
+  * stays a pure function of (data, ruleset), so reruns and backfills
+  * reproduce the same verdict; orchestration passes its window end. */
+final case class DataFreshness(column: String,
+    maxLagSeconds: Long, asOf: java.sql.Timestamp) extends DqRule {
+  val name = s"freshness_$column"
+  def metrics: Seq[Column] = Seq(
+    (lit(asOf).cast("long") - max(col(column)).cast("long"))
+      .as(s"lag_seconds_$column"))
+  def passed: Column =
+    col(s"lag_seconds_$column").isNotNull &&
+      col(s"lag_seconds_$column") <= maxLagSeconds
+}
+
 /** dbt `not_null` test — alias of IsComplete with dbt naming. */
 final case class NotNull(column: String) extends DqRule {
   val name = s"not_null_$column"

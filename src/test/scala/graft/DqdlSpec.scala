@@ -139,6 +139,48 @@ class DqdlSpec extends AnyFunSuite {
       Seq(ColumnValues("v", _.between(1.0, 3.0))))).passed)
   }
 
+  test("DataFreshness compares max event time against an explicit asOf") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00"))
+      .toDF("ts")
+    val asOf = ts("2024-01-01 12:00:00")
+    // newest event 30 min old: passes a 1h bound, fails a 10min bound
+    val ok = Dqdl.evaluate(df, Ruleset("t",
+      Seq(DataFreshness("ts", 3600L, asOf))))
+    assert(ok.passed)
+    assert(ok.metrics("lag_seconds_ts") == 1800L)
+    assert(!Dqdl.evaluate(df, Ruleset("t",
+      Seq(DataFreshness("ts", 600L, asOf)))).passed)
+    // an all-null column has no freshness — fail, not pass-by-null
+    val nulls = Seq(Option.empty[java.sql.Timestamp]).toDF("ts")
+    assert(!Dqdl.evaluate(nulls, Ruleset("t",
+      Seq(DataFreshness("ts", 3600L, asOf)))).passed)
+  }
+
+  test("SchemaDiff classifies drift: additive ok, removal/retype breaking") {
+    import org.apache.spark.sql.types._
+    val expected = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    assert(SchemaDiff.diff(expected, expected).isEmpty)
+    val widened = expected.add(StructField("extra", DoubleType))
+    val add = SchemaDiff.diff(expected, widened)
+    assert(!add.breaking && add.added.map(_._1) == Seq("extra"))
+    SchemaDiff.requireCompatible(expected, widened) // no throw
+    val dropped = StructType(Seq(StructField("id", LongType)))
+    assert(SchemaDiff.diff(expected, dropped).breaking)
+    val retyped = StructType(Seq(StructField("id", StringType),
+      StructField("name", StringType)))
+    val r = SchemaDiff.diff(expected, retyped)
+    assert(r.breaking && r.retyped.head._1 == "id")
+    intercept[IllegalArgumentException] {
+      SchemaDiff.requireCompatible(expected, retyped)
+    }
+    // name matching is case-insensitive (Spark's resolution)
+    val cased = StructType(Seq(StructField("ID", LongType),
+      StructField("Name", StringType)))
+    assert(SchemaDiff.diff(expected, cased).isEmpty)
+  }
+
   test("tiered same-op rules on one column do not collide") {
     val df = Seq(("a", 2.0), ("b", 4.0), ("c", 6.0)).toDF("k", "v")
     // two Sum > rules and two DistinctValuesCount = rules on the same
