@@ -260,7 +260,8 @@ object Dedup {
           if (ra != rb) { // union by min: smaller id becomes the root
             if (ra < rb) parent(rb) = ra else parent(ra) = rb
           }
-          parent.getOrElseUpdate(math.min(ra, rb), math.min(ra, rb))
+          val root = math.min(ra, rb)
+          parent.getOrElseUpdate(root, root)
         }
       val labeled = parent.keys.toSeq.map(id => (id, find(id)))
       return labeled.toDF("id", "cluster")
@@ -374,7 +375,7 @@ object Dedup {
       .agg(graft.functions.CappedCollectFunctions
         .capped_collect_list(elem, maxSize).as("__raw"))
       .filter(col("__raw").isNotNull && size(col("__raw")) >= 2)
-      .select(keys.map(col) :+ sort_array(col("__raw")).as("__es"): _*)
+      .select(sort_array(col("__raw")).as("__es"))
     val l = col("__es")
     val n = size(l)
     val pairs = flatten(transform(sequence(lit(0), n - 2), i =>

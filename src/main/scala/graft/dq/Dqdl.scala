@@ -138,19 +138,9 @@ final case class UniqueKey(column: String) extends DqRule {
 /** Table row count satisfies `op` against `n`.
   * (DQDL `RowCount > 1000` — the emptiness/volume guard.) */
 final case class RowCount(op: String, n: Long) extends DqRule {
-  val name = s"row_count_${op match {
-    case ">" => "gt"; case ">=" => "ge"; case "<" => "lt"
-    case "<=" => "le"; case "=" => "eq"; case o =>
-      throw new IllegalArgumentException(s"bad RowCount op $o")
-  }}_$n"
+  val name = s"row_count_${DqOps.tag(op)}_$n"
   def metrics: Seq[Column] = Seq.empty // row_count is always emitted
-  def passed: Column = op match {
-    case ">" => col("row_count") > n
-    case ">=" => col("row_count") >= n
-    case "<" => col("row_count") < n
-    case "<=" => col("row_count") <= n
-    case "=" => col("row_count") === n
-  }
+  def passed: Column = DqOps.compare(col("row_count"), op, lit(n))
 }
 
 /** Non-null ratio of `column` strictly above `threshold` — the

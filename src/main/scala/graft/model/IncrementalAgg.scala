@@ -19,17 +19,21 @@ object IncrementalAgg {
   private val GenProp = "graft.generation"
   private val IncProp = "graft.increment"
 
+  private def tableProps(spark: SparkSession,
+      table: String): Map[String, String] =
+    if (!spark.catalog.tableExists(table)) Map.empty
+    else spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(table))
+      .properties
+
   /** The staged/main generation counter: table property `graft.generation`,
     * set only AFTER the corresponding data write fully succeeded. A
     * missing table or property reads as generation 0, so a half-written
     * table (crash mid-write drops/recreates without the property) is
     * indistinguishable from an old one — exactly what recovery wants. */
   private def generation(spark: SparkSession, table: String): Long =
-    if (!spark.catalog.tableExists(table)) 0L
-    else spark.sessionState.catalog
-      .getTableMetadata(spark.sessionState.sqlParser
-        .parseTableIdentifier(table))
-      .properties.get(GenProp).map(_.toLong).getOrElse(0L)
+    tableProps(spark, table).get(GenProp).map(_.toLong).getOrElse(0L)
 
   private def setGeneration(spark: SparkSession, table: String,
       gen: Long, incrementId: Option[String]): Unit = {
@@ -40,11 +44,7 @@ object IncrementalAgg {
   }
 
   private def incrementOf(spark: SparkSession, table: String): Option[String] =
-    if (!spark.catalog.tableExists(table)) None
-    else spark.sessionState.catalog
-      .getTableMetadata(spark.sessionState.sqlParser
-        .parseTableIdentifier(table))
-      .properties.get(IncProp)
+    tableProps(spark, table).get(IncProp)
 
   /** Refresh `aggTable` with `increment` (raw rows, not aggregated):
     * result equals aggregating (history + increment) from scratch, for

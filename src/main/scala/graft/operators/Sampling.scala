@@ -57,12 +57,8 @@ object Sampling {
     * clusters together. Same narrow-map scale shape as
     * [[splitByHash]]. */
   def splitByGroup(df: DataFrame, groupCol: String,
-      trainPct: Int = 90): DataFrame = {
-    require(trainPct >= 0 && trainPct <= 100)
-    df.withColumn("split",
-      when(hashBucket(col(groupCol), 100) < trainPct, lit("train"))
-        .otherwise(lit("eval")))
-  }
+      trainPct: Int = 90): DataFrame =
+    splitByHash(df, groupCol, trainPct) // same mechanism, keyed on the group
 
   /** EXACT per-stratum quota sample: within each `stratumCol` value,
     * keep exactly ceil(frac × stratum size) rows — the corpus-balancing

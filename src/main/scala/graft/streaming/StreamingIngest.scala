@@ -186,31 +186,43 @@ object StreamingIngest {
       if (v == null) "null"
       else "v:" + java.net.URLEncoder.encode(v.toString, "UTF-8")
 
+    // ledger files are read ONCE per drain (at first use) and kept
+    // current in memory as batches record — re-listing and re-reading
+    // every file per batch would be O(batches²) filesystem reads over
+    // a long drain. The files remain the source of truth across runs.
+    private lazy val byBatch: scala.collection.mutable.Map[Long, Set[String]] =
+      scala.collection.mutable.Map.empty[Long, Set[String]] ++ (
+        if (!fs.exists(dir)) Nil
+        else fs.listStatus(dir).iterator
+          .filter(s => s.isFile &&
+            s.getPath.getName.matches("batch-\\d+"))
+          .map { s =>
+            val id = s.getPath.getName.stripPrefix("batch-").toLong
+            val in = fs.open(s.getPath)
+            val lines =
+              try scala.io.Source.fromInputStream(in, "UTF-8")
+                .getLines().toSet
+              finally in.close()
+            id -> lines
+          }.toList)
+
     /** Members of `parts` already recorded by any batch EXCEPT
       * `batchId` (a replay of batchId overwrites its own partitions —
       * that's idempotent, not a conflict). */
     def overlap(batchId: Long, parts: Set[Any]): Set[Any] = {
-      val seen = seenByOthers(batchId)
+      val seen = byBatch.collect {
+        case (id, vs) if id != batchId => vs
+      }.foldLeft(Set.empty[String])(_ union _)
       parts.filter(p => seen.contains(enc(p)))
     }
 
-    private def seenByOthers(batchId: Long): Set[String] =
-      if (!fs.exists(dir)) Set.empty
-      else fs.listStatus(dir).iterator
-        .filter(s => s.isFile && s.getPath.getName.startsWith("batch-"))
-        .filterNot(_.getPath.getName == s"batch-$batchId")
-        .flatMap { s =>
-          val in = fs.open(s.getPath)
-          try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().toList
-          finally in.close()
-        }.toSet
-
     def record(batchId: Long, parts: Set[Any]): Unit = {
+      val encoded = parts.map(enc)
       val out = fs.create(new Path(dir, s"batch-$batchId"), true)
-      try out.write(parts.map(enc).mkString("\n")
+      try out.write(encoded.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      byBatch(batchId) = encoded
     }
   }
 
