@@ -450,6 +450,34 @@ object BreadthQueries {
     // element_at in both engines; slice start/length vs start/end
     // aligned explicitly). Array results are serialized with
     // array_join so the hash compare sees scalar strings.
+    // lambda higher-order functions (filter/transform/aggregate/
+    // exists/forall) over the embedding arrays — the declarative
+    // array-processing surface (CodegenFallback in Spark, hence the
+    // custom expressions for HOT loops; this query pins the semantics).
+    // The aggregate fold prepends the 0.0 init on BOTH engines so the
+    // accumulation sequence — and therefore every IEEE rounding — is
+    // identical.
+    QueryDef("q_array_hof",
+      (s, d) => Tables.embeddings(s, d).select(col("vec_id"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x)
+          .as("emb_sum"),
+        element_at(transform(col("embedding"), x => x * 2.0), 1)
+          .as("first_doubled"),
+        exists(col("embedding"), x => x > 3.0).as("any_gt3"),
+        forall(col("embedding"), x => x > -100.0).as("all_gt_m100")),
+      Some("""SELECT vec_id,
+             |CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)
+             |  AS n_pos,
+             |list_reduce(list_prepend(CAST(0.0 AS DOUBLE), embedding),
+             |  (acc, x) -> acc + x) AS emb_sum,
+             |CAST(list_transform(embedding, x -> x * 2.0)[1] AS DOUBLE)
+             |  AS first_doubled,
+             |len(list_filter(embedding, x -> x > 3.0)) > 0 AS any_gt3,
+             |len(list_filter(embedding, x -> NOT (x > -100.0))) = 0
+             |  AS all_gt_m100
+             |FROM embeddings""".stripMargin)),
+
     QueryDef("q_array_funcs",
       (s, d) => {
         val words = split(col("p_name"), " ")
