@@ -368,8 +368,18 @@ object ParityQueries {
     QueryDef("q_incremental_agg",
       (s, d) => {
         val tbl = "inc_agg_oracle_q"
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        s.sql(s"DROP TABLE IF EXISTS ${tbl}__staged")
+        // drop catalog entries AND stale warehouse directories: a
+        // previous JVM session's managed-table dir survives while the
+        // in-memory catalog does not, and CREATE refuses a non-empty
+        // location (LOCATION_ALREADY_EXISTS)
+        Seq(tbl, s"${tbl}__staged").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.sessionState.catalog.defaultTablePath(
+              s.sessionState.sqlParser.parseTableIdentifier(t)))
+          val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
         val orders = Tables.orders(s, d)
         graft.model.IncrementalAgg.refreshAdditive(s, tbl,
           orders.filter(year(col("o_orderdate")) <= 1995),
