@@ -131,10 +131,48 @@ object ExtensionQueries {
              |SELECT lang, source, doc_id AS best_doc_id
              |FROM r WHERE rn = 1""".stripMargin)),
 
-    // SimHash Hamming<=3 pairs (rows-only)
+    // SimHash Hamming<=3 pairs — EXACTLY oracled: the pigeonhole
+    // bucketing (maxDist < chunks) is complete, and no chunk bucket
+    // can exceed the cap at this corpus size, so the engine's output
+    // equals the exact all-pairs Hamming join. DuckDB replicates the
+    // per-token FNV-1a (HUGEINT arithmetic mod 2^64 — BIGINT would
+    // error on overflow), the 64 bit-votes, and the sign-vote fold —
+    // the corpus is ASCII, so char-level iteration agrees across
+    // engines.
     QueryDef("q_dedup_simhash",
       (s, d) => Dedup.simHashPairs(Tables.documents(s, d), "doc_id",
-        "text"), None),
+        "text"),
+      Some {
+        val votes = (0 until 64).map(b =>
+          s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+          .mkString(",\n")
+        val simTerms = (0 until 64).map(b =>
+          s"(CASE WHEN v$b > 0 THEN CAST(${java.lang.Long
+            .toUnsignedString(1L << b)} AS UBIGINT) " +
+            "ELSE CAST(0 AS UBIGINT) END)").mkString(" + ")
+        s"""WITH t AS (SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN []
+           |  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+           |  FROM documents),
+           |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+           |h AS (SELECT doc_id, CAST(list_reduce(
+           |  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+           |    list_transform(string_split(tok, ''),
+           |      c -> CAST(ascii(c) AS HUGEINT))),
+           |  (acc, c) -> (xor(acc, c) * CAST(1099511628211 AS HUGEINT))
+           |              % CAST(18446744073709551616 AS HUGEINT))
+           |  AS UBIGINT) AS th
+           |  FROM tok),
+           |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+           |s AS (SELECT doc_id, $simTerms AS sim FROM v),
+           |alldocs AS (SELECT t.doc_id,
+           |  COALESCE(s.sim, CAST(0 AS UBIGINT)) AS sim
+           |  FROM t LEFT JOIN s USING (doc_id))
+           |SELECT a.doc_id AS idA, b.doc_id AS idB,
+           |CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS dist
+           |FROM alldocs a JOIN alldocs b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+      }),
 
     // n-gram Jaccard pairs, oracled against the exact all-pairs 3-gram
     // jaccard at 0.4 (same validity argument as q_dedup_minhash: the
