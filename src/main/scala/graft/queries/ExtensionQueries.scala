@@ -20,6 +20,45 @@ import graft.util.Tables
 object ExtensionQueries {
 
   /** Tokens in portable SQL (DuckDB): mirrors TextAnalysis.tokens. */
+  /** SQL for the deterministic hyperplane LSH, shared by the
+    * q_dedup_embed / q_ann_lsh oracles: the seeded hyperplanes embed
+    * as double literals, and every fold is written in the exact
+    * left-associated order the codegen expressions execute, so DuckDB
+    * reproduces each IEEE rounding — buckets and cosines are
+    * bit-identical. */
+  private object LshSql {
+    val tables = 8; val planes = 4; val dim = 64
+    private def dot(h: IndexedSeq[Double], v: String): String =
+      (0 until dim).map(i =>
+        s"CAST($v[${i + 1}] AS DOUBLE) * ${h(i)}")
+        .mkString("(0.0 + ", " + ", ")")
+    private def bucket(t: Int, v: String): String = {
+      val hs = graft.similarity.Similarity
+        .hyperplanes(dim, planes, 42L + 1000L * t)
+      (0 until planes).map(j =>
+        s"(CASE WHEN ${dot(hs(j).toIndexedSeq, v)} > 0.0 " +
+          s"THEN ${1L << j} ELSE 0 END)").mkString("(", " + ", ")")
+    }
+    /** b0..b7 bucket columns over column `v`. */
+    def bucketCols(v: String): String = (0 until tables)
+      .map(t => s"${bucket(t, v)} AS b$t").mkString(",\n")
+    /** any-of-L collision predicate between aliases `a` and `b`. */
+    def anyCollide(a: String, b: String): String = (0 until tables)
+      .map(t => s"$a.b$t = $b.b$t").mkString(" OR ")
+    private def fold(expr: Int => String): String =
+      (0 until dim).map(expr).mkString("(0.0 + ", " + ", ")")
+    /** cosine(va, vb) in the one-pass expression's exact op order. */
+    def cosine(va: String, vb: String): String = {
+      val dotAB = fold(i =>
+        s"CAST($va[${i + 1}] AS DOUBLE) * CAST($vb[${i + 1}] AS DOUBLE)")
+      val sx = fold(i =>
+        s"CAST($va[${i + 1}] AS DOUBLE) * CAST($va[${i + 1}] AS DOUBLE)")
+      val sy = fold(i =>
+        s"CAST($vb[${i + 1}] AS DOUBLE) * CAST($vb[${i + 1}] AS DOUBLE)")
+      s"$dotAB / sqrt($sx * $sy)"
+    }
+  }
+
   private val sqlTokens =
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
@@ -198,9 +237,29 @@ object ExtensionQueries {
     // embedding-cosine near-dup pairs (rows-only). Threshold 0.35 sits
     // at the top ~0.1% of this corpus's random-vector cosine
     // distribution (max ≈ 0.51) — production near-dup would use ~0.95.
+    // EXACTLY oracled despite being LSH: the hyperplanes are
+    // deterministic (seeded), so they embed into the SQL as double
+    // literals and DuckDB recomputes the same sign-pattern buckets —
+    // dot products and cosine written as the same left-associated
+    // fold the codegen expressions execute, so every IEEE rounding
+    // agrees. Candidates = pairs colliding in ANY of the 8 tables
+    // (the bucket cap is unreachable at this corpus size), verified
+    // by exact cosine ≥ threshold.
     QueryDef("q_dedup_embed",
       (s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d),
-        "vec_id", "embedding", threshold = 0.35), None),
+        "vec_id", "embedding", threshold = 0.35),
+      Some {
+        s"""WITH b AS (SELECT vec_id, embedding,
+           |${LshSql.bucketCols("embedding")}
+           |FROM embeddings),
+           |p AS (SELECT a.vec_id AS idA, b2.vec_id AS idB,
+           |  a.embedding AS va, b2.embedding AS vb
+           |  FROM b a JOIN b b2 ON a.vec_id < b2.vec_id
+           |  AND (${LshSql.anyCollide("a", "b2")})),
+           |c AS (SELECT idA, idB,
+           |  ${LshSql.cosine("va", "vb")} AS cosine FROM p)
+           |SELECT idA, idB, cosine FROM c WHERE cosine >= 0.35""".stripMargin
+      }),
 
     // --------------------------------------------------------- similarity
 
@@ -228,13 +287,33 @@ object ExtensionQueries {
              |  FROM e CROSS JOIN q)
              |WHERE rk <= 10""".stripMargin)),
 
-    // LSH-bucketed ANN, same shape (rows-only)
+    // LSH-bucketed ANN — exactly oracled the same way as
+    // q_dedup_embed: literal hyperplanes, bit-identical buckets and
+    // cosines, then the identical rank/tie-break. The query vectors
+    // are corpus members (vec_id < 5), so self-matches rank first on
+    // both sides.
     QueryDef("q_ann_lsh",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.lshTopK(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
-      }, None),
+      },
+      Some {
+        s"""WITH b AS (SELECT vec_id, embedding,
+           |${LshSql.bucketCols("embedding")}
+           |FROM embeddings),
+           |p AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS id,
+           |  q.embedding AS qv, c.embedding AS cv
+           |  FROM b q JOIN b c ON q.vec_id < 5
+           |  AND (${LshSql.anyCollide("q", "c")})),
+           |s AS (SELECT query_id, id,
+           |  ${LshSql.cosine("cv", "qv")} AS cosine FROM p),
+           |r AS (SELECT query_id, id, cosine,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, id ASC) AS rank FROM s)
+           |SELECT query_id, id, cosine, CAST(rank AS INTEGER) AS rank
+           |FROM r WHERE rank <= 10""".stripMargin
+      }),
 
     // IVF ANN: trained coarse quantizer, nprobe cells per query
     // (rows-only; recall asserted in SimilaritySpec)
