@@ -285,6 +285,31 @@ final case class DataFreshness(column: String,
       col(s"lag_seconds_$column") <= maxLagSeconds
 }
 
+/** Arbitrary SQL metric compared against a threshold — Glue DQDL's
+  * `CustomSql "select count(*) from primary" > 0` escape hatch. The
+  * rule's frame is exposed as the temp view `primary` (Glue's
+  * convention); the query must return one row and its FIRST column is
+  * the metric. Runs as its own side aggregation (it cannot fold into
+  * the shared single-pass aggregate), so prefer the declarative rules
+  * where one exists — each CustomSql is an extra scan. */
+final case class CustomSql(sql: String, op: String, value: Double)
+    extends DqRule {
+  private val t = s"${DqOps.tag(op)}_${DqOps.numTag(value)}"
+  // name must be deterministic + collision-free across distinct SQL:
+  // a short stable hash of the statement text
+  private val sqlTag = java.lang.Integer.toHexString(sql.hashCode)
+  val name = s"custom_sql_${sqlTag}_$t"
+  def metrics: Seq[Column] = Seq.empty
+  override def sideMetrics(df: DataFrame): Option[DataFrame] = {
+    df.createOrReplaceTempView("primary")
+    val out = df.sparkSession.sql(sql)
+    Some(out.select(col(out.columns.head).cast("double")
+      .as(s"custom_$sqlTag")))
+  }
+  def passed: Column =
+    DqOps.compare(col(s"custom_$sqlTag"), op, lit(value))
+}
+
 /** dbt `not_null` test — alias of IsComplete with dbt naming. */
 final case class NotNull(column: String) extends DqRule {
   val name = s"not_null_$column"

@@ -40,6 +40,8 @@ object DqdlParser {
     """Sum\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*(-?[\d.]+)""".r
   private val DistinctCountRe =
     """DistinctValuesCount\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*(\d+)""".r
+  private val CustomSqlRe =
+    """CustomSql\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*(-?[\d.]+)""".r
 
   def parse(name: String, dqdl: String): Ruleset = {
     val body = dqdl match {
@@ -70,6 +72,7 @@ object DqdlParser {
     case StdDevRe(c, lo, hi) => StdDevInRange(c, lo.toDouble, hi.toDouble)
     case SumRe(c, op, v) => SumCmp(c, op, v.toDouble)
     case DistinctCountRe(c, op, n) => DistinctCount(c, op, n.toLong)
+    case CustomSqlRe(sql, op, v) => CustomSql(sql, op, v.toDouble)
     case ColumnValuesBetweenRe(c, lo, hi) =>
       ColumnValues(c, _.between(lo.toDouble, hi.toDouble))
     case ColumnValuesRe(c, op, v) =>

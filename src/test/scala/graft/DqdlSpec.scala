@@ -139,6 +139,32 @@ class DqdlSpec extends AnyFunSuite {
       Seq(ColumnValues("v", _.between(1.0, 3.0))))).passed)
   }
 
+  test("CustomSql evaluates over the `primary` view via a side pass") {
+    val df = Seq(1.0, 2.0, 3.0, -4.0).toDF("v")
+    val rs = DqdlParser.parse("custom",
+      """Rules = [ CustomSql "SELECT count(*) FROM primary WHERE v < 0" = 1,
+        | RowCount > 3 ]""".stripMargin)
+    assert(rs.rules.collect { case CustomSql(sql, op, v) =>
+      (op, v) } == Seq(("=", 1.0)))
+    val verdict = Dqdl.evaluate(df, rs)
+    assert(verdict.passed, verdict.toString)
+    assert(!Dqdl.evaluate(df, Ruleset("t", Seq(
+      CustomSql("SELECT count(*) FROM primary WHERE v < 0", "=", 0.0)
+    ))).passed)
+    // two DIFFERENT CustomSql rules coexist (hash-tagged aliases)
+    val both = Dqdl.evaluate(df, Ruleset("t", Seq(
+      CustomSql("SELECT count(*) FROM primary WHERE v < 0", "=", 1.0),
+      CustomSql("SELECT max(v) FROM primary", "<=", 3.0))))
+    assert(both.passed, both.toString)
+    // per-partition evaluation rejects CustomSql loudly (no silent
+    // wrong answers — the side pass has no per-partition compilation)
+    intercept[IllegalArgumentException] {
+      Dqdl.evaluateByPartition(df.selectExpr("v", "'a' AS p"),
+        Ruleset("t", Seq(CustomSql(
+          "SELECT count(*) FROM primary", ">", 0.0))), "p").collect()
+    }
+  }
+
   test("DataFreshness compares max event time against an explicit asOf") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00"))
