@@ -30,6 +30,11 @@ sealed trait DqRule {
     * unaggregated input (e.g. exactly-once Uniqueness). Cross-joined
     * (1×1) into the verdict row. */
   def sideMetrics(df: DataFrame): Option[DataFrame] = None
+  /** True when the rule contributes [[sideMetrics]] — a cheap static
+    * flag so evaluation shapes can be validated WITHOUT invoking
+    * sideMetrics (which may carry side effects, e.g. CustomSql's temp
+    * view). Must be overridden together with sideMetrics. */
+  def hasSide: Boolean = false
   /** True when [[sideMetrics]] is a schema-level constant (no data
     * scan) — per-partition evaluation can cross-join it unchanged
     * instead of needing a per-partition recompilation. */
@@ -93,6 +98,7 @@ final case class ColumnLength(column: String, len: Int) extends DqRule {
 final case class Uniqueness(column: String, threshold: Double) extends DqRule {
   val name = s"uniqueness_$column"
   def metrics: Seq[Column] = Seq.empty
+  override def hasSide: Boolean = true
   override def sideMetrics(df: DataFrame): Option[DataFrame] = Some(
     df.groupBy(col(column)).agg(count(lit(1)).as("__cnt"))
       .agg((sum(when(col("__cnt") === 1L, 1L).otherwise(0L)).cast("double") /
@@ -195,6 +201,7 @@ final case class UniqueCombination(columns: Seq[String]) extends DqRule {
 final case class ColumnExists(column: String) extends DqRule {
   val name = s"column_exists_$column"
   def metrics: Seq[Column] = Seq.empty
+  override def hasSide: Boolean = true
   override def sideIsConstant: Boolean = true
   override def sideMetrics(df: DataFrame): Option[DataFrame] = Some(
     df.sparkSession.range(1)
@@ -276,35 +283,51 @@ final case class DistinctCount(column: String, op: String, n: Long)
   * reproduce the same verdict; orchestration passes its window end. */
 final case class DataFreshness(column: String,
     maxLagSeconds: Long, asOf: java.sql.Timestamp) extends DqRule {
-  val name = s"freshness_$column"
+  // threshold in the name AND alias: tiered freshness (warn at 10min,
+  // fail at 1h) on one column must not collide in the shared agg
+  private val t = s"${column}_${maxLagSeconds}s"
+  val name = s"freshness_$t"
   def metrics: Seq[Column] = Seq(
     (lit(asOf).cast("long") - max(col(column)).cast("long"))
-      .as(s"lag_seconds_$column"))
+      .as(s"lag_seconds_$t"))
   def passed: Column =
-    col(s"lag_seconds_$column").isNotNull &&
-      col(s"lag_seconds_$column") <= maxLagSeconds
+    col(s"lag_seconds_$t").isNotNull &&
+      col(s"lag_seconds_$t") <= maxLagSeconds
 }
 
 /** Arbitrary SQL metric compared against a threshold — Glue DQDL's
   * `CustomSql "select count(*) from primary" > 0` escape hatch. The
   * rule's frame is exposed as the temp view `primary` (Glue's
-  * convention); the query must return one row and its FIRST column is
-  * the metric. Runs as its own side aggregation (it cannot fold into
-  * the shared single-pass aggregate), so prefer the declarative rules
-  * where one exists — each CustomSql is an extra scan. */
+  * convention — the name is RESERVED while the rule evaluates: a
+  * pre-existing session temp view called `primary` is replaced, and
+  * the view is dropped afterwards); the query must return exactly ONE
+  * row (enforced loudly) and its FIRST column is the metric. Runs as
+  * its own eager side evaluation (it cannot fold into the shared
+  * single-pass aggregate), so prefer the declarative rules where one
+  * exists — each CustomSql is an extra scan. */
 final case class CustomSql(sql: String, op: String, value: Double)
     extends DqRule {
   private val t = s"${DqOps.tag(op)}_${DqOps.numTag(value)}"
-  // name must be deterministic + collision-free across distinct SQL:
-  // a short stable hash of the statement text
-  private val sqlTag = java.lang.Integer.toHexString(sql.hashCode)
-  val name = s"custom_sql_${sqlTag}_$t"
+  // deterministic name/alias: a short hash of the statement text plus
+  // the op/value tag, so the same SQL under two thresholds (tiered
+  // guards) cannot collide (hash collisions across genuinely distinct
+  // statements remain theoretically possible — 32 bits)
+  private val sqlTag =
+    s"${java.lang.Integer.toHexString(sql.hashCode)}_$t"
+  val name = s"custom_sql_$sqlTag"
   def metrics: Seq[Column] = Seq.empty
+  override def hasSide: Boolean = true
   override def sideMetrics(df: DataFrame): Option[DataFrame] = {
+    val spark = df.sparkSession
     df.createOrReplaceTempView("primary")
-    val out = df.sparkSession.sql(sql)
-    Some(out.select(col(out.columns.head).cast("double")
-      .as(s"custom_$sqlTag")))
+    val rows =
+      try spark.sql(sql).limit(2).collect()
+      finally spark.catalog.dropTempView("primary")
+    require(rows.length == 1,
+      s"CustomSql must return exactly one row, got ${rows.length}: $sql")
+    val metric = Option(rows.head.get(0)).map(_.toString.toDouble)
+    Some(spark.range(1).select(
+      lit(metric.orNull).cast("double").as(s"custom_$sqlTag")))
   }
   def passed: Column =
     DqOps.compare(col(s"custom_$sqlTag"), op, lit(value))
@@ -364,8 +387,10 @@ object Dqdl {
       partitionCol: String): DataFrame = {
     // defensive: every side-aggregating rule must have a per-partition
     // compilation below (today: Uniqueness, plus constant sides like
-    // ColumnExists that hold for every partition unchanged)
-    ruleset.rules.filter(_.sideMetrics(df).nonEmpty).foreach(r =>
+    // ColumnExists that hold for every partition unchanged). Checked
+    // via the static hasSide flag — invoking sideMetrics here would
+    // fire side effects (CustomSql) before the rejection
+    ruleset.rules.filter(_.hasSide).foreach(r =>
       require(r.isInstanceOf[Uniqueness] || r.sideIsConstant,
         s"rule ${r.name} has no per-partition compilation"))
     val metricCols = compiledMetrics(ruleset)

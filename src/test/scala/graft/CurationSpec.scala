@@ -62,11 +62,13 @@ class CurationSpec extends AnyFunSuite {
     val out = Curation.result(spark, cfg)
     assert(out.count() > 0)
     assert(out.select("doc_id").distinct().count() == out.count())
-    // same cardinality as min-id keep (one survivor per cluster) —
-    // only WHICH doc survives differs
+    // KeepBest keeps exactly one survivor per connected component;
+    // min-id keep can keep MORE (a star component a-c, b-c with no a-b
+    // pair keeps both a and b), so cluster-level survival is at most
+    // the min-id count — never above it
     val cfgMin = Curation.Config(in, bench, s"$work/stages_min")
     assert(Curation.pipeline(spark, cfgMin).run(window).succeeded)
-    assert(out.count() == Curation.result(spark, cfgMin).count())
+    assert(out.count() <= Curation.result(spark, cfgMin).count())
   }
 
   test("DQ gate failure halts the split stage") {

@@ -151,11 +151,19 @@ class DqdlSpec extends AnyFunSuite {
     assert(!Dqdl.evaluate(df, Ruleset("t", Seq(
       CustomSql("SELECT count(*) FROM primary WHERE v < 0", "=", 0.0)
     ))).passed)
-    // two DIFFERENT CustomSql rules coexist (hash-tagged aliases)
+    // two DIFFERENT CustomSql rules coexist (hash-tagged aliases),
+    // and so do two thresholds over the SAME statement (tiered)
     val both = Dqdl.evaluate(df, Ruleset("t", Seq(
       CustomSql("SELECT count(*) FROM primary WHERE v < 0", "=", 1.0),
-      CustomSql("SELECT max(v) FROM primary", "<=", 3.0))))
-    assert(both.passed, both.toString)
+      CustomSql("SELECT max(v) FROM primary", "<=", 3.0),
+      CustomSql("SELECT max(v) FROM primary", "<=", 1.0))))
+    assert(!both.passed, both.toString)
+    assert(both.ruleResults.count(_._2) == 2, both.toString)
+    // a multi-row metric query fails loudly, not nondeterministically
+    intercept[IllegalArgumentException] {
+      Dqdl.evaluate(df, Ruleset("t", Seq(CustomSql(
+        "SELECT v, count(*) FROM primary GROUP BY v", ">", 0.0))))
+    }
     // per-partition evaluation rejects CustomSql loudly (no silent
     // wrong answers — the side pass has no per-partition compilation)
     intercept[IllegalArgumentException] {
@@ -174,7 +182,12 @@ class DqdlSpec extends AnyFunSuite {
     val ok = Dqdl.evaluate(df, Ruleset("t",
       Seq(DataFreshness("ts", 3600L, asOf))))
     assert(ok.passed)
-    assert(ok.metrics("lag_seconds_ts") == 1800L)
+    assert(ok.metrics("lag_seconds_ts_3600s") == 1800L)
+    // tiered freshness on one column: threshold-tagged aliases coexist
+    val tiered = Dqdl.evaluate(df, Ruleset("t", Seq(
+      DataFreshness("ts", 600L, asOf), DataFreshness("ts", 3600L, asOf))))
+    assert(!tiered.ruleResults("freshness_ts_600s"))
+    assert(tiered.ruleResults("freshness_ts_3600s"))
     assert(!Dqdl.evaluate(df, Ruleset("t",
       Seq(DataFreshness("ts", 600L, asOf)))).passed)
     // an all-null column has no freshness — fail, not pass-by-null
