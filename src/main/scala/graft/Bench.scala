@@ -36,16 +36,31 @@ object Bench {
     // queries aren't charged the warmup's garbage
     spark.catalog.clearCache()
     System.gc()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Median-of-3 per query: a single-shot timing is hostage to whatever
+    // else the machine is doing (round 3's bench artifact showed a fake
+    // ~2× regression from external load that a controlled re-run
+    // disproved). Three runs and the median make one contended run
+    // harmless; the reported spread (max-min) lets a reader judge how
+    // noisy the session was without re-running anything.
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       finally graft.dedup.Dedup.releaseCaches()
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val samples = (1 to runsPerQuery).map(_ => timeOnce(fn)).sorted
+      val median = samples(samples.size / 2)
+      name -> (median, samples.last - samples.head)
+    }
+    def fmt(sel: ((Double, Double)) => Double) = results
+      .map { case (k, v) => "\"" + k + "\":" + sel(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = fmt(_._1)
+    val spreads = fmt(_._2)
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,19 +25,60 @@ object Dedup {
   // Cache bookkeeping: minHashPairs / embeddingNearDupPairs persist the
   // signature/bucket stage (it feeds 2-3 downstream joins). In a
   // long-lived session those cached blocks would otherwise accumulate
-  // until eviction pressure — callers that are done with the returned
-  // DataFrames should call releaseCaches().
+  // until eviction pressure. Two release paths:
+  //  - per-call: wrap the dedup call in [[scoped]] and release the
+  //    returned handle — concurrent dedup jobs in one session then
+  //    can't release each other's caches;
+  //  - session-wide: [[releaseCaches]] drops everything tracked
+  //    OUTSIDE any scope (the single-job convenience path Bench/Verify
+  //    use between queries).
   private val persistedDfs =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  private def trackPersist(df: DataFrame): DataFrame = synchronized {
-    persistedDfs += df
+  /** Handle over the intermediates one scoped dedup call persisted —
+    * same shape as [[graft.sources.BadRecordSplit]]'s Split handle:
+    * the caller that created the caches owns their release. */
+  final class CacheHandle private[Dedup] () {
+    private val dfs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    private[Dedup] def track(df: DataFrame): Unit = synchronized { dfs += df }
+    private[graft] def trackedCount: Int = synchronized(dfs.size)
+    /** Unpersist every intermediate tracked on THIS handle
+      * (blocking=false). Safe while results are still referenced —
+      * Spark recomputes on next action. */
+    def release(): Unit = synchronized {
+      dfs.foreach(_.unpersist(false))
+      dfs.clear()
+    }
+  }
+
+  // persists register on the innermost active scope's handle; the
+  // scope is carried on a DynamicVariable (thread-local with
+  // inheritance), which is sound because persist() happens at plan
+  // construction on the caller's thread, not inside Spark tasks
+  private val currentScope =
+    new scala.util.DynamicVariable[Option[CacheHandle]](None)
+
+  /** Run `f` in its own cache scope: every intermediate Dedup persists
+    * while `f` builds its plans is tracked on the returned handle
+    * instead of the module-global registry. Release the handle when
+    * done with the returned DataFrames. */
+  def scoped[T](f: => T): (T, CacheHandle) = {
+    val h = new CacheHandle
+    (currentScope.withValue(Some(h))(f), h)
+  }
+
+  private def trackPersist(df: DataFrame): DataFrame = {
+    currentScope.value match {
+      case Some(h) => h.track(df)
+      case None => synchronized { persistedDfs += df }
+    }
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Unpersist every intermediate this module cached (blocking=false).
-    * Safe to call while results are still referenced — Spark will
-    * recompute on next action. */
+  /** Unpersist every UNSCOPED intermediate this module cached
+    * (blocking=false) — caches created inside a [[scoped]] block belong
+    * to their handle and are untouched. Safe to call while results are
+    * still referenced — Spark will recompute on next action. */
   def releaseCaches(): Unit = synchronized {
     persistedDfs.foreach(_.unpersist(false))
     persistedDfs.clear()

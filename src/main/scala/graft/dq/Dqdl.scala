@@ -1,6 +1,6 @@
 package graft.dq
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality rules, modeled after the reference's DQDL
@@ -298,39 +298,59 @@ final case class DataFreshness(column: String,
 /** Arbitrary SQL metric compared against a threshold — Glue DQDL's
   * `CustomSql "select count(*) from primary" > 0` escape hatch. The
   * rule's frame is exposed as the temp view `primary` (Glue's
-  * convention — the name is RESERVED while the rule evaluates: a
-  * pre-existing session temp view called `primary` is replaced, and
-  * the view is dropped afterwards); the query must return exactly ONE
-  * row (enforced loudly) and its FIRST column is the metric. Runs as
-  * its own eager side evaluation (it cannot fold into the shared
-  * single-pass aggregate), so prefer the declarative rules where one
-  * exists — each CustomSql is an extra scan. */
+  * convention). The name is session-global, so evaluations are
+  * SERIALIZED per JVM and a pre-existing user view called `primary`
+  * is saved and restored around the rule rather than destroyed. The
+  * query must return exactly ONE row (enforced loudly) and its FIRST
+  * column is the metric. Runs as its own eager side evaluation (it
+  * cannot fold into the shared single-pass aggregate), so prefer the
+  * declarative rules where one exists — each CustomSql is an extra
+  * scan. */
 final case class CustomSql(sql: String, op: String, value: Double)
     extends DqRule {
   private val t = s"${DqOps.tag(op)}_${DqOps.numTag(value)}"
-  // deterministic name/alias: a short hash of the statement text plus
-  // the op/value tag, so the same SQL under two thresholds (tiered
-  // guards) cannot collide (hash collisions across genuinely distinct
-  // statements remain theoretically possible — 32 bits)
-  private val sqlTag =
-    s"${java.lang.Integer.toHexString(sql.hashCode)}_$t"
+  // deterministic name/alias: a 64-bit digest of the statement text
+  // plus the op/value tag, so the same SQL under two thresholds
+  // (tiered guards) cannot collide and distinct statements would need
+  // a 2^-64 MD5-prefix collision to alias each other
+  private val sqlTag = s"${CustomSql.digest64(sql)}_$t"
   val name = s"custom_sql_$sqlTag"
   def metrics: Seq[Column] = Seq.empty
   override def hasSide: Boolean = true
-  override def sideMetrics(df: DataFrame): Option[DataFrame] = {
-    val spark = df.sparkSession
-    df.createOrReplaceTempView("primary")
-    val rows =
-      try spark.sql(sql).limit(2).collect()
-      finally spark.catalog.dropTempView("primary")
-    require(rows.length == 1,
-      s"CustomSql must return exactly one row, got ${rows.length}: $sql")
-    val metric = Option(rows.head.get(0)).map(_.toString.toDouble)
-    Some(spark.range(1).select(
-      lit(metric.orNull).cast("double").as(s"custom_$sqlTag")))
-  }
+  override def sideMetrics(df: DataFrame): Option[DataFrame] =
+    CustomSql.primaryViewLock.synchronized {
+      val spark = df.sparkSession
+      val prior = GraftSqlShims.saveTempView(spark, "primary")
+      df.createOrReplaceTempView("primary")
+      val rows =
+        try spark.sql(sql).limit(2).collect()
+        finally {
+          spark.catalog.dropTempView("primary")
+          GraftSqlShims.restoreTempView(spark, "primary", prior)
+        }
+      require(rows.length == 1,
+        s"CustomSql must return exactly one row, got ${rows.length}: $sql")
+      val metric = Option(rows.head.get(0)).map(_.toString.toDouble)
+      Some(spark.range(1).select(
+        lit(metric.orNull).cast("double").as(s"custom_$sqlTag")))
+    }
   def passed: Column =
     DqOps.compare(col(s"custom_$sqlTag"), op, lit(value))
+}
+
+object CustomSql {
+  /** The `primary` view name is fixed by the Glue convention and
+    * session-global, so two rulesets evaluating concurrently in one
+    * JVM would race on it — one rule's SQL could read the other's
+    * frame. The side pass is driver-side cheap (plan + collect of one
+    * row), so a JVM-wide lock costs nothing measurable. */
+  private[dq] val primaryViewLock = new Object
+  /** First 64 bits of MD5 over the statement text, hex-encoded. */
+  def digest64(sql: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
 }
 
 /** dbt `not_null` test — alias of IsComplete with dbt naming. */

@@ -39,8 +39,19 @@ object Joins {
   def bloomPrune(large: DataFrame, largeKey: String, small: DataFrame,
       smallKey: String, expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    // xxhash64 hashes by PHYSICAL type: int 5 and bigint 5 produce
+    // different hashes, so mismatched key types would make every probe
+    // miss and silently prune rows the real join (which coerces types)
+    // would keep. Align both sides to the same wider type Spark's join
+    // coercion would pick before hashing; refuse key pairs the join
+    // itself couldn't compare.
+    val largeT = large.schema(largeKey).dataType
+    val smallT = small.schema(smallKey).dataType
+    val commonT = GraftSqlShims.widerTypeForTwo(largeT, smallT).getOrElse(
+      throw new IllegalArgumentException(
+        s"bloomPrune: no common type for $largeKey:$largeT vs $smallKey:$smallT"))
     val bf = small.filter(col(smallKey).isNotNull)
-      .select(xxhash64(col(smallKey)).as("__h"))
+      .select(xxhash64(col(smallKey).cast(commonT)).as("__h"))
       .stat.bloomFilter("__h", expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -49,7 +60,7 @@ object Joins {
     }
     val probe = GraftSqlShims.column(BloomFilterMightContain(
       Literal(bytes, BinaryType),
-      GraftSqlShims.expression(xxhash64(col(largeKey)))))
+      GraftSqlShims.expression(xxhash64(col(largeKey).cast(commonT)))))
     large.filter(col(largeKey).isNotNull && probe)
   }
 

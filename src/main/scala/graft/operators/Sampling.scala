@@ -68,11 +68,16 @@ object Sampling {
     * on any cluster, partitioning, or engine.
     *
     * Scale shape: one shuffle on the stratum key + per-partition sort
-    * (the window). Exact quotas REQUIRE per-stratum ranking; when a
-    * few-percent deviation is acceptable at 10^10 rows, use
-    * [[deterministicSample]] per stratum instead — a narrow map with no
-    * shuffle at all. Skewed strata (one language dominating the corpus)
-    * sort within their own partitions and AQE splits oversized ones. */
+    * (the window). Exact quotas REQUIRE per-stratum ranking, and a
+    * window partition is ONE task — AQE's skew handling splits shuffle
+    * joins/aggregations, not window partitions — so a dominant stratum
+    * (one language owning most of the corpus) becomes a single-task
+    * sort/straggler. For skewed strata either accept a few-percent
+    * deviation and use [[deterministicSample]] on the dominant stratum
+    * (narrow map, no shuffle, threshold on the same content hash), or
+    * pre-aggregate per-partition counts and rank in two phases. Exact
+    * single-pass quotas for balanced strata; approximate for whales —
+    * that is the honest 100 TB trade. */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
       frac: Double): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0)

@@ -65,8 +65,12 @@ object Curation {
           .join(read("clean"), Seq("doc_id"))
           .drop("fp"),
         "exact_dedup")),
-      Stage("near_dedup", Seq("exact_dedup"))(_ =>
-        try write(
+      Stage("near_dedup", Seq("exact_dedup")) { _ =>
+        // scoped: the staged parquet write materializes the result, so
+        // the signature caches dedupMinHash persisted are released as
+        // soon as this stage ends — and ONLY this pipeline's caches,
+        // even with another dedup job running in the same session
+        val (result, caches) = Dedup.scoped(scala.util.Try(write(
           cfg.keepPolicy match {
             case KeepMinId =>
               Dedup.dedupMinHash(read("exact_dedup"), "doc_id", "text",
@@ -81,11 +85,10 @@ object Curation {
                   TextAnalysis.qualityScore(col("text"))),
                 clusters, "doc_id", "__q").drop("__q")
           },
-          "near_dedup")
-        // the staged parquet write materializes the result — release
-        // the signature caches dedupMinHash persisted, or repeated
-        // pipeline runs pin blocks for the session's lifetime
-        finally Dedup.releaseCaches()),
+          "near_dedup")))
+        caches.release()
+        result.get
+      },
       Stage("decontaminate", Seq("near_dedup"))(_ => write(
         Dedup.decontaminate(read("near_dedup"),
           spark.read.parquet(cfg.benchPath), "doc_id", "text"),

@@ -10,4 +10,30 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Spark's own widening rule for a two-sided comparison — the same
+    * coercion an equi-join applies to mismatched key types. Exposed so
+    * operators that hash join keys (Bloom pruning) can align types
+    * exactly as the join would. */
+  def widerTypeForTwo(t1: org.apache.spark.sql.types.DataType,
+      t2: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] =
+    org.apache.spark.sql.catalyst.analysis.TypeCoercion
+      .findWiderTypeForTwo(t1, t2)
+
+  /** Capture a session temp view's raw definition so an operator that
+    * must temporarily claim a fixed view name (DQDL's `primary`
+    * convention) can put the user's view back afterwards. Opaque
+    * handle: pass the result to [[restoreTempView]]. */
+  def saveTempView(spark: SparkSession, name: String): Option[AnyRef] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+      .getRawTempView(name)
+
+  def restoreTempView(spark: SparkSession, name: String,
+      saved: Option[AnyRef]): Unit = saved.foreach { v =>
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+      .createTempView(name,
+        v.asInstanceOf[org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation],
+        overrideIfExists = true)
+  }
 }

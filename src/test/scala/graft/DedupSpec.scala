@@ -212,5 +212,31 @@ class DedupSpec extends AnyFunSuite {
     val plan = Dedup.minHashPairs(docs, "doc_id", "text")
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Cross"), s"cartesian in plan:\n$plan")
+    Dedup.releaseCaches()
+  }
+
+  test("scoped cache handles: concurrent jobs release only their own") {
+    // two "jobs" build dedup plans in their own scopes; releasing job
+    // A's handle must not evict job B's signature cache (the module-
+    // global registry previously made any release session-wide)
+    val (pairsA, handleA) = Dedup.scoped(
+      Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3))
+    val (pairsB, handleB) = Dedup.scoped(
+      Dedup.minHashPairs(docs.limit(100), "doc_id", "text",
+        threshold = 0.3))
+    assert(handleA.trackedCount > 0 && handleB.trackedCount > 0)
+    // both scopes persisted something; global release touches neither
+    Dedup.releaseCaches()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedBefore >= 2, s"expected both scopes cached: $cachedBefore")
+    handleA.release()
+    val afterA = spark.sparkContext.getPersistentRDDs.size
+    assert(afterA < cachedBefore, s"A's release freed nothing: $afterA")
+    assert(afterA > 0, "A's release evicted B's cache too")
+    // B still computes correctly from its own (still-warm) cache
+    assert(pairsB.count() >= 0)
+    handleB.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    pairsA.count() // released plans still recompute fine
   }
 }

@@ -173,6 +173,52 @@ class DqdlSpec extends AnyFunSuite {
     }
   }
 
+  test("CustomSql restores a pre-existing `primary` view and is race-safe") {
+    // a user's own temp view named `primary` must survive rule
+    // evaluation intact (previously it was replaced then dropped)
+    val user = Seq(("mine", 42)).toDF("tag", "n")
+    user.createOrReplaceTempView("primary")
+    try {
+      val df = Seq(1.0, 2.0).toDF("v")
+      val verdict = Dqdl.evaluate(df, Ruleset("t", Seq(
+        CustomSql("SELECT count(*) FROM primary", "=", 2.0))))
+      assert(verdict.passed, verdict.toString) // rule saw the RULE frame
+      val restored = spark.sql("SELECT tag, n FROM primary").collect()
+      assert(restored.map(r => (r.getString(0), r.getInt(1))).toSeq
+        == Seq(("mine", 42)))
+    } finally spark.catalog.dropTempView("primary")
+    // with no pre-existing view, evaluation leaves the catalog clean
+    Dqdl.evaluate(Seq(1.0).toDF("v"), Ruleset("t", Seq(
+      CustomSql("SELECT count(*) FROM primary", "=", 1.0))))
+    assert(!spark.catalog.tableExists("primary"))
+    // concurrent rulesets serialize on the shared view name: each
+    // rule's SQL must read ITS OWN frame, never the other's
+    val a = Seq.fill(10)(1.0).toDF("v")
+    val b = Seq.fill(20)(1.0).toDF("v")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Seq(a -> 10.0, b -> 20.0, a -> 10.0, b -> 20.0)
+    val verdicts = Await.result(Future.sequence(runs.map {
+      case (df, expect) => Future(Dqdl.evaluate(df, Ruleset("t", Seq(
+        CustomSql("SELECT count(*) FROM primary", "=", expect)))))
+    }), 2.minutes)
+    assert(verdicts.forall(_.passed), verdicts.map(_.ruleResults))
+  }
+
+  test("CustomSql rule tags use a 64-bit digest (no 32-bit collisions)") {
+    // a classic java hashCode collision pair: distinct statements that
+    // would have aliased each other under the old sql.hashCode tag
+    val s1 = "Aa"
+    val s2 = "BB"
+    assert(s1.hashCode == s2.hashCode) // the collision is real in 32 bits
+    assert(CustomSql.digest64(s1) != CustomSql.digest64(s2))
+    assert(CustomSql.digest64(s1).length == 16) // 8 bytes hex
+    // deterministic across instances (alias stability)
+    assert(CustomSql("SELECT 1", ">", 0.0).name
+      == CustomSql("SELECT 1", ">", 0.0).name)
+  }
+
   test("DataFreshness compares max event time against an explicit asOf") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00"))

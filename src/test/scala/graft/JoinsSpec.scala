@@ -43,6 +43,27 @@ class JoinsSpec extends AnyFunSuite {
     assert(ids == 1000L)
   }
 
+  test("bloomPrune aligns mismatched key types before hashing") {
+    // int dimension key vs bigint fact key: xxhash64 hashes by physical
+    // type, so without coercion every probe would miss and the "exact
+    // superset of the semi-join" contract would silently break
+    val large = spark.range(0, 1000).select(col("id").as("k"))     // bigint
+    val small = Seq(1, 5, 7).toDF("k")                             // int
+    val pruned = Joins.bloomPrune(large, "k", small, "k",
+      expectedItems = 10L)
+    val kept = pruned.collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 5L, 7L).subsetOf(kept), s"pruned true matches: $kept")
+    // same but with the mismatch on the other side, via the full join
+    val joined = Joins.bloomPrunedJoin(small.toDF("k"), "k",
+      large.limit(10), "k")
+    assert(joined.count() == 3L)
+    // incomparable key types fail loudly instead of silently pruning
+    val bin = Seq(Array[Byte](1)).toDF("k")
+    intercept[IllegalArgumentException] {
+      Joins.bloomPrune(large, "k", bin, "k", expectedItems = 10L)
+    }
+  }
+
   test("bloomPrune null keys and probe stays in the scan stage") {
     val large = Seq[(java.lang.Long, String)]((1L, "a"), (null, "x"),
       (2L, "b")).toDF("k", "v")
