@@ -59,6 +59,72 @@ object ExtensionQueries {
     }
   }
 
+  /** SQL replay of Ivf.train + Ivf.ivfTopK for the q_ann_ivf oracle.
+    * Training is bit-replayable because the Spark side quantizes each
+    * element to DECIMAL(18,9) before the mean's sum (exact decimal
+    * arithmetic — no accumulation-order drift) and divides as doubles;
+    * every cosine is written as the same left-associated fold the
+    * codegen expression executes (reusing [[LshSql.cosine]]), and all
+    * argmax tie-breaks mirror array_max's lexicographic struct order
+    * (cos DESC, cell DESC). The Lloyd iterations unroll as CTE stages:
+    * seed = first k vectors in id order; each iteration assigns cells
+    * and recomputes decimal-exact means, empty cells keeping their
+    * previous centroid. */
+  private object IvfSql {
+    val k = 16; val iters = 2; val nprobe = 4; val topk = 10
+    private val dim = LshSql.dim
+    // MATERIALIZED throughout: DuckDB inlines plain CTEs at every
+    // reference, so the cent_i → a_i → cent_{i-1} chain would
+    // re-expand exponentially (each expansion carrying 64-term folds)
+    // and the planner runs out of memory before executing anything.
+    /** assignment stage: nearest cent cell per vector of `src`. */
+    private def assign(src: String, cent: String, out: String): String =
+      s"""${out}_s AS MATERIALIZED (SELECT e.vec_id, e.v, c.cell,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${LshSql.cosine("e.v", "c.c")} DESC, c.cell DESC)
+         |    AS rn
+         |  FROM $src e CROSS JOIN $cent c),
+         |$out AS MATERIALIZED (SELECT vec_id, v, cell
+         |  FROM ${out}_s WHERE rn = 1)""".stripMargin
+    /** mean update: decimal-exact per-(cell,dim) means of `asn`, empty
+      * cells inheriting `prev`'s centroid. */
+    private def update(asn: String, prev: String, out: String): String =
+      s"""${out}_m AS MATERIALIZED (SELECT cell, i AS d,
+         |  CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS m
+         |  FROM $asn, generate_series(1, $dim) t(i) GROUP BY cell, i),
+         |${out}_l AS MATERIALIZED (SELECT cell, list(m ORDER BY d) AS c
+         |  FROM ${out}_m GROUP BY cell),
+         |$out AS MATERIALIZED (SELECT p.cell, COALESCE(n.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN ${out}_l n USING (cell))""".stripMargin
+    def sql: String = {
+      val lloyd = (1 to iters).map(i =>
+        assign("e", s"cent${i - 1}", s"a$i") + ",\n" +
+          update(s"a$i", s"cent${i - 1}", s"cent$i")).mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |cent0 AS MATERIALIZED (SELECT
+         |    row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+         |$lloyd,
+         |${assign("e", s"cent$iters", "fin")},
+         |pr_s AS (SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${LshSql.cosine("e.v", "c.c")} DESC, c.cell DESC)
+         |    AS rn
+         |  FROM e CROSS JOIN cent$iters c WHERE e.vec_id < 5),
+         |pr AS (SELECT query_id, qv, cell FROM pr_s WHERE rn <= $nprobe),
+         |sc AS (SELECT pr.query_id, fin.vec_id AS id,
+         |  ${LshSql.cosine("fin.v", "pr.qv")} AS cosine
+         |  FROM pr JOIN fin USING (cell)),
+         |r AS (SELECT query_id, id, cosine,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, id ASC) AS rank FROM sc)
+         |SELECT query_id, id, cosine, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= $topk""".stripMargin
+    }
+  }
+
   private val sqlTokens =
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
@@ -315,16 +381,19 @@ object ExtensionQueries {
            |FROM r WHERE rank <= 10""".stripMargin
       }),
 
-    // IVF ANN: trained coarse quantizer, nprobe cells per query
-    // (rows-only; recall asserted in SimilaritySpec)
+    // IVF ANN: trained coarse quantizer, nprobe cells per query.
+    // Exactly oracled: training is deterministic (decimal-quantized
+    // mean sums), so DuckDB replays the full Lloyd unroll + probe +
+    // rank chain bit-identically — see IvfSql.
     QueryDef("q_ann_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val model = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+        val model = Ivf.train(emb, "vec_id", "embedding",
+          k = IvfSql.k, iters = IvfSql.iters)
         Ivf.ivfTopK(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          model, k = 10, nprobe = 4)
-      }, None),
+          model, k = IvfSql.topk, nprobe = IvfSql.nprobe)
+      }, Some(IvfSql.sql)),
 
     // ---------------------------------------------------- event windows
 

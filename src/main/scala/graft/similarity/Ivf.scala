@@ -48,8 +48,16 @@ object Ivf {
       .getField("cell")
 
   /** Train centroids with Lloyd iterations (cosine assignment, mean
-    * update). Deterministic: seeded by the first k vectors in id
-    * order. On a 100 TB corpus you'd train on a sample — pass one in. */
+    * update). FULLY deterministic — partition-order-independent: the
+    * mean update quantizes each element to DECIMAL(18,9) before
+    * summing, so the per-cell sum is exact decimal arithmetic
+    * (associative and commutative — no float accumulation-order
+    * drift), and only the final sum/count division happens in doubles.
+    * The 1e-9 quantization is noise relative to encoder outputs and
+    * buys bit-identical centroids on any cluster, any partitioning,
+    * any engine (the q_ann_ivf DuckDB oracle replays this exact
+    * recipe). Seeded by the first k vectors in id order. On a 100 TB
+    * corpus you'd train on a sample — pass one in. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3): IvfModel = {
     // persisted: every Lloyd iteration (and the seed read) scans the
@@ -65,7 +73,14 @@ object Ivf {
         val means = vecs
           .withColumn("cell", assignCell(col("v"), model))
           .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+          .groupBy("cell", "dim")
+          // exact decimal sum (unscaled value stays far below 2^53 for
+          // unit-norm-ish embeddings, so the decimal→double conversion
+          // is one correctly-rounded division in every engine), then
+          // one IEEE double division by the count
+          .agg((sum(col("x").cast(org.apache.spark.sql.types
+              .DecimalType(18, 9))).cast("double")
+            / count(lit(1)).cast("double")).as("m"))
           .collect()
         val byCell = means.groupBy(_.getInt(0))
         model = IvfModel(model.centroids.indices.map { c =>
