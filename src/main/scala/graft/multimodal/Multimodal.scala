@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * (content-addressed bytes + queryable metadata, decode deferred to
   * the last possible stage).
   *
-  * The Spark-side plumbing here — schema, partition-preserving batch
-  * transforms, deterministic feature shape — is real and tested. The
-  * actual codec calls are STUBBED with deterministic fakes (no
-  * image/audio libraries ship in this container): every stub is marked
-  * `STUB:` and would be swapped for (e.g.) javax.imageio / ffmpeg
-  * bindings behind the same signatures.
+  * The Spark-side plumbing — schema, partition-preserving batch
+  * transforms, deterministic feature shape — is real and tested, and so
+  * is IMAGE decoding: [[decodeImage]] parses real PNG/JPEG/GIF/BMP
+  * headers with `javax.imageio` (ships in the JRE — no new
+  * dependency). Audio/video codec calls remain STUBBED with
+  * deterministic fakes (no ffmpeg in this container): each is marked
+  * `STUB:` and would swap for real bindings behind the same
+  * signatures.
   */
 object Multimodal {
 
@@ -39,14 +41,34 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String,
       byte_len: Int, feature: Array[Float])
 
-  /** STUB: "decode" an image — returns (width, height, channels) that a
-    * real codec would parse from the header. Deterministic fake: derives
-    * dims from the byte length so tests are stable. */
-  val decodeImageStub: UserDefinedFunction = udf { bytes: Array[Byte] =>
-    if (bytes == null) null
+  /** Real image decode via `javax.imageio`: (width, height, format)
+    * parsed from the actual header of any format the JRE registers a
+    * reader for (PNG, JPEG, GIF, BMP, WBMP). Header-only — `getWidth`/
+    * `getHeight` on the reader never decode pixel data, so per-row cost
+    * is O(header bytes), not O(pixels); the stream is an in-memory
+    * wrapper over the column value (no temp-file cache, which matters
+    * when executors decode millions of rows). Null or unrecognizable
+    * bytes → null, so corrupt blobs degrade to a filterable column
+    * instead of failing the job. */
+  val decodeImage: UserDefinedFunction = udf { bytes: Array[Byte] =>
+    if (bytes == null) None
     else {
-      val n = bytes.length
-      (math.max(1, n % 1024), math.max(1, (n / 1024) % 1024 + 1), 3)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0), r.getHeight(0),
+              r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+          } catch {
+            case _: java.io.IOException => None // truncated/corrupt header
+          } finally r.dispose()
+        }
+      } finally iis.close()
     }
   }
 
@@ -98,8 +120,8 @@ object Multimodal {
   }
 
   /** Attach decoded-metadata columns to a media frame (images only get
-    * width/height; the rest pass through). Narrow projection. */
+    * width/height/format; the rest pass through). Narrow projection. */
   def withDecodedMeta(df: DataFrame): DataFrame =
     df.withColumn("decoded", when(col("kind") === "image",
-      decodeImageStub(col("bytes"))).otherwise(lit(null)))
+      decodeImage(col("bytes"))).otherwise(lit(null)))
 }

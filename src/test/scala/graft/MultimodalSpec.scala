@@ -9,9 +9,23 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  /** A real in-memory image, encoded with the same JRE codecs the
+    * decode path reads back. */
+  private def encodeImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos))
+    bos.toByteArray
+  }
+
+  private lazy val pngBytes = encodeImage(7, 5, "png")
+
   private lazy val media = Seq(
-    Multimodal.MediaRecord(1L, "image", "fakejpegbytes".getBytes("UTF-8"),
-      Multimodal.MediaMeta(Some(640), Some(480), None, Some("jpeg"))),
+    Multimodal.MediaRecord(1L, "image", pngBytes,
+      Multimodal.MediaMeta(Some(7), Some(5), None, Some("png"))),
     Multimodal.MediaRecord(2L, "audio", ("pcm" * 100).getBytes("UTF-8"),
       Multimodal.MediaMeta(None, None, Some(16000), Some("wav"))),
     Multimodal.MediaRecord(3L, "video", ("frame" * 50).getBytes("UTF-8"),
@@ -38,17 +52,37 @@ class MultimodalSpec extends AnyFunSuite {
       .sortBy(_.media_id)
     assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq)
     assert(f1.forall(_.feature.length == 8))
-    assert(f1.head.byte_len == "fakejpegbytes".length)
+    assert(f1.head.byte_len == pngBytes.length)
     val plan = Multimodal.extractFeatures(spark, media)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
-  test("decode/resize/frame-sample stubs keep the pipeline contracts") {
+  test("decodeImage parses real PNG and JPEG headers via ImageIO") {
+    val rows = Seq(
+      (1L, encodeImage(7, 5, "png")),
+      (2L, encodeImage(640, 480, "jpg")),
+      (3L, "not an image at all".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "bytes")
+      .select($"media_id", Multimodal.decodeImage($"bytes").as("d"))
+      .orderBy("media_id").collect()
+    val png = rows(0).getStruct(1)
+    assert((png.getInt(0), png.getInt(1), png.getString(2))
+      == ((7, 5, "png")))
+    val jpg = rows(1).getStruct(1)
+    assert((jpg.getInt(0), jpg.getInt(1), jpg.getString(2))
+      == ((640, 480, "jpeg")))
+    // garbage and null degrade to null, never throw
+    assert(rows(2).isNullAt(1) && rows(3).isNullAt(1))
+  }
+
+  test("decode/resize/frame-sample keep the pipeline contracts") {
     val decoded = Multimodal.withDecodedMeta(media.toDF())
     val img = decoded.filter($"kind" === "image").select($"decoded")
       .collect().head
     assert(!img.isNullAt(0), "image rows must decode")
+    assert(img.getStruct(0).getInt(0) == 7, "decoded width from header")
     assert(decoded.filter($"kind" === "audio").select($"decoded")
       .collect().head.isNullAt(0), "non-images skip decode")
 
