@@ -29,17 +29,80 @@ final case class JsonStringSource(payload: String) extends Source {
     spark.read.json(spark.createDataset(Seq(payload))(Encoders.STRING))
 }
 
-/** Date-window-parameterized API source. `fetch` is pluggable so tests
+/** Date-window-parameterized API source. `fetch` is pluggable: tests
   * and the offline engine supply a local fixture with the same
-  * `?start_date=&end_date=` window semantics the reference passes to its
-  * HTTP GET (api-extract-job.py:34-60). A production impl would be a
-  * driver-side `java.net.http.HttpClient` call — the payload is one
-  * document, so it never belongs on executors.
+  * `?start_date=&end_date=` window semantics the reference passes to
+  * its HTTP GET (api-extract-job.py:34-60); production wiring is
+  * `ApiSource(HttpFetch(url), start, end)` — a driver-side
+  * `java.net.http.HttpClient` call, because the payload is one
+  * document and never belongs on executors.
   */
 final case class ApiSource(fetch: (LocalDate, LocalDate) => String,
     startDate: LocalDate, endDate: LocalDate) extends Source {
   def read(spark: SparkSession): DataFrame =
     JsonStringSource(fetch(startDate, endDate)).read(spark)
+}
+
+/** Production HTTP implementation of [[ApiSource]]'s `fetch`: a
+  * driver-side `java.net.http.HttpClient` GET of
+  * `baseUrl?start_date=<s>&end_date=<e>` that raises on any non-200
+  * status (the reference's contract — api-extract-job.py:41-49 checks
+  * `response.status_code == 200` and fails the job otherwise) and
+  * retries transient failures (connect/read errors, 429, 5xx) with
+  * bounded exponential backoff. Client (4xx) errors never retry —
+  * a bad request stays bad, and hammering the endpoint just burns the
+  * rate limit. One client instance per fetch function: connection
+  * pooling across the windowed calls an orchestrated backfill makes.
+  */
+object HttpFetch {
+  def apply(baseUrl: String,
+      startParam: String = "start_date", endParam: String = "end_date",
+      headers: Map[String, String] = Map.empty,
+      maxRetries: Int = 3, retryDelayMillis: Long = 200L,
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+      : (LocalDate, LocalDate) => String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout)
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    (start: LocalDate, end: LocalDate) => {
+      val sep = if (baseUrl.contains("?")) "&" else "?"
+      val uri = java.net.URI.create(
+        s"$baseUrl$sep$startParam=$start&$endParam=$end")
+      val reqB = java.net.http.HttpRequest.newBuilder(uri)
+        .timeout(timeout).GET()
+      headers.foreach { case (k, v) => reqB.header(k, v) }
+      val req = reqB.build()
+      @annotation.tailrec
+      def go(attempt: Int): String = {
+        val outcome: Either[Throwable, Either[Int, String]] =
+          try {
+            val resp = client.send(req,
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+            if (resp.statusCode() == 200) Right(Right(resp.body()))
+            else Right(Left(resp.statusCode()))
+          } catch { case e: java.io.IOException => Left(e) }
+        outcome match {
+          case Right(Right(body)) => body
+          case Right(Left(code)) if code != 429 && code < 500 =>
+            throw new java.io.IOException(
+              s"HTTP $code from $uri (client error — not retried)")
+          case transient =>
+            val err = transient match {
+              case Left(e) => e
+              case Right(Left(code)) => new java.io.IOException(
+                s"HTTP $code from $uri")
+            }
+            if (attempt >= maxRetries) throw new java.io.IOException(
+              s"fetch failed after ${attempt + 1} attempts: " +
+                err.getMessage, err)
+            Thread.sleep(retryDelayMillis << attempt)
+            go(attempt + 1)
+        }
+      }
+      go(0)
+    }
+  }
 }
 
 /** JDBC table scan (reference: Postgres `deftunes.songs`,

@@ -19,6 +19,76 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 1)
   }
 
+  test("HttpFetch drives ApiSource end-to-end against a live server") {
+    // in-process HTTP fixture: serves a windowed JSON payload, fails
+    // transiently first, rejects a bad path — exercising the real
+    // java.net.http client, not a canned fixture function
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+        body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    server.createContext("/sessions", ex => {
+      hits.incrementAndGet()
+      val q = ex.getRequestURI.getQuery // start_date=..&end_date=..
+      val params = q.split("&").map(_.split("=", 2))
+        .map(a => a(0) -> a(1)).toMap
+      respond(ex, 200,
+        s"""{"window": {"start": "${params("start_date")}",
+           |"end": "${params("end_date")}"},
+           |"sessions": [{"id": 1}, {"id": 2}]}""".stripMargin)
+    })
+    server.createContext("/flaky", ex => {
+      if (failures.incrementAndGet() <= 2) respond(ex, 503, "busy")
+      else respond(ex, 200, """{"ok": true}""")
+    })
+    server.createContext("/gone", ex => respond(ex, 404, "no"))
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val src = ApiSource(HttpFetch(s"$base/sessions"),
+        java.time.LocalDate.parse("2020-01-01"),
+        java.time.LocalDate.parse("2020-02-01"))
+      val df = src.read(spark)
+      // windowed GET round-trips: params echoed back through the JSON
+      assert(df.select("window.start").head.getString(0) == "2020-01-01")
+      assert(df.select("window.end").head.getString(0) == "2020-02-01")
+      assert(df.selectExpr("size(sessions)").head.getInt(0) == 2)
+      assert(hits.get() == 1) // one driver-side call, nothing per-task
+
+      // transient 5xx retries until success
+      val flaky = HttpFetch(s"$base/flaky", retryDelayMillis = 1L)
+      assert(flaky(java.time.LocalDate.now(java.time.ZoneOffset.UTC),
+        java.time.LocalDate.now(java.time.ZoneOffset.UTC))
+        .contains("ok"))
+      assert(failures.get() == 3) // 2 failures + 1 success
+
+      // non-200 client error raises immediately (reference semantics),
+      // no retry storm
+      val gone = HttpFetch(s"$base/gone", retryDelayMillis = 1L)
+      val e = intercept[java.io.IOException] {
+        gone(java.time.LocalDate.parse("2020-01-01"),
+          java.time.LocalDate.parse("2020-01-02"))
+      }
+      assert(e.getMessage.contains("404"))
+
+      // exhausted retries on a dead endpoint raise with attempt count
+      val dead = HttpFetch("http://127.0.0.1:1",
+        maxRetries = 1, retryDelayMillis = 1L)
+      val e2 = intercept[java.io.IOException] {
+        dead(java.time.LocalDate.parse("2020-01-01"),
+          java.time.LocalDate.parse("2020-01-02"))
+      }
+      assert(e2.getMessage.contains("2 attempts"), e2.getMessage)
+    } finally server.stop(0)
+  }
+
   test("OrcSource round-trips a parquet-equivalent table") {
     val dir = Files.createTempDirectory("orc-src").toString
     val data = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
