@@ -44,7 +44,28 @@ sealed trait DqRule {
   def name: String
 }
 
+/** Rules that compare the primary frame against a NAMED secondary
+  * frame — Glue DQDL's "additional data sources" (`ReferentialIntegrity
+  * "col" "ref.col"`, `RowCountMatch "ref"`). The evaluator resolves
+  * `refName` from the `refs` map passed to
+  * [[Dqdl.evaluate(df:org\.apache\.spark\.sql\.DataFrame,ruleset:graft\.dq\.Ruleset,refs:Map[String,org\.apache\.spark\.sql\.DataFrame])*
+  * evaluate(df, ruleset, refs)]] and hands the rule both frames;
+  * evaluating a cross-frame rule without its reference fails loudly. */
+sealed trait CrossFrameRule extends DqRule {
+  def refName: String
+  /** 1-row side metrics computed against the resolved secondary frame
+    * (cross-joined into the verdict row like any side aggregation). */
+  def crossMetrics(primary: DataFrame, ref: DataFrame): DataFrame
+  override def hasSide: Boolean = true
+  override def sideMetrics(df: DataFrame): Option[DataFrame] =
+    throw new IllegalArgumentException(
+      s"rule $name needs reference data source '$refName' — " +
+        "evaluate with refs = Map(\"" + refName + "\" -> <DataFrame>)")
+}
+
 private object DqOps {
+  /** Name-safe rendering of an identifier for metric aliases. */
+  def safe(s: String): String = s.replaceAll("[^A-Za-z0-9]", "_")
   /** Shared comparison-operator compilation + a name-safe tag. */
   def compare(c: Column, op: String, v: Column): Column = op match {
     case ">" => c > v
@@ -353,6 +374,54 @@ object CustomSql {
   }
 }
 
+/** Fraction of primary rows whose `column` value exists in the named
+  * reference dataset's `refColumn` — Glue DQDL
+  * `ReferentialIntegrity "o_custkey" "customer.c_custkey" >= 0.99`.
+  * Null primary values count as unmatched (null is in no set), so a
+  * nullable FK column needs IsComplete alongside this rule to tell
+  * orphans from nulls.
+  *
+  * Scale shape: distinct on the REFERENCE key only (the dimension
+  * side), then one left join + aggregation over the primary's key
+  * column — the primary never shuffles more than that single column,
+  * and with a dimension-sized reference AQE turns the join into a
+  * broadcast. */
+final case class ReferentialIntegrity(column: String, refName: String,
+    refColumn: String, op: String, value: Double) extends CrossFrameRule {
+  private val t = s"${DqOps.safe(column)}_${DqOps.safe(refName)}_" +
+    s"${DqOps.safe(refColumn)}_${DqOps.tag(op)}_${DqOps.numTag(value)}"
+  val name = s"referential_integrity_$t"
+  private val alias = s"ri_$t"
+  def metrics: Seq[Column] = Seq.empty
+  def crossMetrics(primary: DataFrame, ref: DataFrame): DataFrame = {
+    val refKeys = ref.select(col(refColumn).as("__rk")).distinct()
+    primary.select(col(column).as("__pk"))
+      .join(refKeys, col("__pk") === col("__rk"), "left")
+      .agg((sum(when(col("__rk").isNotNull, 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as(alias))
+  }
+  def passed: Column = DqOps.compare(col(alias), op, lit(value))
+}
+
+/** Primary row count as a ratio of the named reference's row count —
+  * Glue DQDL `RowCountMatch "reference" >= 0.9`. The side pass
+  * contributes the reference count; the ratio reuses the shared
+  * aggregation's `row_count`, so the primary is still scanned exactly
+  * once for the whole ruleset. */
+final case class RowCountMatch(refName: String, op: String,
+    value: Double) extends CrossFrameRule {
+  private val t =
+    s"${DqOps.safe(refName)}_${DqOps.tag(op)}_${DqOps.numTag(value)}"
+  val name = s"row_count_match_$t"
+  private val alias = s"ref_rows_$t"
+  def metrics: Seq[Column] = Seq.empty
+  def crossMetrics(primary: DataFrame, ref: DataFrame): DataFrame =
+    ref.agg(count(lit(1)).as(alias))
+  def passed: Column = DqOps.compare(
+    col("row_count").cast("double") / col(alias).cast("double"),
+    op, lit(value))
+}
+
 /** dbt `not_null` test — alias of IsComplete with dbt naming. */
 final case class NotNull(column: String) extends DqRule {
   val name = s"not_null_$column"
@@ -389,11 +458,20 @@ object Dqdl {
     withPassed.withColumn("all_passed", allPassed)
   }
 
-  def evaluateDf(df: DataFrame, ruleset: Ruleset): DataFrame = {
+  def evaluateDf(df: DataFrame, ruleset: Ruleset,
+      refs: Map[String, DataFrame] = Map.empty): DataFrame = {
     val metricCols = compiledMetrics(ruleset)
     val mainAgg = df.agg(metricCols.head, metricCols.tail: _*)
-    val agg = ruleset.rules.flatMap(_.sideMetrics(df))
-      .foldLeft(mainAgg)(_ crossJoin _)
+    val sides = ruleset.rules.flatMap {
+      case r: CrossFrameRule =>
+        val ref = refs.getOrElse(r.refName,
+          throw new IllegalArgumentException(
+            s"rule ${r.name} references data source '${r.refName}' " +
+              s"but refs provides ${refs.keys.mkString("{", ",", "}")}"))
+        Some(r.crossMetrics(df, ref))
+      case r => r.sideMetrics(df)
+    }
+    val agg = sides.foldLeft(mainAgg)(_ crossJoin _)
     attachVerdicts(agg, ruleset)
   }
 
@@ -440,9 +518,12 @@ object Dqdl {
     attachVerdicts(withConstSides, ruleset)
   }
 
-  /** Evaluate and collect the single verdict row (driver-side: one row). */
-  def evaluate(df: DataFrame, ruleset: Ruleset): DqVerdict = {
-    val row = evaluateDf(df, ruleset).collect().head
+  /** Evaluate and collect the single verdict row (driver-side: one row).
+    * `refs` supplies the named secondary frames any [[CrossFrameRule]]
+    * in the ruleset compares against. */
+  def evaluate(df: DataFrame, ruleset: Ruleset,
+      refs: Map[String, DataFrame] = Map.empty): DqVerdict = {
+    val row = evaluateDf(df, ruleset, refs).collect().head
     val schema = row.schema
     val ruleResults = ruleset.rules.map { r =>
       r.name -> row.getAs[Boolean](s"${r.name}_passed")

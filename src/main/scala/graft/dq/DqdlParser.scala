@@ -42,6 +42,10 @@ object DqdlParser {
     """DistinctValuesCount\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*(\d+)""".r
   private val CustomSqlRe =
     """CustomSql\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*(-?[\d.]+)""".r
+  private val RefIntegrityRe =
+    """ReferentialIntegrity\s+"([^"]+)"\s+"([^".]+)\.([^"]+)"\s*(<=|>=|!=|<|>|=)\s*([\d.]+)""".r
+  private val RowCountMatchRe =
+    """RowCountMatch\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*([\d.]+)""".r
 
   def parse(name: String, dqdl: String): Ruleset = {
     val body = dqdl match {
@@ -73,6 +77,9 @@ object DqdlParser {
     case SumRe(c, op, v) => SumCmp(c, op, v.toDouble)
     case DistinctCountRe(c, op, n) => DistinctCount(c, op, n.toLong)
     case CustomSqlRe(sql, op, v) => CustomSql(sql, op, v.toDouble)
+    case RefIntegrityRe(c, ref, refCol, op, v) =>
+      ReferentialIntegrity(c, ref, refCol, op, v.toDouble)
+    case RowCountMatchRe(ref, op, v) => RowCountMatch(ref, op, v.toDouble)
     case ColumnValuesBetweenRe(c, lo, hi) =>
       ColumnValues(c, _.between(lo.toDouble, hi.toDouble))
     case ColumnValuesRe(c, op, v) =>

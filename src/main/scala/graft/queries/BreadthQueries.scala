@@ -404,6 +404,26 @@ object BreadthQueries {
         .select(col("l_returnflag"),
           posexplode(col("qs")).as(Seq("pct_idx", "quantile"))), None),
 
+    // the exact twin of q_approx_quantiles, hash-checked: Spark's
+    // `percentile` and DuckDB's `quantile_cont` share the linear-
+    // interpolation definition; emitting float32 absorbs the last-ulp
+    // drift two different interpolation formulas can produce
+    QueryDef("q_exact_quantiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("qs"))
+        .select(col("l_returnflag"),
+          posexplode(col("qs")).as(Seq("pct_idx", "quantile")))
+        .withColumn("quantile", col("quantile").cast("float")),
+      Some("""WITH q AS (SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice,
+             |    [0.25, 0.5, 0.75, 0.95]) AS qs
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, CAST(i - 1 AS INTEGER) AS pct_idx,
+             |  CAST(qs[i] AS FLOAT4) AS quantile
+             |FROM q, generate_series(1, 4) t(i)""".stripMargin)),
+
     // Morton (Z-curve) clustering value over two part dimensions — the
     // multi-column data-skipping layout key (Layout.zOrderBy); pure
     // bit-interleave expression, reproduced bit-for-bit in the oracle

@@ -339,6 +339,45 @@ object ParityQueries {
              |  AND (COUNT(*) - COUNT(o_orderkey)) = 0) AS all_passed
              |FROM orders""".stripMargin)),
 
+    // cross-table DQDL rules (Glue "additional data sources"):
+    // ReferentialIntegrity orders→customer plus a passing and a failing
+    // RowCountMatch tier — exercising the secondary-frame slot in the
+    // evaluator end-to-end through the parser
+    QueryDef("q_dq_referential",
+      (s, d) => Dqdl.evaluateDf(Tables.orders(s, d),
+        graft.dq.DqdlParser.parse("orders_ri",
+          """Rules = [
+            | ReferentialIntegrity "o_custkey" "customer.c_custkey" >= 0.99,
+            | RowCountMatch "customer" >= 5,
+            | RowCountMatch "customer" <= 2 ]""".stripMargin),
+        refs = Map("customer" -> Tables.customer(s, d))),
+      Some("""WITH ri AS (SELECT
+             |  CAST(SUM(CASE WHEN ck.c_custkey IS NOT NULL
+             |    THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS ri_frac
+             |  FROM orders o
+             |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) ck
+             |    ON o.o_custkey = ck.c_custkey),
+             |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS row_count
+             |  FROM orders),
+             |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS ref_rows
+             |  FROM customer)
+             |SELECT m.row_count,
+             |  ri.ri_frac AS ri_o_custkey_customer_c_custkey_ge_0p99,
+             |  r.ref_rows AS ref_rows_customer_ge_5,
+             |  r.ref_rows AS ref_rows_customer_le_2,
+             |  ri.ri_frac >= 0.99
+             |    AS referential_integrity_o_custkey_customer_c_custkey_ge_0p99_passed,
+             |  CAST(m.row_count AS DOUBLE) / CAST(r.ref_rows AS DOUBLE)
+             |    >= 5.0 AS row_count_match_customer_ge_5_passed,
+             |  CAST(m.row_count AS DOUBLE) / CAST(r.ref_rows AS DOUBLE)
+             |    <= 2.0 AS row_count_match_customer_le_2_passed,
+             |  (ri.ri_frac >= 0.99
+             |   AND CAST(m.row_count AS DOUBLE) / CAST(r.ref_rows AS DOUBLE) >= 5.0
+             |   AND CAST(m.row_count AS DOUBLE) / CAST(r.ref_rows AS DOUBLE) <= 2.0)
+             |    AS all_passed
+             |FROM m, ri, r""".stripMargin)),
+
     // O3 + S4 — incremental month window (partition-pruning predicate
     // shape: at scale this prunes to one ingest partition)
     QueryDef("q_incremental_window",

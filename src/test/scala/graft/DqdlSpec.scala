@@ -219,6 +219,45 @@ class DqdlSpec extends AnyFunSuite {
       == CustomSql("SELECT 1", ">", 0.0).name)
   }
 
+  test("cross-table rules: ReferentialIntegrity and RowCountMatch") {
+    val orders = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 99L),
+      (5L, 20L)).toDF("oid", "cust")
+    val customers = Seq(10L, 20L, 30L).toDF("cid")
+    val rs = DqdlParser.parse("x",
+      """Rules = [ ReferentialIntegrity "cust" "customer.cid" >= 0.8,
+        | RowCountMatch "customer" > 1,
+        | RowCountMatch "customer" > 2 ]""".stripMargin)
+    assert(rs.rules.collect {
+      case ReferentialIntegrity(c, r, rc, op, v) => (c, r, rc, op, v)
+    } == Seq(("cust", "customer", "cid", ">=", 0.8)))
+    val v = Dqdl.evaluate(orders, rs, Map("customer" -> customers))
+    // 4 of 5 orders have a live customer: 0.8 >= 0.8 passes
+    assert(v.ruleResults(
+      "referential_integrity_cust_customer_cid_ge_0p8"), v.toString)
+    assert(v.metrics("ri_cust_customer_cid_ge_0p8") == 0.8)
+    // 5/3 ≈ 1.67: > 1 passes, > 2 fails
+    assert(v.ruleResults("row_count_match_customer_gt_1"))
+    assert(!v.ruleResults("row_count_match_customer_gt_2"))
+    assert(!v.passed)
+    // a null FK counts as unmatched, not as a match
+    val withNull = orders.union(
+      Seq((6L, Option.empty[Long])).toDF("oid", "cust"))
+    val v2 = Dqdl.evaluate(withNull, Ruleset("n", Seq(
+      ReferentialIntegrity("cust", "customer", "cid", ">", 0.7))),
+      Map("customer" -> customers))
+    assert(v2.metrics("ri_cust_customer_cid_gt_0p7")
+      == 4.0 / 6.0)
+    // missing reference frame fails loudly, naming the source
+    val e = intercept[IllegalArgumentException] {
+      Dqdl.evaluate(orders, rs, Map.empty)
+    }
+    assert(e.getMessage.contains("customer"))
+    // per-partition evaluation rejects cross-frame rules loudly
+    intercept[IllegalArgumentException] {
+      Dqdl.evaluateByPartition(orders, rs, "cust")
+    }
+  }
+
   test("DataFreshness compares max event time against an explicit asOf") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00"))
