@@ -78,13 +78,43 @@ object Lake {
     } else df.write.format("parquet").partitionBy(partitionCol)
       .saveAsTable(table)
 
-  /** Schema-evolving append: add any NEW columns in `df` to the table
-    * first (ALTER TABLE ADD COLUMNS — metadata-only, no data rewrite;
-    * history rows read the new columns as null), then append with the
-    * table's full schema. The parquet-table equivalent of the Iceberg
-    * v2 schema evolution the reference chose its format for; renames/
-    * drops/type-changes need a real table format and are rejected
-    * loudly rather than guessed. */
+  /** True when reading existing `from`-typed parquet data under a
+    * `to`-typed table column is a SAFE widening Spark 4's parquet
+    * readers support natively (SPARK-40876): integral up-casts,
+    * float→double, and decimal growth that loses neither integer
+    * digits nor scale. Everything else (narrowing, string↔numeric,
+    * nested changes) needs a real table format's rewrite machinery. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale
+      case _ => false
+    }
+  }
+
+  /** Schema-evolving append — the parquet-table equivalent of the
+    * Iceberg v2 schema evolution the reference chose its format for
+    * (transform-json-job.py:158-168, README.md:24):
+    *
+    *  - NEW columns: ALTER TABLE ADD COLUMNS (metadata-only, no data
+    *    rewrite; history rows read them as null).
+    *  - WIDENED columns (incoming int where the table has... long,
+    *    float→double, decimal growth): the table type is widened in
+    *    the catalog — metadata-only, because Spark 4's parquet readers
+    *    read old narrow files under the wider column (SPARK-40876).
+    *  - NARROWER incoming columns up-cast into the table type on
+    *    append (the table never narrows).
+    *  - Incompatible type changes, dropped non-nullable columns, and
+    *    partition-column changes are rejected loudly rather than
+    *    guessed. Renames are a data rewrite on parquet — see
+    *    [[renameColumns]]. */
   def appendEvolved(spark: SparkSession, df: DataFrame, table: String,
       partitionCol: String = "ingest_on"): Unit = {
     if (!spark.catalog.tableExists(table)) {
@@ -97,25 +127,78 @@ object Lake {
     // name comparison mirrors Spark's default case-INsensitive
     // resolution: a case-variant of an existing column must append to
     // it, not trigger a doomed ALTER TABLE ADD COLUMNS
-    val existingNames = existing.fieldNames.map(_.toLowerCase).toSet
+    val existingByLower = existing.map(f => f.name.toLowerCase -> f).toMap
     val incomingNames = incoming.fieldNames.map(_.toLowerCase).toSet
     val added = incoming.filterNot(f =>
-      existingNames.contains(f.name.toLowerCase))
+      existingByLower.contains(f.name.toLowerCase))
     val missingOk = existing.filterNot(f =>
       incomingNames.contains(f.name.toLowerCase)).forall(_.nullable)
     require(missingOk, s"append to $table drops non-nullable columns")
+    // classify type drift on columns present in both
+    val widened = incoming.flatMap { f =>
+      existingByLower.get(f.name.toLowerCase).collect {
+        case ex if ex.dataType != f.dataType =>
+          if (widens(ex.dataType, f.dataType)) {
+            require(!ex.name.equalsIgnoreCase(partitionCol),
+              s"cannot widen partition column ${ex.name} of $table")
+            Some(ex.name -> f.dataType)
+          } else if (widens(f.dataType, ex.dataType)) None // up-cast below
+          else throw new IllegalArgumentException(
+            s"append to $table: incompatible type change for ${ex.name} " +
+              s"(${ex.dataType.simpleString} -> ${f.dataType.simpleString})")
+      }.flatten
+    }.toMap
+    if (widened.nonEmpty) {
+      val newData = org.apache.spark.sql.types.StructType(
+        spark.table(table).schema
+          .filterNot(_.name.equalsIgnoreCase(partitionCol))
+          .map(f => widened.get(f.name)
+            .fold(f)(t => f.copy(dataType = t))))
+      org.apache.spark.sql.GraftSqlShims
+        .alterTableDataSchema(spark, table, newData)
+      spark.catalog.refreshTable(table)
+    }
     if (added.nonEmpty) {
       val colsDdl = added.map(f => s"${f.name} ${f.dataType.sql}")
         .mkString(", ")
       spark.sql(s"ALTER TABLE $table ADD COLUMNS ($colsDdl)")
     }
-    val full = spark.table(table).columns
-    val aligned = df.select(full.map(c =>
-      if (incomingNames.contains(c.toLowerCase)) col(c)
+    val target = spark.table(table).schema
+    val aligned = df.select(target.map(f =>
+      if (incomingNames.contains(f.name.toLowerCase))
+        col(f.name).cast(f.dataType) // narrower incoming up-casts here
       else org.apache.spark.sql.functions.lit(null)
-        .cast(spark.table(table).schema(c).dataType).as(c)).toIndexedSeq: _*)
+        .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     aligned.write.mode("append").format("parquet")
       .partitionBy(partitionCol).saveAsTable(table)
+  }
+
+  /** Rename columns on a partitioned parquet table. Without Iceberg's
+    * field-id metadata this CANNOT be metadata-only: parquet resolves
+    * columns by name, so old data files would read a renamed column as
+    * null. The honest parquet cost is a full-table rewrite, staged via
+    * localCheckpoint before the managed table is dropped and recreated
+    * (at cluster scale, stage to a durable path and swap instead —
+    * that limitation is exactly why the reference picked Iceberg,
+    * README.md:24). Partition columns can't be renamed. */
+  def renameColumns(spark: SparkSession, table: String,
+      renames: Map[String, String],
+      partitionCol: String = "ingest_on"): Unit = {
+    require(renames.nonEmpty, "no renames given")
+    require(!renames.keys.exists(_.equalsIgnoreCase(partitionCol)),
+      s"cannot rename partition column $partitionCol")
+    val cols = spark.table(table).columns.map(_.toLowerCase).toSet
+    renames.keys.foreach(c => require(cols.contains(c.toLowerCase),
+      s"rename source column $c not in $table"))
+    renames.values.foreach(c => require(!cols.contains(c.toLowerCase),
+      s"rename target column $c already exists in $table"))
+    val renamed = renames.foldLeft(spark.table(table)) {
+      case (acc, (from, to)) => acc.withColumnRenamed(from, to)
+    }
+    val staged = renamed.localCheckpoint(true)
+    spark.sql(s"DROP TABLE $table")
+    staged.write.format("parquet").partitionBy(partitionCol)
+      .saveAsTable(table)
   }
 
   /** Keyed upsert (MERGE emulation on a partitioned parquet table):

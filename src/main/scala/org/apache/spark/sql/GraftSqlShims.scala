@@ -36,4 +36,16 @@ object GraftSqlShims {
         v.asInstanceOf[org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation],
         overrideIfExists = true)
   }
+
+  /** Replace a catalog table's DATA schema (non-partition columns) —
+    * the metadata-only half of type widening: `ALTER TABLE ... ALTER
+    * COLUMN ... TYPE` is not available for v1 parquet tables, but the
+    * session catalog updates the schema directly and Spark 4's parquet
+    * readers handle widened reads (int32 files under a bigint column —
+    * SPARK-40876). */
+  def alterTableDataSchema(spark: SparkSession, table: String,
+      newDataSchema: org.apache.spark.sql.types.StructType): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+      .alterTableDataSchema(
+        org.apache.spark.sql.catalyst.TableIdentifier(table), newDataSchema)
 }

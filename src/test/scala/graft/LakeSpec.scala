@@ -107,6 +107,60 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.table(tbl).filter(col("channel").isNull).count() == 3)
   }
 
+  test("appendEvolved widens column types metadata-only") {
+    val tbl = "lake_widen_t"
+    Lake.appendEvolved(spark, Seq((1, 1.5f)).toDF("v", "score")
+      .withColumn("ingest_on", to_date(lit("2020-02-01"))), tbl)
+    assert(spark.table(tbl).schema("v").dataType
+      == org.apache.spark.sql.types.IntegerType)
+    // second batch arrives wider: int→bigint, float→double
+    Lake.appendEvolved(spark, Seq((2L, 2.5d)).toDF("v", "score")
+      .withColumn("ingest_on", to_date(lit("2020-03-01"))), tbl)
+    val sch = spark.table(tbl).schema
+    assert(sch("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("score").dataType == org.apache.spark.sql.types.DoubleType)
+    // old int32/float parquet files read fine under the widened schema
+    // (SPARK-40876) — both generations of rows come back correct
+    val out = spark.table(tbl).orderBy("v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 1.5), (2L, 2.5)))
+    // a later NARROW batch up-casts into the widened table
+    Lake.appendEvolved(spark, Seq((3, 3.5f)).toDF("v", "score")
+      .withColumn("ingest_on", to_date(lit("2020-04-01"))), tbl)
+    assert(spark.table(tbl).filter(col("v") === 3L).count() == 1)
+    assert(spark.table(tbl).schema("v").dataType
+      == org.apache.spark.sql.types.LongType)
+    // incompatible drift still fails loudly
+    intercept[IllegalArgumentException] {
+      Lake.appendEvolved(spark, Seq(("oops", 1.0d)).toDF("v", "score")
+        .withColumn("ingest_on", to_date(lit("2020-05-01"))), tbl)
+    }
+  }
+
+  test("renameColumns rewrites the table under the new names") {
+    val tbl = "lake_rename_t"
+    Lake.appendEvolved(spark, Seq((1, "a"), (2, "b")).toDF("v", "tag")
+      .withColumn("ingest_on", to_date(lit("2020-02-01"))), tbl)
+    Lake.renameColumns(spark, tbl, Map("tag" -> "label"))
+    val out = spark.table(tbl)
+    assert(out.columns.toSet == Set("v", "label", "ingest_on"))
+    assert(out.orderBy("v").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b"))
+    // partition layout survives the rewrite
+    assert(out.filter(col("ingest_on") === lit("2020-02-01").cast("date"))
+      .count() == 2)
+    // guard rails: partition column, unknown source, existing target
+    intercept[IllegalArgumentException] {
+      Lake.renameColumns(spark, tbl, Map("ingest_on" -> "d"))
+    }
+    intercept[IllegalArgumentException] {
+      Lake.renameColumns(spark, tbl, Map("nope" -> "x"))
+    }
+    intercept[IllegalArgumentException] {
+      Lake.renameColumns(spark, tbl, Map("label" -> "v"))
+    }
+  }
+
   test("landing JSON write is overwrite-idempotent and single-file") {
     val base = Files.createTempDirectory("landing").toString
     val df = Seq(("a", 1), ("b", 2)).toDF("k", "n")
