@@ -422,6 +422,30 @@ final case class RowCountMatch(refName: String, op: String,
     op, lit(value))
 }
 
+/** Schema similarity between the primary frame and the named reference
+  * — Glue DQDL `SchemaMatch "reference" >= 0.9`. The metric is
+  * |columns matching by case-insensitive name AND exact type| divided
+  * by |union of column names| — 1.0 iff the schemas are identical up
+  * to name case and column order. Pure metadata: no scan of either
+  * side, so the "aggregation" is a literal 1-row frame. */
+final case class SchemaMatch(refName: String, op: String,
+    value: Double) extends CrossFrameRule {
+  private val t =
+    s"${DqOps.safe(refName)}_${DqOps.tag(op)}_${DqOps.numTag(value)}"
+  val name = s"schema_match_$t"
+  private val alias = s"schema_match_ratio_$t"
+  def metrics: Seq[Column] = Seq.empty
+  def crossMetrics(primary: DataFrame, ref: DataFrame): DataFrame = {
+    val p = primary.schema.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val r = ref.schema.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val union = (p.keySet ++ r.keySet).size
+    val matched = p.count { case (n, dt) => r.get(n).contains(dt) }
+    primary.sparkSession.range(1).select(
+      lit(matched.toDouble / union.toDouble).as(alias))
+  }
+  def passed: Column = DqOps.compare(col(alias), op, lit(value))
+}
+
 /** dbt `not_null` test — alias of IsComplete with dbt naming. */
 final case class NotNull(column: String) extends DqRule {
   val name = s"not_null_$column"

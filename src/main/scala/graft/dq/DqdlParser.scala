@@ -46,6 +46,8 @@ object DqdlParser {
     """ReferentialIntegrity\s+"([^"]+)"\s+"([^".]+)\.([^"]+)"\s*(<=|>=|!=|<|>|=)\s*([\d.]+)""".r
   private val RowCountMatchRe =
     """RowCountMatch\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*([\d.]+)""".r
+  private val SchemaMatchRe =
+    """SchemaMatch\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*([\d.]+)""".r
 
   def parse(name: String, dqdl: String): Ruleset = {
     val body = dqdl match {
@@ -80,6 +82,7 @@ object DqdlParser {
     case RefIntegrityRe(c, ref, refCol, op, v) =>
       ReferentialIntegrity(c, ref, refCol, op, v.toDouble)
     case RowCountMatchRe(ref, op, v) => RowCountMatch(ref, op, v.toDouble)
+    case SchemaMatchRe(ref, op, v) => SchemaMatch(ref, op, v.toDouble)
     case ColumnValuesBetweenRe(c, lo, hi) =>
       ColumnValues(c, _.between(lo.toDouble, hi.toDouble))
     case ColumnValuesRe(c, op, v) =>

@@ -258,6 +258,28 @@ class DqdlSpec extends AnyFunSuite {
     }
   }
 
+  test("SchemaMatch scores name+type overlap against a reference frame") {
+    val a = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
+    val sameUpToCase = Seq((2L, "y", 2.0)).toDF("ID", "Name", "Score")
+    val drifted = Seq((1L, 1, 1.0)).toDF("id", "name", "extra")
+    val rs = DqdlParser.parse("s",
+      """Rules = [ SchemaMatch "ref" >= 0.99 ]""")
+    assert(rs.rules.head == SchemaMatch("ref", ">=", 0.99))
+    // identical up to case and order → 1.0
+    assert(Dqdl.evaluate(a, rs, Map("ref" -> sameUpToCase)).passed)
+    // drifted: `name` type changed, `score`/`extra` disjoint →
+    // matched {id} of union {id,name,score,extra} = 0.25
+    val v = Dqdl.evaluate(a, Ruleset("s", Seq(
+      SchemaMatch("ref", ">", 0.2))), Map("ref" -> drifted))
+    assert(v.metrics("schema_match_ratio_ref_gt_0p2") == 0.25)
+    assert(v.passed)
+    // no scan of either side: the verdict plan touches no FileScan
+    val plan = Dqdl.evaluateDf(a, Ruleset("s", Seq(
+        SchemaMatch("ref", "=", 1.0))), Map("ref" -> a))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("filescan"), plan)
+  }
+
   test("DataFreshness compares max event time against an explicit asOf") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00"))
