@@ -466,6 +466,71 @@ object ExtensionQueries {
               |    THEN 1.0 ELSE 0.0 END) * 0.25) AS quality_score
               |FROM m""".stripMargin)),
 
+    // within-document n-gram repetition (template/boilerplate signal):
+    // integer gram counts, one double division — bit-stable
+    QueryDef("q_text_repetition",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        greatest(TextAnalysis.tokenCount(col("text")) - 2, lit(0))
+          .as("total_ngrams"),
+        size(Dedup.shingles(col("text"), 3)).as("distinct_ngrams"),
+        TextAnalysis.repetitionRatio(col("text"), 3)
+          .as("repetition_ratio")),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+              |s AS (SELECT doc_id,
+              |  CAST(greatest(len(w) - 2, 0) AS INTEGER) AS total_ngrams,
+              |  CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct(
+              |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              |     for i in range(1, len(w) - 1)]))
+              |  ELSE 0 END AS INTEGER) AS distinct_ngrams
+              |  FROM t)
+              |SELECT doc_id, total_ngrams, distinct_ngrams,
+              |  CASE WHEN total_ngrams = 0 THEN 0.0
+              |    ELSE 1.0 - CAST(distinct_ngrams AS DOUBLE)
+              |      / CAST(total_ngrams AS DOUBLE) END AS repetition_ratio
+              |FROM s""".stripMargin)),
+
+    // training-mix report: per (source, lang) volume + decimal-exact
+    // mean quality — the "what goes into the next training run" table;
+    // one aggregation pass over the corpus
+    QueryDef("q_source_mix",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          (sum(TextAnalysis.qualityScore(col("text"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+            .cast("double") / count(lit(1)).cast("double"))
+            .as("mean_quality")),
+      Some(s"""WITH t AS (SELECT source, lang, n_chars, text,
+              |  $sqlTokens AS toks FROM documents),
+              |m AS (SELECT source, lang, n_chars, len(toks) AS n_tokens,
+              |CASE WHEN length(text) = 0 THEN 0.0
+              |  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+              |       / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+              |CASE WHEN len(toks) = 0 THEN 0.0
+              |  ELSE CAST(len(list_filter(toks,
+              |    t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+              |       / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+              |CASE WHEN len(toks) = 0 THEN 0.0
+              |  ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+              |       / CAST(len(toks) AS DOUBLE) END AS mean_token_len
+              |FROM t),
+              |q AS (SELECT source, lang, n_chars, n_tokens,
+              |(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.25)
+              |+ ((1.0 - least(punct_ratio * 4.0, 1.0)) * 0.25)
+              |+ (least(stopword_ratio * 4.0, 1.0) * 0.25)
+              |+ ((CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0
+              |    THEN 1.0 ELSE 0.0 END) * 0.25) AS quality
+              |FROM m)
+              |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              |CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              |CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE)
+              |  / CAST(COUNT(*) AS DOUBLE) AS mean_quality
+              |FROM q GROUP BY 1, 2""".stripMargin)),
+
     QueryDef("q_text_langid",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred")),

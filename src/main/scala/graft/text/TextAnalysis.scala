@@ -69,6 +69,19 @@ object TextAnalysis {
       (stopTerm * lit(0.25)) + (wordLenTerm * lit(0.25))
   }
 
+  /** Fraction of word n-grams that repeat an earlier n-gram of the
+    * same document — the standard within-document repetition signal
+    * (template/boilerplate/keyword-stuffing detector) in pretraining
+    * quality filters. 0.0 for documents too short to carry one
+    * n-gram. Integer counts with a single double division at the end,
+    * so the value is bit-stable across engines and partitionings. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = greatest(size(tokens(text)) - (n - 1), lit(0))
+    val dist = size(graft.dedup.Dedup.shingles(text, n))
+    when(total === 0, lit(0.0)).otherwise(
+      lit(1.0) - dist.cast("double") / total.cast("double"))
+  }
+
   /** Language ID by stopword voting — the classic cheap n-gram/stopword
     * heuristic. Deterministic argmax with fixed precedence
     * en > de > fr > es, 'und' (undetermined) when no marker hits. */

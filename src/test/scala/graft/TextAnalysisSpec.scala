@@ -116,6 +116,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(tfidf((2L, "spark"))._3 == 1.0 * math.log(3.0 / 2.0))
   }
 
+  test("repetitionRatio flags repeated n-grams, 0 for short/clean text") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),      // "a b c" loops: heavy repetition
+      (2L, "one two three four five"), // all 3-grams distinct
+      (3L, "too short"),               // < 3 tokens → no n-grams
+      (4L, "")).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+      TextAnalysis.repetitionRatio($"text", 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1: 7 total 3-grams, 3 distinct ("a b c","b c a","c a b")
+    assert(math.abs(out(1L) - (1.0 - 3.0 / 7.0)) < 1e-15)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0 && out(4L) == 0.0)
+  }
+
   test("text ops compile to pure expressions (single codegen stage)") {
     val df = Seq("the quick brown fox").toDF("text")
     val plan = df.select(TextAnalysis.qualityScore($"text"),
