@@ -42,7 +42,11 @@ object Bench {
     // disproved). Three runs and the median make one contended run
     // harmless; the reported spread (max-min) lets a reader judge how
     // noisy the session was without re-running anything.
-    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // clamped to >= 1 (0 would crash after the whole warmup sweep);
+    // for even N the LOWER median is reported — biased toward the
+    // less-contended run, which is the signal the artifact wants
+    val runsPerQuery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -51,7 +55,7 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val samples = (1 to runsPerQuery).map(_ => timeOnce(fn)).sorted
-      val median = samples(samples.size / 2)
+      val median = samples((samples.size - 1) / 2)
       name -> (median, samples.last - samples.head)
     }
     def fmt(sel: ((Double, Double)) => Double) = results

@@ -56,6 +56,13 @@ sealed trait CrossFrameRule extends DqRule {
   /** 1-row side metrics computed against the resolved secondary frame
     * (cross-joined into the verdict row like any side aggregation). */
   def crossMetrics(primary: DataFrame, ref: DataFrame): DataFrame
+  /** When the side pass is a plain aggregation over the REFERENCE
+    * frame alone, the aggregate columns — the evaluator fuses every
+    * such rule on one refName into a single scan of that reference
+    * (tiered RowCountMatch thresholds cost one count, not N). Rules
+    * whose side pass needs the primary too (ReferentialIntegrity's
+    * join) leave this None and keep their own pass. */
+  def refAggMetrics: Option[Seq[Column]] = None
   override def hasSide: Boolean = true
   override def sideMetrics(df: DataFrame): Option[DataFrame] =
     throw new IllegalArgumentException(
@@ -397,10 +404,14 @@ final case class ReferentialIntegrity(column: String, refName: String,
     val refKeys = ref.select(col(refColumn).as("__rk")).distinct()
     primary.select(col(column).as("__pk"))
       .join(refKeys, col("__pk") === col("__rk"), "left")
-      .agg((sum(when(col("__rk").isNotNull, 1L).otherwise(0L))
-        .cast("double") / count(lit(1)).cast("double")).as(alias))
+      .agg(try_divide(
+        sum(when(col("__rk").isNotNull, 1L).otherwise(0L)).cast("double"),
+        count(lit(1)).cast("double")).as(alias))
   }
-  def passed: Column = DqOps.compare(col(alias), op, lit(value))
+  // empty primary → 0/0 → null ratio (try_divide under ANSI): a
+  // failed rule, not a crash
+  def passed: Column =
+    coalesce(DqOps.compare(col(alias), op, lit(value)), lit(false))
 }
 
 /** Primary row count as a ratio of the named reference's row count —
@@ -415,11 +426,17 @@ final case class RowCountMatch(refName: String, op: String,
   val name = s"row_count_match_$t"
   private val alias = s"ref_rows_$t"
   def metrics: Seq[Column] = Seq.empty
+  override def refAggMetrics: Option[Seq[Column]] =
+    Some(Seq(count(lit(1)).as(alias)))
   def crossMetrics(primary: DataFrame, ref: DataFrame): DataFrame =
     ref.agg(count(lit(1)).as(alias))
-  def passed: Column = DqOps.compare(
-    col("row_count").cast("double") / col(alias).cast("double"),
-    op, lit(value))
+  // an EMPTY reference makes the ratio null (try_divide — ANSI mode
+  // would throw on the plain operator); that's a failed rule, not a
+  // crash — the missing reference feed is exactly what this rule
+  // exists to flag
+  def passed: Column = coalesce(DqOps.compare(
+    try_divide(col("row_count").cast("double"), col(alias).cast("double")),
+    op, lit(value)), lit(false))
 }
 
 /** Schema similarity between the primary frame and the named reference
@@ -486,15 +503,27 @@ object Dqdl {
       refs: Map[String, DataFrame] = Map.empty): DataFrame = {
     val metricCols = compiledMetrics(ruleset)
     val mainAgg = df.agg(metricCols.head, metricCols.tail: _*)
-    val sides = ruleset.rules.flatMap {
-      case r: CrossFrameRule =>
-        val ref = refs.getOrElse(r.refName,
-          throw new IllegalArgumentException(
-            s"rule ${r.name} references data source '${r.refName}' " +
-              s"but refs provides ${refs.keys.mkString("{", ",", "}")}"))
-        Some(r.crossMetrics(df, ref))
-      case r => r.sideMetrics(df)
+    def resolveRef(r: CrossFrameRule): DataFrame =
+      refs.getOrElse(r.refName,
+        throw new IllegalArgumentException(
+          s"rule ${r.name} references data source '${r.refName}' " +
+            s"but refs provides ${refs.keys.mkString("{", ",", "}")}"))
+    // fuse every ref-aggregate cross rule on the same reference into
+    // ONE scan of that reference; other sides keep their own pass
+    val fusable = ruleset.rules.collect {
+      case r: CrossFrameRule if r.refAggMetrics.isDefined =>
+        (r.refName, resolveRef(r), r.refAggMetrics.get)
     }
+    val fusedSides = fusable.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, group) =>
+        val cols = group.flatMap(_._3)
+        group.head._2.agg(cols.head, cols.tail: _*)
+      }
+    val sides = ruleset.rules.flatMap {
+      case r: CrossFrameRule if r.refAggMetrics.isDefined => None
+      case r: CrossFrameRule => Some(r.crossMetrics(df, resolveRef(r)))
+      case r => r.sideMetrics(df)
+    } ++ fusedSides
     val agg = sides.foldLeft(mainAgg)(_ crossJoin _)
     attachVerdicts(agg, ruleset)
   }

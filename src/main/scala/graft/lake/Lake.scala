@@ -192,6 +192,12 @@ object Lake {
       s"rename source column $c not in $table"))
     renames.values.foreach(c => require(!cols.contains(c.toLowerCase),
       s"rename target column $c already exists in $table"))
+    // duplicate targets would survive the per-target check, produce a
+    // frame with two same-named columns, and fail AFTER the managed
+    // table is dropped — destroying the only durable copy of the data
+    val targets = renames.values.map(_.toLowerCase).toSeq
+    require(targets.distinct.size == targets.size,
+      s"rename targets collide: ${renames.values.mkString(", ")}")
     val renamed = renames.foldLeft(spark.table(table)) {
       case (acc, (from, to)) => acc.withColumnRenamed(from, to)
     }

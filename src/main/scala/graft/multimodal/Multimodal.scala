@@ -65,7 +65,11 @@ object Multimodal {
             Some((r.getWidth(0), r.getHeight(0),
               r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
           } catch {
-            case _: java.io.IOException => None // truncated/corrupt header
+            // not just IOException: ImageIO readers throw unchecked
+            // exceptions (IllegalArgument/IndexOutOfBounds/...) on
+            // malformed bodies whose magic bytes matched — at millions
+            // of rows one such blob must not fail the job
+            case scala.util.control.NonFatal(_) => None
           } finally r.dispose()
         }
       } finally iis.close()

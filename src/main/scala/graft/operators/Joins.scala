@@ -42,12 +42,13 @@ object Joins {
     // xxhash64 hashes by PHYSICAL type: int 5 and bigint 5 produce
     // different hashes, so mismatched key types would make every probe
     // miss and silently prune rows the real join (which coerces types)
-    // would keep. Align both sides to the same wider type Spark's join
-    // coercion would pick before hashing; refuse key pairs the join
-    // itself couldn't compare.
+    // would keep. Align both sides to the type the join's own BINARY
+    // COMPARISON coercion picks (string-vs-bigint compares as DOUBLE,
+    // not STRING — the "wider" type would hash join-equal values
+    // apart); refuse key pairs the join itself couldn't compare.
     val largeT = large.schema(largeKey).dataType
     val smallT = small.schema(smallKey).dataType
-    val commonT = GraftSqlShims.widerTypeForTwo(largeT, smallT).getOrElse(
+    val commonT = GraftSqlShims.joinKeyCommonType(largeT, smallT).getOrElse(
       throw new IllegalArgumentException(
         s"bloomPrune: no common type for $largeKey:$largeT vs $smallKey:$smallT"))
     val bf = small.filter(col(smallKey).isNotNull)

@@ -11,15 +11,21 @@ object GraftSqlShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Spark's own widening rule for a two-sided comparison — the same
-    * coercion an equi-join applies to mismatched key types. Exposed so
-    * operators that hash join keys (Bloom pruning) can align types
-    * exactly as the join would. */
-  def widerTypeForTwo(t1: org.apache.spark.sql.types.DataType,
+  /** The EXACT coercion Spark applies to the two sides of an equality
+    * comparison (and therefore to mismatched equi-join keys). Not the
+    * same as findWiderTypeForTwo: e.g. string-vs-bigint compares as
+    * DOUBLE, while the "wider" type would be STRING — an operator that
+    * hashes join keys must follow the comparison rule or it hashes
+    * values the join would consider equal to different buckets. */
+  def joinKeyCommonType(t1: org.apache.spark.sql.types.DataType,
       t2: org.apache.spark.sql.types.DataType)
       : Option[org.apache.spark.sql.types.DataType] =
-    org.apache.spark.sql.catalyst.analysis.TypeCoercion
-      .findWiderTypeForTwo(t1, t2)
+    if (t1 == t2) Some(t1)
+    else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+      .findCommonTypeForBinaryComparison(t1, t2,
+        org.apache.spark.sql.internal.SQLConf.get)
+      .orElse(org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findWiderTypeForTwo(t1, t2))
 
   /** Capture a session temp view's raw definition so an operator that
     * must temporarily claim a fixed view name (DQDL's `primary`

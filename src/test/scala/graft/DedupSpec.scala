@@ -218,7 +218,12 @@ class DedupSpec extends AnyFunSuite {
   test("scoped cache handles: concurrent jobs release only their own") {
     // two "jobs" build dedup plans in their own scopes; releasing job
     // A's handle must not evict job B's signature cache (the module-
-    // global registry previously made any release session-wide)
+    // global registry previously made any release session-wide).
+    // Assertions are DELTA-based on RDD ids: the session is shared
+    // across suites, so global getPersistentRDDs counts are not ours
+    // to assert on
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def ours = spark.sparkContext.getPersistentRDDs.keySet -- before
     val (pairsA, handleA) = Dedup.scoped(
       Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.3))
     val (pairsB, handleB) = Dedup.scoped(
@@ -227,16 +232,18 @@ class DedupSpec extends AnyFunSuite {
     assert(handleA.trackedCount > 0 && handleB.trackedCount > 0)
     // both scopes persisted something; global release touches neither
     Dedup.releaseCaches()
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
-    assert(cachedBefore >= 2, s"expected both scopes cached: $cachedBefore")
+    val cachedBefore = ours
+    assert(cachedBefore.size >= 2,
+      s"expected both scopes cached: $cachedBefore")
     handleA.release()
-    val afterA = spark.sparkContext.getPersistentRDDs.size
-    assert(afterA < cachedBefore, s"A's release freed nothing: $afterA")
-    assert(afterA > 0, "A's release evicted B's cache too")
+    val afterA = ours
+    assert(afterA.size < cachedBefore.size,
+      s"A's release freed nothing: $afterA")
+    assert(afterA.nonEmpty, "A's release evicted B's cache too")
     // B still computes correctly from its own (still-warm) cache
     assert(pairsB.count() >= 0)
     handleB.release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(ours.isEmpty, s"leaked after both releases: $ours")
     pairsA.count() // released plans still recompute fine
   }
 }

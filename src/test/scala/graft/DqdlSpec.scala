@@ -247,6 +247,18 @@ class DqdlSpec extends AnyFunSuite {
       Map("customer" -> customers))
     assert(v2.metrics("ri_cust_customer_cid_gt_0p7")
       == 4.0 / 6.0)
+    // an EMPTY reference is a FAILED rule (the missing feed this rule
+    // exists to flag), never a null-unboxing crash
+    val vEmpty = Dqdl.evaluate(orders, Ruleset("e", Seq(
+      RowCountMatch("customer", ">=", 0.1),
+      ReferentialIntegrity("cust", "customer", "cid", ">", 0.0))),
+      Map("customer" -> customers.limit(0)))
+    assert(!vEmpty.passed)
+    assert(vEmpty.ruleResults.values.forall(_ == false))
+    // ... and so is an empty primary for a ratio rule
+    assert(!Dqdl.evaluate(orders.limit(0), Ruleset("p", Seq(
+      ReferentialIntegrity("cust", "customer", "cid", ">", 0.0))),
+      Map("customer" -> customers)).passed)
     // missing reference frame fails loudly, naming the source
     val e = intercept[IllegalArgumentException] {
       Dqdl.evaluate(orders, rs, Map.empty)

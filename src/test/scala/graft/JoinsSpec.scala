@@ -57,6 +57,15 @@ class JoinsSpec extends AnyFunSuite {
     val joined = Joins.bloomPrunedJoin(small.toDF("k"), "k",
       large.limit(10), "k")
     assert(joined.count() == 3L)
+    // string-vs-bigint: the join compares via DOUBLE coercion, so "05"
+    // matches 5 — the bloom must follow the COMPARISON coercion, not
+    // the "wider" type (string), or it hashes join-equal values apart
+    val strKeys = Seq("05", "7", "900").toDF("k")
+    val viaStr = Joins.bloomPrune(large, "k", strKeys, "k",
+      expectedItems = 10L)
+    val keptStr = viaStr.collect().map(_.getLong(0)).toSet
+    assert(Set(5L, 7L, 900L).subsetOf(keptStr),
+      s"comparison-coerced matches pruned: $keptStr")
     // incomparable key types fail loudly instead of silently pruning
     val bin = Seq(Array[Byte](1)).toDF("k")
     intercept[IllegalArgumentException] {
