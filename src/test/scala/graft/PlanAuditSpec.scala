@@ -108,4 +108,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("cross-table DQ verdict: primary scanned once, ref side tiny") {
+    val p = plan("q_dq_referential")
+    // the three rules (RI + two fused RowCountMatch tiers) must not
+    // multiply scans: one scan of orders for the shared aggregation,
+    // one for the RI join probe, ONE of customer for both row-count
+    // tiers + one for the RI key distinct
+    assert(p.split("Scan parquet").count(_ => true) - 1 <= 4, p)
+    // the 1-row side frames cross-join for free — but never a
+    // cartesian between real tables
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("source-mix report is one aggregation pass over the corpus") {
+    val p = plan("q_source_mix")
+    // partial+final hash aggregate around a single exchange on the
+    // group keys; the quality expression stays in the scan stage
+    assert(p.split("Exchange").count(_ => true) - 1 == 1, p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("repetition ratio is a narrow map — no exchange, no UDF") {
+    val p = plan("q_text_repetition")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
 }
