@@ -43,6 +43,42 @@ object Curation {
       trainPct: Int = 90,
       keepPolicy: KeepPolicy = KeepMinId)
 
+  /** Incremental corpus ingestion: append to `table` only documents
+    * whose content fingerprint has NEVER been seen — not in the
+    * table's full history, not earlier in this same batch (smallest
+    * id wins within a batch). Returns the number of rows appended.
+    *
+    * This is the daily-ingest face of exact dedup: the corpus table
+    * grows monotonically and every arriving batch is checked against
+    * all of history. Scale shape: within-batch dedup is one hash
+    * aggregation on the fingerprint; the against-history check is a
+    * LEFT ANTI join that reads ONE column (`fpCol`) of the corpus —
+    * column pruning means the 100 TB of text is never touched — and
+    * shuffles only (fingerprint, id) pairs. The appended count rides
+    * an `Observation` on the write, costing no extra pass.
+    *
+    * Idempotence for free: re-ingesting a batch finds all its
+    * fingerprints already in the table and appends nothing — no
+    * ledger needed, the dedup IS the exactly-once mechanism. */
+  def appendNovel(spark: SparkSession, incoming: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      partitionCol: String = "ingest_on",
+      fpCol: String = "fp"): Long = {
+    val fped = incoming.withColumn(fpCol,
+      TextAnalysis.contentFingerprint(col(textCol)))
+    // within-batch: one row per fingerprint, smallest id wins
+    val keep = Dedup.exactDedup(fped, idCol, Seq(fpCol))
+    val batchUnique = fped.drop(fpCol).join(keep, Seq(idCol))
+    val novel =
+      if (!spark.catalog.tableExists(table)) batchUnique
+      else batchUnique.join(spark.table(table).select(col(fpCol)),
+        Seq(fpCol), "left_anti")
+    val obs = org.apache.spark.sql.Observation()
+    val observed = novel.observe(obs, count(lit(1)).as("appended"))
+    graft.lake.Lake.appendOrCreate(spark, observed, table, partitionCol)
+    obs.get("appended").asInstanceOf[Long]
+  }
+
   def pipeline(spark: SparkSession, cfg: Config)(
       implicit ec: ExecutionContext): Pipeline = {
 

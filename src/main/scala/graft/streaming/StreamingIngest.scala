@@ -226,6 +226,34 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming incremental corpus ingestion: every micro-batch
+    * appends only never-seen-before documents via
+    * [[graft.pipeline.Curation.appendNovel]] (within-batch exact
+    * dedup + anti-join against the corpus table's full fingerprint
+    * history). Effectively exactly-once WITHOUT a ledger: a
+    * crash-replayed batch finds its own fingerprints already in the
+    * table, the anti-join drops every row, and the replay appends
+    * nothing — the dedup is the idempotence mechanism, which is why
+    * this sink (unlike [[sinkToSilver]]) needs no one-partition-per-
+    * batch contract. */
+  def ingestNovel(docs: DataFrame, spark: SparkSession, table: String,
+      checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text",
+      partitionCol: String = "ingest_on"): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.Curation.appendNovel(spark, batch, table,
+          idCol, textCol, partitionCol)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain everything currently in the source, write to a parquet
     * sink, stop — the reference's "process this month's landing files"
     * as a checkpointed streaming run. */

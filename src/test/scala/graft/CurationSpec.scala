@@ -18,6 +18,36 @@ class CurationSpec extends AnyFunSuite {
   private val window = RunWindow(
     LocalDate.parse("2020-02-01"), LocalDate.parse("2020-03-01"))
 
+  test("appendNovel ingests only never-seen documents, idempotently") {
+    val tbl = "curation_novel_t"
+    def docs(ingestOn: String, rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("ingest_on", to_date(lit(ingestOn)))
+    // batch 1: 3 rows, one within-batch duplicate text (min id wins)
+    val n1 = Curation.appendNovel(spark,
+      docs("2020-02-01", Seq((1L, "alpha beta"), (2L, "alpha beta"),
+        (3L, "gamma delta"))), tbl)
+    assert(n1 == 2)
+    assert(spark.table(tbl).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    // batch 2: one old text (case/space-variant — fingerprint catches
+    // it), one new
+    val n2 = Curation.appendNovel(spark,
+      docs("2020-02-02", Seq((4L, "  ALPHA   beta "),
+        (5L, "epsilon zeta"))), tbl)
+    assert(n2 == 1)
+    assert(spark.table(tbl).count() == 3)
+    // replaying batch 2 appends nothing — the dedup IS the
+    // exactly-once mechanism
+    val n3 = Curation.appendNovel(spark,
+      docs("2020-02-02", Seq((4L, "  ALPHA   beta "),
+        (5L, "epsilon zeta"))), tbl)
+    assert(n3 == 0)
+    assert(spark.table(tbl).count() == 3)
+    // history rows keep their fingerprint column for future batches
+    assert(spark.table(tbl).columns.contains("fp"))
+  }
+
   test("redactPii masks emails and phone runs, leaves prose alone") {
     val out = Seq(
       "contact me at jane.doe+x@example.org today",

@@ -23,6 +23,32 @@ class StreamingSpec extends AnyFunSuite {
       rows.mkString("\n"))
   }
 
+  test("ingestNovel appends only unseen docs across drains") {
+    val base = Files.createTempDirectory("novel-landing").toString
+    val ckpt = Files.createTempDirectory("novel-ckpt").toString
+    val tbl = "stream_novel_t"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ingest_on", DateType)))
+    def doc(id: Long, text: String, d: String) =
+      s"""{"doc_id":$id,"text":"$text","ingest_on":"$d"}"""
+    writeLanding(base, Seq(
+      doc(1, "alpha beta", "2020-02-01"),
+      doc(2, "alpha beta", "2020-02-01"),   // within-drain duplicate
+      doc(3, "gamma delta", "2020-02-01")))
+    def stream() = spark.readStream.schema(docSchema).json(base)
+    StreamingIngest.ingestNovel(stream(), spark, tbl, ckpt)
+    assert(spark.table(tbl).count() == 2)
+    // second drain: one replayed text, one new — only the new lands
+    Files.writeString(java.nio.file.Paths.get(s"$base/part-1.json"),
+      Seq(doc(4, "alpha beta", "2020-02-02"),
+        doc(5, "epsilon zeta", "2020-02-02")).mkString("\n"))
+    StreamingIngest.ingestNovel(stream(), spark, tbl, ckpt)
+    assert(spark.table(tbl).count() == 3)
+    assert(spark.table(tbl).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+  }
+
   test("file-stream ingest with AvailableNow drains landing exactly once") {
     val base = Files.createTempDirectory("stream-landing").toString
     val out = Files.createTempDirectory("stream-out").toString
