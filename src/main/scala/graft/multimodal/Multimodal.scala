@@ -12,13 +12,14 @@ import org.apache.spark.sql.types._
   * the last possible stage).
   *
   * The Spark-side plumbing — schema, partition-preserving batch
-  * transforms, deterministic feature shape — is real and tested, and so
-  * is IMAGE decoding: [[decodeImage]] parses real PNG/JPEG/GIF/BMP
-  * headers with `javax.imageio` (ships in the JRE — no new
-  * dependency). Audio/video codec calls remain STUBBED with
-  * deterministic fakes (no ffmpeg in this container): each is marked
-  * `STUB:` and would swap for real bindings behind the same
-  * signatures.
+  * transforms, deterministic feature shape — is real and tested, and
+  * so is header DECODING for images ([[decodeImage]]: PNG/JPEG/GIF/BMP
+  * via `javax.imageio`) and audio ([[decodeAudio]]: WAV/AIFF/AU via
+  * `javax.sound.sampled`) — both JRE-native, no new dependency. Video
+  * frame extraction, pixel resize, and learned-feature embedding
+  * remain STUBBED with deterministic fakes (no ffmpeg or model
+  * runtime in this container): each is marked `STUB:` and would swap
+  * for real bindings behind the same signatures.
   */
 object Multimodal {
 
@@ -76,6 +77,22 @@ object Multimodal {
     }
   }
 
+  /** Real audio header decode via `javax.sound.sampled` (also in the
+    * JRE): (sample_rate, channels, format) from actual WAV/AIFF/AU
+    * headers. Header-only like [[decodeImage]] — getAudioFileFormat
+    * reads the container header, never the PCM frames. Null or
+    * unrecognizable bytes → null. */
+  val decodeAudio: UserDefinedFunction = udf { bytes: Array[Byte] =>
+    if (bytes == null) None
+    else try {
+      val fileFmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val af = fileFmt.getFormat
+      Some((af.getSampleRate.toInt, af.getChannels,
+        fileFmt.getType.toString.toLowerCase(java.util.Locale.ROOT)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** STUB: resize — a real impl re-encodes pixels; the fake truncates
     * bytes proportionally, preserving the (bytes → smaller bytes)
     * contract the pipeline depends on. */
@@ -123,9 +140,12 @@ object Multimodal {
     }
   }
 
-  /** Attach decoded-metadata columns to a media frame (images only get
-    * width/height/format; the rest pass through). Narrow projection. */
+  /** Attach decoded-metadata columns to a media frame (images get
+    * width/height/format, audio gets sample_rate/channels/format; the
+    * rest pass through). Narrow projection. */
   def withDecodedMeta(df: DataFrame): DataFrame =
     df.withColumn("decoded", when(col("kind") === "image",
-      decodeImage(col("bytes"))).otherwise(lit(null)))
+        decodeImage(col("bytes"))).otherwise(lit(null)))
+      .withColumn("decoded_audio", when(col("kind") === "audio",
+        decodeAudio(col("bytes"))).otherwise(lit(null)))
 }

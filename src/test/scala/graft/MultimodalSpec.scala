@@ -77,6 +77,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1) && rows(3).isNullAt(1))
   }
 
+  test("decodeAudio parses real WAV headers via javax.sound.sampled") {
+    def wavBytes(rate: Float, channels: Int): Array[Byte] = {
+      val af = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+        true, false)
+      val frames = 800
+      val pcm = new Array[Byte](frames * af.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), af, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, wavBytes(16000f, 1)),
+      (2L, wavBytes(44100f, 2)),
+      (3L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+      .select($"media_id", Multimodal.decodeAudio($"bytes").as("d"))
+      .orderBy("media_id").collect()
+    val mono = rows(0).getStruct(1)
+    assert((mono.getInt(0), mono.getInt(1), mono.getString(2))
+      == ((16000, 1, "wave")))
+    val stereo = rows(1).getStruct(1)
+    assert((stereo.getInt(0), stereo.getInt(1)) == ((44100, 2)))
+    assert(rows(2).isNullAt(1))
+  }
+
   test("decode/resize/frame-sample keep the pipeline contracts") {
     val decoded = Multimodal.withDecodedMeta(media.toDF())
     val img = decoded.filter($"kind" === "image").select($"decoded")
