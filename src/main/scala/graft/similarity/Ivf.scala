@@ -30,6 +30,32 @@ object Ivf {
     def k: Int = centroids.size
   }
 
+  object IvfModel {
+    /** Persist the trained quantizer as a (cell, centroid) parquet —
+      * train once on a corpus sample, then reuse the index across
+      * sessions/jobs without retraining (the centroid matrix is k×dim
+      * doubles: trivially small, but the asset that makes corpus
+      * assignment a pure narrow map). Doubles round-trip parquet
+      * bit-exactly, so a loaded model assigns identically. */
+    def save(spark: org.apache.spark.sql.SparkSession, model: IvfModel,
+        path: String): Unit = {
+      import spark.implicits._
+      model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(path)
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession,
+        path: String): IvfModel = {
+      val rows = spark.read.parquet(path)
+        .select(col("cell"), col("centroid").cast("array<double>"))
+        .collect()
+      require(rows.nonEmpty, s"no centroids at $path")
+      IvfModel(rows.sortBy(_.getInt(0))
+        .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq)
+    }
+  }
+
   /** Cosine of `v` against each centroid, as (cos, idx) structs —
     * argmax via array_max's lexicographic struct ordering. */
   private def cellScores(v: Column, model: IvfModel): Column =

@@ -96,6 +96,13 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF recall $recall too low on clustered data")
+
+    // save/load round-trips the index bit-exactly: identical centroids,
+    // identical assignment — train once, search in any later session
+    val dir = java.nio.file.Files.createTempDirectory("ivf-model").toString
+    Ivf.IvfModel.save(spark, model, dir)
+    val back = Ivf.IvfModel.load(spark, dir)
+    assert(back == model)
   }
 
   test("ANN plans broadcast the query side (no corpus shuffle join)") {
