@@ -64,11 +64,20 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text",
       partitionCol: String = "ingest_on",
       fpCol: String = "fp"): Long = {
+    // null text fingerprints as empty text: every row gets a NON-NULL
+    // fingerprint (a null fp would never match the anti-join and the
+    // same junk doc would re-append on every replay), and null/empty
+    // documents — identical content — correctly collapse to one
     val fped = incoming.withColumn(fpCol,
-      TextAnalysis.contentFingerprint(col(textCol)))
-    // within-batch: one row per fingerprint, smallest id wins
-    val keep = Dedup.exactDedup(fped, idCol, Seq(fpCol))
-    val batchUnique = fped.drop(fpCol).join(keep, Seq(idCol))
+      TextAnalysis.contentFingerprint(coalesce(col(textCol), lit(""))))
+    // within-batch: exactly one physical row per fingerprint, smallest
+    // id wins — a window over fp (one shuffle), NOT a groupBy +
+    // join-back on id, which would resurrect both copies of an
+    // identically-redelivered row (same id, same text)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(fpCol)).orderBy(col(idCol).asc)
+    val batchUnique = fped.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     val novel =
       if (!spark.catalog.tableExists(table)) batchUnique
       else batchUnique.join(spark.table(table).select(col(fpCol)),

@@ -48,6 +48,28 @@ class CurationSpec extends AnyFunSuite {
     assert(spark.table(tbl).columns.contains("fp"))
   }
 
+  test("appendNovel: redelivered identical rows and null text stay exact") {
+    val tbl = "curation_novel_edge_t"
+    def docs(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("ingest_on", to_date(lit("2020-02-01")))
+    // the at-least-once shape: one physical row delivered twice into
+    // the same batch (same id, same text) must land ONCE
+    val n1 = Curation.appendNovel(spark,
+      docs(Seq((1L, "alpha"), (1L, "alpha"), (2L, "beta"))), tbl)
+    assert(n1 == 2, s"duplicate redelivery landed twice: $n1")
+    assert(spark.table(tbl).count() == 2)
+    // null-text docs fingerprint as empty text: first lands, replays
+    // and further null/empty docs dedupe against it
+    val n2 = Curation.appendNovel(spark,
+      docs(Seq((3L, null.asInstanceOf[String]))), tbl)
+    assert(n2 == 1)
+    val n3 = Curation.appendNovel(spark,
+      docs(Seq((3L, null.asInstanceOf[String]), (4L, ""))), tbl)
+    assert(n3 == 0, s"null-text doc re-appended on replay: $n3")
+    assert(spark.table(tbl).count() == 3)
+  }
+
   test("redactPii masks emails and phone runs, leaves prose alone") {
     val out = Seq(
       "contact me at jane.doe+x@example.org today",

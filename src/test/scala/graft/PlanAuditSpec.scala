@@ -109,13 +109,16 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  private def occurrences(p: String, token: scala.util.matching.Regex) =
+    token.findAllMatchIn(p).size
+
   test("cross-table DQ verdict: primary scanned once, ref side tiny") {
     val p = plan("q_dq_referential")
     // the three rules (RI + two fused RowCountMatch tiers) must not
     // multiply scans: one scan of orders for the shared aggregation,
     // one for the RI join probe, ONE of customer for both row-count
     // tiers + one for the RI key distinct
-    assert(p.split("Scan parquet").count(_ => true) - 1 <= 4, p)
+    assert(occurrences(p, "Scan parquet".r) <= 4, p)
     // the 1-row side frames cross-join for free — but never a
     // cartesian between real tables
     assert(!p.contains("CartesianProduct"), p)
@@ -123,9 +126,10 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("source-mix report is one aggregation pass over the corpus") {
     val p = plan("q_source_mix")
-    // partial+final hash aggregate around a single exchange on the
-    // group keys; the quality expression stays in the scan stage
-    assert(p.split("Exchange").count(_ => true) - 1 == 1, p)
+    // partial+final hash aggregate around a single SHUFFLE exchange on
+    // the group keys (a broadcast exchange would not count); the
+    // quality expression stays in the scan stage
+    assert(occurrences(p, "(?<!Broadcast)Exchange".r) == 1, p)
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
   }
 
