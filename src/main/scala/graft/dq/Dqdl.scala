@@ -439,6 +439,47 @@ final case class RowCountMatch(refName: String, op: String,
     op, lit(value)), lit(false))
 }
 
+/** Keyed row-level reconciliation against the named reference — Glue
+  * DQDL `DatasetMatch "reference" "id" >= 0.95`: the fraction of
+  * primary rows for which SOME reference row with equal `keyCols` has
+  * null-safe-equal values in every compared column (`matchCols`, or
+  * every common non-key column when empty). The migration-validation
+  * rule: "did the rows survive the copy unchanged".
+  *
+  * Any-match (left semi) semantics keep the metric deterministic even
+  * when the reference has duplicate keys. Scale shape: one equi-join
+  * shuffle on the key columns carrying only key+compared columns from
+  * each side; the ratio reuses the shared aggregation's `row_count`,
+  * so the primary's full width is scanned exactly once for the whole
+  * ruleset. */
+final case class DatasetMatch(refName: String, keyCols: Seq[String],
+    op: String, value: Double, matchCols: Seq[String] = Nil)
+    extends CrossFrameRule {
+  require(keyCols.nonEmpty, "DatasetMatch needs at least one key column")
+  private val t =
+    s"${DqOps.safe(refName)}_${keyCols.map(DqOps.safe).mkString("_")}_" +
+      s"${DqOps.tag(op)}_${DqOps.numTag(value)}"
+  val name = s"dataset_match_$t"
+  private val alias = s"matched_rows_$t"
+  def metrics: Seq[Column] = Seq.empty
+  def crossMetrics(primary: DataFrame, ref: DataFrame): DataFrame = {
+    val cmp =
+      if (matchCols.nonEmpty) matchCols
+      else primary.columns.filter(c =>
+        !keyCols.exists(_.equalsIgnoreCase(c)) &&
+          ref.columns.exists(_.equalsIgnoreCase(c))).toSeq
+    val refSide = ref.select((keyCols ++ cmp).map(c =>
+      col(c).as(s"__r_$c")): _*)
+    val cond = (keyCols.map(k => col(k) === col(s"__r_$k")) ++
+      cmp.map(c => col(c) <=> col(s"__r_$c"))).reduce(_ && _)
+    primary.join(refSide, cond, "left_semi")
+      .agg(count(lit(1)).as(alias))
+  }
+  def passed: Column = coalesce(DqOps.compare(
+    try_divide(col(alias).cast("double"), col("row_count").cast("double")),
+    op, lit(value)), lit(false))
+}
+
 /** Schema similarity between the primary frame and the named reference
   * — Glue DQDL `SchemaMatch "reference" >= 0.9`. The metric is
   * |columns matching by case-insensitive name AND exact type| divided

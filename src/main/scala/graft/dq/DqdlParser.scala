@@ -48,6 +48,8 @@ object DqdlParser {
     """RowCountMatch\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*([\d.]+)""".r
   private val SchemaMatchRe =
     """SchemaMatch\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*([\d.]+)""".r
+  private val DatasetMatchRe =
+    """DatasetMatch\s+"([^"]+)"\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*([\d.]+)""".r
 
   def parse(name: String, dqdl: String): Ruleset = {
     val body = dqdl match {
@@ -83,6 +85,8 @@ object DqdlParser {
       ReferentialIntegrity(c, ref, refCol, op, v.toDouble)
     case RowCountMatchRe(ref, op, v) => RowCountMatch(ref, op, v.toDouble)
     case SchemaMatchRe(ref, op, v) => SchemaMatch(ref, op, v.toDouble)
+    case DatasetMatchRe(ref, keys, op, v) => DatasetMatch(ref,
+      keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq, op, v.toDouble)
     case ColumnValuesBetweenRe(c, lo, hi) =>
       ColumnValues(c, _.between(lo.toDouble, hi.toDouble))
     case ColumnValuesRe(c, op, v) =>

@@ -378,6 +378,43 @@ object ParityQueries {
              |    AS all_passed
              |FROM m, ri, r""".stripMargin)),
 
+    // keyed row-level reconciliation (Glue DatasetMatch): orders vs a
+    // "migrated" copy with 10% of prices drifted — tiered thresholds
+    // straddle the 0.9 match ratio, so one tier passes and one fails
+    QueryDef("q_dq_dataset_match",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val migrated = orders.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        Dqdl.evaluateDf(orders, Ruleset("recon", Seq(
+          DatasetMatch("migrated", Seq("o_orderkey"), ">=", 0.95,
+            matchCols = Seq("o_totalprice")),
+          DatasetMatch("migrated", Seq("o_orderkey"), ">=", 0.85,
+            matchCols = Seq("o_totalprice")))),
+          refs = Map("migrated" -> migrated))
+      },
+      Some("""WITH ref AS (SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+             |    ELSE o_totalprice END AS o_totalprice FROM orders),
+             |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS matched
+             |  FROM orders o WHERE EXISTS (SELECT 1 FROM ref r
+             |    WHERE r.o_orderkey = o.o_orderkey
+             |    AND r.o_totalprice IS NOT DISTINCT FROM o.o_totalprice)),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS row_count
+             |  FROM orders)
+             |SELECT n.row_count,
+             |  m.matched AS matched_rows_migrated_o_orderkey_ge_0p95,
+             |  m.matched AS matched_rows_migrated_o_orderkey_ge_0p85,
+             |  CAST(m.matched AS DOUBLE) / CAST(n.row_count AS DOUBLE)
+             |    >= 0.95 AS dataset_match_migrated_o_orderkey_ge_0p95_passed,
+             |  CAST(m.matched AS DOUBLE) / CAST(n.row_count AS DOUBLE)
+             |    >= 0.85 AS dataset_match_migrated_o_orderkey_ge_0p85_passed,
+             |  (CAST(m.matched AS DOUBLE) / CAST(n.row_count AS DOUBLE) >= 0.95
+             |   AND CAST(m.matched AS DOUBLE) / CAST(n.row_count AS DOUBLE) >= 0.85)
+             |    AS all_passed
+             |FROM m, n""".stripMargin)),
+
     // O3 + S4 — incremental month window (partition-pruning predicate
     // shape: at scale this prunes to one ingest partition)
     QueryDef("q_incremental_window",

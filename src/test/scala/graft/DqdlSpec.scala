@@ -270,6 +270,37 @@ class DqdlSpec extends AnyFunSuite {
     }
   }
 
+  test("DatasetMatch reconciles keyed rows null-safely, any-match") {
+    val primary = Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+      (3L, Option.empty[Double], "c"), (4L, Some(40.0), "d"))
+      .toDF("k", "price", "tag")
+    val ref = Seq((1L, Some(10.0), "a"),      // exact match
+      (2L, Some(99.0), "b"),                  // price drifted
+      (3L, Option.empty[Double], "c"),        // null == null (null-safe)
+      (5L, Some(50.0), "e"))                  // key 4 missing
+      .toDF("k", "price", "tag")
+    val rs = DqdlParser.parse("dm",
+      """Rules = [ DatasetMatch "ref" "k" >= 0.5 ]""")
+    assert(rs.rules.head == DatasetMatch("ref", Seq("k"), ">=", 0.5))
+    // matched: k=1 (all equal), k=3 (nulls equal null-safely) → 2/4
+    val v = Dqdl.evaluate(primary, rs, Map("ref" -> ref))
+    assert(v.passed, v.toString)
+    assert(v.metrics("matched_rows_ref_k_ge_0p5") == 2L)
+    // restricting matchCols to tag: drift in price is ignored → 3/4
+    val v2 = Dqdl.evaluate(primary, Ruleset("dm2", Seq(
+      DatasetMatch("ref", Seq("k"), "=", 0.75, Seq("tag")))),
+      Map("ref" -> ref))
+    assert(v2.passed, v2.toString)
+    // duplicate reference keys stay deterministic (any-match): one of
+    // two ref rows matches → the row counts as matched, exactly once
+    val dupRef = ref.union(Seq((2L, Some(20.0), "b"))
+      .toDF("k", "price", "tag"))
+    val v3 = Dqdl.evaluate(primary, Ruleset("dm3", Seq(
+      DatasetMatch("ref", Seq("k"), "=", 0.75))),
+      Map("ref" -> dupRef))
+    assert(v3.passed, v3.toString)
+  }
+
   test("SchemaMatch scores name+type overlap against a reference frame") {
     val a = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
     val sameUpToCase = Seq((2L, "y", 2.0)).toDF("ID", "Name", "Score")
