@@ -138,4 +138,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("ScalaUDF"), p)
   }
+
+  test("dataset-match reconciliation is a semi join, never a cartesian") {
+    val p = plan("q_dq_dataset_match")
+    assert(p.contains("LeftSemi"), p)
+    // the verdict's 1-row side frames cross-join via a broadcast
+    // nested loop (1×1 rows — free); what must never appear is a
+    // shuffle cartesian between the real tables
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
