@@ -50,15 +50,41 @@ object DqdlParser {
     """SchemaMatch\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*([\d.]+)""".r
   private val DatasetMatchRe =
     """DatasetMatch\s+"([^"]+)"\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*([\d.]+)""".r
+  private val DataFreshnessRe =
+    """DataFreshness\s+"([^"]+)"\s*<=\s*(\d+)\s*(days?|hours?|minutes?|seconds?)""".r
 
-  def parse(name: String, dqdl: String): Ruleset = {
+  /** Parse a ruleset. `asOf` is the explicit reference instant any
+    * `DataFreshness` rule in the text evaluates against — rule
+    * evaluation stays a pure function of (data, ruleset, asOf), so
+    * reruns and backfills reproduce the same verdict; parsing a
+    * freshness rule without supplying it fails loudly. */
+  def parse(name: String, dqdl: String,
+      asOf: Option[java.sql.Timestamp] = None): Ruleset = {
     val body = dqdl match {
       case RulesRe(inner) => inner
       case other => throw new IllegalArgumentException(
         s"not a DQDL ruleset (expected Rules = [...]): ${other.take(80)}")
     }
-    val rules = splitTopLevel(body).filter(_.nonEmpty).map(parseRule)
+    val rules = splitTopLevel(body).filter(_.nonEmpty)
+      .map(r => parseRule(r, asOf))
     Ruleset(name, rules)
+  }
+
+  private def unitSeconds(unit: String): Long = unit.stripSuffix("s") match {
+    case "day" => 86400L
+    case "hour" => 3600L
+    case "minute" => 60L
+    case "second" => 1L
+  }
+
+  private def parseRule(s: String,
+      asOf: Option[java.sql.Timestamp]): DqRule = s.trim match {
+    case DataFreshnessRe(c, n, unit) =>
+      DataFreshness(c, n.toLong * unitSeconds(unit), asOf.getOrElse(
+        throw new IllegalArgumentException(
+          s"""DataFreshness "$c" needs an explicit asOf instant — """ +
+            "pass parse(name, dqdl, asOf = Some(windowEnd))")))
+    case other => parseRule(other)
   }
 
   private def parseRule(s: String): DqRule = s.trim match {

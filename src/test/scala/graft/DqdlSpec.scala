@@ -323,6 +323,23 @@ class DqdlSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("filescan"), plan)
   }
 
+  test("DataFreshness parses from DQDL with a supplied asOf instant") {
+    val asOf = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val rs = DqdlParser.parse("f",
+      """Rules = [ DataFreshness "ts" <= 24 hours, RowCount > 0 ]""",
+      asOf = Some(asOf))
+    assert(rs.rules.head == DataFreshness("ts", 86400L, asOf))
+    assert(DqdlParser.parse("f2",
+      """Rules = [ DataFreshness "ts" <= 90 minutes ]""",
+      asOf = Some(asOf)).rules.head ==
+      DataFreshness("ts", 5400L, asOf))
+    // freshness without an instant fails loudly (no hidden now())
+    val e = intercept[IllegalArgumentException] {
+      DqdlParser.parse("f3", """Rules = [ DataFreshness "ts" <= 1 day ]""")
+    }
+    assert(e.getMessage.contains("asOf"))
+  }
+
   test("DataFreshness compares max event time against an explicit asOf") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00"))
