@@ -52,23 +52,31 @@ object Dedup {
   }
 
   // persists register on the innermost active scope's handle; the
-  // scope is carried on a DynamicVariable (thread-local with
-  // inheritance), which is sound because persist() happens at plan
-  // construction on the caller's thread, not inside Spark tasks
+  // scope is carried on a PLAIN ThreadLocal — deliberately not
+  // DynamicVariable, whose InheritableThreadLocal would leak the
+  // handle into threads spawned inside the block, so pooled threads
+  // running later UNSCOPED dedup would register caches on a released
+  // handle and escape releaseCaches(). Sound because persist() happens
+  // at plan construction on the caller's thread, not in Spark tasks.
   private val currentScope =
-    new scala.util.DynamicVariable[Option[CacheHandle]](None)
+    ThreadLocal.withInitial[Option[CacheHandle]](() => None)
 
   /** Run `f` in its own cache scope: every intermediate Dedup persists
     * while `f` builds its plans is tracked on the returned handle
     * instead of the module-global registry. Release the handle when
-    * done with the returned DataFrames. */
+    * done with the returned DataFrames. The scope does NOT propagate to
+    * threads `f` spawns — plans built on other threads register on the
+    * session-wide registry as usual. */
   def scoped[T](f: => T): (T, CacheHandle) = {
     val h = new CacheHandle
-    (currentScope.withValue(Some(h))(f), h)
+    val prior = currentScope.get()
+    currentScope.set(Some(h))
+    try ((f, h))
+    finally currentScope.set(prior)
   }
 
   private def trackPersist(df: DataFrame): DataFrame = {
-    currentScope.value match {
+    currentScope.get() match {
       case Some(h) => h.track(df)
       case None => synchronized { persistedDfs += df }
     }

@@ -456,9 +456,14 @@ final case class DatasetMatch(refName: String, keyCols: Seq[String],
     op: String, value: Double, matchCols: Seq[String] = Nil)
     extends CrossFrameRule {
   require(keyCols.nonEmpty, "DatasetMatch needs at least one key column")
+  // matchCols participates in the tag too (as a short digest — the list
+  // can be long): two rules on the same ref/keys/op/value differing
+  // only in WHICH columns they compare must not alias each other
   private val t =
     s"${DqOps.safe(refName)}_${keyCols.map(DqOps.safe).mkString("_")}_" +
-      s"${DqOps.tag(op)}_${DqOps.numTag(value)}"
+      s"${DqOps.tag(op)}_${DqOps.numTag(value)}" +
+      (if (matchCols.isEmpty) ""
+       else s"_${CustomSql.digest64(matchCols.mkString(" "))}")
   val name = s"dataset_match_$t"
   private val alias = s"matched_rows_$t"
   def metrics: Seq[Column] = Seq.empty
@@ -553,12 +558,15 @@ object Dqdl {
     // ONE scan of that reference; other sides keep their own pass
     val fusable = ruleset.rules.collect {
       case r: CrossFrameRule if r.refAggMetrics.isDefined =>
-        (r.refName, resolveRef(r), r.refAggMetrics.get)
+        (r.refName, r.name, resolveRef(r), r.refAggMetrics.get)
     }
     val fusedSides = fusable.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, group) =>
-        val cols = group.flatMap(_._3)
-        group.head._2.agg(cols.head, cols.tail: _*)
+        // identical rules share a name and therefore identical metric
+        // aliases — fuse them once, or the combined agg would carry
+        // duplicate columns and `passed`'s col(alias) turns ambiguous
+        val cols = group.distinctBy(_._2).flatMap(_._4)
+        group.head._3.agg(cols.head, cols.tail: _*)
       }
     val sides = ruleset.rules.flatMap {
       case r: CrossFrameRule if r.refAggMetrics.isDefined => None

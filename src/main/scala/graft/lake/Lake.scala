@@ -176,11 +176,13 @@ object Lake {
   /** Rename columns on a partitioned parquet table. Without Iceberg's
     * field-id metadata this CANNOT be metadata-only: parquet resolves
     * columns by name, so old data files would read a renamed column as
-    * null. The honest parquet cost is a full-table rewrite, staged via
-    * localCheckpoint before the managed table is dropped and recreated
-    * (at cluster scale, stage to a durable path and swap instead —
-    * that limitation is exactly why the reference picked Iceberg,
-    * README.md:24). Partition columns can't be renamed. */
+    * null. The honest parquet cost is a full-table rewrite, staged to a
+    * DURABLE parquet path under the warehouse before the managed table
+    * is dropped — a crash or write failure between the drop and the
+    * recreate leaves the staged copy on disk, never the only copy in
+    * volatile executor blocks (that rename-without-rewrite pain is
+    * exactly why the reference picked Iceberg, README.md:24).
+    * Partition columns can't be renamed. */
   def renameColumns(spark: SparkSession, table: String,
       renames: Map[String, String],
       partitionCol: String = "ingest_on"): Unit = {
@@ -201,10 +203,16 @@ object Lake {
     val renamed = renames.foldLeft(spark.table(table)) {
       case (acc, (from, to)) => acc.withColumnRenamed(from, to)
     }
-    val staged = renamed.localCheckpoint(true)
+    val stagePath = spark.conf.get("spark.sql.warehouse.dir") +
+      s"/_staging_rename_${table.replace('.', '_')}"
+    renamed.write.mode("overwrite").format("parquet")
+      .partitionBy(partitionCol).save(stagePath)
+    val staged = spark.read.parquet(stagePath)
     spark.sql(s"DROP TABLE $table")
     staged.write.format("parquet").partitionBy(partitionCol)
       .saveAsTable(table)
+    val p = new org.apache.hadoop.fs.Path(stagePath)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
   }
 
   /** Keyed upsert (MERGE emulation on a partitioned parquet table):

@@ -59,11 +59,29 @@ object Curation {
     *
     * Idempotence for free: re-ingesting a batch finds all its
     * fingerprints already in the table and appends nothing — no
-    * ledger needed, the dedup IS the exactly-once mechanism. */
+    * ledger needed, the dedup IS the exactly-once mechanism.
+    *
+    * SINGLE WRITER per table: the anti-join reads a snapshot of the
+    * table, so two concurrent callers could both see a fingerprint as
+    * novel and double-append it. In-JVM concurrency is serialized here
+    * by a per-table lock; across JVMs the caller must ensure one
+    * writer per table (the streaming `ingestNovel` path satisfies this
+    * by construction — one query, serial microbatches). */
+  private val appendLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def appendNovel(spark: SparkSession, incoming: DataFrame, table: String,
       idCol: String = "doc_id", textCol: String = "text",
       partitionCol: String = "ingest_on",
-      fpCol: String = "fp"): Long = {
+      fpCol: String = "fp"): Long =
+    appendLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      appendNovelUnsynchronized(spark, incoming, table, idCol, textCol,
+        partitionCol, fpCol)
+    }
+
+  private def appendNovelUnsynchronized(spark: SparkSession,
+      incoming: DataFrame, table: String, idCol: String, textCol: String,
+      partitionCol: String, fpCol: String): Long = {
     // null text fingerprints as empty text: every row gets a NON-NULL
     // fingerprint (a null fp would never match the anti-join and the
     // same junk doc would re-append on every replay), and null/empty

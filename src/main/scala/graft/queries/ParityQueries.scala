@@ -380,7 +380,9 @@ object ParityQueries {
 
     // keyed row-level reconciliation (Glue DatasetMatch): orders vs a
     // "migrated" copy with 10% of prices drifted — tiered thresholds
-    // straddle the 0.9 match ratio, so one tier passes and one fails
+    // straddle the 0.9 match ratio, so one tier passes and one fails.
+    // The 91439c558a357b00 alias suffix is the rule-name matchCols
+    // digest: CustomSql.digest64("o_totalprice")
     QueryDef("q_dq_dataset_match",
       (s, d) => {
         val orders = Tables.orders(s, d)
@@ -404,12 +406,12 @@ object ParityQueries {
              |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS row_count
              |  FROM orders)
              |SELECT n.row_count,
-             |  m.matched AS matched_rows_migrated_o_orderkey_ge_0p95,
-             |  m.matched AS matched_rows_migrated_o_orderkey_ge_0p85,
+             |  m.matched AS matched_rows_migrated_o_orderkey_ge_0p95_91439c558a357b00,
+             |  m.matched AS matched_rows_migrated_o_orderkey_ge_0p85_91439c558a357b00,
              |  CAST(m.matched AS DOUBLE) / CAST(n.row_count AS DOUBLE)
-             |    >= 0.95 AS dataset_match_migrated_o_orderkey_ge_0p95_passed,
+             |    >= 0.95 AS dataset_match_migrated_o_orderkey_ge_0p95_91439c558a357b00_passed,
              |  CAST(m.matched AS DOUBLE) / CAST(n.row_count AS DOUBLE)
-             |    >= 0.85 AS dataset_match_migrated_o_orderkey_ge_0p85_passed,
+             |    >= 0.85 AS dataset_match_migrated_o_orderkey_ge_0p85_91439c558a357b00_passed,
              |  (CAST(m.matched AS DOUBLE) / CAST(n.row_count AS DOUBLE) >= 0.95
              |   AND CAST(m.matched AS DOUBLE) / CAST(n.row_count AS DOUBLE) >= 0.85)
              |    AS all_passed

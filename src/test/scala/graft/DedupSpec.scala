@@ -246,4 +246,32 @@ class DedupSpec extends AnyFunSuite {
     assert(ours.isEmpty, s"leaked after both releases: $ours")
     pairsA.count() // released plans still recompute fine
   }
+
+  test("scoped handle does NOT leak into threads spawned in the scope") {
+    // a thread created inside a scoped block (e.g. a pool warmed up
+    // there) must not inherit the scope: its later UNSCOPED dedup work
+    // belongs to the session-wide registry, releasable by
+    // releaseCaches() — not pinned to a possibly-released handle
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def ours = spark.sparkContext.getPersistentRDDs.keySet -- before
+    @volatile var spawned: Thread = null
+    val (_, handle) = Dedup.scoped {
+      spawned = new Thread(() =>
+        Dedup.minHashPairs(docs.limit(50), "doc_id", "text",
+          threshold = 0.3))
+      Dedup.minHashPairs(docs.limit(100), "doc_id", "text",
+        threshold = 0.3)
+    }
+    val scopedCount = handle.trackedCount
+    assert(scopedCount > 0)
+    spawned.start(); spawned.join()
+    // the spawned thread's persists went to the global registry, not
+    // onto the (now-closed) scope's handle
+    assert(handle.trackedCount == scopedCount,
+      "scope leaked into a thread spawned inside the block")
+    assert(ours.nonEmpty)
+    Dedup.releaseCaches() // global release frees the spawned thread's
+    handle.release()
+    assert(ours.isEmpty, s"leaked: $ours")
+  }
 }

@@ -299,6 +299,30 @@ class DqdlSpec extends AnyFunSuite {
       DatasetMatch("ref", Seq("k"), "=", 0.75))),
       Map("ref" -> dupRef))
     assert(v3.passed, v3.toString)
+    // two rules differing ONLY in matchCols must not alias each other
+    // (same ref/keys/op/value → the tag carries a matchCols digest)
+    val tagOnly = DatasetMatch("ref", Seq("k"), ">=", 0.5, Seq("tag"))
+    val priceOnly = DatasetMatch("ref", Seq("k"), ">=", 0.5, Seq("price"))
+    assert(tagOnly.name != priceOnly.name)
+    val v4 = Dqdl.evaluate(primary, Ruleset("dm4",
+      Seq(tagOnly, priceOnly)), Map("ref" -> ref))
+    // tag matches for k=1,2,3 → 3/4 passes; price for k=1,3 → 2/4 passes
+    assert(v4.ruleResults(tagOnly.name), v4.toString)
+    assert(v4.ruleResults(priceOnly.name), v4.toString)
+  }
+
+  test("identical fusable cross rules dedupe in the fused ref scan") {
+    val orders = Seq((1L, 10L), (2L, 20L)).toDF("oid", "cust")
+    val customers = Seq(10L, 20L, 30L).toDF("cid")
+    // the SAME RowCountMatch twice: one fused agg must not carry the
+    // alias twice (ambiguous col at verdict time); the rule evaluates
+    // once and both (identical) names resolve to the one result
+    val v = Dqdl.evaluate(orders, Ruleset("dup", Seq(
+      RowCountMatch("customer", ">", 0.5),
+      RowCountMatch("customer", ">", 0.5))),
+      Map("customer" -> customers))
+    assert(v.ruleResults("row_count_match_customer_gt_0p5"), v.toString)
+    assert(v.passed)
   }
 
   test("SchemaMatch scores name+type overlap against a reference frame") {
