@@ -496,26 +496,12 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash of a token array. Scala UDF (bit-vote loop is
-    * clearer and faster than a 64-wide expression tree); deterministic
-    * via xxhash64-style FNV-1a inside. */
-  val simHash64: UserDefinedFunction = udf { tokens: Seq[String] =>
-    if (tokens == null || tokens.isEmpty) 0L
-    else {
-      val votes = new Array[Int](64)
-      tokens.foreach { t =>
-        var h = 0xcbf29ce484222325L // FNV-1a 64
-        var i = 0
-        while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-        var b = 0
-        while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-      out
-    }
-  }
+  /** 64-bit SimHash of a token array — fused codegen expression
+    * ([[graft.functions.SimHash64]]: per-token FNV-1a 64, bit-votes,
+    * sign fold in one generated loop). Null/empty token arrays hash to
+    * 0L, matching the original UDF contract. */
+  def simHash64(tokens: Column): Column =
+    coalesce(graft.functions.SimHashFunctions.simhash64(tokens), lit(0L))
 
   /** Hamming distance between two 64-bit SimHashes (codegen'd
     * bit_count). */

@@ -139,6 +139,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("simhash signature stage is codegen — no Scala UDF in the plan") {
+    // the 64-bit SimHash is a fused Catalyst expression
+    // (graft.functions.SimHash64); a ScalaUDF here would put per-row
+    // encoder dispatch back on the 10^10-doc signature path
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dataset-match reconciliation is a semi join, never a cartesian") {
     val p = plan("q_dq_dataset_match")
     assert(p.contains("LeftSemi"), p)
