@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,55 +17,67 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
     catch { case _: Throwable => () }
-    // per-query codegen warmup at the smallest SF: whole-stage codegen
-    // compiles each query's generated classes once per JVM (Janino cache
-    // keyed on source). Profiling shows cold runs are 3-6× steady state
-    // purely from compilation (e.g. salient_terms 3.99s cold vs 0.68s
-    // warm at sf0.1) — warming on sf0.001 data charges the timed run
-    // only the actual engine work, which is what a long-lived cluster
-    // session experiences.
-    val warmDir = new java.io.File("/root/testdata/sf0.001") match {
-      case f if f.isDirectory => f.getPath
-      case _ => sfDir
+
+    // One timed run; a query that THROWS is reported as an error marker,
+    // not as a fast-looking time-to-crash (a silently broken query must
+    // never read as a speedup in the artifact).
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        finally graft.dedup.Dedup.releaseCaches()
+      ((System.nanoTime() - t0) / 1e9, err)
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-      finally graft.dedup.Dedup.releaseCaches()
-    }
-    // settle the JVM between the warmup sweep and the timed pass: drop
-    // leftover cached blocks and let the old-gen collect, so timed
-    // queries aren't charged the warmup's garbage
+
+    // COLD pass: each query's first run in this JVM at the full bench
+    // SF — single-shot, codegen compilation included. This is the
+    // round-1..3 methodology, kept in the artifact so rounds stay
+    // comparable under either lens. It doubles as the per-query codegen
+    // warmup for the median pass below (Janino caches generated classes
+    // per JVM), replacing the old separate sf0.001 sweep.
+    val cold = SparkEntry.queries.map { case (name, fn) => name -> timed(fn) }
+
+    // settle the JVM between the cold pass and the timed warm pass:
+    // drop leftover cached blocks and let the old-gen collect, so warm
+    // queries aren't charged the cold pass's garbage
     spark.catalog.clearCache()
     System.gc()
+
     // Median-of-3 per query: a single-shot timing is hostage to whatever
     // else the machine is doing (round 3's bench artifact showed a fake
     // ~2× regression from external load that a controlled re-run
     // disproved). Three runs and the median make one contended run
     // harmless; the reported spread (max-min) lets a reader judge how
     // noisy the session was without re-running anything.
-    // clamped to >= 1 (0 would crash after the whole warmup sweep);
+    // clamped to >= 1 (0 would crash after the whole cold pass);
     // for even N the LOWER median is reported — biased toward the
     // less-contended run, which is the signal the artifact wants
     val runsPerQuery =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally graft.dedup.Dedup.releaseCaches()
-      (System.nanoTime() - t0) / 1e9
-    }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val samples = (1 to runsPerQuery).map(_ => timeOnce(fn)).sorted
-      val median = samples((samples.size - 1) / 2)
-      name -> (median, samples.last - samples.head)
+      val samples = (1 to runsPerQuery).map(_ => timed(fn))
+      val times = samples.map(_._1).sorted
+      val median = times((times.size - 1) / 2)
+      val err = (cold(name)._2.toSeq ++ samples.flatMap(_._2)).headOption
+      name -> (median, times.last - times.head, err)
     }
-    def fmt(sel: ((Double, Double)) => Double) = results
+    def fmt(sel: ((Double, Double, Option[String])) => Double) = results
       .map { case (k, v) => "\"" + k + "\":" + sel(v) }
       .mkString("{", ",", "}")
     val qs = fmt(_._1)
     val spreads = fmt(_._2)
+    val colds = cold.map { case (k, v) => "\"" + k + "\":" + v._1 }
+      .mkString("{", ",", "}")
+    // err carries ONLY failing queries (usually {}): exception class per
+    // query, from whichever of its cold/warm runs failed first
+    val errs = results.collect { case (k, (_, _, Some(e))) =>
+      "\"" + k + "\":\"" + e + "\""
+    }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}""")
+    val coldTotal = cold.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"err":$errs,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
