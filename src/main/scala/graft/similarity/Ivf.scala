@@ -123,10 +123,21 @@ object Ivf {
 
   /** ANN top-k: corpus rows live in one cell each; every query probes
     * its `nprobe` nearest cells. Output shape matches
-    * Similarity.bruteForceTopK. */
+    * Similarity.bruteForceTopK.
+    *
+    * Join strategy adapts to the query side's size: the interactive
+    * case (a handful of query vectors) broadcasts the probed queries
+    * to every corpus partition — no corpus shuffle at all. When the
+    * "queries" are themselves a corpus (corpus-vs-corpus retrieval)
+    * the broadcast would ship GBs to every executor, so above the
+    * threshold both sides shuffle-join on `cell` — parallelism is the
+    * cell count, so size k to the cluster (√n cells is the usual IVF
+    * recipe) for that regime. `broadcastThresholdBytes` < 0 (default)
+    * defers to the session's autoBroadcastJoinThreshold. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      model: IvfModel, k: Int = 10, nprobe: Int = 2): DataFrame = {
+      model: IvfModel, k: Int = 10, nprobe: Int = 2,
+      broadcastThresholdBytes: Long = -1L): DataFrame = {
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell", assignCell(col("v"), model))
@@ -134,7 +145,19 @@ object Ivf {
       col(queryVecCol).cast("array<double>").as("qv"))
       .withColumn("cell",
         explode(probeCells(col("qv"), model, nprobe)))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val threshold =
+      if (broadcastThresholdBytes >= 0) BigInt(broadcastThresholdBytes)
+      else BigInt(corpus.sparkSession.sessionState.conf
+        .autoBroadcastJoinThreshold)
+    val qBytes = q.queryExecution.optimizedPlan.stats.sizeInBytes
+    val joined =
+      if (qBytes <= threshold) c.join(broadcast(q), Seq("cell"))
+      // the explicit hint matters: Catalyst's own size estimate of an
+      // exploded probe list can undershoot, and a surprise broadcast
+      // of a corpus-sized query side is exactly the failure this path
+      // exists to prevent
+      else c.hint("shuffle_hash").join(q, Seq("cell"))
+    val scored = joined
       .select(col("query_id"), col("id"),
         VectorFunctions.cosine_sim(col("v"), col("qv")).as("cosine"))
       .groupBy(col("query_id"), col("id"))

@@ -111,4 +111,34 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), s"no broadcast in:\n$plan")
   }
+
+  test("ivfTopK picks broadcast vs shuffle join by query-side size") {
+    import graft.similarity.Ivf
+    val model = Ivf.train(corpus, "vec_id", "embedding", k = 4, iters = 1)
+    val fewQueries = corpus.filter($"vec_id" < 3)
+    // interactive regime: a handful of queries → broadcast, the corpus
+    // never shuffles
+    val small = Ivf.ivfTopK(corpus, "vec_id", "embedding", fewQueries,
+      "vec_id", "embedding", model, k = 5)
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin"), s"expected broadcast:\n$smallPlan")
+    // corpus-vs-corpus regime (forced via a tiny threshold): both sides
+    // shuffle-join on cell — no corpus-sized broadcast
+    val big = Ivf.ivfTopK(corpus, "vec_id", "embedding", corpus,
+      "vec_id", "embedding", model, k = 5,
+      broadcastThresholdBytes = 1L)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("BroadcastHashJoin"), s"unexpected broadcast:\n$bigPlan")
+    assert(bigPlan.contains("ShuffledHashJoin") || bigPlan.contains("SortMergeJoin"),
+      s"expected shuffle join:\n$bigPlan")
+    // both paths return identical results for identical inputs
+    val viaBroadcast = Ivf.ivfTopK(corpus, "vec_id", "embedding",
+      fewQueries, "vec_id", "embedding", model, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val viaShuffle = Ivf.ivfTopK(corpus, "vec_id", "embedding",
+      fewQueries, "vec_id", "embedding", model, k = 5,
+      broadcastThresholdBytes = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaBroadcast == viaShuffle)
+  }
 }
