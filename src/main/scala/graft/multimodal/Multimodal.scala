@@ -14,12 +14,13 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing — schema, partition-preserving batch
   * transforms, deterministic feature shape — is real and tested, and
   * so is header DECODING for images ([[decodeImage]]: PNG/JPEG/GIF/BMP
-  * via `javax.imageio`) and audio ([[decodeAudio]]: WAV/AIFF/AU via
-  * `javax.sound.sampled`) — both JRE-native, no new dependency. Video
-  * frame extraction, pixel resize, and learned-feature embedding
-  * remain STUBBED with deterministic fakes (no ffmpeg or model
-  * runtime in this container): each is marked `STUB:` and would swap
-  * for real bindings behind the same signatures.
+  * via `javax.imageio`), audio ([[decodeAudio]]: WAV/AIFF/AU via
+  * `javax.sound.sampled`), and video ([[decodeVideo]]: MP4/ISO-BMFF
+  * box walk, pure JRE byte parsing) — no new dependency. Video frame
+  * extraction, pixel resize, and learned-feature embedding remain
+  * STUBBED with deterministic fakes (those genuinely need an
+  * ffmpeg/model runtime this container lacks): each is marked `STUB:`
+  * and would swap for real bindings behind the same signatures.
   */
 object Multimodal {
 
@@ -93,6 +94,100 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  final case class VideoMeta(width: Option[Int], height: Option[Int],
+      duration_s: Option[Double], format: String)
+
+  /** Pure-JRE MP4/ISO-BMFF header parse: walks the box tree to `moov`,
+    * reads duration from `mvhd` (duration/timescale) and pixel size
+    * from the first `trak`→`tkhd` with nonzero 16.16-fixed width/height
+    * (audio-only tracks carry 0×0). `size==1` 64-bit largesize and
+    * `size==0` to-end boxes are honored; any malformed structure stops
+    * the walk at the last well-formed box rather than throwing. Returns
+    * None unless both `ftyp` and `moov` parse — random bytes are not a
+    * video. Header-only: `mdat` (the actual media payload, ~all of the
+    * file) is never touched, so per-row cost is O(moov bytes). */
+  private[graft] def parseMp4(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def typ(off: Int): String = new String(bytes, off + 4, 4,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    // children of byte range [from, to) as (type, payloadStart, boxEnd)
+    def boxes(from: Int, to: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var off = from
+      var ok = true
+      while (ok && off + 8 <= to) {
+        val size32 = u32(off)
+        val (payload, end) =
+          if (size32 == 1L && off + 16 <= to) (off + 16L, off + u64(off + 8))
+          else if (size32 == 0L) (off + 8L, to.toLong)
+          else (off + 8L, off + size32)
+        if (end < payload || end > to) ok = false // malformed: stop here
+        else {
+          out += ((typ(off), payload.toInt, end.toInt))
+          off = end.toInt
+        }
+      }
+      out.result()
+    }
+    try {
+      val top = boxes(0, bytes.length)
+      val brand = top.find(_._1 == "ftyp").collect {
+        case (_, p, e) if e - p >= 4 =>
+          new String(bytes, p, 4,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+            .trim.toLowerCase(java.util.Locale.ROOT)
+      }
+      val moov = top.find(_._1 == "moov")
+      if (brand.isEmpty || moov.isEmpty) None
+      else {
+        val inMoov = boxes(moov.get._2, moov.get._3)
+        val duration = inMoov.find(_._1 == "mvhd").flatMap {
+          case (_, p, e) =>
+            val v1 = (bytes(p) & 0xff) == 1
+            val tsOff = p + 4 + (if (v1) 16 else 8)
+            val durEnd = tsOff + 4 + (if (v1) 8 else 4)
+            if (durEnd > e) None
+            else {
+              val timescale = u32(tsOff)
+              val dur = if (v1) u64(tsOff + 4) else u32(tsOff + 4)
+              if (timescale == 0) None
+              else Some(dur.toDouble / timescale.toDouble)
+            }
+        }
+        val trackDims = inMoov.filter(_._1 == "trak").flatMap {
+          case (_, p, e) =>
+            boxes(p, e).find(_._1 == "tkhd").flatMap { case (_, tp, te) =>
+              val v1 = (bytes(tp) & 0xff) == 1
+              // after version+flags: creation/modification/trackID/
+              // reserved/duration, then reserved(8) layer(2) altgroup(2)
+              // volume(2) reserved(2) matrix(36), then 16.16 width/height
+              val wOff = tp + 4 + (if (v1) 32 else 20) + 52
+              if (wOff + 8 > te) None
+              else Some(((u32(wOff) >>> 16).toInt,
+                (u32(wOff + 4) >>> 16).toInt))
+            }
+        }
+        val dims = trackDims.find { case (w, h) => w > 0 && h > 0 }
+        Some(VideoMeta(dims.map(_._1), dims.map(_._2), duration,
+          brand.get))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Real video container header decode — MP4/ISO-BMFF via
+    * [[parseMp4]], no ffmpeg needed for (width, height, duration,
+    * brand). Null or non-MP4 bytes → null, same degrade-to-filterable
+    * contract as [[decodeImage]]/[[decodeAudio]]. Frame extraction and
+    * learned embeddings stay stubbed below — those genuinely need a
+    * codec/model runtime. */
+  val decodeVideo: UserDefinedFunction = udf { bytes: Array[Byte] =>
+    parseMp4(bytes)
+  }
+
   /** STUB: resize — a real impl re-encodes pixels; the fake truncates
     * bytes proportionally, preserving the (bytes → smaller bytes)
     * contract the pipeline depends on. */
@@ -141,11 +236,14 @@ object Multimodal {
   }
 
   /** Attach decoded-metadata columns to a media frame (images get
-    * width/height/format, audio gets sample_rate/channels/format; the
-    * rest pass through). Narrow projection. */
+    * width/height/format, audio gets sample_rate/channels/format, video
+    * gets width/height/duration/brand; the rest pass through). Narrow
+    * projection. */
   def withDecodedMeta(df: DataFrame): DataFrame =
     df.withColumn("decoded", when(col("kind") === "image",
         decodeImage(col("bytes"))).otherwise(lit(null)))
       .withColumn("decoded_audio", when(col("kind") === "audio",
         decodeAudio(col("bytes"))).otherwise(lit(null)))
+      .withColumn("decoded_video", when(col("kind") === "video",
+        decodeVideo(col("bytes"))).otherwise(lit(null)))
 }

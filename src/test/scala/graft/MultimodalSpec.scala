@@ -105,6 +105,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1))
   }
 
+  // --- minimal-but-valid MP4 construction (ISO-BMFF box grammar) ---
+  private def u32be(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length)
+    bb.put(typ.getBytes("ISO-8859-1"))
+    bb.put(payload)
+    bb.array()
+  }
+  private def tkhdTrak(w: Int, h: Int, duration: Int): Array[Byte] =
+    mp4Box("trak", mp4Box("tkhd",
+      new Array[Byte](4) ++ u32be(0) ++ u32be(0) ++ u32be(1) ++
+        u32be(0) ++ u32be(duration) ++
+        new Array[Byte](8 + 2 + 2 + 2 + 2 + 36) ++
+        u32be(w.toLong << 16) ++ u32be(h.toLong << 16)))
+  private def mp4Bytes(w: Int, h: Int, timescale: Int, duration: Int,
+      audioTrackFirst: Boolean = false): Array[Byte] = {
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ u32be(0x200) ++
+        "isomiso2".getBytes("ISO-8859-1"))
+    val mvhd = mp4Box("mvhd", new Array[Byte](4) ++ u32be(0) ++
+      u32be(0) ++ u32be(timescale) ++ u32be(duration) ++
+      new Array[Byte](80))
+    val traks =
+      (if (audioTrackFirst) tkhdTrak(0, 0, duration) else Array.empty[Byte]) ++
+        tkhdTrak(w, h, duration)
+    val moov = mp4Box("moov", mvhd ++ traks)
+    val mdat = mp4Box("mdat", Array.fill[Byte](32)(1))
+    ftyp ++ moov ++ mdat
+  }
+
+  test("decodeVideo parses MP4 moov/tkhd headers — pure JRE byte walk") {
+    val rows = Seq(
+      (1L, mp4Bytes(640, 360, 1000, 5500)),
+      (2L, "definitely not a video".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "bytes")
+      .select($"media_id", Multimodal.decodeVideo($"bytes").as("d"))
+      .orderBy("media_id").collect()
+    val d = rows(0).getStruct(1)
+    assert((d.getInt(0), d.getInt(1)) == ((640, 360)))
+    assert(math.abs(d.getDouble(2) - 5.5) < 1e-9) // 5500 / 1000 ticks
+    assert(d.getString(3) == "isom")
+    // garbage and null degrade to null, never throw
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
+    // a 0x0 audio-only track ahead of the video track is skipped: dims
+    // come from the first track with nonzero width/height
+    val both = Multimodal.parseMp4(
+      mp4Bytes(1920, 1080, 600, 1200, audioTrackFirst = true)).get
+    assert((both.width, both.height) == ((Some(1920), Some(1080))))
+    assert(both.duration_s.contains(2.0))
+    // truncated header (cut mid-moov) parses to None, no exception
+    val cut = mp4Bytes(640, 360, 1000, 5500).take(40)
+    assert(Multimodal.parseMp4(cut).isEmpty)
+  }
+
   test("decode/resize/frame-sample keep the pipeline contracts") {
     val decoded = Multimodal.withDecodedMeta(media.toDF())
     val img = decoded.filter($"kind" === "image").select($"decoded")
