@@ -92,9 +92,25 @@ final class Pipeline(val name: String, stages: Seq[Stage],
     PipelineResult(window, stages.map(s => done(s.name)))
   }
 
-  /** Sequential backfill over many windows (`max_active_runs=1`). */
-  def backfill(windows: Seq[RunWindow]): Seq[PipelineResult] =
-    windows.map(run)
+  /** Sequential backfill over many windows (`max_active_runs=1`).
+    * With a `ledgerDir`, completed windows are recorded durably and a
+    * restarted backfill SKIPS them — Airflow's persisted dag-run
+    * history for `catchup=True` (deftunes_api_pipeline.py:30-34).
+    * Without one, idempotent writes (K6) still make a full re-run
+    * correct; the ledger just stops a 100-window backfill from
+    * recomputing the 99 windows that already landed. Only windows
+    * actually executed appear in the returned results. */
+  def backfill(windows: Seq[RunWindow],
+      ledgerDir: Option[String] = None): Seq[PipelineResult] =
+    windows.flatMap { w =>
+      if (ledgerDir.exists(d => RunLedger.isComplete(d, name, w))) None
+      else {
+        val result = run(w)
+        if (result.succeeded)
+          ledgerDir.foreach(d => RunLedger.markComplete(d, name, w))
+        Some(result)
+      }
+    }
 
   private def runWithRetries(s: Stage, w: RunWindow): StageReport = {
     var attempt = 0
@@ -113,5 +129,57 @@ final class Pipeline(val name: String, stages: Seq[Stage],
       }
     }
     StageReport(s.name, attempt, last)
+  }
+}
+
+/** Durable per-window completion markers for [[Pipeline.backfill]] —
+  * one zero-byte-ish JSON file per (pipeline, window) under a ledger
+  * directory, written ATOMICALLY (temp file + rename) only after every
+  * stage of the window succeeded. A crashed backfill leaves no marker
+  * for the in-flight window, so resume re-runs exactly the incomplete
+  * suffix. Goes through the Hadoop FileSystem API, so the ledger can
+  * live next to the lake (file://, hdfs://, s3a://...) — the moral
+  * equivalent of Airflow's dag-run table, kept in the lake instead of
+  * a metadata database. */
+object RunLedger {
+  private def fileSystem(dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  private def marker(dir: String, pipeline: String,
+      w: RunWindow): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir,
+      s"${pipeline}_${w.start}_${w.endExclusive}.done.json")
+
+  def isComplete(dir: String, pipeline: String, w: RunWindow): Boolean =
+    fileSystem(dir).exists(marker(dir, pipeline, w))
+
+  def markComplete(dir: String, pipeline: String, w: RunWindow): Unit = {
+    val fs = fileSystem(dir)
+    val target = marker(dir, pipeline, w)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"""{"pipeline":"$pipeline","window_start":"${w.start}",""" +
+        s""""window_end_exclusive":"${w.endExclusive}"}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      // a concurrent writer winning the rename left the marker we
+      // wanted anyway; anything else is a real failure
+      require(fs.exists(target), s"could not commit ledger marker $target")
+    }
+  }
+
+  /** Completed windows recorded for `pipeline`, for observability. */
+  def completed(dir: String, pipeline: String): Seq[String] = {
+    val fs = fileSystem(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(s"${pipeline}_") && n.endsWith(".done.json"))
+      .sorted
   }
 }

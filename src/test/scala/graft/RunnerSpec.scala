@@ -87,4 +87,38 @@ class RunnerSpec extends AnyFunSuite {
     assert(seen.toArray.map(_.toString).toSeq ==
       Seq("2020-02-01", "2020-03-01"))
   }
+
+  test("ledgered backfill resumes where a crashed run stopped") {
+    val ledger = java.nio.file.Files
+      .createTempDirectory("runledger").toString
+    val windows = RunWindow.monthly(
+      LocalDate.parse("2020-02-01"), LocalDate.parse("2020-05-01"))
+    val ran = new ConcurrentLinkedQueue[String]()
+    // first attempt "crashes" during the second window: the stage
+    // throws, so no marker lands for it (and retries are exhausted)
+    val crashy = new Pipeline("bf-ledger", Seq(
+      Stage("s")(win => {
+        ran.add(win.start.toString)
+        if (win.start.toString == "2020-03-01")
+          throw new RuntimeException("executor lost")
+        StageOk
+      })), retries = 0)
+    val first = crashy.backfill(windows, ledgerDir = Some(ledger))
+    assert(first.map(_.window.start.toString) ==
+      Seq("2020-02-01", "2020-03-01", "2020-04-01"))
+    assert(RunLedger.completed(ledger, "bf-ledger").size == 2)
+    // resume with a healthy pipeline of the same name: ONLY the window
+    // that never completed re-runs
+    ran.clear()
+    val healthy = new Pipeline("bf-ledger", Seq(
+      Stage("s")(win => { ran.add(win.start.toString); StageOk })))
+    val resumed = healthy.backfill(windows, ledgerDir = Some(ledger))
+    assert(resumed.map(_.window.start.toString) == Seq("2020-03-01"))
+    assert(ran.toArray.map(_.toString).toSeq == Seq("2020-03-01"))
+    assert(RunLedger.completed(ledger, "bf-ledger").size == 3)
+    // fully caught up: a third invocation runs nothing at all
+    assert(healthy.backfill(windows, ledgerDir = Some(ledger)).isEmpty)
+    // the ledger is per-pipeline: another pipeline sees no history
+    assert(RunLedger.completed(ledger, "other").isEmpty)
+  }
 }
