@@ -89,6 +89,53 @@ class SourcesSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("JdbcSource round-trips a LIVE embedded Derby database") {
+    // Derby ships in /opt/spark/jars (Hive-metastore dependency), so
+    // this is a real JDBC read — actual driver, actual SQL engine —
+    // the S3-analog of the HTTP test above, closing the "JdbcSource
+    // only ever saw fixtures" gap. Embedded mode runs in-JVM, which is
+    // exactly where Spark local executors issue their range queries.
+    val dbDir = Files.createTempDirectory("derby").toString
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE songs (song_id BIGINT NOT NULL, " +
+          "title VARCHAR(64), plays INT)")
+      val ps = conn.prepareStatement("INSERT INTO songs VALUES (?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"song $i")
+        ps.setInt(3, i * 7); ps.addBatch()
+      }
+      ps.executeBatch()
+      st.close(); ps.close()
+    } finally conn.close()
+
+    val df = JdbcSource(url, "songs").read(spark)
+    assert(df.count() == 100)
+    assert(df.columns.map(_.toLowerCase).toSeq ==
+      Seq("song_id", "title", "plays"))
+
+    // partitioned parallel read: one range query per partition — the
+    // shape that keeps a production-database extract from serializing
+    // onto one connection
+    val part = JdbcSource(url, "songs", partitionOn = Some("song_id"),
+      lowerBound = 1L, upperBound = 101L, numPartitions = 4).read(spark)
+    assert(part.rdd.getNumPartitions == 4)
+    val serial = df.orderBy("song_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val parallel = part.orderBy("song_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(parallel == serial)
+
+    // predicate pushdown: the filter travels to the database as SQL,
+    // not as a post-scan Spark filter over the full table
+    val plan = df.filter($"plays" > 350)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("PLAYS"), plan)
+  }
+
   test("OrcSource round-trips a parquet-equivalent table") {
     val dir = Files.createTempDirectory("orc-src").toString
     val data = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
