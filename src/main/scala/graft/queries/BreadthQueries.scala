@@ -125,6 +125,61 @@ object BreadthQueries {
              |AND l_discount BETWEEN 0.05 AND 0.07
              |AND l_quantity < 24""".stripMargin)),
 
+    // TPC-H Q5 shape (local-supplier volume): the join-ordering/AQE
+    // stress query — six tables, a selective region anchor, and the
+    // customer-and-supplier-share-a-nation wrinkle that makes join
+    // order matter. Spark-first shape: region and nation are TRUE
+    // constants (5/25 rows at any SF) and are broadcast explicitly;
+    // everything else is declared flat and left to Catalyst/AQE —
+    // at bench SFs every dim side ends up broadcast, at 100 TB the
+    // lineitem⋈orders spine shuffles on the order key while the date
+    // filter still prunes orders at the scan.
+    QueryDef("q_tpch_q5",
+      (s, d) => {
+        val asia = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+              .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          // the Q5 wrinkle: the supplying nation must BE the customer's
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount")).cast(DecimalType(4, 2)))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      Some("""SELECT n_name,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |  * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |AND o_orderdate >= TIMESTAMP '1994-01-01'
+             |AND o_orderdate < TIMESTAMP '1995-01-01'
+             |GROUP BY 1
+             |ORDER BY revenue DESC, n_name ASC""".stripMargin)),
+
     // Bloom-pruned fact-to-dimension join: the large side is filtered
     // by a driver-merged Bloom filter over the selective dimension's
     // keys BEFORE its shuffle (operators.Joins) — result is exactly

@@ -139,6 +139,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("TPC-H Q5: six-table join plans broadcasts, pushdown, no cartesian") {
+    val p = plan("q_tpch_q5")
+    // no cartesian anywhere in a 6-table join — the join graph is
+    // fully connected by equi-keys
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the dim chain (region→nation→supplier/customer) broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the date window pushes into the orders scan, the region name
+    // into the region scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+    // lineitem's scan reads only the 4 needed of its 16 columns
+    val lineitemSchema = "ReadSchema: [^\n]*l_extendedprice[^\n]*".r
+      .findFirstIn(p).getOrElse("")
+    assert(lineitemSchema.contains("l_suppkey") &&
+      !lineitemSchema.contains("l_shipdate"),
+      s"lineitem scan not pruned: $lineitemSchema")
+  }
+
   test("simhash signature stage is codegen — no Scala UDF in the plan") {
     // the 64-bit SimHash is a fused Catalyst expression
     // (graft.functions.SimHash64); a ScalaUDF here would put per-row
