@@ -549,6 +549,21 @@ object Dedup {
     * Similarity.hyperplaneBucketTables); verification is exact cosine
     * on the candidate pair; pair dedup collapses multi-table
     * collisions. */
+  /** Hyperplane count that keeps LSH buckets near `targetBucketSize`
+    * for an n-vector corpus: 2^planes buckets per table ⇒ planes =
+    * log2(n / target). Candidate-pair work per table is
+    * n·bucketSize/2, so a FIXED plane count grows quadratically with
+    * the corpus — executed proof in the scale-stress run: 4 planes
+    * (the interactive-scale default) produce ~10^8 candidate pairs at
+    * a mere 10× corpus. Size planes from corpus count, not a constant
+    * (a `count()` on the input is one cheap pass; at 100 TB the row
+    * count is already in table stats). */
+  def planesFor(n: Long, targetBucketSize: Int = 32): Int = {
+    val planes = math.ceil(math.log(math.max(n.toDouble /
+      targetBucketSize, 2.0)) / math.log(2.0)).toInt
+    math.min(math.max(planes, 4), 24)
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, tables: Int = 8, planesPerTable: Int = 4,
       dim: Int = 64, maxBucketSize: Int = 2000): DataFrame = {

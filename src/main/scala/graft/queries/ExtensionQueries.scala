@@ -435,6 +435,61 @@ object ExtensionQueries {
               |  AS INTEGER) AS n_subwords
               |FROM documents""".stripMargin)),
 
+    // ------------------------------------------------- sequence packing
+
+    // GPT-style token-stream packing: documents concatenate in id
+    // order within their source shard, the stream cuts every 1024
+    // tokens, each doc reports the window holding its first token.
+    // Pure sharded window functions — one shuffle on the shard key,
+    // nothing global (operators.Packing)
+    QueryDef("q_pack_sequential",
+      (s, d) => graft.operators.Packing.packSequential(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 1024, shardCol = "source"),
+      Some(s"""WITH toks AS (SELECT source AS shard, doc_id,
+              |  CAST(len($sqlTokens) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |off AS (SELECT shard, doc_id, n_tokens,
+              |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+              |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              |    AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+              |  FROM toks)
+              |SELECT shard, doc_id, n_tokens, start_offset,
+              |CAST(floor(start_offset / 1024) AS BIGINT) AS window_idx
+              |FROM off""".stripMargin)),
+
+    // whole-document greedy bin packing (a doc never splits; the
+    // window closes when the next doc would overflow) — sequential
+    // per shard by construction, so it runs as a sorted per-group
+    // fold; the oracle replays the same fold as a recursive CTE
+    QueryDef("q_pack_greedy",
+      (s, d) => graft.operators.Packing.packGreedy(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 1024, shardCol = "source"),
+      Some(s"""WITH RECURSIVE toks AS (SELECT source AS shard,
+              |  doc_id AS id, CAST(len($sqlTokens) AS BIGINT) AS n_tokens,
+              |  row_number() OVER (PARTITION BY source ORDER BY doc_id)
+              |    AS rn
+              |  FROM documents),
+              |p AS (
+              |  SELECT shard, id, n_tokens, rn,
+              |    CAST(0 AS BIGINT) AS window_idx,
+              |    n_tokens AS window_fill
+              |  FROM toks WHERE rn = 1
+              |  UNION ALL
+              |  SELECT t.shard, t.id, t.n_tokens, t.rn,
+              |    CASE WHEN p.window_fill + t.n_tokens > 1024
+              |      THEN p.window_idx + 1 ELSE p.window_idx END,
+              |    CASE WHEN p.window_fill + t.n_tokens > 1024
+              |      THEN t.n_tokens
+              |      ELSE p.window_fill + t.n_tokens END
+              |  FROM p JOIN toks t ON t.shard = p.shard
+              |    AND t.rn = p.rn + 1)
+              |SELECT shard, id, n_tokens, window_idx, window_fill,
+              |n_tokens > 1024 AS oversize FROM p""".stripMargin)),
+
     QueryDef("q_text_quality",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
