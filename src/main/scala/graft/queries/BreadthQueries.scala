@@ -142,8 +142,10 @@ object BreadthQueries {
             col("n_regionkey") === col("r_regionkey"))
           .select(col("n_nationkey"), col("n_name"))
         val o = Tables.orders(s, d)
-          .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
-            col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+          // the testdata's order dates span 1995–2001 (TPC-H's spec
+          // year 1994 predates them and returns an empty join)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
           .select(col("o_orderkey"), col("o_custkey"))
         val c = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_nationkey"))
@@ -175,10 +177,68 @@ object BreadthQueries {
              |JOIN nation ON s_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE r_name = 'ASIA'
-             |AND o_orderdate >= TIMESTAMP '1994-01-01'
-             |AND o_orderdate < TIMESTAMP '1995-01-01'
+             |AND o_orderdate >= TIMESTAMP '1995-01-01'
+             |AND o_orderdate < TIMESTAMP '1996-01-01'
              |GROUP BY 1
              |ORDER BY revenue DESC, n_name ASC""".stripMargin)),
+
+    // TPC-H Q7 shape (volume shipping): the OTHER join-ordering
+    // stress — nation joins twice in different roles (supplier's and
+    // customer's), and the pair predicate (France↔Germany, either
+    // direction) only resolves after both arms meet. The two nation
+    // maps broadcast (constant-size); each arm prunes its fact input
+    // to the two nations BEFORE the spine join, so at 100 TB the
+    // l⋈o⋈c spine shuffles ~8% of rows, not the full tables.
+    QueryDef("q_tpch_q7",
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_6", "NATION_7"))
+          .select(col("n_nationkey").as("s_nk"),
+            col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_6", "NATION_7"))
+          .select(col("n_nationkey").as("c_nk"),
+            col("n_name").as("cust_nation"))
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust = Tables.customer(s, d)
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .select(col("c_custkey"), col("cust_nation"))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount")).cast(DecimalType(4, 2)))
+            .cast("double").as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |  * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+             |FROM supplier
+             |JOIN lineitem ON s_suppkey = l_suppkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE ((n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_7')
+             |  OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_6'))
+             |AND l_shipdate >= TIMESTAMP '1995-01-01'
+             |AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY 1, 2, 3
+             |ORDER BY 1, 2, 3""".stripMargin)),
 
     // Bloom-pruned fact-to-dimension join: the large side is filtered
     // by a driver-merged Bloom filter over the selective dimension's

@@ -176,4 +176,24 @@ class PlanAuditSpec extends AnyFunSuite {
     // shuffle cartesian between the real tables
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("Q7 joins nation twice without cartesians; ship-date pushes down") {
+    val p = plan("q_tpch_q7")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // both nation arms broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the two-year ship-date window reaches the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // lineitem reads only the 5 needed columns
+    val lineitemSchema = "ReadSchema: [^\n]*l_extendedprice[^\n]*".r
+      .findFirstIn(p).getOrElse("")
+    assert(!lineitemSchema.contains("l_comment"), lineitemSchema)
+  }
+
+  test("sequence packing shuffles once on the shard key, no UDFs") {
+    val p = plan("q_pack_sequential")
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
 }
