@@ -1,0 +1,245 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Ivf
+import graft.text.TextAnalysis
+import graft.util.Telemetry
+
+/** Executes the 100 TB design claims instead of only plan-auditing
+  * them: deterministically synthesizes a 10–50× corpus from the sf
+  * test tables and runs the dedup family, connected components, IVF
+  * and the curation chain on it, measuring wall time, shuffle volume
+  * and spill per operator at each scale (Telemetry reads them off the
+  * executed plan's SQLMetrics).
+  *
+  * What "passing" looks like (written to the report, pasted into
+  * SCALING.md):
+  *  - per-operator cost grows sub-quadratically in corpus size
+  *    (bucketed candidate generation means pair work tracks the
+  *    near-dup population, never n²);
+  *  - the bucket cap ENGAGES at scale: the synthetic mix plants a
+  *    boilerplate clone army precisely so `maxBucketSize` has
+  *    something to cut, visible in [[Dedup.bucketStats]];
+  *  - driver memory stays flat (nothing collected scales with the
+  *    corpus).
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleStress [multipliers]"` with
+  * `SPARK_GRAFT_SF_DIR` selecting the base tables (default sf0.1) —
+  * multipliers default to `1,10,50`. Synthesized parquet and the
+  * report land under `target/scale-stress/`.
+  */
+object ScaleStress {
+
+  /** Deterministic per-(id, replica) mix selector in [0, mod). */
+  private def mix(idCol: Column, r: Column, mod: Int): Column =
+    pmod(xxhash64(idCol, r), lit(mod.toLong))
+
+  /** Replicate `documents` ×m with a seeded variation mix:
+    *  - r=0 keeps the original row (the base corpus survives intact);
+    *  - ~5% exact duplicates (same text, new id) — exact-dedup fodder;
+    *  - ~5% boilerplate clones (ONE shared text) — the degenerate LSH
+    *    bucket that forces the maxBucketSize cap to engage;
+    *  - ~15% near-duplicates (tiny replica-specific suffix: shingle
+    *    overlap stays high, so LSH must catch them);
+    *  - the rest are genuinely new documents (every token salted with
+    *    the replica number — zero shingle overlap with the original).
+    * New ids are doc_id*m + r: collision-free and reproducible. */
+  def synthesizeDocs(spark: SparkSession, sfDir: String, m: Int,
+      out: String): Long = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val reps = base.withColumn("r",
+      explode(sequence(lit(0L), lit(m - 1L))))
+    val sel = mix(col("doc_id"), col("r"), 20)
+    val boiler = lit(Seq.fill(40)("all work and no play makes a dull corpus")
+      .mkString(" "))
+    val text =
+      when(col("r") === 0, col("text"))
+        .when(sel === 0, col("text"))
+        .when(sel === 1, boiler)
+        .when(sel <= 4, concat(col("text"), lit(" variant copy "), col("r")))
+        .otherwise(concat_ws(" ",
+          transform(split(col("text"), " "),
+            w => concat(w, lit("_"), col("r")))))
+    reps.select(
+        (col("doc_id") * m + col("r")).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).count()
+  }
+
+  /** Replicate `embeddings` ×m: r=0 keeps the original vector; ~30%
+    * of replicas get per-element jitter of ±0.005 (cosine ≈ 0.999 —
+    * near-dup fodder); the rest get ±0.5 jitter (distinct vectors).
+    * Jitter is a pure hash of (vec_id, replica, dim) — reproducible
+    * on any cluster at any parallelism. */
+  def synthesizeEmbeddings(spark: SparkSession, sfDir: String, m: Int,
+      out: String): Long = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val reps = base.withColumn("r",
+      explode(sequence(lit(0L), lit(m - 1L))))
+    val scale = when(col("r") === 0, lit(0.0))
+      .when(mix(col("vec_id"), col("r"), 10) < 3, lit(0.005))
+      .otherwise(lit(0.5))
+    val jittered = zip_with(
+      col("embedding").cast("array<double>"),
+      sequence(lit(0), size(col("embedding")) - 1),
+      (x, i) => x + scale *
+        (pmod(xxhash64(col("vec_id"), col("r"), i), lit(1000L))
+          .cast("double") / 1000.0 - 0.5))
+    reps.select(
+        (col("vec_id") * m + col("r")).as("vec_id"),
+        jittered.as("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).count()
+  }
+
+  final case class Measurement(multiplier: Int, op: String, rowsIn: Long,
+      rowsOut: Long, wallSec: Double, shuffleMB: Double,
+      shuffleRecords: Long, spillMB: Double, driverHeapMB: Long)
+
+  private def usedHeapMB(): Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  private def measureOp(name: String, m: Int, rowsIn: Long)(
+      df: => DataFrame): Measurement = {
+    println(s"-- x$m $name ...")
+    // time the CONSTRUCTION too: eager localCheckpoints inside a chain
+    // (curation stages) run while the DataFrame is being built, before
+    // Telemetry's own timer starts — wall must cover both
+    val t0 = System.nanoTime()
+    val qm = Telemetry.measure(df)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    Dedup.releaseCaches()
+    val res = Measurement(m, name, rowsIn, qm.rowsOut,
+      wallSec, qm.shuffleBytesWritten / 1048576.0,
+      qm.shuffleRecordsWritten, qm.spillBytes / 1048576.0, usedHeapMB())
+    println(f"-- x$m $name: ${res.rowsOut} rows, ${res.wallSec}%.2f s, " +
+      f"${res.shuffleMB}%.1f MB shuffled, ${res.spillMB}%.1f MB spilled")
+    res
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val workRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "target/scale-stress")
+    val multipliers = args.headOption.getOrElse("1,10,50")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory",
+        sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Measurement]
+    val bucketReports = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    for (m <- multipliers) {
+      val docsPath = s"$workRoot/docs_x$m"
+      val embPath = s"$workRoot/emb_x$m"
+      val nDocs = synthesizeDocs(spark, sfDir, m, docsPath)
+      val nVecs = synthesizeEmbeddings(spark, sfDir, m, embPath)
+      println(s"== x$m: $nDocs docs, $nVecs vectors ==")
+      def docs = spark.read.parquet(docsPath)
+      def embs = spark.read.parquet(embPath)
+
+      rows += measureOp("exact_dedup", m, nDocs) {
+        Dedup.exactDedup(
+          docs.withColumn("fp",
+            TextAnalysis.contentFingerprint(col("text"))),
+          "doc_id", Seq("fp"))
+      }
+      // pairs computed once, reused for CC — persisted to parquet so
+      // the CC measurement isn't double-charged for pair generation
+      val pairsPath = s"$workRoot/pairs_x$m"
+      println(s"-- x$m minhash_pairs ...")
+      val tPairs0 = System.nanoTime()
+      Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.5)
+        .write.mode("overwrite").parquet(pairsPath)
+      Dedup.releaseCaches()
+      val pairsSec = (System.nanoTime() - tPairs0) / 1e9
+      val nPairs = spark.read.parquet(pairsPath).count()
+      rows += Measurement(m, "minhash_pairs", nDocs, nPairs, pairsSec,
+        -1, -1, -1, usedHeapMB())
+      rows += measureOp("connected_components", m, nPairs) {
+        Dedup.connectedComponents(spark.read.parquet(pairsPath))
+      }
+      rows += measureOp("simhash_pairs", m, nDocs) {
+        Dedup.simHashPairs(docs, "doc_id", "text")
+      }
+      // planes sized from the corpus count — the fixed default (4,
+      // tuned for interactive scale) gives 16 buckets/table, and
+      // candidate pairs per bucket grow quadratically with the corpus
+      rows += measureOp("embed_near_dup", m, nVecs) {
+        Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding",
+          threshold = 0.99, planesPerTable = Dedup.planesFor(nVecs))
+      }
+      println(s"-- x$m ivf_train ...")
+      val tTrain0 = System.nanoTime()
+      val model = Ivf.train(embs, "vec_id", "embedding", k = 16, iters = 2)
+      val trainSec = (System.nanoTime() - tTrain0) / 1e9
+      rows += Measurement(m, "ivf_train", nVecs, model.k.toLong, trainSec,
+        -1, -1, -1, usedHeapMB())
+      rows += measureOp("ivf_topk", m, nVecs) {
+        Ivf.ivfTopK(embs, "vec_id", "embedding",
+          embs.filter(col("vec_id") % lit(nVecs / 100 max 1) === 0),
+          "vec_id", "embedding", model, k = 10, nprobe = 2)
+      }
+      // the six-stage curation chain (clean → exact dedup → near dedup
+      // → decontaminate → split), same shape as q_curation_e2e
+      rows += measureOp("curation_chain", m, nDocs) {
+        val bench = docs.filter(col("doc_id") < lit(5) * m)
+        val clean = docs.filter(col("doc_id") >= lit(5) * m)
+          .withColumn("text", TextAnalysis.redactPii(col("text")))
+          .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+          .localCheckpoint(true)
+        val exact = Dedup.exactDedup(
+          clean.withColumn("fp",
+            TextAnalysis.contentFingerprint(col("text"))),
+          "doc_id", Seq("fp"))
+          .select("doc_id").join(clean, Seq("doc_id"))
+          .localCheckpoint(true)
+        val near = Dedup.dedupMinHash(exact, "doc_id", "text",
+          threshold = 0.5).localCheckpoint(true)
+        val decon = Dedup.decontaminate(near, bench, "doc_id", "text")
+        graft.operators.Sampling.splitByHash(decon, "doc_id", 90)
+      }
+      // bucket-cap observability: the boilerplate clone army should
+      // surface as buckets at/above the cap (dropped whole by design)
+      val stats = Dedup.bucketStats(docs, "doc_id", "text")
+        .orderBy(col("bucket_size").desc).limit(5).collect()
+      bucketReports += s"x$m top bucket sizes: " + stats.map(r =>
+        s"${r.getLong(0)}×${r.getLong(1)}").mkString(", ")
+    }
+
+    val header =
+      "| × | op | rows in | rows out | wall s | shuffle MB | shuffle rows | spill MB | driver heap MB |"
+    val sep = "|---|---|---|---|---|---|---|---|---|"
+    def fmtD(d: Double) = if (d < 0) "–" else f"$d%.2f"
+    def fmtL(l: Long) = if (l < 0) "–" else l.toString
+    val lines = rows.map(r =>
+      s"| ${r.multiplier} | ${r.op} | ${r.rowsIn} | ${r.rowsOut} | " +
+      s"${fmtD(r.wallSec)} | ${fmtD(r.shuffleMB)} | ${fmtL(r.shuffleRecords)} | " +
+      s"${fmtD(r.spillMB)} | ${r.driverHeapMB} |")
+    val report = (Seq(header, sep) ++ lines ++ Seq("") ++
+      bucketReports.map("- " + _)).mkString("\n")
+    println(report)
+    val reportPath = java.nio.file.Paths.get(s"$workRoot/report.md")
+    java.nio.file.Files.createDirectories(reportPath.getParent)
+    java.nio.file.Files.write(reportPath,
+      report.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -18,7 +18,8 @@ object Telemetry {
       shuffleBytesWritten: Long,
       shuffleRecordsWritten: Long,
       scanOutputRows: Long,
-      filesRead: Long) {
+      filesRead: Long,
+      spillBytes: Long = 0L) {
     /** The question that decides "will this survive a 100× scale-up":
       * how many bytes move per output row. */
     def shuffleBytesPerOutputRow: Double =
@@ -78,6 +79,10 @@ object Telemetry {
       scanOutputRows = sumMetric(plan, Set("numOutputRows"),
         _.startsWith("Scan")),
       filesRead = sumMetric(plan, Set("numFiles"),
-        _.startsWith("Scan")))
+        _.startsWith("Scan")),
+      // sort/aggregate/shuffle-read spill ("spill size" SQLMetrics) —
+      // nonzero means the partition sizing no longer fits executor
+      // memory, the first thing that goes wrong on a scale-up
+      spillBytes = sumMetric(plan, Set("spillSize"), _ => true))
   }
 }
