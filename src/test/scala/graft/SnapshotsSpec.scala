@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.Snapshots
+
+class SnapshotsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-snap").toString
+
+  private def table(ids: Range) =
+    ids.map(i => (i.toLong, s"row_$i")).toDF("id", "payload")
+
+  test("append references prior data without rewriting it") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(1 to 100), root)
+    val baseFiles = Files.list(java.nio.file.Paths.get(s"$root/data-0"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+    val baseTimes = baseFiles.map(f =>
+      Files.getLastModifiedTime(java.nio.file.Paths.get(f)))
+    Snapshots.append(table(101 to 150), root)
+    assert(Snapshots.read(spark, root).count() == 150)
+    // the v0 base files were not touched by the append
+    val after = baseFiles.map(f =>
+      Files.getLastModifiedTime(java.nio.file.Paths.get(f)))
+    assert(baseTimes.toSeq == after.toSeq)
+  }
+
+  test("deleteWhere is merge-on-read: keys only, base untouched") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(1 to 100), root)
+    Snapshots.deleteWhere(spark, root, "id", col("id") <= 10)
+    val cur = Snapshots.read(spark, root)
+    assert(cur.count() == 90)
+    assert(cur.agg(min("id")).head.getLong(0) == 11L)
+    // the delete file holds ONLY the 10 keys — not a rewritten table
+    val delRows = spark.read.parquet(s"$root/delete-1")
+    assert(delRows.count() == 10)
+    assert(delRows.columns.toSeq == Seq("id"))
+    // base data dir still holds all 100 rows
+    assert(spark.read.parquet(s"$root/data-0").count() == 100)
+  }
+
+  test("time travel reads every version; rollback restores one") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(1 to 50), root)           // v0
+    Snapshots.append(table(51 to 80), root)                   // v1
+    Snapshots.deleteWhere(spark, root, "id", col("id") > 70)  // v2
+    assert(Snapshots.readVersion(spark, root, 0).count() == 50)
+    assert(Snapshots.readVersion(spark, root, 1).count() == 80)
+    assert(Snapshots.readVersion(spark, root, 2).count() == 70)
+    val v2Ts = Snapshots.log(root).find(_.version == 2).get.timestampMs
+    assert(Snapshots.readAsOf(spark, root, v2Ts).count() == 70)
+    Snapshots.rollback(root, 1)                               // v3 = v1
+    assert(Snapshots.read(spark, root).count() == 80)
+    // history preserved: v2 still time-travels after the rollback
+    assert(Snapshots.readVersion(spark, root, 2).count() == 70)
+    assert(Snapshots.history(spark, root).count() == 4)
+  }
+
+  test("compact folds deletes into a fresh base; old versions survive") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(1 to 100), root)
+    Snapshots.append(table(101 to 120), root)
+    Snapshots.deleteWhere(spark, root, "id", col("id") % 2 === 0)
+    val before = Snapshots.read(spark, root).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    val snap = Snapshots.compact(spark, root)
+    assert(snap.deleteDirs.isEmpty && snap.dataDirs.size == 1)
+    val after = Snapshots.read(spark, root).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(before == after)
+    // merge-on-read is gone from the compacted read plan
+    val plan = Snapshots.read(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // pre-compaction version still reads with its delete mask
+    assert(Snapshots.readVersion(spark, root, 2).count() == 60)
+  }
+
+  test("merge-on-read broadcasts the delete mask, never shuffles the base") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(1 to 1000), root)
+    Snapshots.deleteWhere(spark, root, "id", col("id") === 5)
+    val plan = Snapshots.read(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan)
+  }
+}
