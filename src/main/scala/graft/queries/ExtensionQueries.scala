@@ -435,6 +435,67 @@ object ExtensionQueries {
               |  AS INTEGER) AS n_subwords
               |FROM documents""".stripMargin)),
 
+    // corpus-statistics quality signal: mean corpus frequency of a
+    // document's bigrams (the n-gram-LM commonness axis — boilerplate
+    // scores high, unusual text low) computed on exact integer counts:
+    // the per-doc sum of bigram counts is a BIGINT, with ONE double
+    // division at the end, so the score is bit-identical at any
+    // parallelism (a log-prob formulation would sum doubles in
+    // partition order). Two shuffles at any scale: count bigrams,
+    // join the counts back on the bigram key.
+    QueryDef("q_text_bigram_commonness",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        val bi = toks.select(col("doc_id"),
+          explode(expr("transform(sequence(0, size(t)-2), " +
+            "i -> concat(element_at(t, i+1), ' ', element_at(t, i+2)))"))
+            .as("bigram"))
+        val counts = bi.groupBy(col("bigram"))
+          .agg(count(lit(1)).as("c"))
+        bi.join(counts, Seq("bigram"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("c")).cast("double") / count(lit(1)).cast("double"))
+              .as("commonness"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks
+              |  FROM documents),
+              |b AS (SELECT doc_id,
+              |  unnest(list_transform(generate_series(1, len(toks)-1),
+              |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+              |  FROM t WHERE len(toks) >= 2),
+              |c AS (SELECT bigram, count(*) AS c FROM b GROUP BY 1)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |CAST(SUM(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |  AS commonness
+              |FROM b JOIN c USING (bigram) GROUP BY 1""".stripMargin)),
+
+    // ---------------------------------------------- snapshot versioning
+
+    // end-to-end merge-on-read: build a snapshot table (create v0,
+    // fast-append v1, row-level equality delete v2) in a scratch dir,
+    // then read the current version — the delete mask anti-joins at
+    // read time, no base rewrite (lake.Snapshots; time travel and
+    // rollback are pinned in SnapshotsSpec). The oracle is the state
+    // the three commits must reconstruct.
+    QueryDef("q_snapshot_read",
+      (s, d) => {
+        import graft.lake.Snapshots
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-snap-q").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"))
+        Snapshots.createOrReplace(docs.filter(col("doc_id") < 300), root)
+        Snapshots.append(
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), root)
+        Snapshots.deleteWhere(s, root, "doc_id", col("doc_id") < 50)
+        Snapshots.read(s, root)
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id >= 50 AND doc_id < 450""".stripMargin)),
+
     // ------------------------------------------------- sequence packing
 
     // GPT-style token-stream packing: documents concatenate in id
