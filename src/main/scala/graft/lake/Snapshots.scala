@@ -181,7 +181,12 @@ object Snapshots {
   private def readSnapshot(spark: SparkSession, root: String,
       snap: Snapshot): DataFrame = {
     require(snap.dataDirs.nonEmpty, s"empty snapshot $snap")
-    val base = spark.read.parquet(snap.dataDirs.map(d => s"$root/$d"): _*)
+    // mergeSchema: an append may carry NEW columns (Iceberg
+    // add-column); the union schema surfaces them with nulls in older
+    // files. Per-snapshot footer merging is bounded by the dir count,
+    // and compact() collapses it back to one schema
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(snap.dataDirs.map(d => s"$root/$d"): _*)
     if (snap.deleteDirs.isEmpty) base
     else {
       val dels = spark.read.parquet(

@@ -240,6 +240,50 @@ object BreadthQueries {
              |GROUP BY 1, 2, 3
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // TPC-H Q10 shape (returned-item losses): quarter window on
+    // orders, a returnflag filter that reaches the lineitem scan, a
+    // 4-way group over customer attributes, deterministic top-20.
+    // At 100 TB the l⋈o spine shuffles on the order key with both
+    // date and flag pushed to the scans; nation broadcasts; the final
+    // top-20 is a TakeOrdered, never a global sort
+    QueryDef("q_tpch_q10",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount"))
+        val n = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount")).cast(DecimalType(4, 2)))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |  * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             |AND o_orderdate < TIMESTAMP '1995-04-01'
+             |AND l_returnflag = 'R'
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY revenue DESC, c_custkey ASC
+             |LIMIT 20""".stripMargin)),
+
     // Bloom-pruned fact-to-dimension join: the large side is filtered
     // by a driver-merged Bloom filter over the selective dimension's
     // keys BEFORE its shuffle (operators.Joins) — result is exactly

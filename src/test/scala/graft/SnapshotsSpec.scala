@@ -84,6 +84,17 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readVersion(spark, root, 2).count() == 60)
   }
 
+  test("appends may add columns; older rows surface them as nulls") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(1 to 10), root)
+    Snapshots.append(
+      table(11 to 15).withColumn("score", col("id") * 2), root)
+    val cur = Snapshots.read(spark, root)
+    assert(cur.columns.toSet == Set("id", "payload", "score"))
+    assert(cur.filter(col("score").isNull).count() == 10)
+    assert(cur.filter(col("score") === 30).count() == 1)
+  }
+
   test("merge-on-read broadcasts the delete mask, never shuffles the base") {
     val root = freshRoot()
     Snapshots.createOrReplace(table(1 to 1000), root)
