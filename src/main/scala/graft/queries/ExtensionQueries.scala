@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -826,6 +827,39 @@ object ExtensionQueries {
              |  FROM h)
              |SELECT doc_id, lang FROM r
              |WHERE rn <= CEIL(0.2 * CAST(n AS DOUBLE))""".stripMargin)),
+
+    // sqrt-temperature language rebalancing (the multilingual
+    // training-mix flattener: a language with n docs keeps
+    // ceil(5·√n), so head languages are downsampled hard while tail
+    // languages keep most of their data). sqrt and ceil are
+    // correctly-rounded IEEE ops, so the quotas are bit-identical on
+    // any engine; selection is deterministic (longest docs first,
+    // doc_id tiebreak). Per-language quotas broadcast (one row per
+    // language); the rank is the same single lang-shuffle window as
+    // q_topk_per_group
+    QueryDef("q_lang_rebalance",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val quota = docs.groupBy(col("lang"))
+          .agg(ceil(sqrt(count(lit(1)).cast("double")) * 5)
+            .cast("long").as("quota"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        docs.withColumn("rk", row_number().over(w))
+          .join(broadcast(quota), Seq("lang"))
+          .filter(col("rk") <= col("quota"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("rk"))
+      },
+      Some("""WITH q AS (SELECT lang,
+             |  CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)) * 5) AS BIGINT)
+             |    AS quota
+             |  FROM documents GROUP BY 1),
+             |r AS (SELECT doc_id, lang, n_chars,
+             |  CAST(row_number() OVER (PARTITION BY lang
+             |    ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rk
+             |  FROM documents)
+             |SELECT doc_id, lang, n_chars, rk FROM r JOIN q USING (lang)
+             |WHERE rk <= quota""".stripMargin)),
 
     // the FULL curation chain as one verifiable query: redact → quality
     // filter → exact dedup → minhash near-dedup → benchmark
