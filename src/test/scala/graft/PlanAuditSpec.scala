@@ -196,4 +196,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length == 1, p)
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
   }
+
+  test("Q10's top-20 is a TakeOrdered, never a global sort; filters push") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the returnflag filter reaches the lineitem scan
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("language rebalancing broadcasts quotas against one rank window") {
+    val p = plan("q_lang_rebalance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bigram commonness joins counts back on the bigram key (no UDFs)") {
+    val p = plan("q_text_bigram_commonness")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+  }
 }
