@@ -473,6 +473,32 @@ object ExtensionQueries {
               |  AS commonness
               |FROM b JOIN c USING (bigram) GROUP BY 1""".stripMargin)),
 
+    // model-based quality scoring (ml.LogisticQuality): the logit is a
+    // fixed-order double expression (((bias + x1·w1) + x2·w2)), so a
+    // model applied to oracled features is itself oracle-replayable
+    // bit-for-bit. Weights are literals here, standing in for an
+    // offline train() run (training determinism is pinned in
+    // LogisticQualitySpec); scoring is the narrow map a 100 TB corpus
+    // actually pays for
+    QueryDef("q_quality_model_score",
+      (s, d) => {
+        import graft.ml.LogisticQuality
+        val feats = Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("double")
+            .as("n_tok"),
+          col("n_chars").cast("double").as("nc"))
+        val m = LogisticQuality.Model(Seq("n_tok", "nc"),
+          IndexedSeq(0.01, 0.002), -1.25)
+        LogisticQuality.score(feats, m)
+          .select(col("doc_id"), col("quality_logit"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  CAST(len($sqlTokens) AS DOUBLE) AS n_tok,
+              |  CAST(n_chars AS DOUBLE) AS nc FROM documents)
+              |SELECT doc_id,
+              |((-1.25 + n_tok * 0.01) + nc * 0.002) AS quality_logit
+              |FROM t""".stripMargin)),
+
     // ---------------------------------------------- snapshot versioning
 
     // end-to-end merge-on-read: build a snapshot table (create v0,
