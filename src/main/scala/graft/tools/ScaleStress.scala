@@ -108,16 +108,29 @@ object ScaleStress {
     (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
   }
 
+  /** Runs per op (min wall reported): a single local[32] sample is
+    * hostage to GC/compilation pauses — the first published table had
+    * a simhash ×10 sample EXCEED its ×50 one. Plan metrics (shuffle
+    * bytes/records, spill) are deterministic and identical across
+    * runs; only wall time needs the noise damping, and min is the
+    * right statistic for a scaling curve (the noise is additive). */
+  private val runsPerOp =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt.max(1)
+
   private def measureOp(name: String, m: Int, rowsIn: Long)(
       df: => DataFrame): Measurement = {
     println(s"-- x$m $name ...")
-    // time the CONSTRUCTION too: eager localCheckpoints inside a chain
-    // (curation stages) run while the DataFrame is being built, before
-    // Telemetry's own timer starts — wall must cover both
-    val t0 = System.nanoTime()
-    val qm = Telemetry.measure(df)
-    val wallSec = (System.nanoTime() - t0) / 1e9
-    Dedup.releaseCaches()
+    val samples = (1 to runsPerOp).map { _ =>
+      // time the CONSTRUCTION too: eager localCheckpoints inside a
+      // chain (curation stages) run while the DataFrame is being
+      // built, before Telemetry's own timer starts
+      val t0 = System.nanoTime()
+      val qm = Telemetry.measure(df)
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      Dedup.releaseCaches()
+      (wallSec, qm)
+    }
+    val (wallSec, qm) = samples.minBy(_._1)
     val res = Measurement(m, name, rowsIn, qm.rowsOut,
       wallSec, qm.shuffleBytesWritten / 1048576.0,
       qm.shuffleRecordsWritten, qm.spillBytes / 1048576.0, usedHeapMB())
@@ -215,6 +228,41 @@ object ScaleStress {
           threshold = 0.5).localCheckpoint(true)
         val decon = Dedup.decontaminate(near, bench, "doc_id", "text")
         graft.operators.Sampling.splitByHash(decon, "doc_id", 90)
+      }
+      // text-side operators over the same corpus: packing is one
+      // sharded window, bigram commonness is the two-shuffle corpus
+      // n-gram statistic, rebalancing is quota-broadcast + rank window
+      rows += measureOp("pack_sequential", m, nDocs) {
+        graft.operators.Packing.packSequential(
+          docs.select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", capacity = 1024, shardCol = "source")
+      }
+      rows += measureOp("bigram_commonness", m, nDocs) {
+        val toks = docs.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+        val bi = toks.select(col("doc_id"),
+          explode(expr("transform(sequence(0, size(t)-2), " +
+            "i -> concat(element_at(t, i+1), ' ', element_at(t, i+2)))"))
+            .as("bigram"))
+        val counts = bi.groupBy(col("bigram"))
+          .agg(count(lit(1)).as("c"))
+        bi.join(counts, Seq("bigram")).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("c")).cast("double") / count(lit(1)).cast("double"))
+              .as("commonness"))
+      }
+      rows += measureOp("lang_rebalance", m, nDocs) {
+        val quota = docs.groupBy(col("lang"))
+          .agg(ceil(sqrt(count(lit(1)).cast("double")) * 5)
+            .cast("long").as("quota"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        docs.withColumn("rk", row_number().over(w))
+          .join(broadcast(quota), Seq("lang"))
+          .filter(col("rk") <= col("quota"))
       }
       // bucket-cap observability: the boilerplate clone army should
       // surface as buckets at/above the cap (dropped whole by design)
