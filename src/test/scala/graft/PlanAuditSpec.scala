@@ -216,4 +216,79 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_text_bigram_commonness")
     assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
   }
+
+  test("Q4's correlated EXISTS plans as a semi join with pushed window") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the quarter window reaches the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("Q8's eight-table join: no cartesian, date+type filters pushed") {
+    val p = plan("q_tpch_q8")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("Q13 keeps zero-order customers: outer join, two aggregations") {
+    val p = plan("q_tpch_q13")
+    assert(p.contains("LeftOuter"), p)
+    // customer scan reads only the key
+    val custSchema = "ReadSchema: [^\n]*c_custkey[^\n]*".r
+      .findFirstIn(p).getOrElse("")
+    assert(!custSchema.contains("c_acctbal"), custSchema)
+  }
+
+  test("Q15's max-revenue filter is a 1-row broadcast, not a window") {
+    val p = plan("q_tpch_q15")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window"),
+      s"Q15 should not rank through an unpartitioned window:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("Q17 restricts the per-part average to the selected parts first") {
+    val p = plan("q_tpch_q17")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // brand/size selection reaches the part scan
+    assert(p.contains("EqualTo(p_brand,Brand#3)"), p)
+    // lineitem never reads more than the 3 needed columns
+    val liSchema = "ReadSchema: [^\n]*l_quantity[^\n]*".r
+      .findFirstIn(p).getOrElse("")
+    assert(!liSchema.contains("l_shipdate"), liSchema)
+  }
+
+  test("Q18's HAVING join-back semi-joins orders; top-100 is TakeOrdered") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Q19's disjunctive predicate derives a part-side pushdown") {
+    val p = plan("q_tpch_q19")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // Catalyst derives a part-side disjunction (brand/size per branch,
+    // plus the common p_size >= 1 conjunct) and pushes it to the scan
+    assert(p.contains("GreaterThanOrEqual(p_size,1)"), p)
+    assert(p.contains("And(EqualTo(p_brand"), p)
+    // ...and the lineitem side gets the quantity disjunction
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p)
+  }
+
+  test("Q22 anti-joins date-pruned orders under a 1-row threshold") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the recent-orders window reaches the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
 }
