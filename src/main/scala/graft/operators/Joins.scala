@@ -79,4 +79,60 @@ object Joins {
       expectedItems, fpp)
     pruned.join(small, pruned(largeKey) === small(smallKey))
   }
+
+  /** Inner equi-join of a skew-keyed fact against a dimension too big
+    * (or a join shape unable — shuffle-hash, aggregate-feeding) to
+    * broadcast: result is EXACTLY `fact ⋈ dim on factKey = dimKey`,
+    * but no single reducer ever owns a hot key's full row set.
+    *
+    * Differential salting, not blanket salting: a map-side-combined
+    * count finds the keys with ≥ `hotThreshold` fact rows (the partial
+    * aggregation means the hot key never concentrates during
+    * detection — each task emits one (key, partial-count) row). Cold
+    * keys take the plain join untouched. Hot fact rows get a per-row
+    * salt in [0, saltBuckets) and ONLY the hot dimension rows are
+    * replicated once per salt, so the hot key's rows spread over
+    * `saltBuckets` reducers and the replication cost is
+    * |hot keys| × saltBuckets — never |dim| × saltBuckets, which is
+    * what makes blanket salting unusable at 100 TB.
+    *
+    * The three hot-key probes (fact anti, fact semi, dim semi) are
+    * broadcasts of the SAME aggregation subplan — Spark's
+    * ReuseExchange collapses them into one physical build. The salt
+    * comes from xxhash64 over the partition-deterministic row id, so
+    * any value is correct (every salt matches a replicated dim copy);
+    * determinism of the RESULT never depends on salt placement.
+    *
+    * AQE's skew-join rule solves this for sort-merge joins by
+    * splitting partitions at runtime; this operator is for the shapes
+    * AQE doesn't cover — hash joins, skew feeding a downstream
+    * grouped aggregation on the same key, or a pinned non-AQE plan. */
+  def saltedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, saltBuckets: Int = 16,
+      hotThreshold: Long = 2000000L): DataFrame = {
+    require(saltBuckets > 1, s"saltBuckets must be > 1: $saltBuckets")
+    require(hotThreshold > 0, s"hotThreshold must be > 0: $hotThreshold")
+    val hot = fact.filter(col(factKey).isNotNull)
+      .groupBy(col(factKey).as("__hot_key"))
+      .agg(count(lit(1)).as("__hot_count"))
+      .filter(col("__hot_count") >= hotThreshold)
+      .select(col("__hot_key"))
+    val cold = fact
+      .join(broadcast(hot), col(factKey) === col("__hot_key"), "left_anti")
+      .join(dim, col(factKey) === dim(dimKey))
+    val saltedFact = fact
+      .join(broadcast(hot), col(factKey) === col("__hot_key"), "left_semi")
+      .withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets))
+          .cast("int"))
+    val saltedDim = dim
+      .join(broadcast(hot), dim(dimKey) === col("__hot_key"), "left_semi")
+      .withColumn("__salt",
+        explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    val hotJoined = saltedFact.join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+    cold.unionByName(hotJoined)
+  }
 }

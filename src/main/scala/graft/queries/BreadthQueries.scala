@@ -304,6 +304,34 @@ object BreadthQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
 
+    // Skew-salted fact⋈dim join (operators.Joins.saltedJoin): keys
+    // with ≥602 fact rows (the per-supplier median — both paths stay
+    // populated) route through a salted two-sided join (per-
+    // row salt on the fact, |hot|×saltBuckets replicated dim rows),
+    // everything else joins plainly — the RESULT is exactly the plain
+    // inner join, which is what the oracle checks. The downstream
+    // per-supplier revenue agg would expose any dropped or duplicated
+    // row in the sums.
+    QueryDef("q_skew_salted_join",
+      (s, d) => graft.operators.Joins.saltedJoin(
+          Tables.lineitem(s, d)
+            .select(col("l_suppkey"), col("l_extendedprice"),
+              col("l_discount")),
+          "l_suppkey",
+          Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+          "s_suppkey", saltBuckets = 8, hotThreshold = 602L)
+        .groupBy(col("s_name"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount")).cast(DecimalType(4, 2)))
+          .cast("double").as("revenue"))
+        .orderBy(col("s_name")),
+      Some("""SELECT s_name,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |  * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             |  AS revenue
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ------------------------------------------------------ temporal joins
 
     // as-of join: each purchase matched to the user's latest click

@@ -90,4 +90,47 @@ class JoinsSpec extends AnyFunSuite {
     assert(plan.contains("might_contain"), plan)
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("saltedJoin equals the plain inner join with both paths active") {
+    val lineitem = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    val supplier = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"))
+    // per-supplier counts span ~545-640 with median ~600 at this SF;
+    // a threshold of 602 splits the keys across hot and cold paths
+    val salted = Joins.saltedJoin(lineitem, "l_suppkey", supplier,
+        "s_suppkey", saltBuckets = 4, hotThreshold = 602L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val plain = lineitem.join(supplier,
+        lineitem("l_suppkey") === supplier("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // multiset equality — a lost or duplicated row must fail
+    assert(salted.sorted.toSeq == plain.sorted.toSeq)
+    assert(plain.nonEmpty)
+    // both paths genuinely exercised at this threshold
+    val counts = lineitem.groupBy("l_suppkey").count().collect()
+      .map(_.getLong(1))
+    assert(counts.exists(_ >= 602L) && counts.exists(_ < 602L),
+      "threshold does not split keys: adjust the spec's hotThreshold")
+  }
+
+  test("saltedJoin replicates only hot dim rows and reuses one build") {
+    val lineitem = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+    val supplier = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"))
+    val salted = Joins.saltedJoin(lineitem, "l_suppkey", supplier,
+      "s_suppkey", saltBuckets = 4, hotThreshold = 602L)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the dim replication is a generate (explode), not a cross join
+    assert(plan.contains("Generate"), plan)
+    // all salt columns are dropped from the result
+    assert(!salted.columns.contains("__salt"))
+    assert(salted.columns.toSeq ==
+      Seq("l_suppkey", "l_extendedprice", "s_suppkey", "s_name"))
+  }
 }
