@@ -139,6 +139,60 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol) +: keyCols.map(col): _*)
 
+  /** Sub-document exact dedup (the CCNet/RefinedWeb "line-level"
+    * pass): split every document into fixed `chunkWords`-word spans,
+    * keep each distinct span's GLOBALLY FIRST occurrence (smallest
+    * (id, position) across the corpus), and reassemble documents from
+    * their surviving spans in original order. Boilerplate repeated
+    * across pages (headers, license blocks, navigation) disappears
+    * from every copy but the first; documents whose every span lost
+    * drop out entirely. On delimitered corpora the fixed window is a
+    * stand-in for paragraph/line splitting — the chunker is the only
+    * line that changes.
+    *
+    * Scale shape: chunking is a narrow codegen map (split + sequence +
+    * slice — no UDF); the winner election is ONE hash aggregation on
+    * span text (map-side combined, min(struct) carries no payload);
+    * survivors rejoin on the span key and reassembly is one grouped
+    * collect bounded by a single document's span count. Nothing is
+    * ever all-pairs and no driver collect occurs.
+    *
+    * Returns (idCol, clean_text, kept_chunks). */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 10): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be > 0: $chunkWords")
+    val toks = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    val chunks = df
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L),
+          ceil(size(col("__toks")) / lit(chunkWords.toDouble)).cast("long")
+            - 1)).as("__chunk_idx"),
+        col("__toks"))
+      .select(col(idCol), col("__chunk_idx"),
+        array_join(slice(col("__toks"),
+          (col("__chunk_idx") * chunkWords + 1).cast("int"),
+          lit(chunkWords)), " ").as("__chunk_text"))
+    val winners = chunks
+      .groupBy(col("__chunk_text").as("__win_text"))
+      .agg(min(struct(col(idCol), col("__chunk_idx"))).as("__win"))
+    chunks
+      .join(winners,
+        col("__chunk_text") === col("__win_text") &&
+          struct(col(idCol), col("__chunk_idx")) === col("__win"))
+      .select(col(idCol), col("__chunk_idx"), col("__chunk_text"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__chunk_idx"),
+            col("__chunk_text")))),
+          x => x.getField("__chunk_text")), " ").as("clean_text"),
+        count(lit(1)).as("kept_chunks"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingles of lowercased text (distinct). Empty/short

@@ -141,6 +141,40 @@ object ExtensionQueries {
       Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
              |FROM documents GROUP BY text""".stripMargin)),
 
+    // sub-document (span-level) dedup: 10-word chunks, global
+    // keep-first, documents reassembled from surviving chunks —
+    // boilerplate shared across near-dup docs survives only in its
+    // first occurrence; fully-duplicated docs vanish
+    QueryDef("q_dedup_chunks",
+      (s, d) => Dedup.chunkDedup(Tables.documents(s, d), "doc_id",
+        "text", chunkWords = 10),
+      // the oracle's winner encoding doc_id*1024+chunk_idx mirrors the
+      // operator's min(struct) ordering exactly while chunk_idx < 1024
+      // (true here: docs are ≤ a few hundred words)
+      Some("""WITH w AS (SELECT doc_id,
+             |  CASE WHEN length(trim(text)) = 0 THEN []
+             |  ELSE string_split_regex(lower(trim(text)), '\s+') END
+             |    AS toks
+             |  FROM documents),
+             |chunks AS (SELECT doc_id, chunk_idx,
+             |  array_to_string(
+             |    toks[(chunk_idx*10+1):(chunk_idx*10+10)], ' ')
+             |    AS chunk_text
+             |  FROM (SELECT doc_id, toks,
+             |    unnest(generate_series(0,
+             |      CAST(ceil(len(toks)/10.0) AS BIGINT) - 1)) AS chunk_idx
+             |    FROM w WHERE len(toks) > 0)),
+             |winners AS (SELECT chunk_text,
+             |  MIN(doc_id*1024 + chunk_idx) AS win
+             |  FROM chunks GROUP BY 1)
+             |SELECT c.doc_id,
+             |string_agg(c.chunk_text, ' ' ORDER BY c.chunk_idx)
+             |  AS clean_text,
+             |COUNT(*) AS kept_chunks
+             |FROM chunks c JOIN winners x ON c.chunk_text = x.chunk_text
+             |  AND c.doc_id*1024 + c.chunk_idx = x.win
+             |GROUP BY 1""".stripMargin)),
+
     // MinHash LSH near-dup pairs, oracled against DuckDB's exact
     // all-pairs 3-gram jaccard. Valid because this corpus is bimodal
     // (random pairs ≈0.1, planted dups ≈0.99): banding recall is ~1.0

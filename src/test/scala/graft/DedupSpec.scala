@@ -26,6 +26,41 @@ class DedupSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("chunkDedup keeps first span occurrence and reassembles in order") {
+    // 12 words → chunks of 4: three spans A B C. doc 11 repeats A as
+    // its second span (self-dup); doc 12 is an exact copy of doc 10;
+    // doc 13 shares only span B; doc 14 is whitespace-only
+    val a = "w1 w2 w3 w4"; val b = "x1 x2 x3 x4"; val c = "y1 y2 y3 y4"
+    val docs = Seq(
+      (10L, s"$a $b $c"),
+      (11L, s"$c $a"),          // c loses to doc 10, a loses to doc 10
+      (12L, s"$a $b $c"),       // fully duplicated → vanishes
+      (13L, s"z1 z2 z3 z4 $b"), // keeps z-span, loses b
+      (14L, "   ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(10L, 13L), s"survivors: ${out.keySet}")
+    // doc 10 keeps all three spans in original order
+    assert(out(10L) == (s"$a $b $c", 3L))
+    // doc 13 keeps only its unique leading span
+    assert(out(13L) == ("z1 z2 z3 z4", 1L))
+    // no span text appears twice across the whole output
+    val spans = out.values.flatMap(_._1.grouped(11)).toSeq
+    assert(spans.distinct.size == spans.size)
+  }
+
+  test("chunkDedup is a no-op on a corpus with no repeated spans") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "g h i j k l m")  // 7 words → chunks of 5: one full + tail
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a b c d e f", 2L -> "g h i j k l m"))
+  }
+
   test("shingles: word 3-grams, distinct, short-text empty") {
     val sh = Seq(("a b c d", 1)).toDF("t", "i")
       .select(Dedup.shingles($"t", 3).as("sh"))
