@@ -264,6 +264,22 @@ object ScaleStress {
           .join(broadcast(quota), Seq("lang"))
           .filter(col("rk") <= col("quota"))
       }
+      // sub-document span dedup: the boilerplate clone army means the
+      // shared spans collapse to one winner each — rows out should
+      // grow with the UNIQUE span population, not the corpus
+      rows += measureOp("chunk_dedup", m, nDocs) {
+        Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 10)
+      }
+      // skew-salted join: `source` is a natural hot key (the clone
+      // army concentrates in few sources); dim = the distinct sources
+      rows += measureOp("salted_join", m, nDocs) {
+        val dim = docs.select(col("source").as("src")).distinct()
+          .withColumn("src_tag", xxhash64(col("src")))
+        graft.operators.Joins.saltedJoin(
+          docs.select(col("doc_id"), col("source")), "source",
+          dim, "src", saltBuckets = 16,
+          hotThreshold = (nDocs / 50) max 100)
+      }
       // bucket-cap observability: the boilerplate clone army should
       // surface as buckets at/above the cap (dropped whole by design)
       val stats = Dedup.bucketStats(docs, "doc_id", "text")
