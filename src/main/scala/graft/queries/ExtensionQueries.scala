@@ -124,6 +124,37 @@ object ExtensionQueries {
          |SELECT query_id, id, cosine, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= $topk""".stripMargin
     }
+    /** Corpus-vs-corpus variant: EVERY vector is a query (kNN graph,
+      * self-match included — it is rank 1 by construction), smaller
+      * top-k to bound the output. Same trained centroids, same probe
+      * and rank chain. */
+    val graphTopk = 5
+    def knnSql: String = {
+      val lloyd = (1 to iters).map(i =>
+        assign("e", s"cent${i - 1}", s"a$i") + ",\n" +
+          update(s"a$i", s"cent${i - 1}", s"cent$i")).mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |cent0 AS MATERIALIZED (SELECT
+         |    row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+         |$lloyd,
+         |${assign("e", s"cent$iters", "fin")},
+         |pr_s AS (SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${LshSql.cosine("e.v", "c.c")} DESC, c.cell DESC)
+         |    AS rn
+         |  FROM e CROSS JOIN cent$iters c),
+         |pr AS (SELECT query_id, qv, cell FROM pr_s WHERE rn <= $nprobe),
+         |sc AS (SELECT pr.query_id, fin.vec_id AS id,
+         |  ${LshSql.cosine("fin.v", "pr.qv")} AS cosine
+         |  FROM pr JOIN fin USING (cell)),
+         |r AS (SELECT query_id, id, cosine,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, id ASC) AS rank FROM sc)
+         |SELECT query_id, id, cosine, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= $graphTopk""".stripMargin
+    }
   }
 
   private val sqlTokens =
@@ -429,6 +460,23 @@ object ExtensionQueries {
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           model, k = IvfSql.topk, nprobe = IvfSql.nprobe)
       }, Some(IvfSql.sql)),
+
+    // corpus-vs-corpus kNN graph over the SHUFFLE-JOIN search path:
+    // every vector queries the index at once, so broadcasting the
+    // query side (right for interactive top-k) would ship the whole
+    // corpus to every executor — threshold 0 forces the cell-keyed
+    // shuffle join ivfTopK selects for corpus-sized query sides. Same
+    // deterministic training, so the oracle replays it exactly.
+    QueryDef("q_ann_knn_graph",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = Ivf.train(emb, "vec_id", "embedding",
+          k = IvfSql.k, iters = IvfSql.iters)
+        Ivf.ivfTopK(emb, "vec_id", "embedding",
+          emb, "vec_id", "embedding",
+          model, k = IvfSql.graphTopk, nprobe = IvfSql.nprobe,
+          broadcastThresholdBytes = 0L)
+      }, Some(IvfSql.knnSql)),
 
     // ---------------------------------------------------- event windows
 
