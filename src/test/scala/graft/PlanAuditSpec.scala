@@ -291,4 +291,31 @@ class PlanAuditSpec extends AnyFunSuite {
     // the recent-orders window reaches the orders scan
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
+
+  test("span dedup stays UDF-free: codegen chunking, one winner agg") {
+    val p = plan("q_dedup_chunks")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // winner election is a hash aggregate (min(struct) — no window
+    // rank over the span population)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("salted join: explode-replicated dim, no cartesian, no UDFs") {
+    val p = plan("q_skew_salted_join")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("kNN graph takes the shuffle join — corpus never broadcasts") {
+    val p = plan("q_ann_knn_graph")
+    // the cell join must NOT be a broadcast of the corpus-sized query
+    // side; the forced-zero threshold selects the shuffled hash join
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
