@@ -150,12 +150,17 @@ object Dedup {
     * stand-in for paragraph/line splitting — the chunker is the only
     * line that changes.
     *
+    * Matching is case-insensitive (spans are lowercased for the key —
+    * the CCNet-style normalization), but surviving documents keep
+    * their ORIGINAL casing and word forms; only inter-word whitespace
+    * is normalized to single spaces (chunking is token-based).
+    *
     * Scale shape: chunking is a narrow codegen map (split + sequence +
     * slice — no UDF); the winner election is ONE hash aggregation on
-    * span text (map-side combined, min(struct) carries no payload);
-    * survivors rejoin on the span key and reassembly is one grouped
-    * collect bounded by a single document's span count. Nothing is
-    * ever all-pairs and no driver collect occurs.
+    * the normalized span key (map-side combined, min(struct) carries
+    * no payload); survivors rejoin on the span key and reassembly is
+    * one grouped collect bounded by a single document's span count.
+    * Nothing is ever all-pairs and no driver collect occurs.
     *
     * Returns (idCol, clean_text, kept_chunks). */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
@@ -163,7 +168,7 @@ object Dedup {
     require(chunkWords > 0, s"chunkWords must be > 0: $chunkWords")
     val toks = when(length(trim(col(textCol))) === 0,
         array().cast("array<string>"))
-      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
     val chunks = df
       .select(col(idCol), toks.as("__toks"))
       .filter(size(col("__toks")) > 0)
@@ -176,12 +181,13 @@ object Dedup {
         array_join(slice(col("__toks"),
           (col("__chunk_idx") * chunkWords + 1).cast("int"),
           lit(chunkWords)), " ").as("__chunk_text"))
+      .withColumn("__chunk_key", lower(col("__chunk_text")))
     val winners = chunks
-      .groupBy(col("__chunk_text").as("__win_text"))
+      .groupBy(col("__chunk_key").as("__win_key"))
       .agg(min(struct(col(idCol), col("__chunk_idx"))).as("__win"))
     chunks
       .join(winners,
-        col("__chunk_text") === col("__win_text") &&
+        col("__chunk_key") === col("__win_key") &&
           struct(col(idCol), col("__chunk_idx")) === col("__win"))
       .select(col(idCol), col("__chunk_idx"), col("__chunk_text"))
       .groupBy(col(idCol))

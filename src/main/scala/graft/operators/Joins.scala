@@ -112,27 +112,37 @@ object Joins {
       hotThreshold: Long = 2000000L): DataFrame = {
     require(saltBuckets > 1, s"saltBuckets must be > 1: $saltBuckets")
     require(hotThreshold > 0, s"hotThreshold must be > 0: $hotThreshold")
-    val hot = fact.filter(col(factKey).isNotNull)
-      .groupBy(col(factKey).as("__hot_key"))
+    val reserved = Seq("__hot_key", "__salt")
+    require(!(fact.columns ++ dim.columns).exists(reserved.contains),
+      s"saltedJoin reserves columns $reserved")
+    val hot = fact.filter(fact(factKey).isNotNull)
+      .groupBy(fact(factKey).as("__hot_key"))
       .agg(count(lit(1)).as("__hot_count"))
       .filter(col("__hot_count") >= hotThreshold)
       .select(col("__hot_key"))
-    val cold = fact
-      .join(broadcast(hot), col(factKey) === col("__hot_key"), "left_anti")
-      .join(dim, col(factKey) === dim(dimKey))
+    // every key reference below resolves through its own DataFrame
+    // (fact(...)/dim(...)/coldFact(...)) so factKey == dimKey — the
+    // common equi-join spelling — never trips ambiguous-reference
+    val coldFact = fact
+      .join(broadcast(hot), fact(factKey) === hot("__hot_key"), "left_anti")
+    val cold = coldFact.join(dim, coldFact(factKey) === dim(dimKey))
     val saltedFact = fact
-      .join(broadcast(hot), col(factKey) === col("__hot_key"), "left_semi")
+      .join(broadcast(hot), fact(factKey) === hot("__hot_key"), "left_semi")
       .withColumn("__salt",
         pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets))
           .cast("int"))
     val saltedDim = dim
-      .join(broadcast(hot), dim(dimKey) === col("__hot_key"), "left_semi")
+      .join(broadcast(hot), dim(dimKey) === hot("__hot_key"), "left_semi")
       .withColumn("__salt",
         explode(array((0 until saltBuckets).map(lit(_)): _*)))
     val hotJoined = saltedFact.join(saltedDim,
         saltedFact(factKey) === saltedDim(dimKey) &&
           saltedFact("__salt") === saltedDim("__salt"))
       .drop("__salt")
-    cold.unionByName(hotJoined)
+    // positional union: both branches emit fact-columns ++ dim-columns
+    // in input order, and — like the plain join this operator replaces
+    // bit-for-bit — duplicated column NAMES across the two sides are
+    // legal output (unionByName would reject them)
+    cold.union(hotJoined)
   }
 }

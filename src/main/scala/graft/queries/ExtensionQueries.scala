@@ -98,7 +98,11 @@ object ExtensionQueries {
          |  FROM ${out}_m GROUP BY cell),
          |$out AS MATERIALIZED (SELECT p.cell, COALESCE(n.c, p.c) AS c
          |  FROM $prev p LEFT JOIN ${out}_l n USING (cell))""".stripMargin
-    def sql: String = {
+    /** Shared train + probe + rank chain; the two public oracles
+      * differ ONLY in which vectors query (`probeFilter`) and the
+      * rank bound — one source of truth for the deterministic recipe,
+      * so a tiebreak/seeding fix can't drift between them. */
+    private def searchSql(probeFilter: String, bound: Int): String = {
       val lloyd = (1 to iters).map(i =>
         assign("e", s"cent${i - 1}", s"a$i") + ",\n" +
           update(s"a$i", s"cent${i - 1}", s"cent$i")).mkString(",\n")
@@ -113,7 +117,7 @@ object ExtensionQueries {
          |  row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY ${LshSql.cosine("e.v", "c.c")} DESC, c.cell DESC)
          |    AS rn
-         |  FROM e CROSS JOIN cent$iters c WHERE e.vec_id < 5),
+         |  FROM e CROSS JOIN cent$iters c$probeFilter),
          |pr AS (SELECT query_id, qv, cell FROM pr_s WHERE rn <= $nprobe),
          |sc AS (SELECT pr.query_id, fin.vec_id AS id,
          |  ${LshSql.cosine("fin.v", "pr.qv")} AS cosine
@@ -122,39 +126,14 @@ object ExtensionQueries {
          |  row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, id ASC) AS rank FROM sc)
          |SELECT query_id, id, cosine, CAST(rank AS INTEGER) AS rank
-         |FROM r WHERE rank <= $topk""".stripMargin
+         |FROM r WHERE rank <= $bound""".stripMargin
     }
+    def sql: String = searchSql(" WHERE e.vec_id < 5", topk)
     /** Corpus-vs-corpus variant: EVERY vector is a query (kNN graph,
       * self-match included — it is rank 1 by construction), smaller
-      * top-k to bound the output. Same trained centroids, same probe
-      * and rank chain. */
+      * top-k to bound the output. */
     val graphTopk = 5
-    def knnSql: String = {
-      val lloyd = (1 to iters).map(i =>
-        assign("e", s"cent${i - 1}", s"a$i") + ",\n" +
-          update(s"a$i", s"cent${i - 1}", s"cent$i")).mkString(",\n")
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
-         |  FROM embeddings),
-         |cent0 AS MATERIALIZED (SELECT
-         |    row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
-         |$lloyd,
-         |${assign("e", s"cent$iters", "fin")},
-         |pr_s AS (SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
-         |  row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY ${LshSql.cosine("e.v", "c.c")} DESC, c.cell DESC)
-         |    AS rn
-         |  FROM e CROSS JOIN cent$iters c),
-         |pr AS (SELECT query_id, qv, cell FROM pr_s WHERE rn <= $nprobe),
-         |sc AS (SELECT pr.query_id, fin.vec_id AS id,
-         |  ${LshSql.cosine("fin.v", "pr.qv")} AS cosine
-         |  FROM pr JOIN fin USING (cell)),
-         |r AS (SELECT query_id, id, cosine,
-         |  row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, id ASC) AS rank FROM sc)
-         |SELECT query_id, id, cosine, CAST(rank AS INTEGER) AS rank
-         |FROM r WHERE rank <= $graphTopk""".stripMargin
-    }
+    def knnSql: String = searchSql("", graphTopk)
   }
 
   private val sqlTokens =
@@ -184,7 +163,7 @@ object ExtensionQueries {
       // (true here: docs are ≤ a few hundred words)
       Some("""WITH w AS (SELECT doc_id,
              |  CASE WHEN length(trim(text)) = 0 THEN []
-             |  ELSE string_split_regex(lower(trim(text)), '\s+') END
+             |  ELSE string_split_regex(trim(text), '\s+') END
              |    AS toks
              |  FROM documents),
              |chunks AS (SELECT doc_id, chunk_idx,
@@ -195,14 +174,15 @@ object ExtensionQueries {
              |    unnest(generate_series(0,
              |      CAST(ceil(len(toks)/10.0) AS BIGINT) - 1)) AS chunk_idx
              |    FROM w WHERE len(toks) > 0)),
-             |winners AS (SELECT chunk_text,
+             |winners AS (SELECT lower(chunk_text) AS chunk_key,
              |  MIN(doc_id*1024 + chunk_idx) AS win
              |  FROM chunks GROUP BY 1)
              |SELECT c.doc_id,
              |string_agg(c.chunk_text, ' ' ORDER BY c.chunk_idx)
              |  AS clean_text,
              |COUNT(*) AS kept_chunks
-             |FROM chunks c JOIN winners x ON c.chunk_text = x.chunk_text
+             |FROM chunks c JOIN winners x
+             |  ON lower(c.chunk_text) = x.chunk_key
              |  AND c.doc_id*1024 + c.chunk_idx = x.win
              |GROUP BY 1""".stripMargin)),
 

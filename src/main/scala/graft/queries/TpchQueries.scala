@@ -12,8 +12,9 @@ import graft.util.Tables
   * `p_container`): Q4 and Q19 and Q22 run as adapted shapes that keep
   * the plan structure (correlated EXISTS, disjunctive join predicate,
   * anti-join + scalar aggregate subquery) with predicates re-expressed
-  * over the columns that exist; Q2/Q9/Q11/Q16/Q20/Q21 genuinely need
-  * `partsupp`/`l_receiptdate` and are documented as out of domain.
+  * over the columns that exist; Q2/Q9/Q11/Q12/Q16/Q20/Q21 genuinely
+  * need `partsupp`/`l_receiptdate`/`l_shipmode` and are documented as
+  * out of domain.
   *
   * Everything follows the house determinism rules: money math in
   * DECIMAL end-to-end (cast to double only at the end), ratios as

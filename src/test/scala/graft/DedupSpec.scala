@@ -51,6 +51,20 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.distinct.size == spans.size)
   }
 
+  test("chunkDedup matches case-insensitively but keeps original text") {
+    val docs = Seq(
+      (1L, "Hello World One Two"),
+      (2L, "hello world one two"),   // same span modulo case → loses
+      (3L, "Different Words Here Now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 3L), s"survivors: ${out.keySet}")
+    // the survivor keeps its ORIGINAL casing, not the lowercased key
+    assert(out(1L) == "Hello World One Two")
+    assert(out(3L) == "Different Words Here Now")
+  }
+
   test("chunkDedup is a no-op on a corpus with no repeated spans") {
     val docs = Seq(
       (1L, "a b c d e f"),

@@ -116,6 +116,33 @@ class JoinsSpec extends AnyFunSuite {
       "threshold does not split keys: adjust the spec's hotThreshold")
   }
 
+  test("saltedJoin handles same-named keys and overlapping columns") {
+    // the common equi-join spelling: both keys named "k", plus a
+    // non-key column name shared by both sides — the plain join
+    // accepts both, so the drop-in replacement must too
+    val fact = Seq((1L, "f1"), (1L, "f2"), (1L, "f3"), (2L, "f4"))
+      .toDF("k", "name")
+    val dim = Seq((1L, "d1"), (2L, "d2"), (3L, "d3")).toDF("k", "name")
+    val salted = Joins.saltedJoin(fact, "k", dim, "k",
+      saltBuckets = 3, hotThreshold = 3L)
+    // output mirrors the plain join: fact columns then dim columns,
+    // duplicate names preserved
+    assert(salted.columns.toSeq == Seq("k", "name", "k", "name"))
+    val got = salted.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).sorted.toSeq
+    val want = fact.join(dim, fact("k") === dim("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // reserved internal names are refused loudly
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(fact.withColumnRenamed("name", "__salt"), "k",
+        dim, "k", saltBuckets = 2, hotThreshold = 1L)
+    }
+  }
+
   test("saltedJoin replicates only hot dim rows and reuses one build") {
     val lineitem = Tables.lineitem(spark, sf)
       .select(col("l_suppkey"), col("l_extendedprice"))

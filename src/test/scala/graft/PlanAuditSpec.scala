@@ -185,10 +185,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     // the two-year ship-date window reaches the lineitem scan
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
-    // lineitem reads only the 5 needed columns
+    // lineitem reads only the 5 needed columns (assert the match
+    // exists so a reformatted plan can't pass vacuously)
     val lineitemSchema = "ReadSchema: [^\n]*l_extendedprice[^\n]*".r
-      .findFirstIn(p).getOrElse("")
-    assert(!lineitemSchema.contains("l_comment"), lineitemSchema)
+      .findFirstIn(p)
+    assert(lineitemSchema.nonEmpty, s"no lineitem ReadSchema line:\n$p")
+    assert(!lineitemSchema.get.contains("l_comment"), lineitemSchema.get)
   }
 
   test("sequence packing shuffles once on the shard key, no UDFs") {
@@ -238,10 +240,11 @@ class PlanAuditSpec extends AnyFunSuite {
   test("Q13 keeps zero-order customers: outer join, two aggregations") {
     val p = plan("q_tpch_q13")
     assert(p.contains("LeftOuter"), p)
-    // customer scan reads only the key
-    val custSchema = "ReadSchema: [^\n]*c_custkey[^\n]*".r
-      .findFirstIn(p).getOrElse("")
-    assert(!custSchema.contains("c_acctbal"), custSchema)
+    // customer scan reads only the key (a missed regex must FAIL, not
+    // pass vacuously — assert the match exists first)
+    val custSchema = "ReadSchema: [^\n]*c_custkey[^\n]*".r.findFirstIn(p)
+    assert(custSchema.nonEmpty, s"no customer ReadSchema line found:\n$p")
+    assert(!custSchema.get.contains("c_acctbal"), custSchema.get)
   }
 
   test("Q15's max-revenue filter is a 1-row broadcast, not a window") {
@@ -259,10 +262,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     // brand/size selection reaches the part scan
     assert(p.contains("EqualTo(p_brand,Brand#3)"), p)
-    // lineitem never reads more than the 3 needed columns
-    val liSchema = "ReadSchema: [^\n]*l_quantity[^\n]*".r
-      .findFirstIn(p).getOrElse("")
-    assert(!liSchema.contains("l_shipdate"), liSchema)
+    // lineitem never reads more than the 3 needed columns (assert the
+    // match exists so a reformatted plan can't pass vacuously)
+    val liSchema = "ReadSchema: [^\n]*l_quantity[^\n]*".r.findFirstIn(p)
+    assert(liSchema.nonEmpty, s"no lineitem ReadSchema line found:\n$p")
+    assert(!liSchema.get.contains("l_shipdate"), liSchema.get)
   }
 
   test("Q18's HAVING join-back semi-joins orders; top-100 is TakeOrdered") {
