@@ -99,14 +99,18 @@ object Joins {
     * The three hot-key probes (fact anti, fact semi, dim semi) are
     * broadcasts of the SAME aggregation subplan — Spark's
     * ReuseExchange collapses them into one physical build. The salt
-    * comes from xxhash64 over the partition-deterministic row id, so
-    * any value is correct (every salt matches a replicated dim copy);
-    * determinism of the RESULT never depends on salt placement.
+    * is [[Skew.contentSalt]] — a hash of the whole fact row — NEVER
+    * monotonically_increasing_id/rand: a recomputed shuffle map task
+    * must re-salt each row identically or the stage goes
+    * indeterminate on fetch-failure retry (see Skew.scala's rationale;
+    * the known tradeoff — byte-identical hot-key rows sharing a
+    * salt — is documented there too).
     *
-    * AQE's skew-join rule solves this for sort-merge joins by
-    * splitting partitions at runtime; this operator is for the shapes
-    * AQE doesn't cover — hash joins, skew feeding a downstream
-    * grouped aggregation on the same key, or a pinned non-AQE plan. */
+    * [[Skew.saltedJoin]] is the blanket-salting sibling (replicates
+    * the ENTIRE other side — right when it is small); AQE's skew-join
+    * rule solves the sort-merge case at runtime; this operator is for
+    * the remaining shapes — big dims, hash joins, skew feeding a
+    * downstream grouped aggregation, or a pinned non-AQE plan. */
   def saltedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, saltBuckets: Int = 16,
       hotThreshold: Long = 2000000L): DataFrame = {
@@ -128,9 +132,7 @@ object Joins {
     val cold = coldFact.join(dim, coldFact(factKey) === dim(dimKey))
     val saltedFact = fact
       .join(broadcast(hot), fact(factKey) === hot("__hot_key"), "left_semi")
-      .withColumn("__salt",
-        pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets))
-          .cast("int"))
+      .withColumn("__salt", Skew.contentSalt(fact, saltBuckets).cast("int"))
     val saltedDim = dim
       .join(broadcast(hot), dim(dimKey) === hot("__hot_key"), "left_semi")
       .withColumn("__salt",

@@ -30,7 +30,7 @@ object Skew {
     * re-weight; a random salt would spread them but reintroduces the
     * retry-correctness hazard above, which is worse (silent wrong
     * results vs a slow task). */
-  private def contentSalt(df: DataFrame, salts: Int) =
+  private[operators] def contentSalt(df: DataFrame, salts: Int) =
     pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
 
   /** Two-phase salted aggregation: partial sums over (keys, salt) —
@@ -56,7 +56,9 @@ object Skew {
     * `salts` shuffle partitions instead of one straggler.
     *
     * The replicated side grows `salts`× — use this when it is the
-    * smaller (but not broadcastable) side. */
+    * smaller (but not broadcastable) side. When the replicated side is
+    * itself large, use [[Joins.saltedJoin]]: it detects the hot keys
+    * first and replicates only THEIR dim rows. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
     require(salts > 0)
