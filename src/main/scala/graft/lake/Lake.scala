@@ -284,4 +284,26 @@ object Lake {
   /** Serving-layer view materialization (dbt `view`; K8). */
   def materializeView(df: DataFrame, viewName: String): Unit =
     df.createOrReplaceTempView(viewName)
+
+  /** Compute table (and optionally column) statistics so Catalyst's
+    * cost-based decisions — auto-broadcast thresholds, CBO join
+    * reordering, AQE's initial estimates — work from measured sizes
+    * and NDVs instead of file-size guesses. At 100 TB the difference
+    * is a dim table that broadcasts because the catalog KNOWS it is
+    * 40 MB after filters, versus a 100-GB-estimate shuffle. Run after
+    * large writes, like a warehouse's post-load ANALYZE step.
+    * Identifiers are schema-validated before interpolation (Spark has
+    * no parameterized DDL). */
+  def analyze(spark: SparkSession, table: String,
+      columns: Seq[String] = Nil): Unit = {
+    // resolving the table first turns an injection-shaped or simply
+    // wrong name into a fast, clear failure
+    val resolved = spark.table(table)
+    val missing = columns.filterNot(resolved.columns.contains)
+    require(missing.isEmpty, s"analyze: no such columns $missing in $table")
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS " +
+        columns.mkString(", "))
+  }
 }

@@ -195,4 +195,32 @@ class LakeSpec extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("k", "n"))
     assert(back.count() == 2)
   }
+
+  test("analyze records row-count and column stats in the catalog") {
+    val t = "analyze_target"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .write.mode("overwrite").format("parquet").saveAsTable(t)
+    Lake.analyze(spark, t, Seq("id"))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val stats = meta.stats
+    assert(stats.nonEmpty, "no table stats recorded")
+    assert(stats.get.rowCount.contains(BigInt(3)), stats.toString)
+    val colStats = stats.get.colStats.get("id")
+    assert(colStats.nonEmpty, s"no column stats for id: ${stats.get}")
+    assert(colStats.get.distinctCount.contains(BigInt(3)), colStats.toString)
+    // with CBO on, the logical plan carries the measured row count
+    // (plan-level rowCount propagation is gated on spark.sql.cbo.enabled;
+    // without it only sizeInBytes flows)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try assert(spark.table(t).queryExecution.optimizedPlan.stats
+      .rowCount.contains(BigInt(3)))
+    finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // unknown columns and unknown tables fail loudly
+    intercept[IllegalArgumentException] {
+      Lake.analyze(spark, t, Seq("nope"))
+    }
+    intercept[Exception] { Lake.analyze(spark, "no_such_table") }
+    spark.sql(s"DROP TABLE $t")
+  }
 }
