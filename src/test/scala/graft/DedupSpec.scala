@@ -65,6 +65,44 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == "Different Words Here Now")
   }
 
+  test("chunkDedup matches a plain-Scala reference model (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    // the same semantics in driver-side collections: chunk, global
+    // keep-first on the lowercased span (min (id, idx)), reassemble
+    def reference(docs: Seq[(Long, String)],
+        cw: Int): Map[Long, (String, Long)] = {
+      val chunks = for {
+        (id, text) <- docs
+        toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        if toks.nonEmpty
+        (grp, idx) <- toks.grouped(cw).zipWithIndex.toSeq
+      } yield (id, idx.toLong, grp.mkString(" "))
+      val winners = chunks.groupBy(_._3.toLowerCase)
+        .map { case (k, occ) => k -> occ.map(c => (c._1, c._2)).min }
+      val kept = chunks.filter(c =>
+        winners(c._3.toLowerCase) == ((c._1, c._2)))
+      kept.groupBy(_._1).map { case (id, cs) =>
+        id -> (cs.sortBy(_._2).map(_._3).mkString(" "), cs.size.toLong) }
+    }
+    // tiny mixed-case vocabulary so span collisions arise constantly
+    val word = Gen.oneOf("aa", "Aa", "bb", "cc", "Cc", "dd")
+    val doc = Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val prop = forAll(Gen.listOfN(6, doc), Gen.chooseNum(2, 4)) {
+      (texts, cw) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.chunkDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", cw)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2))).toMap
+      got == reference(docs, cw)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("chunkDedup is a no-op on a corpus with no repeated spans") {
     val docs = Seq(
       (1L, "a b c d e f"),

@@ -143,6 +143,30 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin equals the plain join on random skewed data (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    // keys drawn from a small domain so duplicates and hot keys arise
+    // naturally; thresholds/buckets vary so hot/cold splits differ
+    val prop = forAll(
+      Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0, 99))),
+      Gen.listOfN(8, Gen.chooseNum(0L, 7L)),
+      Gen.chooseNum(2, 5), Gen.chooseNum(1L, 25L)) { (fs, ds, buckets, thresh) =>
+      val fact = fs.toDF("k", "p").repartition(3)
+      val dim = ds.distinct.map(k => (k, s"d$k")).toDF("k", "name")
+      val got = Joins.saltedJoin(fact, "k", dim, "k", buckets, thresh)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getString(3))).sorted.toSeq
+      val want = fact.join(dim, fact("k") === dim("k"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getString(3))).sorted.toSeq
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("saltedJoin replicates only hot dim rows and reuses one build") {
     val lineitem = Tables.lineitem(spark, sf)
       .select(col("l_suppkey"), col("l_extendedprice"))
