@@ -181,11 +181,40 @@ object Dedup {
         array_join(slice(col("__toks"),
           (col("__chunk_idx") * chunkWords + 1).cast("int"),
           lit(chunkWords)), " ").as("__chunk_text"))
-      .withColumn("__chunk_key", lower(col("__chunk_text")))
-    val winners = chunks
+    keepFirstAndReassemble(chunks, idCol, joiner = " ")
+  }
+
+  /** [[chunkDedup]] for DELIMITERED corpora — the literal CCNet/C4
+    * line-level pass: spans are the segments between `splitPattern`
+    * matches (lines for `"\n"`, paragraphs for `"\n{2,}"`), matched
+    * case-insensitively with leading/trailing whitespace ignored, and
+    * surviving documents are reassembled from their original segments
+    * joined by `rejoinWith`. Same winner election and scale shape as
+    * the fixed-window variant. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      splitPattern: String = "\n", rejoinWith: String = "\n"): DataFrame = {
+    require(splitPattern.nonEmpty, "splitPattern must be non-empty")
+    val segments = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), splitPattern))
+          .as(Seq("__chunk_idx", "__chunk_text")))
+      .filter(length(trim(col("__chunk_text"))) > 0)
+    keepFirstAndReassemble(segments, idCol, joiner = rejoinWith)
+  }
+
+  /** Shared tail of the span-dedup family: global keep-first winner
+    * election on the normalized span key (one map-side-combined hash
+    * aggregation carrying min(struct) only), rejoin, and per-document
+    * in-order reassembly (grouped collect bounded by one document's
+    * span count). Input: (idCol, __chunk_idx, __chunk_text). */
+  private def keepFirstAndReassemble(chunks: DataFrame, idCol: String,
+      joiner: String): DataFrame = {
+    val keyed = chunks
+      .withColumn("__chunk_key", lower(trim(col("__chunk_text"))))
+    val winners = keyed
       .groupBy(col("__chunk_key").as("__win_key"))
       .agg(min(struct(col(idCol), col("__chunk_idx"))).as("__win"))
-    chunks
+    keyed
       .join(winners,
         col("__chunk_key") === col("__win_key") &&
           struct(col(idCol), col("__chunk_idx")) === col("__win"))
@@ -195,7 +224,7 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("__chunk_idx"),
             col("__chunk_text")))),
-          x => x.getField("__chunk_text")), " ").as("clean_text"),
+          x => x.getField("__chunk_text")), joiner).as("clean_text"),
         count(lit(1)).as("kept_chunks"))
   }
 

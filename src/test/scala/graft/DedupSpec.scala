@@ -51,6 +51,38 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.distinct.size == spans.size)
   }
 
+  test("segmentDedup removes repeated lines, keeps originals in order") {
+    val docs = Seq(
+      (1L, "Copyright Footer\nreal content one\nMore real text"),
+      (2L, "copyright footer\nsecond doc body"),   // footer loses (case-insensitive)
+      (3L, "COPYRIGHT FOOTER\n\n  \nunique third line"),
+      (4L, "Copyright Footer")                     // only the dup → vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"survivors: ${out.keySet}")
+    // doc 1 keeps all three lines, original casing and order
+    assert(out(1L) ==
+      ("Copyright Footer\nreal content one\nMore real text", 3L))
+    // docs 2/3 lose the boilerplate line; blank lines never count
+    assert(out(2L) == ("second doc body", 1L))
+    assert(out(3L) == ("unique third line", 1L))
+  }
+
+  test("segmentDedup on paragraphs: blank-line delimiter") {
+    val para = "shared boilerplate paragraph"
+    val docs = Seq(
+      (1L, s"$para\n\nfirst unique body"),
+      (2L, s"$para\n\n\nsecond unique body")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text",
+        splitPattern = "\\n{2,}", rejoinWith = "\n\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"$para\n\nfirst unique body")
+    assert(out(2L) == "second unique body")
+  }
+
   test("chunkDedup matches case-insensitively but keeps original text") {
     val docs = Seq(
       (1L, "Hello World One Two"),
