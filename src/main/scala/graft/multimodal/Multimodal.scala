@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   * so is header DECODING for images ([[decodeImage]]: PNG/JPEG/GIF/BMP
   * via `javax.imageio`), audio ([[decodeAudio]]: WAV/AIFF/AU via
   * `javax.sound.sampled`), and video ([[decodeVideo]]: MP4/ISO-BMFF
-  * box walk, pure JRE byte parsing) — no new dependency. Video frame
-  * extraction, pixel resize, and learned-feature embedding remain
-  * STUBBED with deterministic fakes (those genuinely need an
-  * ffmpeg/model runtime this container lacks): each is marked `STUB:`
-  * and would swap for real bindings behind the same signatures.
+  * box walk, pure JRE byte parsing) — no new dependency. Image RESIZE
+  * is also real ([[resizeImage]]: ImageIO + bilinear Graphics2D,
+  * headless-safe). Only video frame extraction and learned-feature
+  * embedding remain STUBBED with deterministic fakes (those genuinely
+  * need an ffmpeg/model runtime this container lacks): each is marked
+  * `STUB:` and would swap for real bindings behind the same
+  * signatures.
   */
 object Multimodal {
 
@@ -188,13 +190,41 @@ object Multimodal {
     parseMp4(bytes)
   }
 
-  /** STUB: resize — a real impl re-encodes pixels; the fake truncates
-    * bytes proportionally, preserving the (bytes → smaller bytes)
-    * contract the pipeline depends on. */
-  val resizeStub: UserDefinedFunction =
+  /** Real image resize on the JRE: ImageIO decode → bilinear
+    * Graphics2D scale so the longest side equals `maxDim` → PNG
+    * re-encode. Images already within bounds pass through UNCHANGED
+    * (no decode-reencode churn, no upscaling). All of java.awt.image
+    * used here is headless-safe. Null, undecodable, or non-image bytes
+    * → null (same degrade-to-filterable contract as [[decodeImage]]);
+    * this is the one media op that must touch pixels, so per-row cost
+    * is O(pixels) — run it AFTER metadata-level filtering has pruned
+    * the corpus, not before. */
+  val resizeImage: UserDefinedFunction =
     udf { (bytes: Array[Byte], maxDim: Int) =>
-      if (bytes == null) null
-      else bytes.take(math.max(1, math.min(bytes.length, maxDim * maxDim)))
+      if (bytes == null || maxDim <= 0) None
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else if (img.getWidth <= maxDim && img.getHeight <= maxDim)
+          Some(bytes)
+        else {
+          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+          val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(nw, nh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** STUB: frame sampling — slices the byte stream into `n` equal

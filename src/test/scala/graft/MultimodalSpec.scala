@@ -171,10 +171,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded.filter($"kind" === "audio").select($"decoded")
       .collect().head.isNullAt(0), "non-images skip decode")
 
-    val resized = media.toDF().select($"media_id",
-      Multimodal.resizeStub($"bytes", lit(2)).as("small"))
-    resized.collect().foreach(r =>
-      assert(r.getAs[Array[Byte]]("small").length <= 4))
+    // REAL resize: a 40×24 PNG capped at longest-side 10 comes back as
+    // a decodable 10×6 image; the aspect ratio survives the rounding
+    val big = encodeImage(40, 24, "png")
+    val resized = Seq((1L, big)).toDF("media_id", "bytes")
+      .select(Multimodal.resizeImage($"bytes", lit(10)).as("small"))
+      .collect().head.getAs[Array[Byte]]("small")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert((back.getWidth, back.getHeight) == ((10, 6)), "bilinear cap")
+    // already-small images pass through byte-identical (no re-encode)
+    val small = Seq((2L, pngBytes)).toDF("media_id", "bytes")
+      .select(Multimodal.resizeImage($"bytes", lit(100)).as("same"))
+      .collect().head.getAs[Array[Byte]]("same")
+    assert(small.sameElements(pngBytes))
+    // non-image bytes degrade to null, not an exception
+    val junk = Seq((3L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "bytes")
+      .select(Multimodal.resizeImage($"bytes", lit(10)).as("x"))
+      .collect().head
+    assert(junk.isNullAt(0))
 
     val frames = media.toDF().filter($"kind" === "video")
       .select(Multimodal.sampleFramesStub($"bytes", lit(5)).as("frames"))
