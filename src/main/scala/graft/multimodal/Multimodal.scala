@@ -249,20 +249,125 @@ object Multimodal {
       media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // real impl: load codec/model ONCE here, then stream the batch
+      // codec setup happens once per partition; each row then decodes
+      // only its own bytes. Images and WAV/AIFF/AU audio get REAL
+      // content features (pixel statistics / PCM energy); everything
+      // else falls back to the deterministic byte-hash embedding
+      // (STUB: a learned embedding needs a model runtime).
       it.map { m =>
         val bytes = Option(m.bytes).getOrElse(Array.empty[Byte])
-        val feat = new Array[Float](8)
-        var h = 0xcbf29ce484222325L
-        var i = 0
-        while (i < bytes.length) {
-          h ^= bytes(i); h *= 0x100000001b3L
-          feat(i % 8) += ((h >>> 32).toInt % 1000) / 1000.0f
-          i += 1
+        val feat = m.kind match {
+          case "image" => imageFeatures(bytes)
+          case "audio" => audioFeatures(bytes)
+          case _ => None
         }
-        MediaFeatures(m.media_id, m.kind, bytes.length, feat)
+        MediaFeatures(m.media_id, m.kind, bytes.length,
+          feat.getOrElse(hashEmbedding(bytes)))
       }
     }
+  }
+
+  /** Real image features from decoded pixels: per-channel RGB means
+    * (0..1), luminance mean and variance, aspect ratio, and the
+    * normalized log-area — the filter signals (too dark, degenerate
+    * aspect, tiny) an image-curation pipeline gates on before any
+    * learned model. O(pixels); run after metadata pruning. */
+  private[graft] def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb, sy, syy) = (0.0, 0.0, 0.0, 0.0, 0.0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = ((rgb >> 16) & 0xff) / 255.0
+            val g = ((rgb >> 8) & 0xff) / 255.0
+            val b = (rgb & 0xff) / 255.0
+            val lum = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sy += lum; syy += lum * lum
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        val meanY = sy / n
+        Some(Array(
+          (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+          meanY.toFloat, math.max(0.0, syy / n - meanY * meanY).toFloat,
+          (w.toDouble / h).toFloat,
+          (math.log1p(n) / 20.0).toFloat, 0f))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real audio features from decoded PCM (WAV/AIFF/AU): RMS energy,
+    * mean absolute amplitude, zero-crossing rate, duration in seconds,
+    * sample rate (kHz), channel count — the silence/clipping/noise
+    * gates of an audio-curation pipeline. Decodes up to ~1M frames
+    * (bounded work per row; the gate statistics converge long before
+    * that). */
+  private[graft] def audioFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val ch = fmt.getChannels
+          val frameBytes = fmt.getFrameSize
+          val maxFrames = 1000000L
+          val toRead = (math.min(in.getFrameLength.max(0L), maxFrames)
+            * frameBytes).toInt
+          val buf = new Array[Byte](toRead)
+          var off = 0
+          var r = 0
+          while (off < toRead && { r = in.read(buf, off, toRead - off); r > 0 })
+            off += r
+          val bb = java.nio.ByteBuffer.wrap(buf, 0, off).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nSamples = off / 2
+          var (ss, sa, crossings) = (0.0, 0.0, 0L)
+          var prevNeg = false
+          var i = 0
+          while (i < nSamples) {
+            val s = bb.getShort(i * 2) / 32768.0
+            ss += s * s; sa += math.abs(s)
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) crossings += 1
+            prevNeg = neg
+            i += 1
+          }
+          if (nSamples == 0) None
+          else Some(Array(
+            math.sqrt(ss / nSamples).toFloat,
+            (sa / nSamples).toFloat,
+            (crossings.toDouble / nSamples).toFloat,
+            (in.getFrameLength.toDouble / fmt.getFrameRate).toFloat,
+            (fmt.getSampleRate / 1000.0).toFloat,
+            ch.toFloat, 0f, 0f))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB fallback: deterministic byte-hash embedding for media kinds
+    * whose real features need codec/model runtimes (video; learned
+    * embeddings). */
+  private[graft] def hashEmbedding(bytes: Array[Byte]): Array[Float] = {
+    val feat = new Array[Float](8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i); h *= 0x100000001b3L
+      feat(i % 8) += ((h >>> 32).toInt % 1000) / 1000.0f
+      i += 1
+    }
+    feat
   }
 
   /** Attach decoded-metadata columns to a media frame (images get

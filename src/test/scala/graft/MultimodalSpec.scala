@@ -58,6 +58,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("image and audio features are REAL content statistics") {
+    // uniform mid-gray image → exact channel means, zero variance
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(x => (0 until 4).foreach(y =>
+      img.setRGB(x, y, 0x808080)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.imageFeatures(bos.toByteArray).get
+    val gray = (0x80 / 255.0).toFloat
+    assert(math.abs(f(0) - gray) < 1e-6 && math.abs(f(1) - gray) < 1e-6 &&
+      math.abs(f(2) - gray) < 1e-6, f.toSeq.toString)
+    assert(f(4) < 1e-6, "uniform image has zero luminance variance")
+    assert(math.abs(f(5) - 2.0f) < 1e-6, "aspect ratio 8/4")
+
+    // constant-amplitude square wave → RMS = amplitude, ZCR ~ 1/period
+    val af = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val frames = 1600
+    val pcm = new Array[Byte](frames * af.getFrameSize)
+    val bb = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until frames).foreach(i =>
+      bb.putShort(i * 2, (if ((i / 8) % 2 == 0) 16384 else -16384).toShort))
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), af, frames.toLong)
+    val wav = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wav)
+    val a = Multimodal.audioFeatures(wav.toByteArray).get
+    assert(math.abs(a(0) - 0.5f) < 1e-3, s"RMS of ±0.5 square: ${a(0)}")
+    assert(math.abs(a(1) - 0.5f) < 1e-3, s"mean |amplitude|: ${a(1)}")
+    assert(math.abs(a(2) - 1.0f / 8) < 1e-2, s"zero-crossing rate: ${a(2)}")
+    assert(math.abs(a(3) - 0.1f) < 1e-3, s"duration 1600/16000: ${a(3)}")
+    assert(math.abs(a(4) - 16.0f) < 1e-6 && a(5) == 1.0f)
+
+    // junk bytes fall back to the deterministic hash embedding
+    val junk = "zzz".getBytes("UTF-8")
+    assert(Multimodal.imageFeatures(junk).isEmpty)
+    assert(Multimodal.audioFeatures(junk).isEmpty)
+    assert(Multimodal.hashEmbedding(junk).length == 8)
+  }
+
   test("decodeImage parses real PNG and JPEG headers via ImageIO") {
     val rows = Seq(
       (1L, encodeImage(7, 5, "png")),
