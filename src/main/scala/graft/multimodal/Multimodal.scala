@@ -199,16 +199,48 @@ object Multimodal {
     * this is the one media op that must touch pixels, so per-row cost
     * is O(pixels) — run it AFTER metadata-level filtering has pruned
     * the corpus, not before. */
+  /** Cheap magic-byte screen so non-image bytes (common in mixed-media
+    * corpora) skip the ImageIO reader machinery entirely. Covers every
+    * format the JRE decodes: PNG, JPEG, GIF, BMP. */
+  private def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && (
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N') ||
+      (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) ||        // JPEG
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') ||
+      (bytes(0) == 'B' && bytes(1) == 'M'))
+
+  /** Shared decode preamble: magic-screened ImageIO read with the
+    * degrade-to-None contract (returns the decoded image AND the
+    * reader-reported format name so re-encoders can preserve it). */
+  private def readImage(bytes: Array[Byte])
+      : Option[(java.awt.image.BufferedImage, String)] =
+    if (bytes == null || !looksLikeImage(bytes)) None
+    else try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.read(0),
+              r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   val resizeImage: UserDefinedFunction =
     udf { (bytes: Array[Byte], maxDim: Int) =>
-      if (bytes == null || maxDim <= 0) None
-      else try {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        if (img == null) None
-        else if (img.getWidth <= maxDim && img.getHeight <= maxDim)
+      if (maxDim <= 0) None
+      else readImage(bytes).flatMap { case (img, fmt) =>
+        if (img.getWidth <= maxDim && img.getHeight <= maxDim)
           Some(bytes)
-        else {
+        else try {
           val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
           val nw = math.max(1, math.round(img.getWidth * scale).toInt)
           val nh = math.max(1, math.round(img.getHeight * scale).toInt)
@@ -216,15 +248,28 @@ object Multimodal {
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = out.createGraphics()
           try {
+            // transparent source pixels composite onto WHITE, the
+            // curation-pipeline convention — an unfilled INT_RGB canvas
+            // would silently turn alpha regions black
+            g.setColor(java.awt.Color.WHITE)
+            g.fillRect(0, 0, nw, nh)
             g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
             g.drawImage(img, 0, 0, nw, nh, null)
           } finally g.dispose()
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
+          // preserve the input format when the JRE can write it (JPEG
+          // stays JPEG — a lossless PNG re-encode of a photo can GROW
+          // past the input); the guarantee is pixel-bounded output,
+          // not byte-bounded
+          val fmtOut =
+            if (javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+              .hasNext) fmt
+            else "png"
+          javax.imageio.ImageIO.write(out, fmtOut, bos)
           Some(bos.toByteArray)
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
     }
 
   /** STUB: frame sampling — slices the byte stream into `n` equal
@@ -249,11 +294,13 @@ object Multimodal {
       media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // codec setup happens once per partition; each row then decodes
-      // only its own bytes. Images and WAV/AIFF/AU audio get REAL
-      // content features (pixel statistics / PCM energy); everything
-      // else falls back to the deterministic byte-hash embedding
-      // (STUB: a learned embedding needs a model runtime).
+      // mapPartitions so a model-based implementation can hoist its
+      // setup here once per partition (the JRE codecs used below are
+      // stateless and need none). Images and WAV/AIFF/AU audio get
+      // REAL content features (pixel statistics / PCM energy), with a
+      // magic-byte screen keeping non-media bytes off the decoder;
+      // everything else falls back to the deterministic byte-hash
+      // embedding (STUB: a learned embedding needs a model runtime).
       it.map { m =>
         val bytes = Option(m.bytes).getOrElse(Array.empty[Byte])
         val feat = m.kind match {
@@ -273,18 +320,20 @@ object Multimodal {
     * aspect, tiny) an image-curation pipeline gates on before any
     * learned model. O(pixels); run after metadata pruning. */
   private[graft] def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] =
-    try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
+    readImage(bytes).flatMap { case (img, _) =>
+      try {
         val (w, h) = (img.getWidth, img.getHeight)
         var (sr, sg, sb, sy, syy) = (0.0, 0.0, 0.0, 0.0, 0.0)
+        // bulk row reads: one getRGB call per ROW (batched conversion
+        // inside awt), not one per pixel — this is the O(pixels) hot
+        // loop of the media path
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = row(x)
             val r = ((rgb >> 16) & 0xff) / 255.0
             val g = ((rgb >> 8) & 0xff) / 255.0
             val b = (rgb & 0xff) / 255.0
@@ -301,8 +350,8 @@ object Multimodal {
           meanY.toFloat, math.max(0.0, syy / n - meanY * meanY).toFloat,
           (w.toDouble / h).toFloat,
           (math.log1p(n) / 20.0).toFloat, 0f))
-      }
-    } catch { case scala.util.control.NonFatal(_) => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** Real audio features from decoded PCM (WAV/AIFF/AU): RMS energy,
     * mean absolute amplitude, zero-crossing rate, duration in seconds,
@@ -316,13 +365,23 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16) None
+        val ch = fmt.getChannels
+        val frameBytes = fmt.getFrameSize
+        // validate everything header-derived BEFORE sizing buffers: a
+        // malformed header can declare absurd channel counts (Int
+        // overflow into a GB allocation) or NOT_SPECIFIED (-1) sizes
+        if (fmt.getSampleSizeInBits != 16 || ch <= 0 || ch > 16 ||
+          frameBytes != ch * 2) None
         else {
-          val ch = fmt.getChannels
-          val frameBytes = fmt.getFrameSize
-          val maxFrames = 1000000L
-          val toRead = (math.min(in.getFrameLength.max(0L), maxFrames)
-            * frameBytes).toInt
+          // frame length may legitimately be NOT_SPECIFIED (-1, e.g.
+          // streamed AU): read up to the byte budget regardless; the
+          // gate statistics converge long before it
+          val maxBytes = 4 << 20
+          val declared = in.getFrameLength
+          val toRead =
+            if (declared >= 0)
+              math.min(declared * frameBytes, maxBytes.toLong).toInt
+            else maxBytes
           val buf = new Array[Byte](toRead)
           var off = 0
           var r = 0
@@ -331,26 +390,42 @@ object Multimodal {
           val bb = java.nio.ByteBuffer.wrap(buf, 0, off).order(
             if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
             else java.nio.ByteOrder.LITTLE_ENDIAN)
-          val nSamples = off / 2
+          // downmix interleaved channels per FRAME — sample statistics
+          // over the raw interleaved stream would compare L against R
+          // and report inter-channel sign flips as zero crossings
+          val nFrames = off / frameBytes
           var (ss, sa, crossings) = (0.0, 0.0, 0L)
           var prevNeg = false
           var i = 0
-          while (i < nSamples) {
-            val s = bb.getShort(i * 2) / 32768.0
+          while (i < nFrames) {
+            var c = 0
+            var acc = 0.0
+            while (c < ch) {
+              acc += bb.getShort((i * ch + c) * 2) / 32768.0
+              c += 1
+            }
+            val s = acc / ch
             ss += s * s; sa += math.abs(s)
             val neg = s < 0
             if (i > 0 && neg != prevNeg) crossings += 1
             prevNeg = neg
             i += 1
           }
-          if (nSamples == 0) None
-          else Some(Array(
-            math.sqrt(ss / nSamples).toFloat,
-            (sa / nSamples).toFloat,
-            (crossings.toDouble / nSamples).toFloat,
-            (in.getFrameLength.toDouble / fmt.getFrameRate).toFloat,
-            (fmt.getSampleRate / 1000.0).toFloat,
-            ch.toFloat, 0f, 0f))
+          if (nFrames == 0) None
+          else {
+            val duration =
+              if (declared >= 0 && fmt.getFrameRate > 0)
+                declared.toDouble / fmt.getFrameRate
+              else if (fmt.getFrameRate > 0) nFrames.toDouble / fmt.getFrameRate
+              else 0.0
+            Some(Array(
+              math.sqrt(ss / nFrames).toFloat,
+              (sa / nFrames).toFloat,
+              (crossings.toDouble / nFrames).toFloat,
+              duration.toFloat,
+              (fmt.getSampleRate / 1000.0).toFloat,
+              ch.toFloat, 0f, 0f))
+          }
         }
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }

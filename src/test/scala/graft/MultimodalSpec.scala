@@ -93,11 +93,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(a(3) - 0.1f) < 1e-3, s"duration 1600/16000: ${a(3)}")
     assert(math.abs(a(4) - 16.0f) < 1e-6 && a(5) == 1.0f)
 
+    // stereo: identical L/R must match the mono statistics (per-frame
+    // downmix — raw interleaved samples would double the ZCR)
+    val af2 = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val pcm2 = new Array[Byte](frames * af2.getFrameSize)
+    val bb2 = java.nio.ByteBuffer.wrap(pcm2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until frames).foreach { i =>
+      val v = (if ((i / 8) % 2 == 0) 16384 else -16384).toShort
+      bb2.putShort(i * 4, v); bb2.putShort(i * 4 + 2, v)
+    }
+    val ais2 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm2), af2, frames.toLong)
+    val wav2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais2,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wav2)
+    val st = Multimodal.audioFeatures(wav2.toByteArray).get
+    assert(math.abs(st(0) - 0.5f) < 1e-3 && math.abs(st(2) - a(2)) < 1e-6,
+      s"stereo stats must match mono downmix: ${st.toSeq}")
+    assert(st(5) == 2.0f)
+
     // junk bytes fall back to the deterministic hash embedding
     val junk = "zzz".getBytes("UTF-8")
     assert(Multimodal.imageFeatures(junk).isEmpty)
     assert(Multimodal.audioFeatures(junk).isEmpty)
     assert(Multimodal.hashEmbedding(junk).length == 8)
+  }
+
+  test("resize composites alpha onto white and preserves the format") {
+    // transparent ARGB PNG: after resize the transparent corner must
+    // be WHITE, not black
+    val argb = new java.awt.image.BufferedImage(20, 20,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    (10 until 20).foreach(x => (0 until 20).foreach(y =>
+      argb.setRGB(x, y, 0xff000000 | 0x336699))) // right half opaque
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(argb, "png", bos)
+    val outBytes = Seq((1L, bos.toByteArray)).toDF("id", "bytes")
+      .select(Multimodal.resizeImage($"bytes", lit(10)).as("b"))
+      .collect().head.getAs[Array[Byte]]("b")
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(outBytes))
+    assert((out.getRGB(1, 5) & 0xffffff) == 0xffffff,
+      "transparent pixels must composite to white")
+    // JPEG in → JPEG out (a lossless PNG re-encode of a photo can
+    // exceed the input size; format must be preserved)
+    val jpg = encodeImage(40, 24, "jpg")
+    val rz = Seq((2L, jpg)).toDF("id", "bytes")
+      .select(Multimodal.resizeImage($"bytes", lit(10)).as("b"))
+      .collect().head.getAs[Array[Byte]]("b")
+    assert(rz(0) == 0xff.toByte && rz(1) == 0xd8.toByte,
+      "JPEG magic must survive the resize")
   }
 
   test("decodeImage parses real PNG and JPEG headers via ImageIO") {
