@@ -43,7 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions", null, name, usage, "")
+    new ExpressionInfo("graft.functions", null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("cosine_sim"),

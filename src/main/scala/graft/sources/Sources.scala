@@ -92,6 +92,8 @@ object HttpFetch {
               case Left(e) => e
               case Right(Left(code)) => new java.io.IOException(
                 s"HTTP $code from $uri")
+              case Right(Right(_)) => throw new IllegalStateException(
+                "unreachable: success handled above")
             }
             if (attempt >= maxRetries) throw new java.io.IOException(
               s"fetch failed after ${attempt + 1} attempts: " +
