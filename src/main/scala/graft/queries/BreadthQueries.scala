@@ -555,6 +555,33 @@ object BreadthQueries {
              |CAST(props->>'$.k' AS INTEGER) AS k
              |FROM events""".stripMargin)),
 
+    // MapType battery (the one SURVEY §1.2 type the reference never
+    // uses): props parsed into a real map<string,int>, then size,
+    // lookup, key sort, containment, and a transform_values
+    // higher-order function — the oracle reads the same facts straight
+    // off the JSON, so the map layer itself is what's under test
+    QueryDef("q_map_funcs",
+      (s, d) => {
+        val m = from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType))
+        Tables.events(s, d).select(col("event_id"),
+          size(m).as("n_keys"),
+          element_at(m, "k").as("k_value"),
+          array_join(array_sort(map_keys(m)), ",").as("keys"),
+          element_at(transform_values(m,
+            (_, v) => v * 2), "k").as("doubled"),
+          map_contains_key(m, "k").as("has_k"))
+      },
+      Some("""SELECT event_id,
+             |CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+             |CAST(props->>'k' AS INTEGER) AS k_value,
+             |array_to_string(list_sort(json_keys(props)), ',') AS keys,
+             |CAST(props->>'k' AS INTEGER) * 2 AS doubled,
+             |props->>'k' IS NOT NULL AS has_k
+             |FROM events""".stripMargin)),
+
     // string-function battery over part names
     QueryDef("q_string_funcs",
       (s, d) => Tables.part(s, d).select(col("p_partkey"),
