@@ -1077,15 +1077,19 @@ object ExtensionQueries {
     QueryDef("q_multimodal_features",
       (s, d) => {
         import s.implicits._
+        // kind "blob": synthetic text bytes are NOT decodable media,
+        // so they take the hash-embedding fallback directly instead of
+        // masquerading as images (decode paths are spec-tested on real
+        // PNG/JPEG/WAV/MP4 bytes in MultimodalSpec)
         val media = Tables.documents(s, d).select(
-          col("doc_id").as("media_id"), lit("image").as("kind"),
+          col("doc_id").as("media_id"), lit("blob").as("kind"),
           col("text").cast("binary").as("bytes"),
           lit(null).cast(Multimodal.mediaSchema("meta").dataType).as("meta"))
           .as[Multimodal.MediaRecord]
         Multimodal.extractFeatures(s, media)
           .select(col("media_id"), col("kind"), col("byte_len"))
       },
-      Some("""SELECT doc_id AS media_id, 'image' AS kind,
+      Some("""SELECT doc_id AS media_id, 'blob' AS kind,
              |CAST(length(text) AS INTEGER) AS byte_len
              |FROM documents""".stripMargin)),
   )

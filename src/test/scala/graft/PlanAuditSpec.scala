@@ -247,6 +247,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!custSchema.get.contains("c_acctbal"), custSchema.get)
   }
 
+  test("Q14's month filter reaches the lineitem scan; part joins narrow") {
+    val p = plan("q_tpch_q14")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // part contributes only (p_partkey, p_type)
+    val partSchema = "ReadSchema: [^\n]*p_type[^\n]*".r.findFirstIn(p)
+    assert(partSchema.nonEmpty, s"no part ReadSchema line:\n$p")
+    assert(!partSchema.get.contains("p_retailprice"), partSchema.get)
+  }
+
   test("Q15's max-revenue filter is a 1-row broadcast, not a window") {
     val p = plan("q_tpch_q15")
     assert(p.contains("BroadcastHashJoin") ||
