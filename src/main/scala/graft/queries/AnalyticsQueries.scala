@@ -76,6 +76,37 @@ object AnalyticsQueries {
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM z GROUP BY 1, 2""".stripMargin)),
 
+    // the same sessionization through Spark's BUILT-IN session_window
+    // operator (the declarative form that also runs under Structured
+    // Streaming state): window end = last event + gap, end-EXCLUSIVE —
+    // an event exactly `gap` after its predecessor starts a NEW
+    // session, so the oracle's island break uses >=, not > (the manual
+    // q_user_sessions recipe above deliberately uses the other
+    // convention; both are pinned)
+    QueryDef("q_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"), money(col("value")).as("total_value"))
+        .select(col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"), col("user_id"),
+          col("n"), col("total_value")),
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+             |  user_id, value FROM events),
+             |x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+             |  ORDER BY ts, event_id) AS prev_ts FROM e),
+             |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+             |  OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+             |  THEN 1 ELSE 0 END AS new_sess FROM x),
+             |z AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+             |  ORDER BY ts, event_id) AS sess_idx FROM y)
+             |SELECT MIN(ts) AS sess_start,
+             |MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+             |user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS total_value
+             |FROM z GROUP BY user_id, sess_idx""".stripMargin)),
+
     // rollup: sales by (year, priority) with subtotals and grand total
     QueryDef("q_rollup_sales",
       (s, d) => Tables.orders(s, d)
