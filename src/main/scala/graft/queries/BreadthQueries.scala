@@ -394,6 +394,24 @@ object BreadthQueries {
            |FROM orders GROUP BY 1""".stripMargin
       }),
 
+    // unpivot via the stack UDTF — the inverse of q_pivot_priority:
+    // one wide row fans out to one long row per measure, the
+    // melt/long-format reshape every feature pipeline needs. stack is
+    // a generator (codegen'd), not a join or union of rescans — ONE
+    // pass over orders produces both measures
+    QueryDef("q_unpivot_stack",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("stack(2, 'totalprice', o_totalprice, " +
+            "'custkey_num', CAST(o_custkey AS DOUBLE)) " +
+            "AS (measure, val)")),
+      Some("""SELECT o_orderkey, 'totalprice' AS measure,
+             |o_totalprice AS val FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, 'custkey_num' AS measure,
+             |CAST(o_custkey AS DOUBLE) AS val FROM orders"""
+        .stripMargin)),
+
     // cube: all 4 grouping combinations of (year, status) + grouping_id
     QueryDef("q_cube_sales",
       (s, d) => Tables.orders(s, d)
