@@ -324,6 +324,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("unpivot is one scan through a generator — no union of rescans") {
+    val p = plan("q_unpivot_stack")
+    assert(p.contains("Generate"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange"), s"unpivot plans a shuffle:\n$p")
+  }
+
+  test("map battery stays narrow — no exchange, no UDF") {
+    val p = plan("q_map_funcs")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("session_window groups in one exchange on the user key") {
+    val p = plan("q_session_window")
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("kNN graph takes the shuffle join — corpus never broadcasts") {
     val p = plan("q_ann_knn_graph")
     // the cell join must NOT be a broadcast of the corpus-sized query
