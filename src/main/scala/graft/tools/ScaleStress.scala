@@ -117,6 +117,17 @@ object ScaleStress {
   private val runsPerOp =
     sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt.max(1)
 
+  /** Optional op filter: `SPARK_GRAFT_SCALE_OPS=exact_dedup,chunk_dedup`
+    * runs only the named operators — the knob for extending the scale
+    * curve (×100+) on the cheap ops without paying for the expensive
+    * ones at every multiplier. Dependent ops gate on their producers
+    * (connected_components on minhash_pairs, ivf_topk on ivf_train). */
+  private val opFilter: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+  private def opEnabled(name: String): Boolean =
+    opFilter.forall(_.contains(name))
+
   private def measureOp(name: String, m: Int, rowsIn: Long)(
       df: => DataFrame): Measurement = {
     println(s"-- x$m $name ...")
@@ -168,7 +179,7 @@ object ScaleStress {
       def docs = spark.read.parquet(docsPath)
       def embs = spark.read.parquet(embPath)
 
-      rows += measureOp("exact_dedup", m, nDocs) {
+      if (opEnabled("exact_dedup")) rows += measureOp("exact_dedup", m, nDocs) {
         Dedup.exactDedup(
           docs.withColumn("fp",
             TextAnalysis.contentFingerprint(col("text"))),
@@ -176,43 +187,48 @@ object ScaleStress {
       }
       // pairs computed once, reused for CC — persisted to parquet so
       // the CC measurement isn't double-charged for pair generation
-      val pairsPath = s"$workRoot/pairs_x$m"
-      println(s"-- x$m minhash_pairs ...")
-      val tPairs0 = System.nanoTime()
-      Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.5)
-        .write.mode("overwrite").parquet(pairsPath)
-      Dedup.releaseCaches()
-      val pairsSec = (System.nanoTime() - tPairs0) / 1e9
-      val nPairs = spark.read.parquet(pairsPath).count()
-      rows += Measurement(m, "minhash_pairs", nDocs, nPairs, pairsSec,
-        -1, -1, -1, usedHeapMB())
-      rows += measureOp("connected_components", m, nPairs) {
-        Dedup.connectedComponents(spark.read.parquet(pairsPath))
+      if (opEnabled("minhash_pairs")) {
+        val pairsPath = s"$workRoot/pairs_x$m"
+        println(s"-- x$m minhash_pairs ...")
+        val tPairs0 = System.nanoTime()
+        Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.5)
+          .write.mode("overwrite").parquet(pairsPath)
+        Dedup.releaseCaches()
+        val pairsSec = (System.nanoTime() - tPairs0) / 1e9
+        val nPairs = spark.read.parquet(pairsPath).count()
+        rows += Measurement(m, "minhash_pairs", nDocs, nPairs, pairsSec,
+          -1, -1, -1, usedHeapMB())
+        if (opEnabled("connected_components"))
+          rows += measureOp("connected_components", m, nPairs) {
+            Dedup.connectedComponents(spark.read.parquet(pairsPath))
+          }
       }
-      rows += measureOp("simhash_pairs", m, nDocs) {
+      if (opEnabled("simhash_pairs")) rows += measureOp("simhash_pairs", m, nDocs) {
         Dedup.simHashPairs(docs, "doc_id", "text")
       }
       // planes sized from the corpus count — the fixed default (4,
       // tuned for interactive scale) gives 16 buckets/table, and
       // candidate pairs per bucket grow quadratically with the corpus
-      rows += measureOp("embed_near_dup", m, nVecs) {
+      if (opEnabled("embed_near_dup")) rows += measureOp("embed_near_dup", m, nVecs) {
         Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding",
           threshold = 0.99, planesPerTable = Dedup.planesFor(nVecs))
       }
-      println(s"-- x$m ivf_train ...")
-      val tTrain0 = System.nanoTime()
-      val model = Ivf.train(embs, "vec_id", "embedding", k = 16, iters = 2)
-      val trainSec = (System.nanoTime() - tTrain0) / 1e9
-      rows += Measurement(m, "ivf_train", nVecs, model.k.toLong, trainSec,
-        -1, -1, -1, usedHeapMB())
-      rows += measureOp("ivf_topk", m, nVecs) {
-        Ivf.ivfTopK(embs, "vec_id", "embedding",
-          embs.filter(col("vec_id") % lit(nVecs / 100 max 1) === 0),
-          "vec_id", "embedding", model, k = 10, nprobe = 2)
+      if (opEnabled("ivf_train")) {
+        println(s"-- x$m ivf_train ...")
+        val tTrain0 = System.nanoTime()
+        val model = Ivf.train(embs, "vec_id", "embedding", k = 16, iters = 2)
+        val trainSec = (System.nanoTime() - tTrain0) / 1e9
+        rows += Measurement(m, "ivf_train", nVecs, model.k.toLong, trainSec,
+          -1, -1, -1, usedHeapMB())
+        if (opEnabled("ivf_topk")) rows += measureOp("ivf_topk", m, nVecs) {
+          Ivf.ivfTopK(embs, "vec_id", "embedding",
+            embs.filter(col("vec_id") % lit(nVecs / 100 max 1) === 0),
+            "vec_id", "embedding", model, k = 10, nprobe = 2)
+        }
       }
       // the six-stage curation chain (clean → exact dedup → near dedup
       // → decontaminate → split), same shape as q_curation_e2e
-      rows += measureOp("curation_chain", m, nDocs) {
+      if (opEnabled("curation_chain")) rows += measureOp("curation_chain", m, nDocs) {
         val bench = docs.filter(col("doc_id") < lit(5) * m)
         val clean = docs.filter(col("doc_id") >= lit(5) * m)
           .withColumn("text", TextAnalysis.redactPii(col("text")))
@@ -232,13 +248,13 @@ object ScaleStress {
       // text-side operators over the same corpus: packing is one
       // sharded window, bigram commonness is the two-shuffle corpus
       // n-gram statistic, rebalancing is quota-broadcast + rank window
-      rows += measureOp("pack_sequential", m, nDocs) {
+      if (opEnabled("pack_sequential")) rows += measureOp("pack_sequential", m, nDocs) {
         graft.operators.Packing.packSequential(
           docs.select(col("doc_id"), col("source"),
             TextAnalysis.tokenCount(col("text")).as("n_tokens")),
           "doc_id", "n_tokens", capacity = 1024, shardCol = "source")
       }
-      rows += measureOp("bigram_commonness", m, nDocs) {
+      if (opEnabled("bigram_commonness")) rows += measureOp("bigram_commonness", m, nDocs) {
         val toks = docs.select(col("doc_id"),
           TextAnalysis.tokens(col("text")).as("t"))
           .filter(size(col("t")) >= 2)
@@ -253,7 +269,7 @@ object ScaleStress {
             (sum(col("c")).cast("double") / count(lit(1)).cast("double"))
               .as("commonness"))
       }
-      rows += measureOp("lang_rebalance", m, nDocs) {
+      if (opEnabled("lang_rebalance")) rows += measureOp("lang_rebalance", m, nDocs) {
         val quota = docs.groupBy(col("lang"))
           .agg(ceil(sqrt(count(lit(1)).cast("double")) * 5)
             .cast("long").as("quota"))
@@ -267,12 +283,12 @@ object ScaleStress {
       // sub-document span dedup: the boilerplate clone army means the
       // shared spans collapse to one winner each — rows out should
       // grow with the UNIQUE span population, not the corpus
-      rows += measureOp("chunk_dedup", m, nDocs) {
+      if (opEnabled("chunk_dedup")) rows += measureOp("chunk_dedup", m, nDocs) {
         Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 10)
       }
       // skew-salted join: `source` is a natural hot key (the clone
       // army concentrates in few sources); dim = the distinct sources
-      rows += measureOp("salted_join", m, nDocs) {
+      if (opEnabled("salted_join")) rows += measureOp("salted_join", m, nDocs) {
         val dim = docs.select(col("source").as("src")).distinct()
           .withColumn("src_tag", xxhash64(col("src")))
         graft.operators.Joins.saltedJoin(
@@ -282,7 +298,9 @@ object ScaleStress {
       }
       // bucket-cap observability: the boilerplate clone army should
       // surface as buckets at/above the cap (dropped whole by design)
-      val stats = Dedup.bucketStats(docs, "doc_id", "text")
+      val stats = if (!opEnabled("bucket_stats"))
+        Array.empty[org.apache.spark.sql.Row]
+      else Dedup.bucketStats(docs, "doc_id", "text")
         .orderBy(col("bucket_size").desc).limit(5).collect()
       bucketReports += s"x$m top bucket sizes: " + stats.map(r =>
         s"${r.getLong(0)}×${r.getLong(1)}").mkString(", ")
