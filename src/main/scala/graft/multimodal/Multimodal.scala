@@ -200,20 +200,30 @@ object Multimodal {
     * is O(pixels) — run it AFTER metadata-level filtering has pruned
     * the corpus, not before. */
   /** Cheap magic-byte screen so non-image bytes (common in mixed-media
-    * corpora) skip the ImageIO reader machinery entirely. Covers every
-    * format the JRE decodes: PNG, JPEG, GIF, BMP. */
+    * corpora) skip the ImageIO reader machinery. Covers the JRE's
+    * registered decoders: PNG, JPEG, GIF, BMP, TIFF (both byte
+    * orders), and WBMP (whose 0x00 0x00 prefix is generic — such bytes
+    * fall through to ImageIO, which settles it; the screen only has to
+    * be a cheap NO for obvious junk, never a wrong no for real
+    * images). */
   private def looksLikeImage(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 && (
       (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N') ||
       (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) ||        // JPEG
       (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') ||
-      (bytes(0) == 'B' && bytes(1) == 'M'))
+      (bytes(0) == 'B' && bytes(1) == 'M') ||
+      (bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42) ||      // TIFF LE
+      (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
+        bytes(3) == 42) ||                                           // TIFF BE
+      (bytes(0) == 0 && bytes(1) == 0))                              // WBMP
 
-  /** Shared decode preamble: magic-screened ImageIO read with the
-    * degrade-to-None contract (returns the decoded image AND the
-    * reader-reported format name so re-encoders can preserve it). */
-  private def readImage(bytes: Array[Byte])
-      : Option[(java.awt.image.BufferedImage, String)] =
+  /** Shared decode preamble: magic-screened ImageIO access with the
+    * degrade-to-None contract. `headerOnly = true` reads just the
+    * dimensions (no pixel decode — the decodeImage pattern);
+    * otherwise the image is fully decoded. Returns (dims, image-if-
+    * decoded, reader-reported format). */
+  private def readImage(bytes: Array[Byte], headerOnly: Boolean)
+      : Option[(Int, Int, Option[java.awt.image.BufferedImage], String)] =
     if (bytes == null || !looksLikeImage(bytes)) None
     else try {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
@@ -225,8 +235,13 @@ object Multimodal {
           val r = readers.next()
           try {
             r.setInput(iis)
-            Some((r.read(0),
-              r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+            val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+            if (headerOnly)
+              Some((r.getWidth(0), r.getHeight(0), None, fmt))
+            else {
+              val img = r.read(0)
+              Some((img.getWidth, img.getHeight, Some(img), fmt))
+            }
           } catch {
             case scala.util.control.NonFatal(_) => None
           } finally r.dispose()
@@ -237,10 +252,14 @@ object Multimodal {
   val resizeImage: UserDefinedFunction =
     udf { (bytes: Array[Byte], maxDim: Int) =>
       if (maxDim <= 0) None
-      else readImage(bytes).flatMap { case (img, fmt) =>
-        if (img.getWidth <= maxDim && img.getHeight <= maxDim)
-          Some(bytes)
-        else try {
+      // header-only first: pass-through rows (already within bounds —
+      // the common case on a mostly-conformant corpus) never pay the
+      // O(pixels) decode
+      else readImage(bytes, headerOnly = true).flatMap {
+        case (w0, h0, _, _) if w0 <= maxDim && h0 <= maxDim => Some(bytes)
+        case _ => readImage(bytes, headerOnly = false).flatMap {
+          case (_, _, None, _) => None
+          case (_, _, Some(img), fmt) => try {
           val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
           val nw = math.max(1, math.round(img.getWidth * scale).toInt)
           val nh = math.max(1, math.round(img.getHeight * scale).toInt)
@@ -268,7 +287,8 @@ object Multimodal {
             else "png"
           javax.imageio.ImageIO.write(out, fmtOut, bos)
           Some(bos.toByteArray)
-        } catch { case scala.util.control.NonFatal(_) => None }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
       }
     }
 
@@ -320,8 +340,9 @@ object Multimodal {
     * aspect, tiny) an image-curation pipeline gates on before any
     * learned model. O(pixels); run after metadata pruning. */
   private[graft] def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] =
-    readImage(bytes).flatMap { case (img, _) =>
-      try {
+    readImage(bytes, headerOnly = false).flatMap {
+      case (_, _, None, _) => None
+      case (_, _, Some(img), _) => try {
         val (w, h) = (img.getWidth, img.getHeight)
         var (sr, sg, sb, sy, syy) = (0.0, 0.0, 0.0, 0.0, 0.0)
         // bulk row reads: one getRGB call per ROW (batched conversion

@@ -122,11 +122,34 @@ object ScaleStress {
     * curve (×100+) on the cheap ops without paying for the expensive
     * ones at every multiplier. Dependent ops gate on their producers
     * (connected_components on minhash_pairs, ivf_topk on ivf_train). */
-  private val opFilter: Option[Set[String]] =
-    sys.env.get("SPARK_GRAFT_SCALE_OPS")
+  private val knownOps = Set("exact_dedup", "minhash_pairs",
+    "connected_components", "simhash_pairs", "embed_near_dup",
+    "ivf_train", "ivf_topk", "curation_chain", "pack_sequential",
+    "bigram_commonness", "lang_rebalance", "chunk_dedup", "salted_join",
+    "bucket_stats")
+  private val opFilter: Option[Set[String]] = {
+    val f = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd op name would silently disable everything and burn the
+    // synthesis minutes measuring nothing — fail fast instead
+    f.foreach { set =>
+      val unknown = set -- knownOps
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_OPS: unknown ops $unknown (known: $knownOps)")
+    }
+    f
+  }
   private def opEnabled(name: String): Boolean =
     opFilter.forall(_.contains(name))
+  /** Whether any enabled op consumes the given synthesized corpus —
+    * gates synthesis itself so a doc-only run never pays for the
+    * embedding replication (and vice versa). */
+  private val docOps = Set("exact_dedup", "minhash_pairs",
+    "connected_components", "simhash_pairs", "curation_chain",
+    "pack_sequential", "bigram_commonness", "lang_rebalance",
+    "chunk_dedup", "salted_join", "bucket_stats")
+  private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk")
+  private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
 
   private def measureOp(name: String, m: Int, rowsIn: Long)(
       df: => DataFrame): Measurement = {
@@ -173,8 +196,10 @@ object ScaleStress {
     for (m <- multipliers) {
       val docsPath = s"$workRoot/docs_x$m"
       val embPath = s"$workRoot/emb_x$m"
-      val nDocs = synthesizeDocs(spark, sfDir, m, docsPath)
-      val nVecs = synthesizeEmbeddings(spark, sfDir, m, embPath)
+      val nDocs = if (anyEnabled(docOps))
+        synthesizeDocs(spark, sfDir, m, docsPath) else 0L
+      val nVecs = if (anyEnabled(embOps))
+        synthesizeEmbeddings(spark, sfDir, m, embPath) else 0L
       println(s"== x$m: $nDocs docs, $nVecs vectors ==")
       def docs = spark.read.parquet(docsPath)
       def embs = spark.read.parquet(embPath)
@@ -298,12 +323,12 @@ object ScaleStress {
       }
       // bucket-cap observability: the boilerplate clone army should
       // surface as buckets at/above the cap (dropped whole by design)
-      val stats = if (!opEnabled("bucket_stats"))
-        Array.empty[org.apache.spark.sql.Row]
-      else Dedup.bucketStats(docs, "doc_id", "text")
-        .orderBy(col("bucket_size").desc).limit(5).collect()
-      bucketReports += s"x$m top bucket sizes: " + stats.map(r =>
-        s"${r.getLong(0)}×${r.getLong(1)}").mkString(", ")
+      if (opEnabled("bucket_stats")) {
+        val stats = Dedup.bucketStats(docs, "doc_id", "text")
+          .orderBy(col("bucket_size").desc).limit(5).collect()
+        bucketReports += s"x$m top bucket sizes: " + stats.map(r =>
+          s"${r.getLong(0)}×${r.getLong(1)}").mkString(", ")
+      }
     }
 
     val header =
