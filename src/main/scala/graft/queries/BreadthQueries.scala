@@ -394,6 +394,33 @@ object BreadthQueries {
            |FROM orders GROUP BY 1""".stripMargin
       }),
 
+    // exact heavy hitters: keys above their uniform 1/k share of the
+    // table (the frequent-items/iceberg query; Misra-Gries' exact
+    // form). One map-side-combined count per key, one 1-row total
+    // broadcast, a multiplicative threshold (cnt × k > total — no
+    // division, no rounding ambiguity at the boundary). At 100 TB the
+    // only full-width exchange carries (key, partial-count) pairs.
+    QueryDef("q_heavy_hitters",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val counts = li.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("cnt"))
+        val total = li.agg(count(lit(1)).as("total"))
+        counts.crossJoin(broadcast(total))
+          .filter(col("cnt") * 100 > col("total"))
+          .select(col("l_suppkey"), col("cnt"),
+            (col("cnt").cast("double") / col("total").cast("double"))
+              .as("share"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT COUNT(*) AS total FROM lineitem)
+             |SELECT l_suppkey, cnt,
+             |CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+             |FROM c, t WHERE cnt * 100 > total
+             |ORDER BY 1""".stripMargin)),
+
     // unpivot via the stack UDTF — the inverse of q_pivot_priority:
     // one wide row fans out to one long row per measure, the
     // melt/long-format reshape every feature pipeline needs. stack is
