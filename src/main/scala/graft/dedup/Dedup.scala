@@ -293,9 +293,11 @@ object Dedup {
     * idA < idB, one row per pair, jaccard >= threshold.
     *
     * `maxBucketSize` caps degenerate buckets (boilerplate corpora):
-    * a bucket of m docs contributes m²/2 pairs — capping bounds the
-    * worst-case join output; use [[bucketStats]] to see what was
-    * dropped.
+    * a bucket of m docs contributes m²/2 pairs — capped buckets fall
+    * back to star-linking against a representative (O(m) pairs, see
+    * [[bucketPairsRaw]]), so the worst-case join output stays bounded
+    * WITHOUT a recall hole on the most-duplicated content; use
+    * [[bucketStats]] to see which buckets took the fallback.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
@@ -321,8 +323,8 @@ object Dedup {
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // One aggregation replaces the bucket-size count, the oversized
     // anti-join, AND the bucket self-join: collect each bucket's ids
-    // (bounded by maxBucketSize — oversized buckets are dropped whole,
-    // same semantics as before; see bucketStats for what was cut) and
+    // (bounded by maxBucketSize — oversized buckets star-link against
+    // their min id instead of all-pairs; see bucketStats) and
     // emit every in-bucket pair by exploding the id-list combinations.
     // Cuts three shuffles to one; the collect_list payload is ids only
     // (8 bytes/doc, ≤ maxBucketSize per key), never the documents.
@@ -485,10 +487,10 @@ object Dedup {
   }
 
   /** Distinct unordered candidate pairs (idA < idB) from a bucketed
-    * id table, in ONE aggregation: collect each bucket's ids, drop
-    * oversized buckets whole (same cap semantics as [[capBuckets]] —
-    * a bucket of m docs contributes m²/2 pairs, so the cap bounds the
-    * explode), and emit in-bucket combinations from the sorted list.
+    * id table, in ONE aggregation: collect each bucket's ids (a
+    * bucket of m docs contributes m²/2 pairs, so oversized buckets
+    * switch to the O(m) star fallback — see [[bucketPairsRaw]])
+    * and emit in-bucket combinations from the sorted list.
     * Compared to the count + anti-join + self-join formulation this
     * trades three shuffles on the bucket key for one; the aggregation
     * payload is ids only (8 bytes/doc, ≤ maxSize per key). */
@@ -501,17 +503,36 @@ object Dedup {
   /** All unordered in-bucket element pairs (a < b by element order)
     * from one aggregation over the bucket keys; `elem` is what each
     * row contributes (an id, or a struct of id + verification
-    * payload). Oversized buckets are dropped whole — via
-    * capped_collect_list, whose buffer stops growing AT the cap: a
-    * degenerate bucket (boilerplate corpus, hash skew) costs
-    * O(maxSize) memory and surfaces as null, never a full
-    * multi-million-element aggregation buffer (a single group's list
-    * cannot spill). */
+    * payload).
+    *
+    * Healthy buckets (size <= maxSize) emit every in-bucket
+    * combination from a capped_collect_list, whose buffer stops
+    * growing AT the cap: a degenerate bucket (boilerplate corpus,
+    * hash skew) costs O(maxSize) memory and surfaces as null, never a
+    * full multi-million-element aggregation buffer (a single group's
+    * list cannot spill).
+    *
+    * Oversized buckets are NOT dropped whole: they get a star-linking
+    * fallback. The same aggregation also computes min(elem) — an
+    * order-independent (hence deterministic) representative that
+    * survives the overflow — and every member of an overflowed bucket
+    * is paired with that representative: O(m) pairs per bucket
+    * instead of m²/2, so the pair explosion stays bounded while a
+    * giant family of near-identical members still verifies against
+    * the representative and collapses transitively (connected
+    * components / keep-first see one star, one cluster, one
+    * survivor). The fallback costs one extra scan of `df` restricted
+    * to overflowed keys (a join against the small overflowed-keys
+    * frame — AQE broadcasts it when it measures small); both plan
+    * branches share the aggregation's shuffle via ReuseExchange. */
   private def bucketPairsRaw(df: DataFrame, keys: Seq[String],
       elem: Column, maxSize: Int): DataFrame = {
-    val grouped = df.groupBy(keys.map(col): _*)
+    val keyCols = keys.map(col)
+    val agged = df.groupBy(keyCols: _*)
       .agg(graft.functions.CappedCollectFunctions
-        .capped_collect_list(elem, maxSize).as("__raw"))
+          .capped_collect_list(elem, maxSize).as("__raw"),
+        min(elem).as("__rep"))
+    val grouped = agged
       .filter(col("__raw").isNotNull && size(col("__raw")) >= 2)
       .select(sort_array(col("__raw")).as("__es"))
     val l = col("__es")
@@ -520,8 +541,20 @@ object Dedup {
       transform(sequence(i + 1, n - 1), j =>
         struct(element_at(l, i + 1).as("a"),
           element_at(l, j + 1).as("b")))))
-    grouped.select(explode(pairs).as("p"))
+    val normalPairs = grouped.select(explode(pairs).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+    // star fallback for overflowed buckets: (min-elem, member) per
+    // member. rep = min ⇒ a < b holds by construction, matching the
+    // sorted-combination ordering of the normal path; duplicates
+    // across bands/paths dedupe downstream exactly as band collisions
+    // already do.
+    val oversized = agged.filter(col("__raw").isNull)
+      .select(keyCols :+ col("__rep"): _*)
+    val starPairs = df.select(keyCols :+ elem.as("__e"): _*)
+      .join(oversized, keys)
+      .filter(col("__e") =!= col("__rep"))
+      .select(col("__rep").as("a"), col("__e").as("b"))
+    normalPairs.unionByName(starPairs)
   }
 
   /** Benchmark decontamination: drop corpus documents sharing ANY word

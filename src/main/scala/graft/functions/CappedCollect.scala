@@ -27,9 +27,11 @@ final class CappedBuffer(
   * band bucket) must NOT build a 10M-element aggregation buffer — a
   * single group's collect_list cannot spill. Here the worst group
   * costs max elements + a boolean, the oversized bucket surfaces as
-  * NULL (dropped whole, same semantics as a post-hoc size filter),
-  * and healthy groups pay nothing extra. Null input elements are
-  * skipped, matching collect_list.
+  * NULL (the caller decides what to do with overflowed groups —
+  * Dedup.bucketPairsRaw star-links their members against a min-elem
+  * representative computed in the same aggregation), and healthy
+  * groups pay nothing extra. Null input elements are skipped,
+  * matching collect_list.
   */
 case class CappedCollectList(child: Expression, max: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

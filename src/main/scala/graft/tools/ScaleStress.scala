@@ -40,8 +40,12 @@ object ScaleStress {
   /** Replicate `documents` ×m with a seeded variation mix:
     *  - r=0 keeps the original row (the base corpus survives intact);
     *  - ~5% exact duplicates (same text, new id) — exact-dedup fodder;
-    *  - ~5% boilerplate clones (ONE shared text) — the degenerate LSH
-    *    bucket that forces the maxBucketSize cap to engage;
+    *  - ~5% NEAR-identical boilerplate clones (one shared text plus a
+    *    per-copy marker token — the timestamp/URL-per-copy pattern):
+    *    exact dedup cannot catch them, their normalized fingerprints
+    *    all differ, and every LSH band bucket they flood overflows
+    *    maxBucketSize — exercising the star-linking fallback, which
+    *    must keep pairs O(family) while still collapsing the family;
     *  - ~15% near-duplicates (tiny replica-specific suffix: shingle
     *    overlap stays high, so LSH must catch them);
     *  - the rest are genuinely new documents (every token salted with
@@ -58,7 +62,8 @@ object ScaleStress {
     val text =
       when(col("r") === 0, col("text"))
         .when(sel === 0, col("text"))
-        .when(sel === 1, boiler)
+        .when(sel === 1,
+          concat(boiler, lit(" mark"), col("doc_id") * m + col("r")))
         .when(sel <= 4, concat(col("text"), lit(" variant copy "), col("r")))
         .otherwise(concat_ws(" ",
           transform(split(col("text"), " "),
@@ -127,6 +132,12 @@ object ScaleStress {
     "ivf_train", "ivf_topk", "curation_chain", "pack_sequential",
     "bigram_commonness", "lang_rebalance", "chunk_dedup", "salted_join",
     "bucket_stats")
+  /** dependent op → its producer: naming only the dependent used to
+    * run zero measurements with no error (ADVICE r5) — auto-enable the
+    * producer instead, loudly. */
+  private val producers = Map(
+    "connected_components" -> "minhash_pairs",
+    "ivf_topk" -> "ivf_train")
   private val opFilter: Option[Set[String]] = {
     val f = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -137,7 +148,12 @@ object ScaleStress {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_SCALE_OPS: unknown ops $unknown (known: $knownOps)")
     }
-    f
+    f.map { set =>
+      val missing = set.flatMap(producers.get) -- set
+      missing.foreach(p => println(
+        s"SPARK_GRAFT_SCALE_OPS: auto-enabling '$p' (producer of a named op)"))
+      set ++ missing
+    }
   }
   private def opEnabled(name: String): Boolean =
     opFilter.forall(_.contains(name))
@@ -322,7 +338,8 @@ object ScaleStress {
           hotThreshold = (nDocs / 50) max 100)
       }
       // bucket-cap observability: the boilerplate clone army should
-      // surface as buckets at/above the cap (dropped whole by design)
+      // surface as buckets at/above the cap (star-linked by the
+      // overflow fallback, no longer dropped whole)
       if (opEnabled("bucket_stats")) {
         val stats = Dedup.bucketStats(docs, "doc_id", "text")
           .orderBy(col("bucket_size").desc).limit(5).collect()

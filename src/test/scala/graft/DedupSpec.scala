@@ -227,13 +227,19 @@ class DedupSpec extends AnyFunSuite {
     assert(sizes.exists(_ >= 2))
   }
 
-  test("maxBucketSize skew guard drops degenerate buckets entirely") {
+  test("maxBucketSize skew guard bounds degenerate buckets to star pairs") {
     // 50 identical docs: every band bucket holds all 50 — over a cap of
-    // 10 the guard must drop them rather than emit 50²/2 pairs
+    // 10 the guard must NOT emit 50²/2 pairs, but (since round 6) it
+    // must not drop the family either: overflowed buckets star-link
+    // every member against the bucket's min id
     val dup = (1L to 50L).map(i => (i, base)).toDF("doc_id", "text")
     val capped = Dedup.minHashPairs(dup, "doc_id", "text",
-      threshold = 0.3, maxBucketSize = 10)
-    assert(capped.count() == 0)
+      threshold = 0.3, maxBucketSize = 10).collect()
+    // exactly the 49 star pairs (1, i): each band bucket is the whole
+    // corpus, so the representative is always doc 1
+    assert(capped.length == 49)
+    assert(capped.forall(r => r.getLong(0) == 1L))
+    assert(capped.map(_.getLong(1)).toSet == (2L to 50L).toSet)
     // with a generous cap the same corpus yields all pairs
     val full = Dedup.minHashPairs(dup, "doc_id", "text",
       threshold = 0.3, maxBucketSize = 200)
@@ -392,5 +398,49 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseCaches() // global release frees the spawned thread's
     handle.release()
     assert(ours.isEmpty, s"leaked: $ours")
+  }
+
+  test("oversized LSH buckets star-link instead of dropping (recall restored)") {
+    // a 100-doc family of NEAR- (not exact-) identical boilerplate:
+    // each copy differs by one marker token, so exact dedup misses it
+    // and every band bucket it floods blows past the cap — previously
+    // the whole family escaped near-dedup (the round-5 recall hole)
+    val boiler = "the quick brown fox jumps over the lazy dog"
+    val family = (1 to 100).map(i => (i.toLong, s"$boiler marker$i"))
+    val others = Seq(
+      (900L, "completely unrelated words about spark query engines " * 4),
+      (901L, "another distinct document describing parquet layouts " * 4))
+    val corpus = (family ++ others).toDF("doc_id", "text")
+    val cap = 20 // family is 5× the cap
+
+    val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = cap).cache()
+    val nPairs = pairs.count()
+    assert(nPairs > 0, "fallback emitted no pairs for oversized buckets")
+    // star fallback emits O(m) pairs per overflowed bucket, never the
+    // m²/2 ≈ 4950 all-pairs explosion
+    assert(nPairs < 1000, s"pair explosion not bounded: $nPairs")
+    assert(pairs.filter($"jaccard" < 0.5).isEmpty,
+      "fallback pairs skipped exact verification")
+
+    def survivors(maxBucket: Int): Set[Long] = {
+      val losers = Dedup.minHashPairs(corpus, "doc_id", "text",
+          threshold = 0.5, maxBucketSize = maxBucket)
+        .select($"idB".as("doc_id")).distinct()
+      corpus.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val capped = survivors(cap)
+    // the family collapses to ~1 survivor (keep-min-id) and the
+    // unrelated docs are untouched
+    assert(capped.contains(1L), s"min id must survive: $capped")
+    assert(capped.intersect((2L to 100L).toSet).size <= 2,
+      s"near-identical family escaped dedup: $capped")
+    assert(capped.contains(900L) && capped.contains(901L))
+    // recall parity: the capped run keeps exactly what an uncapped
+    // (no-overflow) run keeps
+    assert(capped == survivors(5000),
+      "capped dedup outcome diverged from the uncapped one")
+    pairs.unpersist()
   }
 }
