@@ -77,7 +77,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val coldTotal = cold.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"cold":$colds,"cold_total":$coldTotal,"err":$errs,"runs_per_query":$runsPerQuery,"sf":"$sfDir"}""")
+    val errCount = results.values.count(_._3.isDefined)
+    // The driver stores only the TAIL of stdout (last ~2000 chars), so
+    // the big per-query maps go FIRST and the headline numbers LAST —
+    // round 5's artifact lost its warm total to exactly this
+    // truncation. A final compact totals-only line survives any tail
+    // window on its own.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs_per_query":$runsPerQuery,"queries":$qs,"spread":$spreads,"cold":$colds,"value":$total,"cold_total":$coldTotal,"err":$errs}""")
+    println(s"""{"metric":"totals","warm":$total,"cold":$coldTotal,"err_count":$errCount,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
