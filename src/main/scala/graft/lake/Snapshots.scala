@@ -178,25 +178,43 @@ object Snapshots {
 
   // -------------------------------------------------------------- reads
 
+  /** A dir's commit version doubles as its Iceberg sequence number
+    * (`data-3` → 3). */
+  private def dirSeq(dir: String): Int = dir.split("-").last.toInt
+
   private def readSnapshot(spark: SparkSession, root: String,
       snap: Snapshot): DataFrame = {
     require(snap.dataDirs.nonEmpty, s"empty snapshot $snap")
-    // mergeSchema: an append may carry NEW columns (Iceberg
-    // add-column); the union schema surfaces them with nulls in older
-    // files. Per-snapshot footer merging is bounded by the dir count,
-    // and compact() collapses it back to one schema
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(snap.dataDirs.map(d => s"$root/$d"): _*)
-    if (snap.deleteDirs.isEmpty) base
-    else {
-      val dels = spark.read.parquet(
-        snap.deleteDirs.map(d => s"$root/$d"): _*)
-      val keyCol = dels.columns.head
-      // merge-on-read: delete-key side is small by construction —
-      // broadcast it so the mask never shuffles the base data
-      base.join(broadcast(dels.select(col(keyCol)).distinct()),
-        Seq(keyCol), "left_anti")
-    }
+    // Iceberg v2 sequencing: an equality-delete file applies ONLY to
+    // data files committed before it (smaller sequence number) — a key
+    // re-appended AFTER its delete must survive the older delete
+    // file. Each data dir is read with its commit version attached as
+    // __seq (per-dir reads instead of one multi-path scan — the dir
+    // count is bounded by snapshot history and compact() folds it
+    // back to one), and the delete mask matches on key AND
+    // delete-seq > data-seq. unionByName(allowMissingColumns) plays
+    // the old mergeSchema role: an append may carry NEW columns
+    // (Iceberg add-column); older files surface them as nulls.
+    val base = snap.dataDirs.map { d =>
+      spark.read.parquet(s"$root/$d").withColumn("__seq", lit(dirSeq(d)))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val masked =
+      if (snap.deleteDirs.isEmpty) base
+      else {
+        val dels = snap.deleteDirs.map { d =>
+          val df = spark.read.parquet(s"$root/$d")
+          df.select(col(df.columns.head).as("__delkey"),
+            lit(dirSeq(d)).as("__dseq"))
+        }.reduce(_ unionByName _)
+        val keyCol = spark.read
+          .parquet(s"$root/${snap.deleteDirs.head}").columns.head
+        // merge-on-read: delete-key side is small by construction —
+        // broadcast it so the mask never shuffles the base data
+        base.join(broadcast(dels),
+          base(keyCol) === dels("__delkey") &&
+            dels("__dseq") > base("__seq"), "left_anti")
+      }
+    masked.drop("__seq")
   }
 
   /** Current table state. */

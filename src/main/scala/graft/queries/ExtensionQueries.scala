@@ -158,9 +158,11 @@ object ExtensionQueries {
     QueryDef("q_dedup_chunks",
       (s, d) => Dedup.chunkDedup(Tables.documents(s, d), "doc_id",
         "text", chunkWords = 10),
-      // the oracle's winner encoding doc_id*1024+chunk_idx mirrors the
-      // operator's min(struct) ordering exactly while chunk_idx < 1024
-      // (true here: docs are ≤ a few hundred words)
+      // the oracle's winner is MIN(ROW(doc_id, chunk_idx)) — the same
+      // lexicographic ordering as the operator's min(struct), with no
+      // assumption about chunk counts (ADVICE r5: the old
+      // doc_id*1024+chunk_idx encoding silently broke past 1024
+      // chunks/doc)
       Some("""WITH w AS (SELECT doc_id,
              |  CASE WHEN length(trim(text)) = 0 THEN []
              |  ELSE string_split_regex(trim(text), '\s+') END
@@ -175,7 +177,7 @@ object ExtensionQueries {
              |      CAST(ceil(len(toks)/10.0) AS BIGINT) - 1)) AS chunk_idx
              |    FROM w WHERE len(toks) > 0)),
              |winners AS (SELECT lower(chunk_text) AS chunk_key,
-             |  MIN(doc_id*1024 + chunk_idx) AS win
+             |  MIN(ROW(doc_id, chunk_idx)) AS win
              |  FROM chunks GROUP BY 1)
              |SELECT c.doc_id,
              |string_agg(c.chunk_text, ' ' ORDER BY c.chunk_idx)
@@ -183,7 +185,7 @@ object ExtensionQueries {
              |COUNT(*) AS kept_chunks
              |FROM chunks c JOIN winners x
              |  ON lower(c.chunk_text) = x.chunk_key
-             |  AND c.doc_id*1024 + c.chunk_idx = x.win
+             |  AND ROW(c.doc_id, c.chunk_idx) = x.win
              |GROUP BY 1""".stripMargin)),
 
     // MinHash LSH near-dup pairs, oracled against DuckDB's exact
@@ -584,6 +586,30 @@ object ExtensionQueries {
       },
       Some("""SELECT doc_id, lang, source FROM documents
              |WHERE doc_id >= 50 AND doc_id < 450""".stripMargin)),
+
+    // merge-on-read with Iceberg v2 sequencing: the delete file
+    // (v1, keys < 80) applies only to the v0 base — the v2 append
+    // re-inserting ids < 40 has a HIGHER sequence number, so those
+    // rows survive the older delete. The oracle replays the manifest:
+    // base minus delete keys, plus the later append in full.
+    QueryDef("q_snapshot_merge",
+      (s, d) => {
+        import graft.lake.Snapshots
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-snap-m").toString
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"))
+        Snapshots.createOrReplace(docs.filter(col("doc_id") < 300), root)
+        Snapshots.deleteWhere(s, root, "doc_id", col("doc_id") < 80)
+        Snapshots.append(docs.filter(col("doc_id") < 40)
+          .withColumn("lang", lit("restored")), root)
+        Snapshots.read(s, root)
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id >= 80 AND doc_id < 300
+             |UNION ALL
+             |SELECT doc_id, 'restored' AS lang, source FROM documents
+             |WHERE doc_id < 40""".stripMargin)),
 
     // ------------------------------------------------- sequence packing
 

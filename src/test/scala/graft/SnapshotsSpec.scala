@@ -104,4 +104,29 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftAnti"), plan)
   }
+
+  test("delete files apply only to earlier data files (v2 sequencing)") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(1 to 100), root)          // v0 data
+    Snapshots.deleteWhere(spark, root, "id", col("id") <= 20) // v1 delete
+    // re-append half the deleted range AFTER the delete: the v2 data
+    // file has a higher sequence number than the v1 delete file, so
+    // these rows must survive (the round-5 read path masked them)
+    Snapshots.append(table(1 to 10), root)                    // v2 data
+    val cur = Snapshots.read(spark, root)
+    assert(cur.count() == 90, "re-appended keys were wrongly masked")
+    assert(cur.filter(col("id") <= 10).count() == 10)
+    assert(cur.filter(col("id") > 10 && col("id") <= 20).count() == 0)
+    // a LATER delete (v3) does mask the re-appended v2 rows
+    Snapshots.deleteWhere(spark, root, "id", col("id") <= 5)  // v3 delete
+    val afterSecond = Snapshots.read(spark, root)
+    assert(afterSecond.count() == 85)
+    assert(afterSecond.filter(col("id") <= 5).count() == 0)
+    // time travel still sees the intermediate states
+    assert(Snapshots.readVersion(spark, root, 1).count() == 80)
+    assert(Snapshots.readVersion(spark, root, 2).count() == 90)
+    // compaction folds the sequenced state into one clean base
+    Snapshots.compact(spark, root)
+    assert(Snapshots.read(spark, root).count() == 85)
+  }
 }
