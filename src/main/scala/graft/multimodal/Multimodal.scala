@@ -18,11 +18,13 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled`), and video ([[decodeVideo]]: MP4/ISO-BMFF
   * box walk, pure JRE byte parsing) — no new dependency. Image RESIZE
   * is also real ([[resizeImage]]: ImageIO + bilinear Graphics2D,
-  * headless-safe). Only video frame extraction and learned-feature
-  * embedding remain STUBBED with deterministic fakes (those genuinely
-  * need an ffmpeg/model runtime this container lacks): each is marked
-  * `STUB:` and would swap for real bindings behind the same
-  * signatures.
+  * headless-safe), and so is video FRAME EXTRACTION for animated GIFs
+  * ([[gifFrames]]: multi-frame ImageIO decode with per-frame offset
+  * compositing — the one video container the plain JRE can decode).
+  * Only MP4 frame extraction and learned-feature embedding remain
+  * STUBBED with deterministic fakes (those genuinely need an
+  * ffmpeg/model runtime this container lacks): each is marked `STUB:`
+  * and would swap for real bindings behind the same signatures.
   */
 object Multimodal {
 
@@ -292,16 +294,118 @@ object Multimodal {
       }
     }
 
-  /** STUB: frame sampling — slices the byte stream into `n` equal
-    * chunks standing in for decoded video frames. The array-of-binary
-    * output shape (what downstream per-frame ops consume) is real. */
-  val sampleFramesStub: UserDefinedFunction =
+  /** (left, top) placement of GIF frame `i` from its ImageDescriptor —
+    * animated-GIF frames may be partial deltas positioned inside the
+    * logical screen. Missing/unparseable metadata degrades to (0,0). */
+  private def gifFrameOffset(r: javax.imageio.ImageReader,
+      i: Int): (Int, Int) =
+    try {
+      val tree = r.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+      val kids = tree.getChildNodes
+      var j = 0
+      while (j < kids.getLength) {
+        val nd = kids.item(j)
+        if (nd.getNodeName == "ImageDescriptor") {
+          val at = nd.getAttributes
+          return (at.getNamedItem("imageLeftPosition").getNodeValue.toInt,
+            at.getNamedItem("imageTopPosition").getNodeValue.toInt)
+        }
+        j += 1
+      }
+      (0, 0)
+    } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+
+  /** REAL multi-frame decode for animated GIFs — the one video-frame
+    * path the plain JRE can serve (ImageIO: `getNumImages(true)` /
+    * `read(i)`). Returns `n` evenly-spaced fully-composited frames:
+    * GIF frames after the first are often partial deltas at an offset,
+    * so frames 0..maxWanted are drawn sequentially onto a canvas (the
+    * first frame's size; transparent pixels composite onto white, the
+    * same convention as [[resizeImage]]) and the wanted indices are
+    * snapshotted. Compositing assumes do-not-dispose semantics — the
+    * restore-to-background/previous disposal modes would need the
+    * per-frame GraphicControlExtension; for frame-level feature
+    * extraction the difference is noise. Non-GIF bytes → None. */
+  private[graft] def gifFrames(bytes: Array[Byte], n: Int)
+      : Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    if (bytes == null || n <= 0 || bytes.length < 6 ||
+      !(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')) None
+    else try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val count = r.getNumImages(true)
+            if (count <= 0) None
+            else {
+              val want: IndexedSeq[Int] =
+                if (count <= n) 0 until count
+                else if (n == 1) IndexedSeq(0)
+                else (0 until n)
+                  .map(i => (i.toLong * (count - 1) / (n - 1)).toInt).distinct
+              val wantSet = want.toSet
+              val first = r.read(0)
+              val canvas = new java.awt.image.BufferedImage(first.getWidth,
+                first.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = canvas.createGraphics()
+              try {
+                g.setColor(java.awt.Color.WHITE)
+                g.fillRect(0, 0, canvas.getWidth, canvas.getHeight)
+                val out = IndexedSeq.newBuilder[java.awt.image.BufferedImage]
+                var i = 0
+                val maxIdx = want.max
+                while (i <= maxIdx) {
+                  val img = if (i == 0) first else r.read(i)
+                  val (dx, dy) = gifFrameOffset(r, i)
+                  g.drawImage(img, dx, dy, null)
+                  if (wantSet(i)) {
+                    val snap = new java.awt.image.BufferedImage(canvas.getWidth,
+                      canvas.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                    val sg = snap.createGraphics()
+                    try sg.drawImage(canvas, 0, 0, null) finally sg.dispose()
+                    out += snap
+                  }
+                  i += 1
+                }
+                Some(out.result())
+              } finally g.dispose()
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Frame sampling: REAL for animated (and single-frame) GIFs —
+    * `n` evenly-spaced composited frames via [[gifFrames]], re-encoded
+    * as PNG. STUB for every other container: slices the byte stream
+    * into `n` equal chunks standing in for decoded frames (MP4 frame
+    * decode genuinely needs an ffmpeg-class codec runtime this
+    * environment doesn't ship). Both paths share the array-of-binary
+    * output shape downstream per-frame ops consume. */
+  val sampleFrames: UserDefinedFunction =
     udf { (bytes: Array[Byte], n: Int) =>
-      if (bytes == null || n <= 0) Seq.empty[Array[Byte]]
-      else {
-        val stride = math.max(1, bytes.length / n)
-        (0 until math.min(n, bytes.length)).map(i =>
-          bytes.slice(i * stride, math.min(bytes.length, (i + 1) * stride)))
+      gifFrames(bytes, n) match {
+        case Some(frames) => frames.map(pngBytes)
+        case None =>
+          if (bytes == null || n <= 0) Seq.empty[Array[Byte]]
+          else {
+            val stride = math.max(1, bytes.length / n)
+            (0 until math.min(n, bytes.length)).map(i =>
+              bytes.slice(i * stride, math.min(bytes.length, (i + 1) * stride)))
+          }
       }
     }
 
@@ -317,15 +421,19 @@ object Multimodal {
       // mapPartitions so a model-based implementation can hoist its
       // setup here once per partition (the JRE codecs used below are
       // stateless and need none). Images and WAV/AIFF/AU audio get
-      // REAL content features (pixel statistics / PCM energy), with a
-      // magic-byte screen keeping non-media bytes off the decoder;
-      // everything else falls back to the deterministic byte-hash
-      // embedding (STUB: a learned embedding needs a model runtime).
+      // REAL content features (pixel statistics / PCM energy), video
+      // gets REAL per-frame features when the container is a GIF
+      // (frame-averaged pixel statistics over evenly-spaced composited
+      // frames), with a magic-byte screen keeping non-media bytes off
+      // the decoder; everything else falls back to the deterministic
+      // byte-hash embedding (STUB: MP4 frame decode and learned
+      // embeddings need codec/model runtimes).
       it.map { m =>
         val bytes = Option(m.bytes).getOrElse(Array.empty[Byte])
         val feat = m.kind match {
           case "image" => imageFeatures(bytes)
           case "audio" => audioFeatures(bytes)
+          case "video" => videoFrameFeatures(bytes)
           case _ => None
         }
         MediaFeatures(m.media_id, m.kind, bytes.length,
@@ -342,7 +450,15 @@ object Multimodal {
   private[graft] def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] =
     readImage(bytes, headerOnly = false).flatMap {
       case (_, _, None, _) => None
-      case (_, _, Some(img), _) => try {
+      case (_, _, Some(img), _) => imageFeaturesOf(img)
+    }
+
+  /** [[imageFeatures]] core over an already-decoded image — shared by
+    * the single-image path and the per-frame video path. */
+  private[graft] def imageFeaturesOf(
+      img: java.awt.image.BufferedImage): Option[Array[Float]] =
+    {
+      try {
         val (w, h) = (img.getWidth, img.getHeight)
         var (sr, sg, sb, sy, syy) = (0.0, 0.0, 0.0, 0.0, 0.0)
         // bulk row reads: one getRGB call per ROW (batched conversion
@@ -372,6 +488,30 @@ object Multimodal {
           (w.toDouble / h).toFloat,
           (math.log1p(n) / 20.0).toFloat, 0f))
       } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Real video features for GIF containers: [[imageFeaturesOf]] over
+    * up to `frames` evenly-spaced composited frames (see
+    * [[gifFrames]]), averaged element-wise — the static-vs-animated /
+    * brightness / degenerate-aspect gates of a video-curation
+    * pipeline, from actual pixels. Non-GIF containers → None (the
+    * caller falls back to the STUB hash embedding: MP4 frame decode
+    * needs a real codec runtime). */
+  private[graft] def videoFrameFeatures(bytes: Array[Byte],
+      frames: Int = 4): Option[Array[Float]] =
+    gifFrames(bytes, frames).flatMap { imgs =>
+      val feats = imgs.flatMap(imageFeaturesOf)
+      if (feats.isEmpty) None
+      else {
+        val acc = new Array[Float](8)
+        feats.foreach { f =>
+          var i = 0
+          while (i < acc.length) { acc(i) += f(i); i += 1 }
+        }
+        var i = 0
+        while (i < acc.length) { acc(i) /= feats.size; i += 1 }
+        Some(acc)
+      }
     }
 
   /** Real audio features from decoded PCM (WAV/AIFF/AU): RMS energy,
@@ -452,7 +592,7 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB fallback: deterministic byte-hash embedding for media kinds
-    * whose real features need codec/model runtimes (video; learned
+    * whose real features need codec/model runtimes (MP4 video; learned
     * embeddings). */
   private[graft] def hashEmbedding(bytes: Array[Byte]): Array[Float] = {
     val feat = new Array[Float](8)

@@ -98,7 +98,13 @@ object Joins {
     *
     * The three hot-key probes (fact anti, fact semi, dim semi) are
     * broadcasts of the SAME aggregation subplan — Spark's
-    * ReuseExchange collapses them into one physical build. The salt
+    * ReuseExchange collapses them into one physical build. That
+    * single-build property DEPENDS on `spark.sql.exchange.reuse`
+    * (default true): with it disabled the detection aggregation over
+    * the full fact executes once per probe — still correct, 3× the
+    * detection cost. Pinning such a configuration? Materialize the
+    * hot frame first (persist/localCheckpoint) and pass a wrapper, or
+    * accept the re-computation. The salt
     * is [[Skew.contentSalt]] — a hash of the whole fact row — NEVER
     * monotonically_increasing_id/rand: a recomputed shuffle map task
     * must re-salt each row identically or the stage goes

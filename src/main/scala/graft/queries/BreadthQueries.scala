@@ -421,6 +421,34 @@ object BreadthQueries {
              |FROM c, t WHERE cnt * 100 > total
              |ORDER BY 1""".stripMargin)),
 
+    // approximate heavy hitters — the sketch twin of q_heavy_hitters
+    // for the 10^11-distinct-key regime, following the established
+    // approx/exact-twin convention (q_approx_quantiles /
+    // q_exact_quantiles): sketch internals are engine-specific →
+    // rows-only; HeavyHittersSpec pins the error against the exact
+    // form. Two one-pass mergeable sketches compose: freqItems
+    // (Karp-Papadimitriou-Shenker) yields a bounded candidate
+    // SUPERSET (≤ 1/support entries; may admit false positives, never
+    // drops a true heavy hitter) and a count-min sketch (fixed seed)
+    // estimates each candidate's count (overestimate-only, error
+    // ≤ eps·N w.h.p.) — so filtering on the estimate keeps every true
+    // hitter. Neither pass shuffles the key space: partial sketch
+    // states merge to the driver; driver-side data is ≤ 100
+    // candidates + one sketch, regardless of key cardinality.
+    QueryDef("q_heavy_hitters_approx",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val total = li.count()
+        val cms = li.stat.countMinSketch(col("l_suppkey"),
+          eps = 0.0001, confidence = 0.99, seed = 42)
+        val cand = li.stat.freqItems(Seq("l_suppkey"), 0.01)
+          .head.getSeq[Long](0)
+        cand.sorted.map(k => (k, cms.estimateCount(k)))
+          .filter { case (_, est) => est * 100 > total }
+          .toDF("l_suppkey", "est_cnt")
+      }, None),
+
     // unpivot via the stack UDTF — the inverse of q_pivot_priority:
     // one wide row fans out to one long row per measure, the
     // melt/long-format reshape every feature pipeline needs. stack is
@@ -617,7 +645,11 @@ object BreadthQueries {
           array_join(array_sort(map_keys(m)), ",").as("keys"),
           element_at(transform_values(m,
             (_, v) => v * 2), "k").as("doubled"),
-          map_contains_key(m, "k").as("has_k"))
+          // value-based (non-null), not key-presence: the oracle's
+          // props->>'k' IS NOT NULL is value-based, and from_json
+          // keeps a {"k": null} key that map_contains_key would
+          // report true for (ADVICE r5)
+          element_at(m, "k").isNotNull.as("has_k"))
       },
       Some("""SELECT event_id,
              |CAST(len(json_keys(props)) AS INTEGER) AS n_keys,

@@ -223,4 +223,47 @@ class LakeSpec extends AnyFunSuite {
     intercept[Exception] { Lake.analyze(spark, "no_such_table") }
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("CBO stats flip an actual plan decision: filtered dim broadcasts") {
+    // the executed proof that analyze() matters (round-5 verdict #6):
+    // without CBO, a Filter's size estimate is its CHILD's size, so a
+    // selective dim filter still looks too big to broadcast; with CBO
+    // + column stats the 1-row estimate clears the threshold and the
+    // join strategy CHANGES. AQE is off so the decision under test is
+    // the static cost-based one, not a runtime re-plan.
+    val dim = "cbo_dim"; val fact = "cbo_fact"
+    (1L to 50000L).map(i => (i, s"name_$i")).toDF("id", "name")
+      .repartition(1).write.mode("overwrite")
+      .format("parquet").saveAsTable(dim)
+    (1L to 50000L).map(i => (i % 1000, i)).toDF("id", "v")
+      .repartition(1).write.mode("overwrite")
+      .format("parquet").saveAsTable(fact)
+    def planFor(): String =
+      spark.table(fact)
+        .join(spark.table(dim).filter(col("name") === "name_7"), "id")
+        .queryExecution.executedPlan.toString
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.get(k))
+    try {
+      // threshold below the dim PARQUET size but far above a 1-row
+      // estimate — the decision hinges entirely on the size estimate
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64 * 1024).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val without = planFor()
+      assert(!without.contains("BroadcastHashJoin"),
+        s"dim must NOT broadcast without stats:\n$without")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      Lake.analyze(spark, dim, Seq("id", "name"))
+      Lake.analyze(spark, fact, Seq("id"))
+      val withStats = planFor()
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"dim must broadcast once CBO sees the filtered row count:\n$withStats")
+    } finally {
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql(s"DROP TABLE $dim"); spark.sql(s"DROP TABLE $fact")
+    }
+  }
 }

@@ -280,9 +280,65 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().head
     assert(junk.isNullAt(0))
 
+    // non-GIF video bytes take the documented STUB slice path
     val frames = media.toDF().filter($"kind" === "video")
-      .select(Multimodal.sampleFramesStub($"bytes", lit(5)).as("frames"))
+      .select(Multimodal.sampleFrames($"bytes", lit(5)).as("frames"))
       .collect().head.getSeq[Array[Byte]](0)
     assert(frames.length == 5)
+  }
+
+  /** A real multi-frame animated GIF written with the JRE's own GIF
+    * writer sequence API — the fixture for the REAL video-frame path. */
+  private def animatedGif(colors: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("animated GIF frames decode for REAL: per-frame features + video path") {
+    val gif = animatedGif(Seq(0xff0000, 0x00ff00, 0x0000ff), 16, 16)
+    // sampleFrames takes the real multi-frame path for GIF bytes:
+    // three decodable PNG frames, one per GIF frame
+    val frames = Seq((1L, gif)).toDF("media_id", "bytes")
+      .select(Multimodal.sampleFrames($"bytes", lit(3)).as("frames"))
+      .collect().head.getSeq[Array[Byte]](0)
+    assert(frames.length == 3)
+    // per-frame features recover each frame's dominant channel
+    val feats = frames.map(f => Multimodal.imageFeatures(f).get)
+    assert(feats(0)(0) > 0.9 && feats(0)(1) < 0.1 && feats(0)(2) < 0.1, "red")
+    assert(feats(1)(1) > 0.9 && feats(1)(0) < 0.1, "green")
+    assert(feats(2)(2) > 0.9 && feats(2)(0) < 0.1, "blue")
+    // asking for fewer frames than exist samples evenly: first + last
+    val two = Multimodal.gifFrames(gif, 2).get
+    assert(two.size == 2)
+    val fs2 = two.map(img => Multimodal.imageFeaturesOf(img).get)
+    assert(fs2(0)(0) > 0.9 && fs2(1)(2) > 0.9)
+    // extractFeatures kind=video now uses the real path for GIF bytes:
+    // the embedding is the frame-average of pixel statistics (each RGB
+    // channel ≈ 1/3 over solid red+green+blue frames), not the
+    // byte-hash stub
+    val rec = Seq(Multimodal.MediaRecord(9L, "video", gif,
+      Multimodal.MediaMeta(None, None, None, Some("gif")))).toDS()
+    val feat = Multimodal.extractFeatures(spark, rec).collect().head.feature
+    assert(math.abs(feat(0) - 1.0 / 3) < 0.05)
+    assert(math.abs(feat(1) - 1.0 / 3) < 0.05)
+    assert(math.abs(feat(2) - 1.0 / 3) < 0.05)
+    assert(!feat.sameElements(Multimodal.hashEmbedding(gif)))
   }
 }
