@@ -448,10 +448,15 @@ object Dedup {
 
   /** Remove near-duplicates: keep-min-id policy over [[minHashPairs]].
     * A row is dropped iff it appears as idB (the larger id) in some
-    * matching pair — one anti-join, no iterative clustering. */
+    * matching pair — one anti-join, no iterative clustering.
+    * `maxBucketSize` passes through to the LSH cap; on a
+    * mutually-similar family larger than the cap the star fallback
+    * keeps the SAME survivors as the uncapped run (every non-min
+    * member loses to its bucket's min id). */
   def dedupMinHash(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5): DataFrame = {
-    val losers = minHashPairs(df, idCol, textCol, threshold = threshold)
+      threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
+    val losers = minHashPairs(df, idCol, textCol, threshold = threshold,
+        maxBucketSize = maxBucketSize)
       .select(col("idB").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -513,25 +518,33 @@ object Dedup {
     * list cannot spill).
     *
     * Oversized buckets are NOT dropped whole: they get a star-linking
-    * fallback. The same aggregation also computes min(elem) — an
-    * order-independent (hence deterministic) representative that
-    * survives the overflow — and every member of an overflowed bucket
-    * is paired with that representative: O(m) pairs per bucket
+    * fallback. Every member of an overflowed bucket is paired with
+    * the bucket's min(elem) — an order-independent (hence
+    * deterministic) representative — giving O(m) pairs per bucket
     * instead of m²/2, so the pair explosion stays bounded while a
     * giant family of near-identical members still verifies against
     * the representative and collapses transitively (connected
     * components / keep-first see one star, one cluster, one
-    * survivor). The fallback costs one extra scan of `df` restricted
-    * to overflowed keys (a join against the small overflowed-keys
-    * frame — AQE broadcasts it when it measures small); both plan
-    * branches share the aggregation's shuffle via ReuseExchange. */
+    * survivor).
+    *
+    * Fallback cost shape, deliberately: the overflowed KEYS (scalar
+    * pairs, ≤ rows/maxSize of them by construction) are explicitly
+    * broadcast into a semi-join that carves the members out of `df`
+    * with a narrow re-scan — an AQE-decided join here would
+    * materialize a full shuffle of the payload-carrying `df` before
+    * the runtime broadcast decision could cancel it (measured: 3× the
+    * job's shuffle volume at stress ×50 for zero overflowed buckets).
+    * Everything downstream of the semi-join — the min(elem)
+    * re-aggregation and the rep-attach join — touches only overflowed
+    * members, so a corpus with no degenerate buckets pays one empty
+    * broadcast and nothing else; both consumers of the aggregation
+    * share its exchange via ReuseExchange. */
   private def bucketPairsRaw(df: DataFrame, keys: Seq[String],
       elem: Column, maxSize: Int): DataFrame = {
     val keyCols = keys.map(col)
     val agged = df.groupBy(keyCols: _*)
       .agg(graft.functions.CappedCollectFunctions
-          .capped_collect_list(elem, maxSize).as("__raw"),
-        min(elem).as("__rep"))
+        .capped_collect_list(elem, maxSize).as("__raw"))
     val grouped = agged
       .filter(col("__raw").isNotNull && size(col("__raw")) >= 2)
       .select(sort_array(col("__raw")).as("__es"))
@@ -543,15 +556,18 @@ object Dedup {
           element_at(l, j + 1).as("b")))))
     val normalPairs = grouped.select(explode(pairs).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    // star fallback for overflowed buckets: (min-elem, member) per
-    // member. rep = min ⇒ a < b holds by construction, matching the
+    // star fallback for overflowed buckets (capped collect → null):
+    // rep = min ⇒ a < b holds by construction, matching the
     // sorted-combination ordering of the normal path; duplicates
     // across bands/paths dedupe downstream exactly as band collisions
-    // already do.
-    val oversized = agged.filter(col("__raw").isNull)
-      .select(keyCols :+ col("__rep"): _*)
-    val starPairs = df.select(keyCols :+ elem.as("__e"): _*)
-      .join(oversized, keys)
+    // already do
+    val oversizedKeys = agged.filter(col("__raw").isNull)
+      .select(keyCols: _*)
+    val members = df.select(keyCols :+ elem.as("__e"): _*)
+      .join(broadcast(oversizedKeys), keys, "left_semi")
+    val reps = members.groupBy(keyCols: _*)
+      .agg(min(col("__e")).as("__rep"))
+    val starPairs = members.join(reps, keys)
       .filter(col("__e") =!= col("__rep"))
       .select(col("__rep").as("a"), col("__e").as("b"))
     normalPairs.unionByName(starPairs)

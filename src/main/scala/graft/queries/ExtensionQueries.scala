@@ -234,6 +234,46 @@ object ExtensionQueries {
              |SELECT doc_id, lang FROM documents
              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
 
+    // the star fallback EXERCISED under the exact oracle: docs 0-249
+    // become one near-identical boilerplate family (a unique marker
+    // token per copy — exact dedup can't collapse it) that floods
+    // every band bucket far past a cap of 50, so pair generation goes
+    // through the overflowed-bucket star fallback for real. Keep-min-id
+    // survivors are provably identical to the uncapped run on a
+    // mutually-similar family (every non-min member loses to its
+    // bucket's min id, transitively down to doc 0), so the all-pairs
+    // DuckDB oracle applies unchanged — hash-matched, not rows-only.
+    QueryDef("q_dedup_capped_keep",
+      (s, d) => {
+        val planted = Tables.documents(s, d)
+          .withColumn("text", when(col("doc_id") < 250,
+            concat(lit("all work and no play makes a dull corpus mark"),
+              col("doc_id")))
+            .otherwise(col("text")))
+        Dedup.dedupMinHash(planted, "doc_id", "text",
+          threshold = 0.3, maxBucketSize = 50)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, lang,
+             |  CASE WHEN doc_id < 250
+             |  THEN 'all work and no play makes a dull corpus mark'
+             |    || doc_id
+             |  ELSE text END AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\s+') w
+             |  FROM docs),
+             |s AS (SELECT doc_id, list_distinct(
+             |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |   for i in range(1, len(w) - 1)]) sh
+             |  FROM t WHERE len(w) >= 3),
+             |losers AS (SELECT DISTINCT b.doc_id
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3)
+             |SELECT doc_id, lang FROM docs
+             |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
+
     // transitive near-dup clusters: connected components over the
     // minhash pair graph (distributed min-label propagation with
     // pointer jumping). Oracle: recursive-CTE transitive closure over
