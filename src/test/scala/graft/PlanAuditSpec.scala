@@ -168,6 +168,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("star fallback: scalar keys broadcast into a semi join, no " +
+      "second corpus shuffle") {
+    // the overflowed-bucket fallback must carve members out with a
+    // BROADCAST semi-join on the scalar bucket keys — a shuffle join
+    // here re-exchanges the payload-carrying bucketed frame (measured
+    // 3× job shuffle volume at stress ×50 before the fix)
+    val p = plan("q_dedup_capped_keep")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    graft.dedup.Dedup.releaseCaches()
+  }
+
   test("dataset-match reconciliation is a semi join, never a cartesian") {
     val p = plan("q_dq_dataset_match")
     assert(p.contains("LeftSemi"), p)
