@@ -527,27 +527,29 @@ object Dedup {
     * components / keep-first see one star, one cluster, one
     * survivor).
     *
-    * Fallback cost shape, deliberately: the overflowed KEYS (scalar
-    * pairs, ≤ rows/maxSize of them by construction) are explicitly
-    * broadcast into a semi-join that carves the members out of `df`
-    * with a narrow re-scan — an AQE-decided join here would
-    * materialize a full shuffle of the payload-carrying `df` before
-    * the runtime broadcast decision could cancel it (measured: 3× the
-    * job's shuffle volume at stress ×50 for zero overflowed buckets).
-    * Everything downstream of the semi-join — the min(elem)
-    * re-aggregation and the rep-attach join — touches only overflowed
-    * members, so a corpus with no degenerate buckets pays one empty
-    * broadcast and nothing else; both consumers of the aggregation
-    * share its exchange via ReuseExchange. */
+    * Fallback cost shape, deliberately: the representative rides the
+    * SAME aggregation (capped_collect_with_rep tracks a running min
+    * through overflow — zero cost for healthy buckets), so the
+    * fallback never re-aggregates members; its one plan addition is a
+    * broadcast join of the overflowed (keys, rep) rows — scalar,
+    * ≤ rows/maxSize of them by construction — back onto `df` to emit
+    * (rep, member) edges as a narrow pass. The broadcast is explicit:
+    * an AQE-decided join here would materialize a full shuffle of the
+    * payload-carrying `df` before the runtime broadcast decision
+    * could cancel it (measured: 3× the job's shuffle volume at stress
+    * ×50 for zero overflowed buckets). A corpus with no degenerate
+    * buckets pays one empty broadcast and nothing else; both
+    * consumers of the aggregation share its exchange via
+    * ReuseExchange. */
   private def bucketPairsRaw(df: DataFrame, keys: Seq[String],
       elem: Column, maxSize: Int): DataFrame = {
     val keyCols = keys.map(col)
     val agged = df.groupBy(keyCols: _*)
       .agg(graft.functions.CappedCollectFunctions
-        .capped_collect_list(elem, maxSize).as("__raw"))
+        .capped_collect_with_rep(elem, maxSize).as("__cm"))
     val grouped = agged
-      .filter(col("__raw").isNotNull && size(col("__raw")) >= 2)
-      .select(sort_array(col("__raw")).as("__es"))
+      .filter(col("__cm.items").isNotNull && size(col("__cm.items")) >= 2)
+      .select(sort_array(col("__cm.items")).as("__es"))
     val l = col("__es")
     val n = size(l)
     val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
@@ -556,18 +558,16 @@ object Dedup {
           element_at(l, j + 1).as("b")))))
     val normalPairs = grouped.select(explode(pairs).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    // star fallback for overflowed buckets (capped collect → null):
+    // star fallback for overflowed buckets (capped collect → null
+    // items, rep = min over every element the bucket saw):
     // rep = min ⇒ a < b holds by construction, matching the
     // sorted-combination ordering of the normal path; duplicates
     // across bands/paths dedupe downstream exactly as band collisions
     // already do
-    val oversizedKeys = agged.filter(col("__raw").isNull)
-      .select(keyCols: _*)
-    val members = df.select(keyCols :+ elem.as("__e"): _*)
-      .join(broadcast(oversizedKeys), keys, "left_semi")
-    val reps = members.groupBy(keyCols: _*)
-      .agg(min(col("__e")).as("__rep"))
-    val starPairs = members.join(reps, keys)
+    val oversized = agged.filter(col("__cm.items").isNull)
+      .select(keyCols :+ col("__cm.rep").as("__rep"): _*)
+    val starPairs = df.select(keyCols :+ elem.as("__e"): _*)
+      .join(broadcast(oversized), keys)
       .filter(col("__e") =!= col("__rep"))
       .select(col("__rep").as("a"), col("__e").as("b"))
     normalPairs.unionByName(starPairs)

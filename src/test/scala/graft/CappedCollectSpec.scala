@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.CappedCollectFunctions.capped_collect_list
+import graft.functions.CappedCollectFunctions.{capped_collect_list, capped_collect_with_rep}
 
 class CappedCollectSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -49,7 +49,7 @@ class CappedCollectSpec extends AnyFunSuite {
       .toDF("g", "v")
     val vs = df.groupBy("g")
       .agg(capped_collect_list(col("v"), 5).as("vs"))
-      .head.getSeq[Long](1).sorted
+      .head().getSeq[Long](1).sorted
     assert(vs == Seq(2L, 3L))
     // struct elements (the simhash/embedding payload shape) survive
     // the serialize/deserialize spill format
@@ -60,5 +60,41 @@ class CappedCollectSpec extends AnyFunSuite {
       .select(col("p.id"), col("p.x"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(got == Set((10L, 0.5), (11L, 0.7)))
+  }
+
+  test("with_rep: overflowed groups carry the min of EVERY element seen") {
+    // 90 values into cap 10, shuffled across 7 partitions so the min
+    // must survive partial-buffer merges AND the overflow flip in both
+    // update() and merge(); the global min (3) is planted once
+    val vals = scala.util.Random.shuffle((4L to 92L).toVector :+ 3L)
+    val df = vals.map(("big", _)).toDF("g", "v").repartition(7)
+    val row = df.groupBy("g")
+      .agg(capped_collect_with_rep(col("v"), 10).as("cm"))
+      .select(col("cm.items"), col("cm.rep")).head()
+    assert(row.isNullAt(0))          // overflowed → items null
+    assert(row.getLong(1) == 3L)     // rep = min over all 90, not the cap
+  }
+
+  test("with_rep: healthy groups keep items, rep stays null") {
+    val df = Seq(("s", 5L), ("s", 2L)).toDF("g", "v")
+    val row = df.groupBy("g")
+      .agg(capped_collect_with_rep(col("v"), 10).as("cm"))
+      .select(col("cm.items"), col("cm.rep")).head()
+    assert(row.getSeq[Long](0).sorted == Seq(2L, 5L))
+    assert(row.isNullAt(1))
+  }
+
+  test("with_rep: struct payload rep is the lexicographic min (matches " +
+      "sort_array ordering)") {
+    // the simhash/embedding element shape: struct(id, payload) — the
+    // rep must order by the struct exactly as sort_array would, so
+    // star pairs stay (a < b)-consistent with the combination path
+    val df = (1 to 30).map(i => (1, 31L - i, i * 0.5))
+      .toDF("g", "id", "x").repartition(4)
+    val row = df.groupBy("g")
+      .agg(capped_collect_with_rep(struct(col("id"), col("x")), 5).as("cm"))
+      .select(col("cm.items"), col("cm.rep.id"), col("cm.rep.x")).head()
+    assert(row.isNullAt(0))
+    assert(row.getLong(1) == 1L && row.getDouble(2) == 15.0)
   }
 }

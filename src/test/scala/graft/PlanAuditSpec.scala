@@ -168,15 +168,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("star fallback: scalar keys broadcast into a semi join, no " +
-      "second corpus shuffle") {
-    // the overflowed-bucket fallback must carve members out with a
-    // BROADCAST semi-join on the scalar bucket keys — a shuffle join
-    // here re-exchanges the payload-carrying bucketed frame (measured
-    // 3× job shuffle volume at stress ×50 before the fix)
+  test("star fallback: rep rides the bucket aggregation; one broadcast " +
+      "join, no second corpus shuffle") {
+    // the overflowed-bucket fallback must attach the (keys, rep) rows
+    // with a BROADCAST join — a shuffle join here re-exchanges the
+    // payload-carrying bucketed frame (measured 3× job shuffle volume
+    // at stress ×50 before the fix) — and the representative must come
+    // out of capped_collect_with_rep itself, never a second
+    // aggregation over re-scanned members
     val p = plan("q_dedup_capped_keep")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("capped_collect_with_rep"), p)
+    // exactly one aggregate computes on the band/bucket key pair: the
+    // capped collect itself (ReuseExchange-shared across its two
+    // consumers); the old shape had a second min() re-aggregation
+    assert(!p.contains("partial_min"), p)
     graft.dedup.Dedup.releaseCaches()
   }
 
