@@ -538,9 +538,14 @@ object Dedup {
     * payload-carrying `df` before the runtime broadcast decision
     * could cancel it (measured: 3× the job's shuffle volume at stress
     * ×50 for zero overflowed buckets). A corpus with no degenerate
-    * buckets pays one empty broadcast and nothing else; both
-    * consumers of the aggregation share its exchange via
-    * ReuseExchange. */
+    * buckets pays one empty broadcast and nothing else — AQE's
+    * empty-relation propagation elides the probe-side scan of `df`
+    * once the broadcast materializes empty. When buckets DO overflow,
+    * the probe re-evaluates `df`'s lineage: callers whose upstream is
+    * expensive persist it (minHashPairs caches signatures,
+    * simHashPairs the 16-byte/doc simhash table); embeddingNearDup
+    * deliberately recomputes its narrow bucketing instead of caching
+    * tables×-duplicated vectors. */
   private def bucketPairsRaw(df: DataFrame, keys: Seq[String],
       elem: Column, maxSize: Int): DataFrame = {
     val keyCols = keys.map(col)
@@ -658,10 +663,15 @@ object Dedup {
       s"pigeonhole completeness needs maxDist < chunks ($maxDist >= $chunks)")
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val withSim = ensureParallelism(
+    // persisted: bucketPairsRaw's star-fallback probe makes chunked a
+    // second consumer — without the cache an overflowed bucket would
+    // re-tokenize and re-simhash the whole corpus on the probe pass.
+    // Payload is 16 bytes/doc (id + simhash), the cheapest possible
+    // insurance; the cheap chunk explode above it recomputes freely.
+    val withSim = persistEager(ensureParallelism(
       df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"),
-        simHash64(graft.text.TextAnalysis.tokens(col("__text"))).as("sim"))
+        simHash64(graft.text.TextAnalysis.tokens(col("__text"))).as("sim")))
     val chunked = withSim.select(col("id"), col("sim"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("chunk"),
@@ -706,8 +716,16 @@ object Dedup {
       threshold: Double = 0.95, tables: Int = 8, planesPerTable: Int = 4,
       dim: Int = 64, maxBucketSize: Int = 2000): DataFrame = {
     import graft.similarity.Similarity
-    // single downstream consumer since the bucketPairsRaw rewrite — no
-    // persist needed (the old self-join formulation read this 2-3×)
+    // deliberately NOT persisted, unlike minHashPairs/simHashPairs:
+    // caching this frame would hold `tables`× duplicated vectors
+    // (dim doubles each). Its only second consumer is the
+    // star-fallback probe in bucketPairsRaw, which AQE's
+    // empty-relation propagation skips entirely while no bucket
+    // overflows (the stress run's bit-identical embed metrics before/
+    // after the fallback landed are the executed proof); when one DOES
+    // overflow, the probe recomputes the hyperplane bucketing — one
+    // extra narrow map over the vectors, cheaper than always caching
+    // the duplicated payload
     val bucketed = ensureParallelism(df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")))
       .select(col("id"), col("v"), explode(Similarity

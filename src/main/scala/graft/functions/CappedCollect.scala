@@ -160,6 +160,14 @@ case class CappedCollectWithRep(child: Expression, max: Int,
   private def bumpRep(buf: CappedRepBuffer, v: Any): Unit =
     if (buf.rep == null || ordering.lt(v, buf.rep)) buf.rep = v
 
+  // v may be a reused evaluation buffer: compare FIRST (the ordering
+  // reads without retaining), copy only on a new minimum — a
+  // degenerate multi-million-row group must cost O(#minima) copies,
+  // not one transient deep copy per input row
+  private def bumpRepCopying(buf: CappedRepBuffer, v: Any): Unit =
+    if (buf.rep == null || ordering.lt(v, buf.rep))
+      buf.rep = InternalRow.copyValue(v)
+
   // flip to overflowed: seed rep from the buffered items, release them
   private def overflow(buf: CappedRepBuffer): Unit = {
     buf.overflowed = true
@@ -169,10 +177,9 @@ case class CappedCollectWithRep(child: Expression, max: Int,
 
   private def add(buf: CappedRepBuffer, v0: Any): CappedRepBuffer = {
     if (v0 != null) {
-      val v = InternalRow.copyValue(v0)
-      if (buf.overflowed) bumpRep(buf, v)
-      else if (buf.items.length >= max) { overflow(buf); bumpRep(buf, v) }
-      else buf.items += v
+      if (buf.overflowed) bumpRepCopying(buf, v0)
+      else if (buf.items.length >= max) { overflow(buf); bumpRepCopying(buf, v0) }
+      else buf.items += InternalRow.copyValue(v0)
     }
     buf
   }

@@ -196,18 +196,25 @@ object Snapshots {
     // the old mergeSchema role: an append may carry NEW columns
     // (Iceberg add-column); older files surface them as nulls.
     val base = snap.dataDirs.map { d =>
-      spark.read.parquet(s"$root/$d").withColumn("__seq", lit(dirSeq(d)))
+      val df = spark.read.parquet(s"$root/$d")
+      // fail loudly rather than silently replacing-then-dropping a
+      // user column that collides with the internal sequence marker
+      require(!df.columns.contains("__seq"),
+        s"snapshot table $root has a column named __seq, which is " +
+          "reserved for merge-on-read sequencing")
+      df.withColumn("__seq", lit(dirSeq(d)))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val masked =
       if (snap.deleteDirs.isEmpty) base
       else {
-        val dels = snap.deleteDirs.map { d =>
+        val delFrames = snap.deleteDirs.map { d =>
           val df = spark.read.parquet(s"$root/$d")
-          df.select(col(df.columns.head).as("__delkey"),
-            lit(dirSeq(d)).as("__dseq"))
-        }.reduce(_ unionByName _)
-        val keyCol = spark.read
-          .parquet(s"$root/${snap.deleteDirs.head}").columns.head
+          (df.columns.head,
+            df.select(col(df.columns.head).as("__delkey"),
+              lit(dirSeq(d)).as("__dseq")))
+        }
+        val keyCol = delFrames.head._1
+        val dels = delFrames.map(_._2).reduce(_ unionByName _)
         // merge-on-read: delete-key side is small by construction —
         // broadcast it so the mask never shuffles the base data
         base.join(broadcast(dels),

@@ -315,14 +315,38 @@ object Multimodal {
       (0, 0)
     } catch { case scala.util.control.NonFatal(_) => (0, 0) }
 
+  /** GIF logical-screen (canvas) size from the stream metadata's
+    * LogicalScreenDescriptor — the true compositing surface. Frame 0
+    * is NOT a safe substitute: it may be smaller than the screen or
+    * sit at a nonzero ImageDescriptor offset, and a frame-0-sized
+    * canvas would silently clip every frame that extends past it. */
+  private def gifScreenSize(r: javax.imageio.ImageReader): Option[(Int, Int)] =
+    try {
+      val tree = r.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+      val kids = tree.getChildNodes
+      var j = 0
+      while (j < kids.getLength) {
+        val nd = kids.item(j)
+        if (nd.getNodeName == "LogicalScreenDescriptor") {
+          val at = nd.getAttributes
+          val w = at.getNamedItem("logicalScreenWidth").getNodeValue.toInt
+          val h = at.getNamedItem("logicalScreenHeight").getNodeValue.toInt
+          if (w > 0 && h > 0) return Some((w, h))
+        }
+        j += 1
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** REAL multi-frame decode for animated GIFs — the one video-frame
     * path the plain JRE can serve (ImageIO: `getNumImages(true)` /
     * `read(i)`). Returns `n` evenly-spaced fully-composited frames:
     * GIF frames after the first are often partial deltas at an offset,
     * so frames 0..maxWanted are drawn sequentially onto a canvas (the
-    * first frame's size; transparent pixels composite onto white, the
-    * same convention as [[resizeImage]]) and the wanted indices are
-    * snapshotted. Compositing assumes do-not-dispose semantics — the
+    * logical-screen size from the stream metadata, falling back to
+    * frame 0's bounds incl. its offset; transparent pixels composite
+    * onto white, the same convention as [[resizeImage]]) and the
+    * wanted indices are snapshotted. Compositing assumes do-not-dispose semantics — the
     * restore-to-background/previous disposal modes would need the
     * per-frame GraphicControlExtension; for frame-level feature
     * extraction the difference is noise. Non-GIF bytes → None. */
@@ -350,8 +374,12 @@ object Multimodal {
                   .map(i => (i.toLong * (count - 1) / (n - 1)).toInt).distinct
               val wantSet = want.toSet
               val first = r.read(0)
-              val canvas = new java.awt.image.BufferedImage(first.getWidth,
-                first.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val (cw, ch) = gifScreenSize(r).getOrElse {
+                val (fx, fy) = gifFrameOffset(r, 0)
+                (first.getWidth + fx, first.getHeight + fy)
+              }
+              val canvas = new java.awt.image.BufferedImage(cw,
+                ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
               val g = canvas.createGraphics()
               try {
                 g.setColor(java.awt.Color.WHITE)

@@ -311,6 +311,74 @@ class MultimodalSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  /** A GIF whose logical screen (16×16) is larger than frame 0 (an
+    * 8×8 red patch at the origin) and whose second frame is an 8×8
+    * green DELTA at offset (8,8) — the shape that exposed canvas
+    * sizing from frame 0 instead of the LogicalScreenDescriptor
+    * (frame 1 then landed entirely off-canvas and was clipped away). */
+  private def deltaGif(): Array[Byte] = {
+    def solid(w: Int, h: Int, c: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      img
+    }
+    def node(meta: javax.imageio.metadata.IIOMetadata, fmt: String,
+        name: String): (org.w3c.dom.Node, javax.imageio.metadata.IIOMetadataNode) = {
+      val root = meta.getAsTree(fmt)
+      val kids = root.getChildNodes
+      var j = 0
+      while (j < kids.getLength && kids.item(j).getNodeName != name) j += 1
+      (root, kids.item(j).asInstanceOf[javax.imageio.metadata.IIOMetadataNode])
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val f0 = solid(8, 8, 0xff0000)
+      val typ = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(f0)
+      val stream = writer.getDefaultStreamMetadata(null)
+      val (sroot, lsd) =
+        node(stream, "javax_imageio_gif_stream_1.0", "LogicalScreenDescriptor")
+      lsd.setAttribute("logicalScreenWidth", "16")
+      lsd.setAttribute("logicalScreenHeight", "16")
+      stream.setFromTree("javax_imageio_gif_stream_1.0", sroot)
+      writer.prepareWriteSequence(stream)
+      writer.writeToSequence(new javax.imageio.IIOImage(f0, null, null), null)
+      val meta1 = writer.getDefaultImageMetadata(typ, null)
+      val (iroot, desc) =
+        node(meta1, "javax_imageio_gif_image_1.0", "ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", "8")
+      desc.setAttribute("imageTopPosition", "8")
+      meta1.setFromTree("javax_imageio_gif_image_1.0", iroot)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(solid(8, 8, 0x00ff00), null, meta1), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("GIF canvas follows the logical screen, not frame 0 — offset " +
+      "delta frames composite instead of clipping") {
+    val frames = Multimodal.gifFrames(deltaGif(), 2).get
+    assert(frames.size == 2)
+    assert(frames(0).getWidth == 16 && frames(0).getHeight == 16)
+    // frame 0 snapshot: red patch top-left, white elsewhere
+    val fs0 = Multimodal.imageFeaturesOf(frames(0)).get
+    assert(fs0(1) > 0.5, s"white background should dominate green: $fs0")
+    // frame 1 snapshot: the green delta at (8,8) must be VISIBLE —
+    // a frame-0-sized canvas clipped it to nothing
+    val g1 = frames(1).getRGB(12, 12)
+    assert((g1 & 0x00ff00) == 0x00ff00 && (g1 & 0xff0000) == 0,
+      f"pixel at (12,12) should be the composited green delta: $g1%06x")
+    val r1 = frames(1).getRGB(2, 2)
+    assert((r1 & 0xff0000) == 0xff0000, f"red frame 0 survives: $r1%06x")
+  }
+
   test("animated GIF frames decode for REAL: per-frame features + video path") {
     val gif = animatedGif(Seq(0xff0000, 0x00ff00, 0x0000ff), 16, 16)
     // sampleFrames takes the real multi-frame path for GIF bytes:
