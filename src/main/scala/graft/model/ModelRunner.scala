@@ -1,0 +1,257 @@
+package graft.model
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+import graft.dq.{DqRule, DqVerdict, Dqdl, NotNull, Ruleset, UniqueKey}
+import graft.lake.Lake
+
+/** Declarative SQL-file modeling layer — the dbt analog. The
+  * reference's serving layer is *authored* as SQL files plus YAML
+  * config (reference: dbt_modeling/models/serving_layer/dim_songs.sql:1-7
+  * with `{{var("source_schema")}}` templating, dbt_project.yml:24-42
+  * for vars + per-directory `+materialized`, schema.yml:10-12,34-36,44-46
+  * for declared `unique`/`not_null` column tests), dependency-ordered
+  * and materialized by dbt. This runner gives a user of that workflow
+  * the same entry point over Spark:
+  *
+  *  - a models directory (`models/<group>/<name>.sql` + `schema.yml`,
+  *    `dbt_project.yml` at the root) parsed with [[MiniYaml]];
+  *  - `{{ var("...") }}` / `{{ ref('...') }}` substitution, plus an
+  *    in-file `{{ config(materialized='...') }}` override;
+  *  - dependencies from `ref()` AND from reference-style
+  *    `<target_schema>.<model>` qualified names (the reference's BI
+  *    views use the latter, sales_per_artist_vw.sql:5-7);
+  *  - deterministic topological order with loud cycle detection;
+  *  - `table` models via CTAS ([[Lake.materializeTable]]), `view`
+  *    models as catalog views (K7/K8 semantics);
+  *  - declared schema tests compiled to [[Dqdl]] rules and run as a
+  *    BLOCKING gate: a failing test halts the run before any
+  *    downstream model materializes (the reference's dbt test gate,
+  *    dags/deftunes_api_pipeline.py:180-189).
+  *
+  * Scale shape: the runner itself is driver-side orchestration over a
+  * few KB of file metadata; all data movement is the models' own SQL,
+  * planned by Catalyst (CTAS writes are fully distributed, views are
+  * virtual). Each schema test compiles into Dqdl's single-pass
+  * aggregation — one scan per tested model, not per rule.
+  */
+final case class ModelTestDecl(column: String, test: String)
+
+final case class ModelDef(name: String, group: String, rawSql: String,
+    materialized: String, tests: Seq[ModelTestDecl])
+
+final case class ModelProject(name: String, vars: Map[String, String],
+    models: Seq[ModelDef])
+
+/** One materialized model: its catalog relation, resolved
+  * materialization, upstream models, and the test verdict (None when
+  * the model declares no tests). */
+final case class ModelRun(name: String, relation: String,
+    materialized: String, deps: Seq[String], verdict: Option[DqVerdict])
+
+final class ModelTestFailedException(val model: String,
+    val verdict: DqVerdict) extends RuntimeException(
+  s"schema tests failed for model '$model': " +
+    verdict.ruleResults.filter(!_._2).keys.mkString(", "))
+
+final class ModelCycleException(val cycle: Seq[String])
+    extends RuntimeException(
+  s"model dependency cycle: ${cycle.mkString(" -> ")}")
+
+object ModelRunner {
+
+  private val VarPat =
+    raw"""\{\{\s*var\(\s*['"]([A-Za-z0-9_]+)['"]\s*\)\s*\}\}""".r
+  private val RefPat =
+    raw"""\{\{\s*ref\(\s*['"]([A-Za-z0-9_]+)['"]\s*\)\s*\}\}""".r
+  private val ConfigPat =
+    raw"""\{\{\s*config\(\s*materialized\s*=\s*['"]([A-Za-z0-9_]+)['"]\s*\)\s*\}\}""".r
+  private val LeftoverPat = raw"""\{\{[^}]*\}\}""".r
+
+  private val Ident = raw"[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Identifiers land in DDL by interpolation (Spark has no
+    * parameterized DDL) — validate them first, like [[Lake.analyze]]. */
+  private def checkIdent(kind: String, s: String): String = {
+    require(Ident.matches(s), s"$kind '$s' is not a valid identifier")
+    s
+  }
+
+  /** Load a dbt-shaped project: `dbt_project.yml` at `root`, models
+    * under `root/models/<group>/`. */
+  def loadProject(root: Path): ModelProject = {
+    val projFile = root.resolve("dbt_project.yml")
+    require(Files.isRegularFile(projFile),
+      s"no dbt_project.yml under $root")
+    val proj = MiniYaml.parse(Files.readString(projFile))
+    val name = proj.get("name").map(_.str).getOrElse("project")
+    val vars = proj.get("vars").map(_.mapEntries).getOrElse(Vector.empty)
+      .map { case (k, v) => k -> v.str }.toMap
+    // per-group +materialized lives under models: <project-name>:
+    val groupMat = proj.get("models").flatMap(_.get(name))
+      .map(_.mapEntries).getOrElse(Vector.empty)
+      .flatMap { case (group, cfg) =>
+        cfg.get("+materialized").map(m => group -> m.str)
+      }.toMap
+
+    val modelsDir = root.resolve("models")
+    require(Files.isDirectory(modelsDir), s"no models/ directory under $root")
+    val groups = Files.list(modelsDir).iterator().asScala.toVector
+      .filter(Files.isDirectory(_)).sortBy(_.getFileName.toString)
+    val models = groups.flatMap { dir =>
+      val group = dir.getFileName.toString
+      val tests = schemaTests(dir.resolve("schema.yml"))
+      Files.list(dir).iterator().asScala.toVector
+        .filter(_.getFileName.toString.endsWith(".sql"))
+        .sortBy(_.getFileName.toString)
+        .map { f =>
+          val modelName = f.getFileName.toString.stripSuffix(".sql")
+          checkIdent("model name", modelName)
+          val raw = Files.readString(f)
+          // in-file {{ config(materialized=...) }} overrides the
+          // directory default (dbt precedence)
+          val mat = ConfigPat.findFirstMatchIn(raw).map(_.group(1))
+            .orElse(groupMat.get(group)).getOrElse("view")
+          require(mat == "table" || mat == "view",
+            s"model $modelName: unsupported materialization '$mat'")
+          ModelDef(modelName, group, ConfigPat.replaceAllIn(raw, ""), mat,
+            tests.getOrElse(modelName, Seq.empty))
+        }
+    }
+    val dup = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
+    require(dup.isEmpty, s"duplicate model names across groups: $dup")
+    ModelProject(name, vars, models)
+  }
+
+  /** Parse a `schema.yml` subset: model → column → declared tests
+    * (`data_tests:` or legacy `tests:`, values `unique` / `not_null`). */
+  private def schemaTests(file: Path): Map[String, Seq[ModelTestDecl]] = {
+    if (!Files.isRegularFile(file)) return Map.empty
+    val doc = MiniYaml.parse(Files.readString(file))
+    doc.get("models").map(_.items).getOrElse(Vector.empty).map { m =>
+      val modelName = m.get("name").map(_.str).getOrElse(
+        throw new IllegalArgumentException(s"$file: model entry without name"))
+      val decls = m.get("columns").map(_.items).getOrElse(Vector.empty)
+        .flatMap { c =>
+          val colName = c.get("name").map(_.str).getOrElse(
+            throw new IllegalArgumentException(
+              s"$file: column entry without name in model $modelName"))
+          val tests = c.get("data_tests").orElse(c.get("tests"))
+            .map(_.items).getOrElse(Vector.empty).map(_.str)
+          tests.map(t => ModelTestDecl(colName, t))
+        }
+      modelName -> decls.toSeq
+    }.toMap
+  }
+
+  /** Render one model's SQL: substitute vars and refs, and return the
+    * rendered text plus the dependencies found via `ref()` and via
+    * `<target_schema>.<model>` qualified names. */
+  private def render(sql: String, vars: Map[String, String],
+      knownModels: Set[String], targetSchema: String): (String, Set[String]) = {
+    val deps = mutable.Set.empty[String]
+    val afterVars = VarPat.replaceAllIn(sql, m =>
+      vars.getOrElse(m.group(1), throw new IllegalArgumentException(
+        s"undeclared var '${m.group(1)}' (project vars: ${vars.keys.mkString(", ")})")))
+    val afterRefs = RefPat.replaceAllIn(afterVars, m => {
+      val target = m.group(1)
+      require(knownModels.contains(target),
+        s"ref('$target') does not name a model in this project")
+      deps += target
+      s"$targetSchema.$target"
+    })
+    LeftoverPat.findFirstIn(afterRefs).foreach(t =>
+      throw new IllegalArgumentException(s"unsupported template '$t'"))
+    // reference-style dependency: the BI views name upstream models as
+    // <target_schema>.<model> after var substitution
+    // (sales_per_artist_vw.sql:5-7)
+    knownModels.foreach { m =>
+      if (raw"""(?i)(?<![A-Za-z0-9_.])${java.util.regex.Pattern.quote(targetSchema)}\.$m(?![A-Za-z0-9_])""".r
+          .findFirstIn(afterRefs).isDefined)
+        deps += m
+    }
+    (afterRefs, deps.toSet)
+  }
+
+  /** Deterministic topological order (lexicographic among ready
+    * models); throws [[ModelCycleException]] naming the stuck models. */
+  private def topoOrder(deps: Map[String, Set[String]]): Seq[String] = {
+    val remaining = mutable.Map.from(deps.view.mapValues(mutable.Set.from(_)))
+    val out = Vector.newBuilder[String]
+    while (remaining.nonEmpty) {
+      val ready = remaining.collect { case (n, d) if d.isEmpty => n }
+        .toSeq.sorted
+      if (ready.isEmpty)
+        throw new ModelCycleException(remaining.keys.toSeq.sorted)
+      ready.foreach { n =>
+        out += n
+        remaining.remove(n)
+        remaining.values.foreach(_.remove(n))
+      }
+    }
+    out.result()
+  }
+
+  private def compileTests(model: String,
+      tests: Seq[ModelTestDecl]): Ruleset = {
+    val rules: Seq[DqRule] = tests.map {
+      case ModelTestDecl(c, "unique") => UniqueKey(c)
+      case ModelTestDecl(c, "not_null") => NotNull(c)
+      case ModelTestDecl(c, t) => throw new IllegalArgumentException(
+        s"model $model, column $c: unsupported schema test '$t'")
+    }
+    Ruleset(s"${model}_schema_tests", rules)
+  }
+
+  /** Run the project: render, order, materialize, and gate. Returns one
+    * [[ModelRun]] per materialized model in execution order. */
+  def run(spark: SparkSession, project: ModelProject,
+      varOverrides: Map[String, String] = Map.empty): Seq[ModelRun] = {
+    val vars = project.vars ++ varOverrides
+    val targetSchema = checkIdent("target_schema",
+      vars.getOrElse("target_schema", "default"))
+    val byName = project.models.map(m => m.name -> m).toMap
+    val known = byName.keySet
+    val rendered = project.models.map { m =>
+      val (sql, deps) = render(m.rawSql, vars, known, targetSchema)
+      m.name -> ((sql, deps - m.name))
+    }.toMap
+    val order = topoOrder(rendered.view.mapValues(_._2).toMap)
+
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $targetSchema")
+    order.map { name =>
+      val m = byName(name)
+      val (sql, deps) = rendered(name)
+      val relation = s"$targetSchema.$name"
+      m.materialized match {
+        case "table" =>
+          // an in-memory catalog over a durable warehouse dir can hold
+          // an orphan location from a previous session (the catalog
+          // forgot the table; its directory survived) — CREATE would
+          // collide with LOCATION_ALREADY_EXISTS; clear it first
+          if (!spark.catalog.tableExists(relation)) {
+            val db = spark.sessionState.catalog
+              .getDatabaseMetadata(targetSchema)
+            val loc = new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(db.locationUri), name)
+            val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+            if (fs.exists(loc)) fs.delete(loc, true)
+          }
+          Lake.materializeTable(spark, spark.sql(sql), relation)
+        case "view" => spark.sql(s"CREATE OR REPLACE VIEW $relation AS $sql")
+      }
+      val verdict = Option.when(m.tests.nonEmpty) {
+        val v = Dqdl.evaluate(spark.table(relation),
+          compileTests(name, m.tests))
+        if (!v.passed) throw new ModelTestFailedException(name, v)
+        v
+      }
+      ModelRun(name, relation, m.materialized, deps.toSeq.sorted, verdict)
+    }
+  }
+}

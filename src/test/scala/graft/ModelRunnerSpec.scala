@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{MiniYaml, ModelCycleException, ModelRunner,
+  ModelTestFailedException}
+
+/** Declarative SQL-file model runner (the dbt analog): parsing of the
+  * reference-shaped authoring surface, templating, dependency order,
+  * materialization, and the blocking schema-test gate. */
+class ModelRunnerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def writeProject(files: Seq[(String, String)]): Path = {
+    val root = Files.createTempDirectory("mr-spec")
+    files.foreach { case (rel, content) =>
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    root
+  }
+
+  private val baseProjectYml =
+    """name: 'spec_project'
+      |vars:
+      |  source_schema: mr_src
+      |  target_schema: mr_out
+      |models:
+      |  spec_project:
+      |    core:
+      |      +materialized: table
+      |    views:
+      |      +materialized: view
+      |""".stripMargin
+
+  private def seedSource(): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS mr_src")
+    Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0))
+      .toDF("id", "grp", "amount").write.mode("overwrite")
+      .saveAsTable("mr_src.raw_rows")
+  }
+
+  test("end-to-end: parse, topo-order, materialize tables and views, " +
+      "run schema tests") {
+    seedSource()
+    val root = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/core/base_rows.sql" ->
+        """SELECT id, grp, amount
+          |FROM {{ var("source_schema") }}.raw_rows
+          |""".stripMargin,
+      "models/core/schema.yml" ->
+        """version: 2
+          |models:
+          |  - name: base_rows
+          |    columns:
+          |      - name: id
+          |        data_tests:
+          |          - unique
+          |          - not_null
+          |""".stripMargin,
+      // ref()-style dependency
+      "models/views/grp_totals.sql" ->
+        """SELECT grp, CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+          |  AS total
+          |FROM {{ ref('base_rows') }} GROUP BY grp
+          |""".stripMargin,
+      // reference-style <target_schema>.<model> dependency
+      "models/views/grand_total.sql" ->
+        """SELECT CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS t
+          |FROM mr_out.grp_totals
+          |""".stripMargin))
+    val runs = ModelRunner.run(spark, ModelRunner.loadProject(root))
+    assert(runs.map(_.name) == Seq("base_rows", "grp_totals", "grand_total"))
+    val byName = runs.map(r => r.name -> r).toMap
+    assert(byName("base_rows").materialized == "table")
+    assert(byName("grp_totals").materialized == "view")
+    assert(byName("grp_totals").deps == Seq("base_rows"))
+    assert(byName("grand_total").deps == Seq("grp_totals"))
+    // declared tests ran and passed
+    assert(byName("base_rows").verdict.exists(_.passed))
+    // view chain computes through the table
+    assert(spark.table("mr_out.grand_total").as[Double].head() == 60.0)
+    // a view model is genuinely virtual (catalog VIEW, not a table)
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "grp_totals", Some("mr_out"))).tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+  }
+
+  test("failing schema test blocks downstream models") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS mr_src")
+    Seq((1, 10.0), (1, 20.0)).toDF("id", "amount") // duplicate key
+      .write.mode("overwrite").saveAsTable("mr_src.dup_rows")
+    val root = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/core/gated.sql" ->
+        "SELECT id, amount FROM {{ var(\"source_schema\") }}.dup_rows\n",
+      "models/core/schema.yml" ->
+        """version: 2
+          |models:
+          |  - name: gated
+          |    columns:
+          |      - name: id
+          |        data_tests:
+          |          - unique
+          |""".stripMargin,
+      "models/views/downstream_never.sql" ->
+        "SELECT COUNT(*) AS n FROM {{ ref('gated') }}\n"))
+    val ex = intercept[ModelTestFailedException] {
+      ModelRunner.run(spark, ModelRunner.loadProject(root))
+    }
+    assert(ex.model == "gated")
+    assert(!ex.verdict.ruleResults("unique_id"))
+    // the gate is blocking: the downstream model never materialized
+    assert(!spark.catalog.tableExists("mr_out.downstream_never"))
+  }
+
+  test("dependency cycles fail loudly") {
+    val root = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/views/a.sql" -> "SELECT * FROM {{ ref('b') }}\n",
+      "models/views/b.sql" -> "SELECT * FROM {{ ref('a') }}\n"))
+    val ex = intercept[ModelCycleException] {
+      ModelRunner.run(spark, ModelRunner.loadProject(root))
+    }
+    assert(ex.cycle.sorted == Seq("a", "b"))
+  }
+
+  test("in-file config(materialized=...) overrides the directory default") {
+    seedSource()
+    val root = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/core/as_view.sql" ->
+        """{{ config(materialized='view') }}
+          |SELECT id FROM {{ var("source_schema") }}.raw_rows
+          |""".stripMargin))
+    val runs = ModelRunner.run(spark, ModelRunner.loadProject(root))
+    assert(runs.head.materialized == "view")
+  }
+
+  test("undeclared vars and unknown templates are rejected") {
+    val root = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/core/bad_var.sql" -> "SELECT {{ var('nope') }} AS x\n"))
+    val e1 = intercept[IllegalArgumentException] {
+      ModelRunner.run(spark, ModelRunner.loadProject(root))
+    }
+    assert(e1.getMessage.contains("undeclared var 'nope'"))
+    val root2 = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/core/bad_tpl.sql" -> "SELECT 1 AS x {{ source('a','b') }}\n"))
+    val e2 = intercept[IllegalArgumentException] {
+      ModelRunner.run(spark, ModelRunner.loadProject(root2))
+    }
+    assert(e2.getMessage.contains("unsupported template"))
+  }
+
+  test("MiniYaml parses the reference's actual dbt_project.yml and " +
+      "schema.yml shapes") {
+    val refRoot = Paths.get("/root/reference/dbt_modeling")
+    assume(Files.isDirectory(refRoot), "reference checkout not present")
+    val proj = MiniYaml.parse(
+      Files.readString(refRoot.resolve("dbt_project.yml")))
+    assert(proj.get("name").map(_.str).contains("dbt_modeling"))
+    assert(proj.get("vars").flatMap(_.get("source_schema")).map(_.str)
+      .contains("deftunes_transform"))
+    assert(proj.get("models").flatMap(_.get("dbt_modeling"))
+      .flatMap(_.get("serving_layer")).flatMap(_.get("+materialized"))
+      .map(_.str).contains("table"))
+    val schema = MiniYaml.parse(Files.readString(
+      refRoot.resolve("models/serving_layer/schema.yml")))
+    val models = schema.get("models").map(_.items).getOrElse(Vector.empty)
+    val fact = models.find(_.get("name").map(_.str).contains("fact_session"))
+    assert(fact.isDefined)
+    val sessionId = fact.get.get("columns").map(_.items)
+      .getOrElse(Vector.empty)
+      .find(_.get("name").map(_.str).contains("session_id"))
+    assert(sessionId.isDefined)
+    assert(sessionId.get.get("data_tests").map(_.items.map(_.str))
+      .contains(Vector("unique", "not_null")))
+  }
+}
