@@ -426,27 +426,32 @@ object BreadthQueries {
     // approx/exact-twin convention (q_approx_quantiles /
     // q_exact_quantiles): sketch internals are engine-specific →
     // rows-only; HeavyHittersSpec pins the error against the exact
-    // form. Two one-pass mergeable sketches compose: freqItems
-    // (Karp-Papadimitriou-Shenker) yields a bounded candidate
-    // SUPERSET (≤ 1/support entries; may admit false positives, never
-    // drops a true heavy hitter) and a count-min sketch (fixed seed)
-    // estimates each candidate's count (overestimate-only, error
-    // ≤ eps·N w.h.p.) — so filtering on the estimate keeps every true
-    // hitter. Neither pass shuffles the key space: partial sketch
-    // states merge to the driver; driver-side data is ≤ 100
-    // candidates + one sketch, regardless of key cardinality.
+    // form. ONE fused aggregation pass (functions.HeavyHittersSketch):
+    // a Misra-Gries candidate map (≤ 100 counters — a SUPERSET of
+    // every key above the 1% support; may admit false positives,
+    // never drops a true heavy hitter), a seeded count-min sketch
+    // estimating each candidate's count (overestimate-only, error
+    // ≤ eps·N w.h.p.), and the row total from the sketch itself —
+    // what count() + countMinSketch() + freqItems() used to compute
+    // in THREE scans. The key space is never shuffled: O(k + sketch)
+    // partials merge executor-side; one digest row reaches the plan.
+    // Error is ONE-SIDED by construction: filtering on the CMS
+    // overestimate keeps every true hitter (no false negatives), but
+    // a key within eps·N BELOW the 1% threshold can pass — at
+    // threshold-adjacent counts the result is sketch-parameter-
+    // dependent (deterministic here: fixed seed, fixed parallelism).
     QueryDef("q_heavy_hitters_approx",
       (s, d) => {
-        import s.implicits._
-        val li = Tables.lineitem(s, d)
-        val total = li.count()
-        val cms = li.stat.countMinSketch(col("l_suppkey"),
-          eps = 0.0001, confidence = 0.99, seed = 42)
-        val cand = li.stat.freqItems(Seq("l_suppkey"), 0.01)
-          .head.getSeq[Long](0)
-        cand.sorted.map(k => (k, cms.estimateCount(k)))
-          .filter { case (_, est) => est * 100 > total }
-          .toDF("l_suppkey", "est_cnt")
+        import graft.functions.HeavyHittersSketch.heavy_hitters_sketch
+        Tables.lineitem(s, d)
+          .agg(heavy_hitters_sketch(col("l_suppkey"), 100,
+            0.0001, 0.99, 42).as("hh"))
+          .select(col("hh.total").as("total"),
+            explode(col("hh.items")).as("it"))
+          .filter(col("it.est") * 100 > col("total"))
+          .select(col("it.key").as("l_suppkey"),
+            col("it.est").as("est_cnt"))
+          .orderBy(col("l_suppkey"))
       }, None),
 
     // unpivot via the stack UDTF — the inverse of q_pivot_priority:

@@ -40,4 +40,35 @@ class HeavyHittersSpec extends AnyFunSuite {
       assert(est - t <= band, s"key $k: est $est vs true $t (band $band)")
     }
   }
+
+  test("the fused sketch reads lineitem exactly once") {
+    val df = SparkEntry.queries("q_heavy_hitters_approx")(
+      spark, "/root/testdata/sf0.01")
+    df.collect()
+    // count scans in the (AQE-final) plan text — the fused sketch
+    // replaced count()+countMinSketch()+freqItems()'s three scans
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE prints the pre-AQE tree too
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected ONE lineitem scan, plan has $scans:\n$plan")
+  }
+
+  test("Misra-Gries candidates survive adversarial partition merges") {
+    import spark.implicits._
+    // one key holds 20% of the rows but is concentrated in a few
+    // partitions; distractor keys churn the other counters — the MG
+    // merge (count-sum then (k+1)-th-largest subtraction) must keep
+    // the true hitter regardless of merge order
+    val rows = (0 until 5000).map(i => i.toLong % 997 + 100L) ++
+      (0 until 2500).map(_ => 7L)
+    val df = rows.toDF("k").repartition(16)
+    import graft.functions.HeavyHittersSketch.heavy_hitters_sketch
+    val hh = df.agg(heavy_hitters_sketch(col("k"), 100,
+      0.0001, 0.99, 42).as("hh"))
+      .select(col("hh.total").as("total"),
+        explode(col("hh.items")).as("it"))
+      .filter(col("it.est") * 4 > col("total"))
+      .select(col("it.key")).as[Long].collect().toSet
+    assert(hh == Set(7L), s"expected the 33% key alone, got $hh")
+  }
 }
