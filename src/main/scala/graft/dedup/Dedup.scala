@@ -1,8 +1,12 @@
 package graft.dedup
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
+
+import graft.util.Checkpointing
 
 /** Deduplication operators for 100 TB-scale corpora: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
@@ -295,9 +299,16 @@ object Dedup {
     * `maxBucketSize` caps degenerate buckets (boilerplate corpora):
     * a bucket of m docs contributes m²/2 pairs — capped buckets fall
     * back to star-linking against a representative (O(m) pairs, see
-    * [[bucketPairsRaw]]), so the worst-case join output stays bounded
-    * WITHOUT a recall hole on the most-duplicated content; use
-    * [[bucketStats]] to see which buckets took the fallback.
+    * [[bucketPairsRaw]]), so the worst-case join output stays bounded.
+    * Recall note: the star fallback fully restores recall for
+    * MUTUALLY-similar families (the boilerplate case that creates
+    * oversized buckets — every member pairs with the min-rep); two
+    * non-rep members of an overflowed bucket that are similar to each
+    * other but NOT to the rep pair only via the other, healthy band
+    * buckets — LSH's multi-band redundancy, measured near-complete on
+    * mixed-family buckets in DedupSpec ("mixed families in one
+    * oversized bucket"). Use [[bucketStats]] to see which buckets
+    * took the fallback.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
@@ -361,13 +372,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idACol: String = "idA",
       idBCol: String = "idB", maxIters: Int = 10,
       driverThreshold: Long = 1000000L): DataFrame = {
-    // localCheckpoint each round: an iterative plan otherwise nests its
+    // checkpoint each round: an iterative plan otherwise nests its
     // whole history (label N derives from label N-1's full lineage) and
     // the plan grows exponentially — truncating lineage keeps every
-    // round's plan constant-size. On a production cluster swap for a
-    // reliable checkpoint dir.
+    // round's plan constant-size. Checkpointing.materialize upgrades to
+    // RELIABLE checkpoints (survive executor loss) whenever the session
+    // has a checkpoint dir configured (setCheckpointDir) — the cluster
+    // deployment hook; executor-local blocks otherwise.
     val edges = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
-      .localCheckpoint(true)
+      .pipe(Checkpointing.materialize)
     // Adaptive small-graph path: the edge list out of LSH is orders of
     // magnitude smaller than the corpus (near-dup pairs only). When it
     // fits comfortably on the driver, path-compressed union-find in a
@@ -410,9 +423,9 @@ object Dedup {
     }
     val undirected = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+      .pipe(Checkpointing.materialize)
     var labels = undirected.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+      .withColumn("label", col("id")).pipe(Checkpointing.materialize)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -423,7 +436,7 @@ object Dedup {
       val viaNeighbors = labels.select(col("id"), col("label"))
         .union(neighborLabels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .pipe(Checkpointing.materialize)
       // pointer jumping: follow label → label's label, halving path
       // lengths so chains converge in O(log n) rounds, not O(n)
       val labelMap = viaNeighbors
@@ -433,7 +446,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("__ll"), col("label")))
             .as("label"))
-        .localCheckpoint(true)
+        .pipe(Checkpointing.materialize)
       val changed = next.as("n")
         .join(labels.as("o"), Seq("id"))
         .filter(col("n.label") =!= col("o.label")).limit(1).count()

@@ -1,7 +1,11 @@
 package graft.lake
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+
+import graft.util.Checkpointing
 
 /** Medallion-lake write layer: landing-zone raw writes plus the silver
   * layer's partitioned append-or-create tables.
@@ -229,8 +233,10 @@ object Lake {
     * the same `partitionCol` value as the original row) — the usual
     * ingest-date model. Cross-partition key moves would need a full
     * key-index read, i.e. a real table format. The pre-write
-    * materialization uses localCheckpoint (executor blocks); on a
-    * production cluster prefer a reliable checkpoint/staging path. */
+    * materialization goes through [[graft.util.Checkpointing]]: set a
+    * session checkpoint dir (setCheckpointDir) to make it a RELIABLE
+    * checkpoint on a production cluster; executor-local blocks
+    * otherwise. */
   def upsertByKey(spark: SparkSession, updates: DataFrame, table: String,
       keyCols: Seq[String], versionCol: String,
       partitionCol: String = "ingest_on"): Unit = {
@@ -260,7 +266,7 @@ object Lake {
     enableDynamicPartitionOverwrite(spark)
     // materialize before overwriting: the merged plan reads the very
     // partitions the write replaces
-    val staged = merged.localCheckpoint(true)
+    val staged = merged.pipe(Checkpointing.materialize)
     alignTo(spark, staged, table).write.mode("overwrite").insertInto(table)
   }
 

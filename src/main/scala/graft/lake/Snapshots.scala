@@ -213,13 +213,20 @@ object Snapshots {
             df.select(col(df.columns.head).as("__delkey"),
               lit(dirSeq(d)).as("__dseq")))
         }
-        val keyCol = delFrames.head._1
-        val dels = delFrames.map(_._2).reduce(_ unionByName _)
-        // merge-on-read: delete-key side is small by construction —
-        // broadcast it so the mask never shuffles the base data
-        base.join(broadcast(dels),
-          base(keyCol) === dels("__delkey") &&
-            dels("__dseq") > base("__seq"), "left_anti")
+        // deleteWhere accepts a different key column per call — apply
+        // one anti-join per DISTINCT key column, each delete file
+        // joined on its own column (a single join keyed on the first
+        // file's column would treat later files' keys as values of
+        // that column and mask the wrong rows). Delete-key sides are
+        // small by construction — broadcast, so the mask never
+        // shuffles the base data however many key columns appear.
+        delFrames.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(base) {
+          case (acc, (keyCol, frames)) =>
+            val dels = frames.map(_._2).reduce(_ unionByName _)
+            acc.join(broadcast(dels),
+              acc(keyCol) === dels("__delkey") &&
+                dels("__dseq") > acc("__seq"), "left_anti")
+        }
       }
     masked.drop("__seq")
   }

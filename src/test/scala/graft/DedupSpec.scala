@@ -443,4 +443,44 @@ class DedupSpec extends AnyFunSuite {
       "capped dedup outcome diverged from the uncapped one")
     pairs.unpersist()
   }
+
+  test("mixed families in one oversized bucket keep near-full recall") {
+    // Two DISTINCT near-dup families atop shared boilerplate. Bands
+    // whose slice is boilerplate-determined put ALL 200 docs in ONE
+    // bucket — it overflows the cap, and the star fallback links only
+    // rep-similar members (cross-family rep pairs fail verification).
+    // Bands with a family-determined slot give each family its own
+    // healthy ≤100-doc bucket, where non-rep pairs regenerate — LSH's
+    // multi-band redundancy is the recall mechanism the star-fallback
+    // scaladoc claims; this measures it against the uncapped run.
+    val boiler = (0 until 150).map(i => s"common$i").mkString(" ")
+    val alpha = (0 until 15).map(i => s"alpha$i").mkString(" ")
+    val beta = (0 until 15).map(i => s"beta$i").mkString(" ")
+    val fam = ((0 until 100).map(i =>
+      (i.toLong, s"$boiler $alpha variant${i % 5}")) ++
+      (0 until 100).map(i =>
+        (100L + i, s"$boiler $beta variant${i % 5}")))
+      .toDF("doc_id", "text")
+    def pairsAt(cap: Int): Set[(Long, Long)] =
+      Dedup.minHashPairs(fam, "doc_id", "text", threshold = 0.9,
+        maxBucketSize = cap)
+        .select("idA", "idB").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsAt(Int.MaxValue)
+    val capped = pairsAt(120)
+    // the scenario is real: intra-family pairs on both sides, no
+    // cross-family pair survives exact-Jaccard verification
+    assert(uncapped.exists { case (a, b) => a < 100 && b < 100 })
+    assert(uncapped.exists { case (a, b) => a >= 100 && b >= 100 })
+    assert(!uncapped.exists { case (a, b) => a < 100 && b >= 100 })
+    // and at least one band bucket really exceeds the cap (the mixed
+    // boilerplate bucket holding both families)
+    val oversized = Dedup.bucketStats(fam, "doc_id", "text")
+      .filter(col("bucket_size") > 120).count()
+    assert(oversized > 0, "fixture failed to produce an oversized bucket")
+    val missing = uncapped -- capped
+    val recall = 1.0 - missing.size.toDouble / uncapped.size
+    assert(recall >= 0.98,
+      s"mixed-family recall $recall (missing ${missing.size} of ${uncapped.size})")
+  }
 }

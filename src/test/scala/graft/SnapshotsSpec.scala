@@ -129,4 +129,19 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.compact(spark, root)
     assert(Snapshots.read(spark, root).count() == 85)
   }
+
+  test("delete files on DIFFERENT key columns each mask their own column") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(1 to 100), root)
+    Snapshots.deleteWhere(spark, root, "id", col("id") <= 10)
+    // second delete keyed on payload, not id — must not be interpreted
+    // as id values
+    Snapshots.deleteWhere(spark, root, "payload",
+      col("payload").isin("row_50", "row_51"))
+    val cur = Snapshots.read(spark, root)
+    assert(cur.count() == 88)
+    assert(cur.filter(col("id") <= 10).count() == 0)
+    assert(cur.filter(col("payload").isin("row_50", "row_51")).count() == 0)
+    assert(cur.filter(col("id") === 49).count() == 1)
+  }
 }
