@@ -18,6 +18,13 @@ object Bench {
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
     catch { case _: Throwable => () }
 
+    // optional comma-separated filter: bench only the named queries
+    // (targeted same-session A/B runs; full slate when unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def slate = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
     // One timed run; a query that THROWS is reported as an error marker,
     // not as a fast-looking time-to-crash (a silently broken query must
     // never read as a speedup in the artifact).
@@ -37,7 +44,7 @@ object Bench {
     // comparable under either lens. It doubles as the per-query codegen
     // warmup for the median pass below (Janino caches generated classes
     // per JVM), replacing the old separate sf0.001 sweep.
-    val cold = SparkEntry.queries.map { case (name, fn) => name -> timed(fn) }
+    val cold = slate.map { case (name, fn) => name -> timed(fn) }
 
     // settle the JVM between the cold pass and the timed warm pass:
     // drop leftover cached blocks and let the old-gen collect, so warm
@@ -56,7 +63,7 @@ object Bench {
     // less-contended run, which is the signal the artifact wants
     val runsPerQuery =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = slate.map { case (name, fn) =>
       val samples = (1 to runsPerQuery).map(_ => timed(fn))
       val times = samples.map(_._1).sorted
       val median = times((times.size - 1) / 2)

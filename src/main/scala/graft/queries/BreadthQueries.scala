@@ -687,7 +687,11 @@ object BreadthQueries {
     // approximate quantiles via Spark's built-in sketch (one pass, no
     // sort — the 100 TB way to get percentiles). Sketch internals are
     // engine-specific → rows-only; QuantileSpec pins the accuracy
-    // against exact sort-based percentiles. The quantile array is
+    // against exact sort-based percentiles. Accuracy 10000 (10× the
+    // 1000 default) is deliberate: same-session A/B (SCALING.md,
+    // round 7) measures it at 0.447 s warm — identical to r5 — so the
+    // 10× tighter rank error is free at this sketch size. The
+    // quantile array is
     // exploded to one (flag, pct, quantile) row per percentile so the
     // output is all-scalar — array cells crash the driver's
     // pandas-based rows-only compare (CORRECTNESS_r02).
