@@ -1,20 +1,32 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.util.Tables
 
-/** The rest of the feasible TPC-H battery over the driver's reduced
-  * schema. Together with BreadthQueries' Q1/Q3/Q5/Q6/Q7/Q10 this covers
-  * every TPC-H query expressible without `partsupp` and the dropped
-  * columns (`l_commitdate`/`l_receiptdate`/`l_shipmode`/`c_phone`/
-  * `p_container`): Q4 and Q19 and Q22 run as adapted shapes that keep
-  * the plan structure (correlated EXISTS, disjunctive join predicate,
-  * anti-join + scalar aggregate subquery) with predicates re-expressed
-  * over the columns that exist; Q2/Q9/Q11/Q12/Q16/Q20/Q21 genuinely
-  * need `partsupp`/`l_receiptdate`/`l_shipmode` and are documented as
-  * out of domain.
+/** The rest of the TPC-H battery over the driver's reduced schema.
+  * Together with BreadthQueries' Q1/Q3/Q5/Q6/Q7/Q10 this runs all 22
+  * queries: Q4/Q19/Q22 as adapted shapes that keep the plan structure
+  * (correlated EXISTS, disjunctive join predicate, anti-join + scalar
+  * aggregate subquery) with predicates re-expressed over the columns
+  * that exist, and the seven `partsupp`-family queries
+  * (Q2/Q9/Q11/Q16/Q20 plus the `l_shipmode`/`l_receiptdate`-family
+  * Q12/Q21) as adapted shapes over a *derived* part–supplier relation:
+  * `lineitem` is itself a (partkey, suppkey) relation, so
+  * `ps_supplycost := MIN(l_extendedprice)` per pair plays the role of
+  * `partsupp.ps_supplycost` (exact DECIMAL, so min-equality joins are
+  * deterministic), per-pair shipped quantity plays `ps_availqty`, and
+  * "received late" predicates become `l_shipdate` measured against
+  * `o_orderdate` (the same adaptation Q4 already uses). Every adapted
+  * query preserves the original's distinguishing plan shape —
+  * correlated MIN subquery (Q2), profit decomposition over a 6-way
+  * join (Q9), group-HAVING against a scalar-aggregate fraction (Q11),
+  * conditional counts across a join (Q12), COUNT(DISTINCT) with a
+  * NOT-IN side filter (Q16), nested semi-joins gated by a correlated
+  * aggregate threshold (Q20), and the double correlated
+  * EXISTS/NOT-EXISTS (Q21).
   *
   * Everything follows the house determinism rules: money math in
   * DECIMAL end-to-end (cast to double only at the end), ratios as
@@ -364,6 +376,360 @@ object TpchQueries {
              |AND NOT EXISTS (SELECT 1 FROM orders
              |  WHERE o_custkey = c_custkey
              |  AND o_orderdate >= TIMESTAMP '2000-01-01')
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN-
+    // subquery query. partsupp is derived — lineitem IS a (partkey,
+    // suppkey) relation, and MIN(l_extendedprice) per pair plays
+    // ps_supplycost; the min is an exact DECIMAL so the min-equality
+    // join back is deterministic in both engines. Spark-first: the
+    // selective part filter (LARGE, size 10–20) broadcasts INTO the
+    // lineitem scan BEFORE the pair aggregation — the SQL's
+    // "aggregate all of partsupp, then filter" would shuffle the
+    // whole fact for rows that are then discarded. Region-filtered
+    // suppliers broadcast (one region ≈ |supplier|/5); the per-part
+    // min is |selected parts| rows, broadcast back rather than
+    // window-ranked.
+    QueryDef("q_tpch_q2",
+      (s, d) => {
+        val pSel = Tables.part(s, d)
+          .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+          .select(col("p_partkey"), col("p_name"))
+        val euSupp = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+              .join(broadcast(Tables.region(s, d)
+                  .filter(col("r_name") === "EUROPE")),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("n_name"))
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+          .join(broadcast(pSel.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"))
+        val euCosts = ps.join(euSupp, col("ps_suppkey") === col("s_suppkey"))
+        val minCost = euCosts.groupBy(col("ps_partkey").as("mk"))
+          .agg(min(col("ps_supplycost")).as("min_cost"))
+        euCosts.join(broadcast(minCost),
+            col("ps_partkey") === col("mk") &&
+              col("ps_supplycost") === col("min_cost"))
+          .join(broadcast(pSel), col("ps_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"),
+            col("ps_supplycost").cast("double").as("supplycost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH ps AS (SELECT l_partkey AS ps_partkey,
+             |    l_suppkey AS ps_suppkey,
+             |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+             |  FROM lineitem GROUP BY 1, 2),
+             |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE')
+             |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+             |  CAST(ps_supplycost AS DOUBLE) AS supplycost
+             |FROM part JOIN ps ON p_partkey = ps_partkey
+             |JOIN eu ON ps_suppkey = s_suppkey
+             |WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+             |AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
+             |  FROM ps ps2 JOIN eu eu2 ON ps2.ps_suppkey = eu2.s_suppkey
+             |  WHERE ps2.ps_partkey = p_partkey)
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // TPC-H Q9 shape (product type profit): profit decomposition over
+    // the 6-way join, grouped by supplier nation and order year.
+    // Adapted: supply cost comes from the derived partsupp relation
+    // (MIN price per pair), so profit = volume − cost × quantity, all
+    // DECIMAL until the final cast. The part-name filter broadcasts
+    // into lineitem before BOTH consumers (the pair aggregation and
+    // the fact rows), so at 100 TB the two lineitem passes each scan
+    // only the matching-part slice and shuffle on the same pair key.
+    QueryDef("q_tpch_q9",
+      (s, d) => {
+        val pRed = Tables.part(s, d)
+          .filter(col("p_name").like("red%")).select(col("p_partkey"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .join(broadcast(pRed), col("l_partkey") === col("p_partkey"),
+            "left_semi")
+        val ps = li
+          .groupBy(col("l_partkey").as("ps_pk"), col("l_suppkey").as("ps_sk"))
+          .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"))
+        val supNation = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+              .select(col("n_nationkey"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("nation"))
+        li.join(ps, col("l_partkey") === col("ps_pk") &&
+            col("l_suppkey") === col("ps_sk"))
+          .join(Tables.orders(s, d)
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(supNation, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum(volume - col("ps_supplycost") * dec(col("l_quantity")))
+            .cast("double").as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT nation, o_year,
+             |CAST(SUM(amount) AS DOUBLE) AS sum_profit FROM (
+             |  SELECT n_name AS nation,
+             |    CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |    CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * CAST(1 - l_discount AS DECIMAL(4,2))
+             |      - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))
+             |      AS amount
+             |  FROM lineitem
+             |  JOIN (SELECT l_partkey AS ps_pk, l_suppkey AS ps_sk,
+             |      MIN(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |        AS ps_supplycost
+             |    FROM lineitem
+             |    WHERE l_partkey IN
+             |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+             |    GROUP BY 1, 2) ps
+             |    ON l_partkey = ps_pk AND l_suppkey = ps_sk
+             |  JOIN part ON p_partkey = l_partkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE p_name LIKE 'red%')
+             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // TPC-H Q11 shape (important stock): a grouped aggregate compared
+    // against a fraction of the same aggregate's grand total — the
+    // scalar-subquery-HAVING query. Adapted: "value held in one
+    // nation" is the sum of derived pair costs for that nation's
+    // suppliers. The fraction comparison is multiplicative
+    // (v × 1000 > total, both exact DECIMALs) so neither engine
+    // divides. The grand total is ONE row broadcast back; the
+    // nation's supplier keys broadcast into the lineitem scan.
+    QueryDef("q_tpch_q11",
+      (s, d) => {
+        val natSupp = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+              .filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+          .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+            "left_semi")
+          .groupBy(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"))
+        val value = ps.groupBy(col("ps_partkey"))
+          .agg(sum(col("ps_supplycost")).as("v"))
+        val total = value.agg(sum(col("v")).as("t"))
+        value.crossJoin(broadcast(total))
+          .filter(col("v") * lit(1000) > col("t"))
+          .select(col("ps_partkey"), col("v").cast("double").as("value"))
+          .orderBy(col("value").desc, col("ps_partkey"))
+      },
+      Some("""WITH ps AS (SELECT l_partkey AS ps_partkey,
+             |    l_suppkey AS ps_suppkey,
+             |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+             |  FROM lineitem
+             |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+             |    JOIN nation ON s_nationkey = n_nationkey
+             |    WHERE n_name = 'NATION_7')
+             |  GROUP BY 1, 2),
+             |pv AS (SELECT ps_partkey, SUM(ps_supplycost) AS v
+             |  FROM ps GROUP BY 1)
+             |SELECT ps_partkey, CAST(v AS DOUBLE) AS value FROM pv
+             |WHERE v * 1000 > (SELECT SUM(v) FROM pv)
+             |ORDER BY value DESC, ps_partkey""".stripMargin)),
+
+    // TPC-H Q12 shape (shipping modes / priority classes): conditional
+    // counts across the orders⋈lineitem join. Adapted: l_shipmode does
+    // not exist, so the class column is l_returnflag; "received later
+    // than committed" is l_shipdate > o_orderdate + 30 days (Q4's
+    // adaptation) with the receipt-year window on l_shipdate. One
+    // shuffle join on the order key, one tiny grouped agg.
+    QueryDef("q_tpch_q12",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderdate"),
+              col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             |  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+             |AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT)
+    // over the derived pair relation with a NOT-IN supplier side
+    // filter. Adapted: "complaint" suppliers are those with negative
+    // account balance (a tiny list — broadcast anti-join, never a
+    // shuffle). The triple part filter broadcasts into the pair scan;
+    // pairs are DISTINCT'd before the attribute join so the count-
+    // distinct agg sees each (part, supplier) once.
+    QueryDef("q_tpch_q16",
+      (s, d) => {
+        val pSel = Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#5" &&
+            !col("p_type").isin("PROMO", "ECONOMY") &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))
+        val complainers = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(pSel.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(broadcast(complainers),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .distinct()
+          .join(broadcast(pSel), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+             |  WHERE l_suppkey NOT IN
+             |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) pr
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#5'
+             |AND p_type NOT IN ('PROMO', 'ECONOMY')
+             |AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        .stripMargin)),
+
+    // TPC-H Q20 shape (potential part promotion): nested semi-joins
+    // gated by a correlated aggregate threshold. Adapted: ps_availqty
+    // is the pair's all-time shipped quantity and the original's
+    // "avail > 0.5 × one year's shipments" becomes
+    // "all-time > 2 × the 1996 window's shipments" — the same
+    // correlated conditional-sum compared multiplicatively in exact
+    // DECIMAL, no halving division. The part-name filter broadcasts
+    // into lineitem before the pair aggregation; qualifying supplier
+    // keys semi-join the nation-filtered supplier dim.
+    QueryDef("q_tpch_q20",
+      (s, d) => {
+        val pSmall = Tables.part(s, d)
+          .filter(col("p_name").like("small%")).select(col("p_partkey"))
+        val qty = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_shipdate"))
+          .join(broadcast(pSmall), col("l_partkey") === col("p_partkey"),
+            "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(dec(col("l_quantity"))).as("total_qty"),
+            sum(when(
+              col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+              dec(col("l_quantity")))
+              .otherwise(lit(0).cast(DecimalType(18, 2)))).as("yr_qty"))
+        val excess = qty.filter(col("total_qty") > col("yr_qty") * lit(2))
+          .select(col("l_suppkey"))
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+              .filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"), col("s_acctbal"))
+          .orderBy(col("s_name"))
+      },
+      Some("""SELECT s_name, s_acctbal FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_3'
+             |AND s_suppkey IN (SELECT l_suppkey FROM (
+             |  SELECT l_partkey, l_suppkey,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+             |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+             |      AND l_shipdate < TIMESTAMP '1997-01-01'
+             |      THEN CAST(l_quantity AS DECIMAL(18,2))
+             |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS yr_qty
+             |  FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM part
+             |    WHERE p_name LIKE 'small%')
+             |  GROUP BY 1, 2)
+             |  WHERE total_qty > yr_qty * 2)
+             |ORDER BY s_name""".stripMargin)),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the double
+    // correlated EXISTS/NOT-EXISTS. Adapted: "late" is l_shipdate >
+    // o_orderdate + 60 days (Q4's adaptation). Spark-first: instead of
+    // two correlated self-joins against lineitem, ONE shuffle on the
+    // order key computes per-order distinct-supplier and distinct-
+    // late-supplier counts as window aggregates over the already-
+    // joined rows (per-order groups are tiny, so collect_set is
+    // bounded); EXISTS(other supplier) ⇔ n_supp ≥ 2 and
+    // NOT EXISTS(other late supplier) ⇔ n_late = 1 given the row
+    // itself is late. The nation filter applies only to the counted
+    // supplier, never to the per-order evidence.
+    QueryDef("q_tpch_q21",
+      (s, d) => {
+        val joined = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late",
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        val w = Window.partitionBy(col("l_orderkey"))
+        val flagged = joined
+          .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+          .withColumn("n_late", size(collect_set(
+            when(col("late"), col("l_suppkey"))).over(w)))
+        val waiting = flagged
+          .filter(col("late") && col("n_supp") >= 2 && col("n_late") === 1)
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        waiting
+          .join(Tables.supplier(s, d)
+              .join(broadcast(Tables.nation(s, d)
+                  .filter(col("n_name") === "NATION_1")),
+                col("s_nationkey") === col("n_nationkey"))
+              .select(col("s_suppkey"), col("s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait FROM supplier
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+             |AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |AND EXISTS (SELECT 1 FROM lineitem l2
+             |  WHERE l2.l_orderkey = l1.l_orderkey
+             |  AND l2.l_suppkey <> l1.l_suppkey)
+             |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |  WHERE l3.l_orderkey = l1.l_orderkey
+             |  AND l3.l_suppkey <> l1.l_suppkey
+             |  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1 ORDER BY numwait DESC, s_name
+             |LIMIT 100""".stripMargin))
   )
 }

@@ -197,9 +197,23 @@ object ScaleStress {
     val multipliers = args.headOption.getOrElse("1,10,50")
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions default to the thread count but can be raised
+    // independently — the documented remedy for the one matrix spill
+    // (bigram ×100): more, smaller shuffle partitions fit the sorter in
+    // memory without changing parallelism. On a cluster this is the
+    // same knob sized to executor memory.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // The map-side lever: smaller scan splits → more, smaller map
+    // tasks → smaller per-task partial-aggregation hash maps. This is
+    // the knob that actually governs map-side spill (shuffle-partition
+    // count only shrinks the reduce side).
+    val maxPartitionBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory",
         sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -362,6 +362,73 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("Q2's part filter broadcasts into lineitem before the pair agg") {
+    val p = plan("q_tpch_q2")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the type/size selection reaches the part scan
+    assert(p.contains("EqualTo(p_type,LARGE)"), p)
+    // lineitem reads only the 3 columns the derived partsupp needs
+    val liSchema = "ReadSchema: [^\n]*l_extendedprice[^\n]*".r.findFirstIn(p)
+    assert(liSchema.nonEmpty, s"no lineitem ReadSchema line:\n$p")
+    assert(!liSchema.get.contains("l_quantity"), liSchema.get)
+  }
+
+  test("Q9's name filter pushes to the part scan; no cartesian in the " +
+      "6-way join") {
+    val p = plan("q_tpch_q9")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    // LIKE 'red%' becomes a StartsWith pushed into the parquet scan
+    assert(p.contains("StringStartsWith(p_name,red)"), p)
+  }
+
+  test("Q11's grand total is a 1-row broadcast against the value table") {
+    val p = plan("q_tpch_q11")
+    // the 1-row total side may frame as a broadcast nested loop (1×n is
+    // free); what must never appear is a shuffle cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("Q12's receipt-year window reaches the lineitem scan") {
+    val p = plan("q_tpch_q12")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("Q16 anti-joins the complaint list broadcast; pairs distinct " +
+      "before counting") {
+    val p = plan("q_tpch_q16")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the size IN-list reaches the part scan
+    assert(p.contains("In(p_size"), p)
+  }
+
+  test("Q20's correlated threshold: name filter pushes, semi-join chain") {
+    val p = plan("q_tpch_q20")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("StringStartsWith(p_name,small)"), p)
+  }
+
+  test("Q21 scans lineitem ONCE: window aggregates replace the SQL's " +
+      "two correlated self-joins") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // lineitem + orders + supplier + nation — four scans total; the
+    // correlated EXISTS/NOT-EXISTS evidence rides the one joined frame
+    assert("Scan parquet".r.findAllIn(p).length <= 4, p)
+    // the status filter reaches the orders scan
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+  }
+
   test("kNN graph takes the shuffle join — corpus never broadcasts") {
     val p = plan("q_ann_knn_graph")
     // the cell join must NOT be a broadcast of the corpus-sized query
