@@ -624,24 +624,12 @@ object ExtensionQueries {
     // division at the end, so the score is bit-identical at any
     // parallelism (a log-prob formulation would sum doubles in
     // partition order). Two shuffles at any scale: count bigrams,
-    // join the counts back on the bigram key.
+    // join the counts back on the bigram key — a shuffled HASH join
+    // (build = aggregated counts), not sort-merge: sorting the fat
+    // occurrence side was the one spill in the scale matrix (see
+    // TextAnalysis.bigramCommonness).
     QueryDef("q_text_bigram_commonness",
-      (s, d) => {
-        val toks = Tables.documents(s, d).select(col("doc_id"),
-          TextAnalysis.tokens(col("text")).as("t"))
-          .filter(size(col("t")) >= 2)
-        val bi = toks.select(col("doc_id"),
-          explode(expr("transform(sequence(0, size(t)-2), " +
-            "i -> concat(element_at(t, i+1), ' ', element_at(t, i+2)))"))
-            .as("bigram"))
-        val counts = bi.groupBy(col("bigram"))
-          .agg(count(lit(1)).as("c"))
-        bi.join(counts, Seq("bigram"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            (sum(col("c")).cast("double") / count(lit(1)).cast("double"))
-              .as("commonness"))
-      },
+      (s, d) => TextAnalysis.bigramCommonness(Tables.documents(s, d)),
       Some(s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks
               |  FROM documents),
               |b AS (SELECT doc_id,

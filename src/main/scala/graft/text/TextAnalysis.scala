@@ -133,6 +133,41 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tf_idf"))
   }
 
+  /** Per-document bigram commonness: (doc_id, n_bigrams, commonness)
+    * where commonness is the mean corpus frequency of the document's
+    * bigram occurrences — the n-gram-LM quality axis (boilerplate
+    * scores high, unusual text low). Exact integer counts with ONE
+    * double division at the end, so the score is bit-identical at any
+    * parallelism.
+    *
+    * Scale shape: two shuffles (count bigrams; join counts back). The
+    * join is pinned to a SHUFFLED HASH join with the aggregated counts
+    * table as the build side. Left to its own devices Catalyst picks
+    * sort-merge here, and the sort of the fat occurrence side (~100
+    * rows per document) was the single spill in the ×1..×100 scale
+    * matrix (519 MB at ×100, SCALING.md). The hash build side is
+    * bounded by distinct-bigrams/shuffle-partitions — vocabulary grows
+    * sublinearly in corpus size (Heaps' law), so per-partition build
+    * memory stays flat while the occurrence side streams unsorted.
+    * Partition count is the cluster-scale knob. */
+  def bigramCommonness(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(t)-2), " +
+        "i -> concat(element_at(t, i+1), ' ', element_at(t, i+2)))"))
+        .as("bigram"))
+    val counts = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+    bi.join(counts.hint("shuffle_hash"), Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("c")).cast("double") / count(lit(1)).cast("double"))
+          .as("commonness"))
+  }
+
   /** PII redaction: mask emails and phone-number-shaped digit runs —
     * the standard scrub before text enters a training corpus. Pure
     * regexp_replace chain (codegen'd, narrow); patterns deliberately

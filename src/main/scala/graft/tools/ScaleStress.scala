@@ -310,19 +310,7 @@ object ScaleStress {
           "doc_id", "n_tokens", capacity = 1024, shardCol = "source")
       }
       if (opEnabled("bigram_commonness")) rows += measureOp("bigram_commonness", m, nDocs) {
-        val toks = docs.select(col("doc_id"),
-          TextAnalysis.tokens(col("text")).as("t"))
-          .filter(size(col("t")) >= 2)
-        val bi = toks.select(col("doc_id"),
-          explode(expr("transform(sequence(0, size(t)-2), " +
-            "i -> concat(element_at(t, i+1), ' ', element_at(t, i+2)))"))
-            .as("bigram"))
-        val counts = bi.groupBy(col("bigram"))
-          .agg(count(lit(1)).as("c"))
-        bi.join(counts, Seq("bigram")).groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            (sum(col("c")).cast("double") / count(lit(1)).cast("double"))
-              .as("commonness"))
+        TextAnalysis.bigramCommonness(docs)
       }
       if (opEnabled("lang_rebalance")) rows += measureOp("lang_rebalance", m, nDocs) {
         val quota = docs.groupBy(col("lang"))

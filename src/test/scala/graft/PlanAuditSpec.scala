@@ -236,6 +236,11 @@ class PlanAuditSpec extends AnyFunSuite {
   test("bigram commonness joins counts back on the bigram key (no UDFs)") {
     val p = plan("q_text_bigram_commonness")
     assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+    // the counts join must be a shuffled HASH join (build = aggregated
+    // counts side) — sort-merge here sorts the fat occurrence side,
+    // which was the one spill in the ×1..×100 scale matrix
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("Q4's correlated EXISTS plans as a semi join with pushed window") {
