@@ -557,9 +557,15 @@ object ExtensionQueries {
           val ckpt = java.nio.file.Files
             .createTempDirectory("graft-drain-ckpt").toString
           // streaming reads don't infer schema; ts is parquet
-          // TIMESTAMP(NANOS), read as long under the legacy conf and
-          // converted with integer div (Tables.events, for streams)
+          // TIMESTAMP(NANOS), whose scan type depends on the Spark
+          // build (nanos-as-long under the legacy conf vs native
+          // TIMESTAMP_NTZ). Probe the type with a batch read through
+          // Tables.events' normalization logic, then hand the
+          // file-stream source the RAW scan schema it will actually
+          // see and apply the matching ts normalization.
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          val tsScanType = s.read.parquet(s"$d/events.parquet")
+            .schema("ts").dataType
           // events.parquet is a single file; the file-stream source
           // wants a directory to watch, so stream the data dir with a
           // name filter selecting just the events table
@@ -567,8 +573,7 @@ object ExtensionQueries {
             .schema(org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("event_id",
                 org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("ts",
-                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("ts", tsScanType),
               org.apache.spark.sql.types.StructField("user_id",
                 org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("event_type",
@@ -578,8 +583,15 @@ object ExtensionQueries {
               org.apache.spark.sql.types.StructField("props",
                 org.apache.spark.sql.types.StringType)))
             ).parquet(d)
+          val tsNorm = tsScanType match {
+            case org.apache.spark.sql.types.LongType =>
+              timestamp_micros(expr("ts div 1000"))
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              col("ts").cast(org.apache.spark.sql.types.TimestampType)
+            case _ => col("ts")
+          }
           val evts = raw
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .withColumn("ts", tsNorm)
             .withColumn("ingest_on", to_date(col("ts")))
           graft.streaming.StreamingIngest.sinkToSilver(evts, s, tbl, ckpt)
           tbl
