@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.StreamingIngest
+import graft.streaming.{StatefulOps, StreamingIngest}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -224,6 +224,50 @@ class StreamingSpec extends AnyFunSuite {
     val reopened = new StreamingIngest.PartitionLedger(spark, ckpt)
     assert(reopened.overlap(9L, Set[Any]("2024-01-02"))
       == Set[Any]("2024-01-02"))
+  }
+
+  test("transformWithState caps per-key contributions across batches") {
+    import StreamingIngest.Event
+    val base = Files.createTempDirectory("stream-cap").toString
+    def row(u: Long, m: Int) =
+      s"""{"user_id":$u,"ts":"2024-01-01T00:${"%02d".format(m)}:00.000Z","event_type":"play","value":1.0}"""
+    // user 1 floods (10 rows), user 2 stays under the cap (2 rows)
+    writeLanding(base, (0 until 10).map(row(1L, _)) ++ Seq(row(2L, 0), row(2L, 1)))
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = StreamingIngest
+        .readLandingStream(spark, base, eventSchema).as[Event]
+      val capped = StatefulOps.capPerKey(
+        events, (e: Event) => e.user_id, maxPerKey = 3L)
+      assert(capped.isStreaming)
+      val out = Files.createTempDirectory("stream-cap-out").toString
+      val ckpt = Files.createTempDirectory("stream-cap-ckpt").toString
+      def drain(): Unit =
+        StreamingIngest.runAvailableNow(capped.toDF(), out, ckpt)
+      def countsByUser(): Map[Long, Long] =
+        spark.read.parquet(out).groupBy("user_id").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      drain()
+      assert(countsByUser() == Map(1L -> 3L, 2L -> 2L),
+        s"wrong cap: ${countsByUser()}")
+      // the admitted-count state survives the restart: a later file
+      // brings user 2 to 4 lifetime rows, only 1 more is admitted
+      Files.writeString(java.nio.file.Paths.get(s"$base/part-1.json"),
+        Seq(row(2L, 30), row(2L, 31)).mkString("\n"))
+      drain()
+      assert(countsByUser() == Map(1L -> 3L, 2L -> 3L),
+        s"cap not enforced across drains: ${countsByUser()}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("stateful sessionization closes sessions on inactivity gaps") {
