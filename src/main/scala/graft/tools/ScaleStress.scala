@@ -104,6 +104,31 @@ object ScaleStress {
     spark.read.parquet(out).count()
   }
 
+  /** Replicate `events` ×m into disjoint per-replica user-id spaces:
+    * the user population scales with the corpus while per-user event
+    * density stays constant — the realistic growth axis for an event
+    * stream, under which a bounded-gap pair join's output grows
+    * linearly (more users), not quadratically (denser users). A
+    * deterministic ±30 min per-(event, replica) ts jitter keeps
+    * replicas off the base corpus's exact time-bin layout. */
+  def synthesizeEvents(spark: SparkSession, sfDir: String, m: Int,
+      out: String): Long = {
+    val base = graft.util.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val reps = base.withColumn("r",
+      explode(sequence(lit(0L), lit(m - 1L))))
+    val jitterUs = pmod(xxhash64(col("event_id"), col("r")),
+      lit(3600000000L)) - lit(1800000000L)
+    reps.select(
+        (col("event_id") * m + col("r")).as("event_id"),
+        timestamp_micros(unix_micros(col("ts")) + jitterUs).as("ts"),
+        (col("user_id") * m + col("r")).as("user_id"),
+        col("event_type"), col("value"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).count()
+  }
+
   final case class Measurement(multiplier: Int, op: String, rowsIn: Long,
       rowsOut: Long, wallSec: Double, shuffleMB: Double,
       shuffleRecords: Long, spillMB: Double, driverHeapMB: Long)
@@ -131,7 +156,7 @@ object ScaleStress {
     "connected_components", "simhash_pairs", "embed_near_dup",
     "ivf_train", "ivf_topk", "curation_chain", "pack_sequential",
     "bigram_commonness", "lang_rebalance", "chunk_dedup", "salted_join",
-    "bucket_stats")
+    "bucket_stats", "interval_join")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -165,6 +190,7 @@ object ScaleStress {
     "pack_sequential", "bigram_commonness", "lang_rebalance",
     "chunk_dedup", "salted_join", "bucket_stats")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk")
+  private val evtOps = Set("interval_join")
   private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
 
   private def measureOp(name: String, m: Int, rowsIn: Long)(
@@ -230,7 +256,10 @@ object ScaleStress {
         synthesizeDocs(spark, sfDir, m, docsPath) else 0L
       val nVecs = if (anyEnabled(embOps))
         synthesizeEmbeddings(spark, sfDir, m, embPath) else 0L
-      println(s"== x$m: $nDocs docs, $nVecs vectors ==")
+      val evtsPath = s"$workRoot/evts_x$m"
+      val nEvts = if (anyEnabled(evtOps))
+        synthesizeEvents(spark, sfDir, m, evtsPath) else 0L
+      println(s"== x$m: $nDocs docs, $nVecs vectors, $nEvts events ==")
       def docs = spark.read.parquet(docsPath)
       def embs = spark.read.parquet(embPath)
 
@@ -338,6 +367,17 @@ object ScaleStress {
           docs.select(col("doc_id"), col("source")), "source",
           dim, "src", saltBuckets = 16,
           hotThreshold = (nDocs / 50) max 100)
+      }
+      // bounded-gap interval join (the batch shape of the streaming
+      // click→conversion join, q_stream_join/q_range_join_pairs): the
+      // time-bin band-join rewrite joins only on the equi-key
+      // (user, bin) — no range cross product; with the user population
+      // scaling and per-user density constant, pairs must grow
+      // linearly in the corpus
+      if (opEnabled("interval_join")) rows += measureOp("interval_join", m, nEvts) {
+        graft.operators.Temporal.boundedGapSelfJoin(
+          spark.read.parquet(evtsPath), "user_id", "ts", "event_id",
+          maxGapUs = 2L * 3600 * 1000000)
       }
       // bucket-cap observability: the boilerplate clone army should
       // surface as buckets at/above the cap (star-linked by the
