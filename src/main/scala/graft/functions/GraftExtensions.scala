@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // optimizer rule: naive bounded time-range joins → band equi-joins
+    // (the automatic form of Temporal.boundedGapSelfJoin's rewrite)
+    e.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity"),
       (exprs: Seq[Expression]) => {

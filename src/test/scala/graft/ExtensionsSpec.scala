@@ -56,4 +56,72 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("BandJoinRewrite turns a naive range join into a band equi-join") {
+    val shared = SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-bandjoin-test")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      // 5 users × 40 events, 10 min apart, interleaved across users
+      spark.sql(
+        """SELECT id, id % 5 AS u, timestamp_micros(id * 600000000) AS ts
+          |FROM range(200)""".stripMargin).createOrReplaceTempView("ev")
+      val df = spark.sql(
+        """SELECT a.id AS ida, b.id AS idb FROM ev a JOIN ev b
+          |ON a.u = b.u AND b.ts >= a.ts
+          |AND b.ts <= a.ts + INTERVAL 1 HOUR AND a.id < b.id
+          |""".stripMargin)
+      // the rewrite engaged: an Explode generator feeds the join and
+      // the join condition carries the internal band-bin equality
+      val opt = df.queryExecution.optimizedPlan
+      val gens = opt.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+      assert(gens.nonEmpty, s"no Generate in plan:\n$opt")
+      val binCond = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.condition.map(_.references.map(_.name)
+            .exists(_.startsWith("__graft_band_bin"))).getOrElse(false) }
+      assert(binCond.contains(true), s"no band-bin equi-key in:\n$opt")
+      // and it is semantics-preserving: pairs match the reference
+      // computed in plain Scala
+      val expected = (for {
+        a <- 0 until 200; b <- 0 until 200
+        if a % 5 == b % 5 && b > a && (b - a) * 600L <= 3600L
+      } yield (a.toLong, b.toLong)).toSet
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      // keyless range join — the shape that degenerates to a nested-
+      // loop cross product: the band bin hands Spark an equi-key, so
+      // the physical plan hash/merge-joins instead
+      val keyless = spark.sql(
+        """SELECT a.id FROM ev a JOIN ev b
+          |ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+          |""".stripMargin)
+      val phys = keyless.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"),
+        s"range join still plans as a nested loop:\n$phys")
+      // pairs with 0 <= delta <= 6 steps of 10 min over ids 0..199
+      assert(keyless.count() == 194L * 7 + 21)
+      // no upper bound → no band to exploit → rule must NOT fire
+      val open = spark.sql(
+        """SELECT a.id FROM ev a JOIN ev b
+          |ON a.u = b.u AND b.ts >= a.ts""".stripMargin)
+      assert(open.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.isEmpty, "rewrite fired without an upper bound")
+    } finally {
+      spark.stop()
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
