@@ -962,5 +962,59 @@ object BreadthQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM orders o
              |  WHERE o.o_custkey = c.c_custkey
              |  AND year(o.o_orderdate) = 1995)""".stripMargin)),
+
+    // recursive CTE (Spark 4 WITH RECURSIVE → UnionLoop): chain-walk
+    // label assignment. Documents form linked chains inside each
+    // (lang, source) group — bucketed every 32 rows so recursion depth
+    // is bounded BY CONSTRUCTION at any corpus size (the scale-sound
+    // shape: iterations are a design constant, not data-driven; the
+    // unbounded-depth relative of this walk is
+    // Dedup.connectedComponents' alternating label joins). Heads seed
+    // the loop, each iteration follows one next-link carrying the head
+    // label; every doc is reached exactly once. The oracle is DuckDB's
+    // own WITH RECURSIVE over the same chains.
+    QueryDef("q_recursive_chains",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("graft_rc_docs")
+        s.sql("""
+          |WITH RECURSIVE
+          |seq AS (
+          |  SELECT doc_id, lang, source,
+          |    row_number() OVER (PARTITION BY lang, source
+          |      ORDER BY doc_id) - 1 AS rn
+          |  FROM graft_rc_docs),
+          |links AS (
+          |  SELECT doc_id, rn,
+          |    lead(doc_id) OVER (PARTITION BY lang, source, rn div 32
+          |      ORDER BY rn) AS next_id
+          |  FROM seq),
+          |walk AS (
+          |  SELECT doc_id AS chain_head, doc_id, next_id
+          |  FROM links WHERE rn % 32 = 0
+          |  UNION ALL
+          |  SELECT w.chain_head, l.doc_id, l.next_id
+          |  FROM walk w JOIN links l ON l.doc_id = w.next_id
+          |)
+          |SELECT doc_id, chain_head FROM walk""".stripMargin)
+      },
+      Some("""WITH RECURSIVE
+             |seq AS (
+             |  SELECT doc_id, lang, source,
+             |    row_number() OVER (PARTITION BY lang, source
+             |      ORDER BY doc_id) - 1 AS rn
+             |  FROM documents),
+             |links AS (
+             |  SELECT doc_id, rn,
+             |    lead(doc_id) OVER (PARTITION BY lang, source, rn // 32
+             |      ORDER BY rn) AS next_id
+             |  FROM seq),
+             |walk AS (
+             |  SELECT doc_id AS chain_head, doc_id, next_id
+             |  FROM links WHERE rn % 32 = 0
+             |  UNION ALL
+             |  SELECT w.chain_head, l.doc_id, l.next_id
+             |  FROM walk w JOIN links l ON l.doc_id = w.next_id
+             |)
+             |SELECT doc_id, chain_head FROM walk""".stripMargin)),
   )
 }
