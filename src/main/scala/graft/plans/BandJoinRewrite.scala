@@ -74,8 +74,11 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // streaming joins excluded: Spark's stream-stream interval join
+    // already bounds state from the range predicate itself, and an
+    // injected Generate would break watermark propagation
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if !alreadyRewritten(j) =>
+        if !alreadyRewritten(j) && !j.isStreaming =>
       findBand(j, cond).map { case (ta, tb, gapUs) =>
         val taFromLeft = ta.references.subsetOf(left.outputSet)
         val (taPlan, tbPlan) = if (taFromLeft) (left, right) else (right, left)
