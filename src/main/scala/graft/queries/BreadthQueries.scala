@@ -633,6 +633,30 @@ object BreadthQueries {
              |CAST(props->>'$.k' AS INTEGER) AS k
              |FROM events""".stripMargin)),
 
+    // Spark 4 VARIANT twin of q_json_extract: props parsed ONCE into
+    // the binary variant encoding, then typed extraction, schema
+    // introspection, missing-path try-get, and a derived bucket all
+    // read the variant — at scale this is the semi-structured path
+    // that replaces per-access JSON string re-parsing (and is what
+    // shredded storage optimizes); the oracle reads the same facts
+    // straight off the JSON text
+    QueryDef("q_variant_extract",
+      (s, d) => {
+        val v = parse_json(col("props"))
+        Tables.events(s, d).select(col("event_id"),
+          variant_get(v, "$.k", "int").as("k"),
+          schema_of_variant(v).as("vschema"),
+          try_variant_get(v, "$.missing", "int").as("missing"),
+          expr("CAST(variant_get(parse_json(props), '$.k', 'int') div 10 AS INT)")
+            .as("k_bucket"))
+      },
+      Some("""SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k,
+             |'OBJECT<k: BIGINT>' AS vschema,
+             |CAST(NULL AS INTEGER) AS missing,
+             |CAST(CAST(props->>'$.k' AS INTEGER) // 10 AS INTEGER)
+             |  AS k_bucket
+             |FROM events""".stripMargin)),
+
     // MapType battery (the one SURVEY §1.2 type the reference never
     // uses): props parsed into a real map<string,int>, then size,
     // lookup, key sort, containment, and a transform_values
