@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the engine's own extensions run in production: SQL-registered
+      // native expressions + the band-join optimizer rule, so the whole
+      // oracle slate executes (and must stay hash-identical) with them
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
