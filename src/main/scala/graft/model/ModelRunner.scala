@@ -43,7 +43,8 @@ import graft.lake.Lake
 final case class ModelTestDecl(column: String, test: String)
 
 final case class ModelDef(name: String, group: String, rawSql: String,
-    materialized: String, tests: Seq[ModelTestDecl])
+    materialized: String, tests: Seq[ModelTestDecl],
+    config: Map[String, String] = Map.empty)
 
 final case class ModelProject(name: String, vars: Map[String, String],
     models: Seq[ModelDef])
@@ -69,8 +70,15 @@ object ModelRunner {
     raw"""\{\{\s*var\(\s*['"]([A-Za-z0-9_]+)['"]\s*\)\s*\}\}""".r
   private val RefPat =
     raw"""\{\{\s*ref\(\s*['"]([A-Za-z0-9_]+)['"]\s*\)\s*\}\}""".r
-  private val ConfigPat =
-    raw"""\{\{\s*config\(\s*materialized\s*=\s*['"]([A-Za-z0-9_]+)['"]\s*\)\s*\}\}""".r
+  private val ConfigBlockPat = raw"""\{\{\s*config\(([^)]*)\)\s*\}\}""".r
+  private val KwargPat =
+    raw"""([A-Za-z_]+)\s*=\s*['"]([^'"]*)['"]""".r
+  private val ThisPat = raw"""\{\{\s*this\s*\}\}""".r
+  /** dbt's `{% if is_incremental() %} ... {% endif %}` block: kept or
+    * dropped at EXECUTION time, once the model's own catalog state is
+    * known. */
+  private val IfIncPat =
+    raw"""(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}""".r
   private val LeftoverPat = raw"""\{\{[^}]*\}\}""".r
 
   private val Ident = raw"[A-Za-z_][A-Za-z0-9_]*".r
@@ -113,14 +121,18 @@ object ModelRunner {
           val modelName = f.getFileName.toString.stripSuffix(".sql")
           checkIdent("model name", modelName)
           val raw = Files.readString(f)
-          // in-file {{ config(materialized=...) }} overrides the
-          // directory default (dbt precedence)
-          val mat = ConfigPat.findFirstMatchIn(raw).map(_.group(1))
+          // in-file {{ config(...) }} kwargs; materialized overrides
+          // the directory default (dbt precedence)
+          val config = ConfigBlockPat.findFirstMatchIn(raw)
+            .map(m => KwargPat.findAllMatchIn(m.group(1))
+              .map(k => k.group(1) -> k.group(2)).toMap)
+            .getOrElse(Map.empty)
+          val mat = config.get("materialized")
             .orElse(groupMat.get(group)).getOrElse("view")
-          require(mat == "table" || mat == "view",
+          require(mat == "table" || mat == "view" || mat == "incremental",
             s"model $modelName: unsupported materialization '$mat'")
-          ModelDef(modelName, group, ConfigPat.replaceAllIn(raw, ""), mat,
-            tests.getOrElse(modelName, Seq.empty))
+          ModelDef(modelName, group, ConfigBlockPat.replaceAllIn(raw, ""),
+            mat, tests.getOrElse(modelName, Seq.empty), config)
         }
     }
     val dup = models.groupBy(_.name).collect { case (n, ms) if ms.size > 1 => n }
@@ -149,16 +161,23 @@ object ModelRunner {
     }.toMap
   }
 
-  /** Render one model's SQL: substitute vars and refs, and return the
-    * rendered text plus the dependencies found via `ref()` and via
-    * `<target_schema>.<model>` qualified names. */
-  private def render(sql: String, vars: Map[String, String],
-      knownModels: Set[String], targetSchema: String): (String, Set[String]) = {
+  /** Render one model's SQL: substitute vars, refs, and `{{ this }}`
+    * (the model's own relation — dbt's incremental-filter handle), and
+    * return the rendered text plus the dependencies found via `ref()`
+    * and via `<target_schema>.<model>` qualified names.
+    * `{% if is_incremental() %}` blocks survive rendering verbatim;
+    * they resolve at execution time ([[renderIncremental]]), when the
+    * model's catalog state is known. */
+  private def render(modelName: String, sql: String,
+      vars: Map[String, String], knownModels: Set[String],
+      targetSchema: String): (String, Set[String]) = {
     val deps = mutable.Set.empty[String]
     val afterVars = VarPat.replaceAllIn(sql, m =>
       vars.getOrElse(m.group(1), throw new IllegalArgumentException(
         s"undeclared var '${m.group(1)}' (project vars: ${vars.keys.mkString(", ")})")))
-    val afterRefs = RefPat.replaceAllIn(afterVars, m => {
+    val afterThis = ThisPat.replaceAllIn(afterVars,
+      s"$targetSchema.$modelName")
+    val afterRefs = RefPat.replaceAllIn(afterThis, m => {
       val target = m.group(1)
       require(knownModels.contains(target),
         s"ref('$target') does not name a model in this project")
@@ -176,6 +195,20 @@ object ModelRunner {
         deps += m
     }
     (afterRefs, deps.toSet)
+  }
+
+  /** Resolve `{% if is_incremental() %} ... {% endif %}` blocks: keep
+    * the body when the model is executing incrementally, drop it on
+    * the first (full) build. Any other `{% %}` tag is unsupported and
+    * fails loudly. */
+  private def renderIncremental(sql: String, incremental: Boolean): String = {
+    val out = IfIncPat.replaceAllIn(sql, m =>
+      if (incremental)
+        java.util.regex.Matcher.quoteReplacement(m.group(1))
+      else "")
+    raw"""\{%[^}]*%\}""".r.findFirstIn(out).foreach(t =>
+      throw new IllegalArgumentException(s"unsupported template tag '$t'"))
+    out
   }
 
   /** Deterministic topological order (lexicographic among ready
@@ -218,32 +251,71 @@ object ModelRunner {
     val byName = project.models.map(m => m.name -> m).toMap
     val known = byName.keySet
     val rendered = project.models.map { m =>
-      val (sql, deps) = render(m.rawSql, vars, known, targetSchema)
+      val (sql, deps) = render(m.name, m.rawSql, vars, known, targetSchema)
       m.name -> ((sql, deps - m.name))
     }.toMap
     val order = topoOrder(rendered.view.mapValues(_._2).toMap)
 
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $targetSchema")
+
+    // an in-memory catalog over a durable warehouse dir can hold an
+    // orphan location from a previous session (the catalog forgot the
+    // table; its directory survived) — CREATE would collide with
+    // LOCATION_ALREADY_EXISTS; clear it first
+    def clearOrphanLocation(name: String, relation: String): Unit =
+      if (!spark.catalog.tableExists(relation)) {
+        val db = spark.sessionState.catalog
+          .getDatabaseMetadata(targetSchema)
+        val loc = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(db.locationUri), name)
+        val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+
     order.map { name =>
       val m = byName(name)
       val (sql, deps) = rendered(name)
       val relation = s"$targetSchema.$name"
       m.materialized match {
         case "table" =>
-          // an in-memory catalog over a durable warehouse dir can hold
-          // an orphan location from a previous session (the catalog
-          // forgot the table; its directory survived) — CREATE would
-          // collide with LOCATION_ALREADY_EXISTS; clear it first
-          if (!spark.catalog.tableExists(relation)) {
-            val db = spark.sessionState.catalog
-              .getDatabaseMetadata(targetSchema)
-            val loc = new org.apache.hadoop.fs.Path(
-              new org.apache.hadoop.fs.Path(db.locationUri), name)
-            val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-            if (fs.exists(loc)) fs.delete(loc, true)
+          clearOrphanLocation(name, relation)
+          Lake.materializeTable(spark,
+            spark.sql(renderIncremental(sql, incremental = false)), relation)
+        case "view" => spark.sql(s"CREATE OR REPLACE VIEW $relation AS " +
+          renderIncremental(sql, incremental = false))
+        case "incremental" =>
+          // dbt incremental semantics: first build runs the FULL select
+          // (is_incremental() = false) and creates the table; later
+          // runs keep the {% if is_incremental() %} filter — typically
+          // `WHERE ts > (SELECT max(ts) FROM {{ this }})` — and land
+          // only the increment, by `incremental_strategy`:
+          //  - append (default): INSERT INTO, the at-least-once shape;
+          //  - insert_overwrite (+ partition_by): replace exactly the
+          //    partitions present in the increment — idempotent reruns,
+          //    the scale-canonical strategy (Lake.overwritePartitions'
+          //    dynamic overwrite prunes untouched partitions).
+          val exists = spark.catalog.tableExists(relation)
+          val body = renderIncremental(sql, incremental = exists)
+          if (!exists) {
+            clearOrphanLocation(name, relation)
+            m.config.get("partition_by") match {
+              case Some(p) => spark.sql(body).write.format("parquet")
+                .partitionBy(checkIdent("partition_by", p))
+                .saveAsTable(relation)
+              case None => Lake.materializeTable(spark, spark.sql(body),
+                relation)
+            }
+          } else m.config.getOrElse("incremental_strategy", "append") match {
+            case "append" => spark.sql(s"INSERT INTO $relation $body")
+            case "insert_overwrite" =>
+              val p = m.config.getOrElse("partition_by",
+                throw new IllegalArgumentException(s"model $name: " +
+                  "incremental_strategy=insert_overwrite needs partition_by"))
+              Lake.overwritePartitions(spark, spark.sql(body), relation,
+                checkIdent("partition_by", p))
+            case other => throw new IllegalArgumentException(
+              s"model $name: unsupported incremental_strategy '$other'")
           }
-          Lake.materializeTable(spark, spark.sql(sql), relation)
-        case "view" => spark.sql(s"CREATE OR REPLACE VIEW $relation AS $sql")
       }
       val verdict = Option.when(m.tests.nonEmpty) {
         val v = Dqdl.evaluate(spark.table(relation),

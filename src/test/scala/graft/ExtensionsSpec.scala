@@ -119,7 +119,9 @@ class ExtensionsSpec extends AnyFunSuite {
         case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
       }.isEmpty, "rewrite fired without an upper bound")
     } finally {
-      spark.stop()
+      // do NOT stop(): the builder reuses the JVM's one SparkContext,
+      // so stopping this session would kill every later suite's shared
+      // session — just restore the default/active pointers
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
     }

@@ -160,6 +160,74 @@ class ModelRunnerSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unsupported template"))
   }
 
+  test("incremental model: full first build, then append past the " +
+      "high-water mark") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS mr_src")
+    Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-02"))
+      .toDF("id", "d").write.mode("overwrite")
+      .saveAsTable("mr_src.inc_rows")
+    spark.sql("DROP TABLE IF EXISTS mr_out.inc_model")
+    val root = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/core/inc_model.sql" ->
+        """{{ config(materialized='incremental') }}
+          |SELECT id, d FROM {{ var("source_schema") }}.inc_rows
+          |{% if is_incremental() %}
+          |WHERE id > (SELECT max(id) FROM {{ this }})
+          |{% endif %}
+          |""".stripMargin))
+    val project = ModelRunner.loadProject(root)
+    val first = ModelRunner.run(spark, project)
+    assert(first.head.materialized == "incremental")
+    assert(spark.table("mr_out.inc_model").count() == 3)
+    // source grows by one genuinely-new row and one REPLAYED old row;
+    // the is_incremental() high-water-mark guard admits only the new
+    Seq((4L, "2024-01-03"), (2L, "2024-01-01")).toDF("id", "d")
+      .write.mode("append").saveAsTable("mr_src.inc_rows")
+    ModelRunner.run(spark, project)
+    assert(spark.table("mr_out.inc_model").as[(Long, String)]
+      .collect().toSet == Set((1L, "2024-01-01"), (2L, "2024-01-01"),
+        (3L, "2024-01-02"), (4L, "2024-01-03")))
+  }
+
+  test("incremental insert_overwrite replaces exactly the touched " +
+      "partitions, idempotently") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS mr_src")
+    def seed(rows: Seq[(Long, Double, String)]): Unit =
+      rows.toDF("id", "amount", "d").write.mode("overwrite")
+        .saveAsTable("mr_src.inc_part_src")
+    seed(Seq((1L, 10.0, "2024-01-01"), (2L, 20.0, "2024-01-02")))
+    spark.sql("DROP TABLE IF EXISTS mr_out.inc_part_model")
+    val root = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/core/inc_part_model.sql" ->
+        """{{ config(materialized='incremental',
+          |   incremental_strategy='insert_overwrite', partition_by='d') }}
+          |SELECT id, amount, d
+          |FROM {{ var("source_schema") }}.inc_part_src
+          |{% if is_incremental() %}
+          |WHERE d >= '2024-01-02'
+          |{% endif %}
+          |""".stripMargin))
+    val project = ModelRunner.loadProject(root)
+    ModelRunner.run(spark, project)
+    assert(spark.table("mr_out.inc_part_model").count() == 2)
+    // source evolves: 01-01 changes (but sits OUTSIDE the incremental
+    // window — must keep its original landed value), 01-02 is
+    // restated, 01-03 is new
+    seed(Seq((1L, 99.0, "2024-01-01"), (2L, 25.0, "2024-01-02"),
+      (3L, 30.0, "2024-01-03")))
+    ModelRunner.run(spark, project)
+    val expected = Set((1L, 10.0, "2024-01-01"), (2L, 25.0, "2024-01-02"),
+      (3L, 30.0, "2024-01-03"))
+    assert(spark.table("mr_out.inc_part_model").as[(Long, Double, String)]
+      .collect().toSet == expected)
+    // a rerun of the same window rewrites the same partitions in place
+    ModelRunner.run(spark, project)
+    assert(spark.table("mr_out.inc_part_model").as[(Long, Double, String)]
+      .collect().toSet == expected)
+  }
+
   test("MiniYaml parses the reference's actual dbt_project.yml and " +
       "schema.yml shapes") {
     val refRoot = Paths.get("/root/reference/dbt_modeling")
