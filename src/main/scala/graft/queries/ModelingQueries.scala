@@ -3,8 +3,10 @@ package graft.queries
 import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import graft.model.ModelRunner
+import graft.util.Tables
 
 /** Driver-checkable query for the declarative SQL-file modeling layer
   * (the dbt analog, [[graft.model.ModelRunner]]). The embedded project
@@ -189,6 +191,94 @@ object ModelingQueries {
              |JOIN orders o ON l.l_orderkey = o.o_orderkey
              |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
              |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-             |GROUP BY 1, 2, 3""".stripMargin))
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // the incremental-materialization workflow under the gate: the
+    // documents corpus split into two ingest "days"; day 1 seeds the
+    // source and the FIRST run full-builds the partitioned stats
+    // table; day 2 then lands in the source and the SECOND run's
+    // is_incremental() high-water filter aggregates ONLY the new
+    // partition, insert_overwrite-ing it in place. The final table
+    // must equal the one-shot aggregation over the whole corpus —
+    // which is exactly what the oracle computes. Built once per
+    // (process, data dir); repeats read the landed table.
+    QueryDef("q_model_incremental",
+      (s, d) => {
+        incBuilt.getOrElseUpdate(d, {
+          s.sql("CREATE DATABASE IF NOT EXISTS graft_mi_src")
+          s.sql("CREATE DATABASE IF NOT EXISTS graft_mi_out")
+          s.sql("DROP TABLE IF EXISTS graft_mi_src.docs")
+          s.sql("DROP TABLE IF EXISTS graft_mi_out.doc_stats")
+          // the durable warehouse dir outlives the in-memory catalog
+          // across JVMs: an orphan location from a previous session
+          // would fail CREATE with LOCATION_ALREADY_EXISTS — clear it
+          // (same discipline as ModelRunner's clearOrphanLocation)
+          Seq(("graft_mi_src", "docs"), ("graft_mi_out", "doc_stats"))
+            .foreach { case (db, tbl) =>
+              if (!s.catalog.tableExists(s"$db.$tbl")) {
+                val meta = s.sessionState.catalog.getDatabaseMetadata(db)
+                val loc = new org.apache.hadoop.fs.Path(
+                  new org.apache.hadoop.fs.Path(meta.locationUri), tbl)
+                val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+                if (fs.exists(loc)) fs.delete(loc, true)
+              }
+            }
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("n_chars"),
+              when(col("doc_id") % 3 === 0, lit("2024-01-02"))
+                .otherwise(lit("2024-01-01")).as("d"))
+          docs.filter(col("d") === "2024-01-01").write.mode("overwrite")
+            .saveAsTable("graft_mi_src.docs")
+          val project = ModelRunner.loadProject(incProjectRoot)
+          ModelRunner.run(s, project)
+          docs.filter(col("d") === "2024-01-02").write.mode("append")
+            .saveAsTable("graft_mi_src.docs")
+          ModelRunner.run(s, project)
+          true
+        })
+        s.table("graft_mi_out.doc_stats")
+      },
+      Some("""WITH src AS (SELECT lang, n_chars,
+             |  CASE WHEN doc_id % 3 = 0 THEN '2024-01-02'
+             |  ELSE '2024-01-01' END AS d FROM documents)
+             |SELECT d, lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS chars
+             |FROM src GROUP BY 1, 2""".stripMargin))
   )
+
+  private val incBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private val incProjectFiles: Seq[(String, String)] = Seq(
+    "dbt_project.yml" ->
+      """name: 'graft_inc'
+        |vars:
+        |  source_schema: graft_mi_src
+        |  target_schema: graft_mi_out
+        |""".stripMargin,
+    "models/core/doc_stats.sql" ->
+      """{{ config(materialized='incremental',
+        |   incremental_strategy='insert_overwrite', partition_by='d') }}
+        |SELECT d, lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS chars
+        |FROM {{ var("source_schema") }}.docs
+        |{% if is_incremental() %}
+        |WHERE d > (SELECT max(d) FROM {{ this }})
+        |{% endif %}
+        |GROUP BY d, lang
+        |""".stripMargin)
+
+  /** Incremental project written once per JVM (same leak discipline as
+    * [[projectRoot]]). */
+  private lazy val incProjectRoot: Path = {
+    val root = Files.createTempDirectory("graft-inc-models")
+    root.toFile.deleteOnExit()
+    incProjectFiles.foreach { case (rel, content) =>
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    root
+  }
 }
