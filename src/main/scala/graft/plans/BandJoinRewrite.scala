@@ -37,6 +37,9 @@ import org.apache.spark.sql.types.{ArrayType, DayTimeIntervalType,
   * exactly this) where ta/tb are timestamp expressions from opposite
   * join sides and g is a foldable day-time interval — or the same
   * shape on long (epoch-micros style) columns with a long-literal gap.
+  * By default only joins WITHOUT another cross-side equi-key rewrite
+  * (the cross-product case, an unconditional win); keyed joins rewrite
+  * only under [[KeyedConf]] — see the measured tradeoff in SCALING.md.
   * Registered through [[graft.functions.GraftExtensions]]; runs inside
   * the fixed-point operator-optimization batch, so a marker attribute
   * prefix keeps it idempotent.
@@ -118,6 +121,15 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def alreadyRewritten(j: Join): Boolean =
     j.children.exists(_.output.exists(_.name.startsWith(binPrefix)))
 
+  /** When true, the rewrite also fires on joins that ALREADY have an
+    * equi-key. Default off: with a well-distributed key the band adds
+    * an exchange and a 2× probe for little gain (measured ~25% slower
+    * at ×10, SCALING.md); it pays off only on HOT keys, which the
+    * optimizer cannot see without stats — so keyed rewriting is the
+    * user's call. The keyless cross-product degeneration is an
+    * unconditional win and always rewrites. */
+  val KeyedConf = "spark.graft.bandJoinRewrite.keyed"
+
   /** Finds (ta, tb, gapUs): conjuncts `tb >= ta` and `tb <= ta + gap`
     * over deterministic expressions of matching flavor from opposite
     * join sides, with a positive gap. */
@@ -132,6 +144,14 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       oneSided(a) && oneSided(b) &&
         (a.references.subsetOf(j.left.outputSet) !=
           b.references.subsetOf(j.left.outputSet))
+    val hasEquiKey = conjuncts.exists {
+      case EqualTo(a, b)       => opposite(a, b)
+      case EqualNullSafe(a, b) => opposite(a, b)
+      case _                   => false
+    }
+    val keyedEnabled = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(KeyedConf, "false").toBoolean
+    if (hasEquiKey && !keyedEnabled) return None
     def flavorOk(e: Expression): Boolean =
       e.dataType == TimestampType || e.dataType == LongType
     val lowers = conjuncts.collect {

@@ -74,17 +74,24 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql(
         """SELECT id, id % 5 AS u, timestamp_micros(id * 600000000) AS ts
           |FROM range(200)""".stripMargin).createOrReplaceTempView("ev")
-      val df = spark.sql(
+      def keyedDf() = spark.sql(
         """SELECT a.id AS ida, b.id AS idb FROM ev a JOIN ev b
           |ON a.u = b.u AND b.ts >= a.ts
           |AND b.ts <= a.ts + INTERVAL 1 HOUR AND a.id < b.id
           |""".stripMargin)
-      // the rewrite engaged: an Explode generator feeds the join and
-      // the join condition carries the internal band-bin equality
+      def gens(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+      // a join that already has an equi-key does NOT rewrite by default
+      // (the band pays an extra exchange; only hot keys profit)
+      assert(gens(keyedDf()).isEmpty,
+        "keyed range join rewrote without opt-in")
+      // opted in, the rewrite engages: Explode feeds the join and the
+      // condition carries the internal band-bin equality
+      spark.conf.set(graft.plans.BandJoinRewrite.KeyedConf, "true")
+      val df = keyedDf()
       val opt = df.queryExecution.optimizedPlan
-      val gens = opt.collect {
-        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
-      assert(gens.nonEmpty, s"no Generate in plan:\n$opt")
+      assert(gens(df).nonEmpty, s"no Generate in plan:\n$opt")
       val binCond = opt.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
           j.condition.map(_.references.map(_.name)
@@ -99,6 +106,7 @@ class ExtensionsSpec extends AnyFunSuite {
       val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expected,
         s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      spark.conf.unset(graft.plans.BandJoinRewrite.KeyedConf)
       // keyless range join — the shape that degenerates to a nested-
       // loop cross product: the band bin hands Spark an equi-key, so
       // the physical plan hash/merge-joins instead
