@@ -156,7 +156,7 @@ object ScaleStress {
     "connected_components", "simhash_pairs", "embed_near_dup",
     "ivf_train", "ivf_topk", "curation_chain", "pack_sequential",
     "bigram_commonness", "lang_rebalance", "chunk_dedup", "salted_join",
-    "bucket_stats", "interval_join")
+    "bucket_stats", "interval_join", "stream_drain")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -190,7 +190,7 @@ object ScaleStress {
     "pack_sequential", "bigram_commonness", "lang_rebalance",
     "chunk_dedup", "salted_join", "bucket_stats")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk")
-  private val evtOps = Set("interval_join")
+  private val evtOps = Set("interval_join", "stream_drain")
   private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
 
   private def measureOp(name: String, m: Int, rowsIn: Long)(
@@ -378,6 +378,39 @@ object ScaleStress {
         graft.operators.Temporal.boundedGapSelfJoin(
           spark.read.parquet(evtsPath), "user_id", "ts", "event_id",
           maxGapUs = 2L * 3600 * 1000000)
+      }
+      // checkpointed streaming drain: the synthesized events consumed
+      // as a file STREAM and landed to a partitioned silver table
+      // through the ledgered foreachBatch sink (StreamingIngest
+      // .sinkToSilver — dynamic partition overwrite per batch). The
+      // scale question is drain throughput: wall must track rows
+      // (file discovery, state, and ledger are per-batch constants)
+      if (opEnabled("stream_drain")) {
+        println(s"-- x$m stream_drain ...")
+        val tbl = "scale_stream_drain"
+        val samples = (1 to runsPerOp).map { _ =>
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          // durable warehouse dir may hold an orphan location from a
+          // previous run whose catalog entry is gone — clear it
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.sessionState.catalog.defaultTablePath(
+              spark.sessionState.sqlParser.parseTableIdentifier(tbl)))
+          val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(loc)) fs.delete(loc, true)
+          val ckpt = java.nio.file.Files
+            .createTempDirectory("scale-drain-ckpt").toString
+          val raw = spark.readStream
+            .schema(spark.read.parquet(evtsPath).schema)
+            .option("maxFilesPerTrigger", 1000).parquet(evtsPath)
+          val evts = raw.withColumn("ingest_on", to_date(col("ts")))
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingIngest.sinkToSilver(evts, spark, tbl, ckpt)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val rowsOut = spark.table(tbl).count()
+        rows += Measurement(m, "stream_drain", nEvts, rowsOut,
+          samples.min, -1, -1, -1, usedHeapMB())
+        println(f"-- x$m stream_drain: $rowsOut rows, ${samples.min}%.2f s")
       }
       // bucket-cap observability: the boilerplate clone army should
       // surface as buckets at/above the cap (star-linked by the
