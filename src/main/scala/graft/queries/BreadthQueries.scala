@@ -996,7 +996,11 @@ object BreadthQueries {
     // Dedup.connectedComponents' alternating label joins). Heads seed
     // the loop, each iteration follows one next-link carrying the head
     // label; every doc is reached exactly once. The oracle is DuckDB's
-    // own WITH RECURSIVE over the same chains.
+    // own WITH RECURSIVE over the same chains. Bench note: wall is
+    // iteration-overhead-dominated (32 tiny jobs × ~90 ms scheduling
+    // each, a CONSTANT — per-iteration data cost is negligible and the
+    // depth does not grow with the corpus), so the query's bench row
+    // measures UnionLoop's fixed cost, not a data-dependent cost.
     QueryDef("q_recursive_chains",
       (s, d) => {
         Tables.documents(s, d).createOrReplaceTempView("graft_rc_docs")

@@ -109,6 +109,35 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("Spark injects a runtime bloom filter for a selective shuffled " +
+      "fact-dim join (the automatic relative of q_bloom_join)") {
+    import org.apache.spark.sql.functions.col
+    // production defaults gate injection on 10 GB application-side
+    // scans — at test SF nothing qualifies, so lower the size gates
+    // (NOT the feature flags) to observe the mechanism itself; at
+    // 100 TB the real scans clear the default thresholds on their own
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = overrides.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    try {
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      val lt = graft.util.Tables.lineitem(spark, sf)
+      val o = graft.util.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = lt.join(o, lt("l_orderkey") === o("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      // the probe side carries an injected might_contain filter even
+      // though the query never asked for one — runtime row-group
+      // pruning the engine relies on at scale
+      assert(p.contains("might_contain"), p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   private def occurrences(p: String, token: scala.util.matching.Regex) =
     token.findAllMatchIn(p).size
 
