@@ -35,6 +35,14 @@ object ExtensionQueries {
   private val streamJoinOuts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q_stream_quota drain outputs, same discipline. */
+  private val streamQuotaOuts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Row shape streamed through the q_stream_quota cap (the typed
+    * arbitrary-state API needs a product encoder). */
+  final case class QuotaRow(event_id: Long, user_id: Long)
+
   /** The events table as a checkpointable file STREAM with `ts`
     * normalized to a session-timezone microsecond timestamp.
     * Streaming reads don't infer schema, and the parquet
@@ -661,6 +669,52 @@ object ExtensionQueries {
              |AND l.event_type = 'click' AND r.event_type = 'purchase'
              |AND r.ts >= l.ts
              |AND r.ts <= l.ts + INTERVAL 6 HOUR""".stripMargin)),
+
+    // transformWithState under the oracle gate: the events stream
+    // through StatefulOps.capPerKey (Spark 4 arbitrary-state API,
+    // RocksDB store) with a 50-row per-user ingest quota, drained once
+    // per process. WHICH rows are admitted under contention is
+    // arrival-order dependent — an online quota's nature — so the
+    // oracled fact is the deterministic one: the admitted COUNT per
+    // user, which must equal least(cap, user's total). That exactly
+    // pins the quota semantics (never over cap, under-cap users pass
+    // whole) while leaving the arbitrary choice unasserted.
+    QueryDef("q_stream_quota",
+      (s, d) => {
+        val out = streamQuotaOuts.getOrElseUpdate(d, {
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-stream-quota").toString
+          val prev = s.conf.getOption(
+            "spark.sql.streaming.stateStore.providerClass")
+          s.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")
+          try {
+            import org.apache.spark.sql.{Encoder, Encoders}
+            implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+            implicit val rowEnc: Encoder[QuotaRow] =
+              Encoders.product[QuotaRow]
+            val evts = eventStream(s, d)
+              .select(col("event_id"), col("user_id")).as[QuotaRow]
+            val capped = graft.streaming.StatefulOps.capPerKey(
+              evts, (e: QuotaRow) => e.user_id, maxPerKey = 50L)
+            graft.streaming.StreamingIngest.runAvailableNow(
+              capped.toDF(), s"$root/out", s"$root/ckpt")
+          } finally prev match {
+            case Some(p) => s.conf.set(
+              "spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset(
+              "spark.sql.streaming.stateStore.providerClass")
+          }
+          s"$root/out"
+        })
+        s.read.parquet(out)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_admitted"))
+      },
+      Some("""SELECT user_id,
+             |CAST(LEAST(50, COUNT(*)) AS BIGINT) AS n_admitted
+             |FROM events GROUP BY 1""".stripMargin)),
 
     // ------------------------------------------------------ text analysis
 
