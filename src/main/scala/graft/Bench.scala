@@ -9,6 +9,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // pin UTC like Verify: events carry TIMESTAMP_NTZ-cast values, so
+      // time-window/band-join selectivity (hence timings) must not
+      // depend on the host timezone
+      .config("spark.sql.session.timeZone", "UTC")
       // same extensions as Verify: bench times the plans users get
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()

@@ -463,7 +463,7 @@ final case class DatasetMatch(refName: String, keyCols: Seq[String],
     s"${DqOps.safe(refName)}_${keyCols.map(DqOps.safe).mkString("_")}_" +
       s"${DqOps.tag(op)}_${DqOps.numTag(value)}" +
       (if (matchCols.isEmpty) ""
-       else s"_${CustomSql.digest64(matchCols.mkString(" "))}")
+       else s"_${CustomSql.digest64(matchCols.mkString("\u0000"))}")
   val name = s"dataset_match_$t"
   private val alias = s"matched_rows_$t"
   def metrics: Seq[Column] = Seq.empty

@@ -52,7 +52,7 @@ object Lake {
   /** Catalog tables keep partition columns at the end of the schema;
     * align a frame to the table's column order before a positional
     * `insertInto`. */
-  private def alignTo(spark: SparkSession, df: DataFrame,
+  private[graft] def alignTo(spark: SparkSession, df: DataFrame,
       table: String): DataFrame =
     df.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
 

@@ -90,6 +90,32 @@ object ModelRunner {
     s
   }
 
+  /** Config kwargs the runner understands; anything else in a
+    * `{{ config(...) }}` block is a loud error rather than a silent
+    * semantic downgrade. */
+  private val SupportedConfigKeys =
+    Set("materialized", "incremental_strategy", "partition_by")
+
+  /** Parse a config block's kwargs strictly: every key must be
+    * supported, and the block must contain NOTHING that KwargPat did
+    * not consume (an unquoted value like `unique_key=id`, a stray
+    * token, or a `)` inside a quoted value that truncated the match
+    * would otherwise silently drop semantics). */
+  private def parseConfigKwargs(model: String, body: String): Map[String, String] = {
+    val kwargs = KwargPat.findAllMatchIn(body)
+      .map(k => k.group(1) -> k.group(2)).toVector
+    kwargs.foreach { case (k, _) =>
+      require(SupportedConfigKeys.contains(k),
+        s"model $model: unsupported config kwarg '$k' " +
+          s"(supported: ${SupportedConfigKeys.toSeq.sorted.mkString(", ")})")
+    }
+    val residue = KwargPat.replaceAllIn(body, "").replaceAll("[\\s,]", "")
+    require(residue.isEmpty,
+      s"model $model: unparseable config(...) content '$residue' — " +
+        "kwargs must be key='quoted value' pairs")
+    kwargs.toMap
+  }
+
   /** Load a dbt-shaped project: `dbt_project.yml` at `root`, models
     * under `root/models/<group>/`. */
   def loadProject(root: Path): ModelProject = {
@@ -124,8 +150,7 @@ object ModelRunner {
           // in-file {{ config(...) }} kwargs; materialized overrides
           // the directory default (dbt precedence)
           val config = ConfigBlockPat.findFirstMatchIn(raw)
-            .map(m => KwargPat.findAllMatchIn(m.group(1))
-              .map(k => k.group(1) -> k.group(2)).toMap)
+            .map(m => parseConfigKwargs(modelName, m.group(1)))
             .getOrElse(Map.empty)
           val mat = config.get("materialized")
             .orElse(groupMat.get(group)).getOrElse("view")
@@ -306,7 +331,14 @@ object ModelRunner {
                 relation)
             }
           } else m.config.getOrElse("incremental_strategy", "append") match {
-            case "append" => spark.sql(s"INSERT INTO $relation $body")
+            case "append" =>
+              // Align by NAME before the positional insert: a first
+              // build with partition_by moves the partition column to
+              // the END of the table schema, so `INSERT INTO t <sel>`
+              // would land values in the wrong columns on every
+              // incremental run.
+              Lake.alignTo(spark, spark.sql(body), relation)
+                .write.mode("append").insertInto(relation)
             case "insert_overwrite" =>
               val p = m.config.getOrElse("partition_by",
                 throw new IllegalArgumentException(s"model $name: " +

@@ -60,7 +60,12 @@ object BandJoinBench {
         |AND b.event_type = 'purchase' AND b.ts >= a.ts
         |AND b.ts <= a.ts + INTERVAL 6 HOUR""".stripMargin)
 
-    spark.sql(s"SELECT * FROM ev WHERE event_id % ${n / nKeyless} = 0")
+    // stride ≥1 guards modulo-by-zero when nKeyless > n; the actual
+    // slice size is then ~n/stride, which drifts from the request on
+    // non-divisible sizes — the printed label reports the request
+    require(nKeyless > 0, s"nKeyless must be positive, got $nKeyless")
+    val stride = math.max(1L, n / nKeyless)
+    spark.sql(s"SELECT * FROM ev WHERE event_id % $stride = 0")
       .createOrReplaceTempView("ev_small")
     time(s"keyless_n$nKeyless",
       """SELECT a.event_id, b.event_id FROM ev_small a JOIN ev_small b

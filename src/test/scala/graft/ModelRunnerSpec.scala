@@ -228,6 +228,61 @@ class ModelRunnerSpec extends AnyFunSuite {
       .collect().toSet == expected)
   }
 
+  test("incremental append + partition_by aligns columns by name " +
+      "(partition column moves to the END of the table schema)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS mr_src")
+    def seed(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("id", "d", "amount").write.mode("overwrite")
+        .saveAsTable("mr_src.inc_app_src")
+    seed(Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0)))
+    spark.sql("DROP TABLE IF EXISTS mr_out.inc_app_model")
+    // the SELECT lists the partition column `d` in the MIDDLE; the
+    // first build's partitionBy moves it to the end of the table
+    // schema, so a positional insert would land `amount` under `d`
+    val root = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/core/inc_app_model.sql" ->
+        """{{ config(materialized='incremental', partition_by='d') }}
+          |SELECT id, d, amount
+          |FROM {{ var("source_schema") }}.inc_app_src
+          |{% if is_incremental() %}
+          |WHERE id > (SELECT max(id) FROM {{ this }})
+          |{% endif %}
+          |""".stripMargin))
+    val project = ModelRunner.loadProject(root)
+    ModelRunner.run(spark, project)
+    // table schema really does end with the partition column
+    assert(spark.table("mr_out.inc_app_model").columns.last == "d")
+    seed(Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0),
+      (3L, "2024-01-03", 30.0)))
+    ModelRunner.run(spark, project)
+    assert(spark.table("mr_out.inc_app_model")
+      .select($"id", $"d", $"amount").as[(Long, String, Double)]
+      .collect().toSet == Set((1L, "2024-01-01", 10.0),
+        (2L, "2024-01-02", 20.0), (3L, "2024-01-03", 30.0)))
+  }
+
+  test("config(...) blocks are parsed strictly: unknown kwargs and " +
+      "unquoted values are loud errors") {
+    val root = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/core/bad_kwarg.sql" ->
+        "{{ config(materialised='table') }}\nSELECT 1 AS x\n"))
+    val e1 = intercept[IllegalArgumentException] {
+      ModelRunner.loadProject(root)
+    }
+    assert(e1.getMessage.contains("unsupported config kwarg 'materialised'"))
+    val root2 = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/core/bad_unquoted.sql" ->
+        ("{{ config(materialized='incremental', unique_key=id) }}\n" +
+          "SELECT 1 AS id\n")))
+    val e2 = intercept[IllegalArgumentException] {
+      ModelRunner.loadProject(root2)
+    }
+    assert(e2.getMessage.contains("unparseable config"))
+  }
+
   test("MiniYaml parses the reference's actual dbt_project.yml and " +
       "schema.yml shapes") {
     val refRoot = Paths.get("/root/reference/dbt_modeling")
