@@ -440,19 +440,58 @@ object BreadthQueries {
     // a key within eps·N BELOW the 1% threshold can pass — at
     // threshold-adjacent counts the result is sketch-parameter-
     // dependent (deterministic here: fixed seed, fixed parallelism).
+    // The hashed output carries the sketch's GUARANTEES, not its raw
+    // estimates (those are engine-specific): keyed by the EXACT heavy
+    // hitters, it asserts (a) no false negatives — every true hitter
+    // is in the sketch's candidate set (Misra-Gries with k=100
+    // counters provably retains every key with count > N/100);
+    // (b) each hitter's estimate is an overestimate within eps·N
+    // (count-min's one-sided bound); (c) ALL sketch members — including
+    // threshold-adjacent false positives, whose membership is
+    // sketch-parameter-dependent and so excluded from the keyed rows —
+    // satisfy the same est bound. The DuckDB oracle emits literal TRUE
+    // for each check, so a violated guarantee is a hash mismatch.
     QueryDef("q_heavy_hitters_approx",
       (s, d) => {
         import graft.functions.HeavyHittersSketch.heavy_hitters_sketch
-        Tables.lineitem(s, d)
-          .agg(heavy_hitters_sketch(col("l_suppkey"), 100,
-            0.0001, 0.99, 42).as("hh"))
-          .select(col("hh.total").as("total"),
+        val li = Tables.lineitem(s, d)
+        val eps = 0.0001
+        val sk = li.agg(heavy_hitters_sketch(col("l_suppkey"), 100,
+            eps, 0.99, 42).as("hh"))
+          .select(col("hh.total").as("sk_total"),
             explode(col("hh.items")).as("it"))
-          .filter(col("it.est") * 100 > col("total"))
-          .select(col("it.key").as("l_suppkey"),
-            col("it.est").as("est_cnt"))
+          .select(col("sk_total"), col("it.key").as("l_suppkey"),
+            col("it.est").as("est"))
+        val counts = li.groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("cnt"))
+        val total = li.agg(count(lit(1)).as("n"))
+        // one tiny boolean: every sketch member's est sits in
+        // [cnt, cnt + eps·N] (members absent from counts are
+        // impossible — MG only ever admits observed keys)
+        val memberChecks = sk.join(counts, Seq("l_suppkey"), "left")
+          .agg(bool_and(col("est") >= coalesce(col("cnt"), lit(0L)) &&
+            col("est") <= coalesce(col("cnt"), lit(0L)) +
+              lit(eps) * col("sk_total")).as("all_members_bounded"))
+        counts.crossJoin(broadcast(total))
+          .filter(col("cnt") * 100 > col("n"))
+          .join(broadcast(sk.select(col("l_suppkey"), col("est"))),
+            Seq("l_suppkey"), "left")
+          .crossJoin(broadcast(memberChecks))
+          .select(col("l_suppkey"), col("cnt"),
+            col("est").isNotNull.as("in_approx"),
+            (col("est").isNotNull && col("est") >= col("cnt") &&
+              col("est") <= col("cnt") + lit(eps) * col("n"))
+              .as("est_bounded"),
+            col("all_members_bounded"))
           .orderBy(col("l_suppkey"))
-      }, None),
+      },
+      Some("""WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT COUNT(*) AS total FROM lineitem)
+             |SELECT l_suppkey, cnt, TRUE AS in_approx,
+             |TRUE AS est_bounded, TRUE AS all_members_bounded
+             |FROM c, t WHERE cnt * 100 > total
+             |ORDER BY 1""".stripMargin)),
 
     // unpivot via the stack UDTF — the inverse of q_pivot_priority:
     // one wide row fans out to one long row per measure, the
@@ -709,24 +748,53 @@ object BreadthQueries {
              |FROM part""".stripMargin)),
 
     // approximate quantiles via Spark's built-in sketch (one pass, no
-    // sort — the 100 TB way to get percentiles). Sketch internals are
-    // engine-specific → rows-only; QuantileSpec pins the accuracy
-    // against exact sort-based percentiles. Accuracy 10000 (10× the
-    // 1000 default) is deliberate: same-session A/B (SCALING.md,
-    // round 7) measures it at 0.447 s warm — identical to r5 — so the
-    // 10× tighter rank error is free at this sketch size. The
-    // quantile array is
-    // exploded to one (flag, pct, quantile) row per percentile so the
-    // output is all-scalar — array cells crash the driver's
-    // pandas-based rows-only compare (CORRECTNESS_r02).
+    // sort — the 100 TB way to get percentiles). Sketch VALUES are
+    // engine-specific, so the hashed output carries the published
+    // GUARANTEE instead of the raw estimate: percentile_approx at
+    // accuracy A returns a dataset element whose rank is within
+    // N/A of the target rank (SPARK-16283's rank-eps contract). The
+    // query recomputes each estimate's true rank range
+    // [cnt_lt+1, cnt_le] against the group's target rank p·n and
+    // emits `rank_ok` — the DuckDB oracle emits literal TRUE for the
+    // same (flag, pct) keys, so any out-of-bound estimate is a hash
+    // mismatch, not a rows-only shrug. Accuracy 10000 (10× default)
+    // is deliberate: same-session A/B (SCALING.md, round 7) measured
+    // it free at this sketch size. Cost shape: one sketch pass + one
+    // broadcast-join recount pass (12 estimate rows broadcast) — no
+    // sort, no full shuffle of lineitem.
     QueryDef("q_approx_quantiles",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
-          lit(10000)).as("qs"))
-        .select(col("l_returnflag"),
-          posexplode(col("qs")).as(Seq("pct_idx", "quantile"))), None),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val eps = 1.0 / 10000
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
+            lit(10000)).as("qs"))
+          .select(col("l_returnflag"),
+            posexplode(col("qs")).as(Seq("pct_idx", "aq")))
+          .withColumn("pct",
+            element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
+              col("pct_idx") + 1))
+        li.join(broadcast(approx), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"), col("pct_idx"), col("pct"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") < col("aq"), 1L)
+              .otherwise(0L)).as("cnt_lt"),
+            sum(when(col("l_extendedprice") <= col("aq"), 1L)
+              .otherwise(0L)).as("cnt_le"))
+          // the estimate's rank range [cnt_lt+1, cnt_le] must overlap
+          // the allowed window [(p-eps)·n, (p+eps)·n] (+1 absorbs the
+          // floor/ceil convention at the window edges)
+          .select(col("l_returnflag"), col("pct_idx"),
+            ((col("cnt_le") + 1 >= (col("pct") - eps) * col("n")) &&
+              (col("cnt_lt") <= (col("pct") + eps) * col("n") + 1))
+              .as("rank_ok"))
+      },
+      Some("""SELECT l_returnflag, CAST(i - 1 AS INTEGER) AS pct_idx,
+             |TRUE AS rank_ok
+             |FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+             |     generate_series(1, 4) t(i)""".stripMargin)),
 
     // the exact twin of q_approx_quantiles, hash-checked: Spark's
     // `percentile` and DuckDB's `quantile_cont` share the linear-

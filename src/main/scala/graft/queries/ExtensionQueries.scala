@@ -1087,11 +1087,34 @@ object ExtensionQueries {
              |FROM s""".stripMargin)),
 
     // A5 at scale: HyperLogLog distinctness — one pass, no shuffle on
-    // the key. HLL estimates are engine-specific, so rows-only; the
-    // exact-vs-approx agreement is asserted in DqdlSpec.
+    // the key. The HLL ESTIMATE is engine-specific, so the hashed
+    // output carries the guarantee instead: the Dqdl rule's verdict
+    // plus `within_2pct` — the estimate (recovered as ratio·n from the
+    // rule's own metric) within 2% relative error of the exact
+    // distinct count (rsd=0.01, so 2% is a 2-sigma band; HLL++ with a
+    // fixed register layout is deterministic for a given dataset).
+    // The DuckDB oracle computes the exact count and literal TRUEs —
+    // an out-of-band estimate or a flipped verdict is a hash mismatch.
     QueryDef("q_dq_approx_uniqueness",
-      (s, d) => Dqdl.evaluateDf(Tables.customer(s, d), Ruleset("cust_approx",
-        Seq(ApproxDistinctness("c_custkey", 0.9)))), None),
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val verdict = Dqdl.evaluateDf(cust, Ruleset("cust_approx",
+          Seq(ApproxDistinctness("c_custkey", 0.9))))
+        val exact = cust.agg(
+          countDistinct(col("c_custkey")).as("exact_distinct"),
+          count(lit(1)).as("n"))
+        verdict.crossJoin(broadcast(exact))
+          .select(
+            col("approx_distinctness_c_custkey_passed").as("rule_passed"),
+            col("all_passed"),
+            col("exact_distinct"),
+            (abs(col("distinct_ratio_c_custkey") * col("n") -
+              col("exact_distinct")) <=
+              lit(0.02) * col("exact_distinct")).as("within_2pct"))
+      },
+      Some("""SELECT TRUE AS rule_passed, TRUE AS all_passed,
+             |COUNT(DISTINCT c_custkey) AS exact_distinct,
+             |TRUE AS within_2pct FROM customer""".stripMargin)),
 
     // PII redaction: email/phone masking as a pure regexp chain —
     // oracle proves the regex semantics line up across engines (the

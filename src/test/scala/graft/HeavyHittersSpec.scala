@@ -12,6 +12,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class HeavyHittersSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  import graft.functions.HeavyHittersSketch.heavy_hitters_sketch
+
+  /** The raw sketch pipeline q_heavy_hitters_approx wraps: estimated
+    * hitters by the estimated-share filter. */
+  private def sketchHitters(d: String) =
+    graft.util.Tables.lineitem(spark, d)
+      .agg(heavy_hitters_sketch(col("l_suppkey"), 100,
+        0.0001, 0.99, 42).as("hh"))
+      .select(col("hh.total").as("total"),
+        explode(col("hh.items")).as("it"))
+      .filter(col("it.est") * 100 > col("total"))
+      .select(col("it.key").as("l_suppkey"), col("it.est").as("est"))
+
   test("sketch heavy hitters cover the exact ones within CMS error") {
     val d = "/root/testdata/sf0.01"
     val li = graft.util.Tables.lineitem(spark, d)
@@ -21,7 +34,7 @@ class HeavyHittersSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exact = trueCounts.filter { case (_, c) => c * 100 > total }
 
-    val approx = SparkEntry.queries("q_heavy_hitters_approx")(spark, d)
+    val approx = sketchHitters(d)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     // no false negatives: CMS only overestimates, so every exact
@@ -42,8 +55,7 @@ class HeavyHittersSpec extends AnyFunSuite {
   }
 
   test("the fused sketch reads lineitem exactly once") {
-    val df = SparkEntry.queries("q_heavy_hitters_approx")(
-      spark, "/root/testdata/sf0.01")
+    val df = sketchHitters("/root/testdata/sf0.01")
     df.collect()
     // count scans in the (AQE-final) plan text — the fused sketch
     // replaced count()+countMinSketch()+freqItems()'s three scans
@@ -51,6 +63,19 @@ class HeavyHittersSpec extends AnyFunSuite {
       .split("== Initial Plan ==").head // AQE prints the pre-AQE tree too
     val scans = "FileScan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected ONE lineitem scan, plan has $scans:\n$plan")
+  }
+
+  test("q_heavy_hitters_approx emits all-true guarantee columns") {
+    // the oracle gates this too (literal TRUEs in DuckDB), but keep a
+    // local assertion so a sketch regression fails fast in `sbt test`
+    val rows = SparkEntry.queries("q_heavy_hitters_approx")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("in_approx")), r.toString)
+      assert(r.getBoolean(r.fieldIndex("est_bounded")), r.toString)
+      assert(r.getBoolean(r.fieldIndex("all_members_bounded")), r.toString)
+    }
   }
 
   test("Misra-Gries candidates survive adversarial partition merges") {

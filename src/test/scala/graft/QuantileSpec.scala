@@ -28,4 +28,14 @@ class QuantileSpec extends AnyFunSuite {
         s"approx $a vs exact $e")
     }
   }
+
+  test("q_approx_quantiles emits all-true rank_ok guarantee columns") {
+    // the oracle gates this too (literal TRUEs in DuckDB), but keep a
+    // local assertion so a sketch regression fails fast in `sbt test`
+    val rows = SparkEntry.queries("q_approx_quantiles")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 12) // 3 return flags × 4 percentiles
+    rows.foreach(r =>
+      assert(r.getBoolean(r.fieldIndex("rank_ok")), r.toString))
+  }
 }
