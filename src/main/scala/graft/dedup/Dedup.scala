@@ -307,12 +307,17 @@ object Dedup {
     * other but NOT to the rep pair only via the other, healthy band
     * buckets — LSH's multi-band redundancy, measured near-complete on
     * mixed-family buckets in DedupSpec ("mixed families in one
-    * oversized bucket"). Use [[bucketStats]] to see which buckets
-    * took the fallback.
+    * oversized bucket"). When the banding is too coarse for that
+    * redundancy (few bands/slots and every band collapses the mixed
+    * bucket), raise `starReps`: members then link to several
+    * hash-stripe representatives per overflowed bucket, putting a rep
+    * inside each non-negligible family (see [[bucketPairsRaw]]).
+    * Use [[bucketStats]] to see which buckets took the fallback.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 200,
+      starReps: Int = 1): DataFrame = {
     // (id, sh) with shingles pre-hashed to longs — everything downstream
     // (signature, shuffle payloads, set intersection) works on int64
     // persisted: the signature pipeline feeds BOTH sides of the bucket
@@ -342,7 +347,7 @@ object Dedup {
     // Pairs dedupe BEFORE verification: a true near-dup collides in
     // many bands, and exact-jaccard verification is the expensive step.
     val candidates = bucketPairs(banded, Seq("band", "bucket"),
-      maxBucketSize)
+      maxBucketSize, starReps)
     val shTbl = withSig.select(col("id"), col("sh"))
     candidates
       .join(shTbl.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
@@ -513,8 +518,8 @@ object Dedup {
     * trades three shuffles on the bucket key for one; the aggregation
     * payload is ids only (8 bytes/doc, ≤ maxSize per key). */
   private def bucketPairs(df: DataFrame, keys: Seq[String],
-      maxSize: Int): DataFrame =
-    bucketPairsRaw(df, keys, col("id"), maxSize)
+      maxSize: Int, starReps: Int = 1): DataFrame =
+    bucketPairsRaw(df, keys, col("id"), maxSize, starReps)
       .select(col("a").as("idA"), col("b").as("idB"))
       .distinct()
 
@@ -559,8 +564,23 @@ object Dedup {
     * simHashPairs the 16-byte/doc simhash table); embeddingNearDup
     * deliberately recomputes its narrow bucketing instead of caching
     * tables×-duplicated vectors. */
+  /** `starReps` widens the fallback for HETEROGENEOUS overflowed
+    * buckets (several distinct families trapped behind shared
+    * boilerplate, few bands to regenerate their pairs elsewhere):
+    * instead of one min-rep, each member links to `starReps`
+    * deterministic hash-stripe representatives — the minimum element
+    * within each of `starReps` xxhash64 stripes of the bucket. A
+    * pseudo-random stripe assignment puts a rep inside each
+    * non-negligible family with high probability, so members of a
+    * family the min-rep misses still meet a same-family rep and
+    * verify. Cost stays O(starReps·m) pairs and O(starReps) extra
+    * aggregation state per overflowed bucket (ONE extra narrow
+    * aggregation over overflowed-bucket members only — never a
+    * collect of the bucket). Default 1 keeps the original single-rep
+    * plan byte-identical. */
   private def bucketPairsRaw(df: DataFrame, keys: Seq[String],
-      elem: Column, maxSize: Int): DataFrame = {
+      elem: Column, maxSize: Int, starReps: Int = 1): DataFrame = {
+    require(starReps >= 1, s"starReps must be >= 1, got $starReps")
     val keyCols = keys.map(col)
     val agged = df.groupBy(keyCols: _*)
       .agg(graft.functions.CappedCollectFunctions
@@ -584,10 +604,45 @@ object Dedup {
     // already do
     val oversized = agged.filter(col("__cm.items").isNull)
       .select(keyCols :+ col("__cm.rep").as("__rep"): _*)
-    val starPairs = df.select(keyCols :+ elem.as("__e"): _*)
-      .join(broadcast(oversized), keys)
-      .filter(col("__e") =!= col("__rep"))
-      .select(col("__rep").as("a"), col("__e").as("b"))
+    val starPairs = if (starReps == 1) {
+      df.select(keyCols :+ elem.as("__e"): _*)
+        .join(broadcast(oversized), keys)
+        .filter(col("__e") =!= col("__rep"))
+        .select(col("__rep").as("a"), col("__e").as("b"))
+    } else {
+      // multi-rep: the r=1 min-element rep is ALWAYS kept (raising
+      // starReps only adds coverage, never trades it away), plus
+      // (starReps-1) extra reps from one extra aggregation over
+      // overflowed-bucket members only — per bucket, the MIN-HASH
+      // element of each xxhash64 stripe (O(starReps) buffer, no
+      // bucket collect). Min-by-hash, not min-by-element, for the
+      // extras: element order typically correlates with load order
+      // (and hence with family), so min-element stripe reps would
+      // keep landing in the same family; hash order is pseudo-random
+      // across members, putting a rep inside each non-negligible
+      // family w.h.p. Reps then broadcast back (≤ starReps ·
+      // rows/maxSize rows) and each member pairs with every rep;
+      // least/greatest restore the a < b convention (an extra rep
+      // need not be the global min)
+      val members = df.select(keyCols :+ elem.as("__e"): _*)
+        .join(broadcast(oversized.select(keyCols: _*)), keys)
+      val extraStripes = starReps - 1
+      val h = xxhash64(col("__e"))
+      val stripeAggs = (0 until extraStripes).map(i =>
+        min(when(pmod(h, lit(extraStripes)) === i,
+          struct(h.as("__h"), col("__e").as("__v")))).as(s"__r$i"))
+      val hashReps = members.groupBy(keyCols: _*)
+        .agg(stripeAggs.head, stripeAggs.tail: _*)
+        .select(keyCols :+ explode(array(
+          (0 until extraStripes).map(i => col(s"__r$i.__v")): _*))
+          .as("__rep"): _*)
+        .filter(col("__rep").isNotNull)
+      val reps = oversized.unionByName(hashReps).distinct()
+      members.join(broadcast(reps), keys)
+        .filter(col("__e") =!= col("__rep"))
+        .select(least(col("__rep"), col("__e")).as("a"),
+          greatest(col("__rep"), col("__e")).as("b"))
+    }
     normalPairs.unionByName(starPairs)
   }
 
