@@ -267,9 +267,16 @@ object ModelRunner {
   }
 
   /** Run the project: render, order, materialize, and gate. Returns one
-    * [[ModelRun]] per materialized model in execution order. */
+    * [[ModelRun]] per materialized model in execution order.
+    *
+    * `select` is dbt's `--select model+upstream` subsetting for
+    * targeted backfills: when non-empty, only the named models AND
+    * their transitive upstream closure run — unrelated models are
+    * neither materialized nor touched (their existing tables/views
+    * stay as-is). Unknown names fail loudly. */
   def run(spark: SparkSession, project: ModelProject,
-      varOverrides: Map[String, String] = Map.empty): Seq[ModelRun] = {
+      varOverrides: Map[String, String] = Map.empty,
+      select: Seq[String] = Seq.empty): Seq[ModelRun] = {
     val vars = project.vars ++ varOverrides
     val targetSchema = checkIdent("target_schema",
       vars.getOrElse("target_schema", "default"))
@@ -279,7 +286,21 @@ object ModelRunner {
       val (sql, deps) = render(m.name, m.rawSql, vars, known, targetSchema)
       m.name -> ((sql, deps - m.name))
     }.toMap
-    val order = topoOrder(rendered.view.mapValues(_._2).toMap)
+    val fullOrder = topoOrder(rendered.view.mapValues(_._2).toMap)
+    val order = if (select.isEmpty) fullOrder else {
+      val unknown = select.filterNot(known.contains)
+      require(unknown.isEmpty,
+        s"--select names unknown models: ${unknown.mkString(", ")} " +
+          s"(project models: ${known.toSeq.sorted.mkString(", ")})")
+      // upstream closure: selected models plus everything they depend
+      // on, transitively (deps are acyclic — topoOrder above threw on
+      // any cycle)
+      val closure = mutable.Set.empty[String]
+      def visit(n: String): Unit = if (closure.add(n))
+        rendered(n)._2.foreach(visit)
+      select.foreach(visit)
+      fullOrder.filter(closure.contains)
+    }
 
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $targetSchema")
 

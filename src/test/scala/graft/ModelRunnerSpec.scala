@@ -283,6 +283,39 @@ class ModelRunnerSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unparseable config"))
   }
 
+  test("select runs a named model plus its upstream closure and " +
+      "leaves unrelated models untouched") {
+    seedSource()
+    val root = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      // diamond-ish graph: base <- (mid_a, mid_b); top <- mid_a;
+      // `loner` is unrelated
+      "models/core/sel_base.sql" ->
+        "SELECT id, grp, amount FROM {{ var(\"source_schema\") }}.raw_rows\n",
+      "models/core/sel_mid_a.sql" ->
+        "SELECT grp, COUNT(*) AS n FROM {{ ref('sel_base') }} GROUP BY grp\n",
+      "models/core/sel_mid_b.sql" ->
+        "SELECT id FROM {{ ref('sel_base') }} WHERE amount > 15\n",
+      "models/core/sel_top.sql" ->
+        "SELECT COUNT(*) AS groups FROM {{ ref('sel_mid_a') }}\n",
+      "models/core/sel_loner.sql" -> "SELECT 1 AS x\n"))
+    val project = ModelRunner.loadProject(root)
+    Seq("sel_base", "sel_mid_a", "sel_mid_b", "sel_top", "sel_loner")
+      .foreach(m => spark.sql(s"DROP TABLE IF EXISTS mr_out.$m"))
+    val runs = ModelRunner.run(spark, project, select = Seq("sel_top"))
+    // exactly the upstream closure, in dependency order
+    assert(runs.map(_.name) == Seq("sel_base", "sel_mid_a", "sel_top"))
+    assert(spark.table("mr_out.sel_top").as[Long].head() == 2L)
+    // unrelated models were never materialized
+    assert(!spark.catalog.tableExists("mr_out.sel_mid_b"))
+    assert(!spark.catalog.tableExists("mr_out.sel_loner"))
+    // unknown names fail loudly
+    val e = intercept[IllegalArgumentException] {
+      ModelRunner.run(spark, project, select = Seq("nope"))
+    }
+    assert(e.getMessage.contains("unknown models: nope"))
+  }
+
   test("MiniYaml parses the reference's actual dbt_project.yml and " +
       "schema.yml shapes") {
     val refRoot = Paths.get("/root/reference/dbt_modeling")
