@@ -156,7 +156,7 @@ object ScaleStress {
     "connected_components", "simhash_pairs", "embed_near_dup",
     "ivf_train", "ivf_topk", "curation_chain", "pack_sequential",
     "bigram_commonness", "lang_rebalance", "chunk_dedup", "salted_join",
-    "bucket_stats", "interval_join", "stream_drain")
+    "bucket_stats", "interval_join", "stream_drain", "stream_quota")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -190,7 +190,7 @@ object ScaleStress {
     "pack_sequential", "bigram_commonness", "lang_rebalance",
     "chunk_dedup", "salted_join", "bucket_stats")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk")
-  private val evtOps = Set("interval_join", "stream_drain")
+  private val evtOps = Set("interval_join", "stream_drain", "stream_quota")
   private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
 
   private def measureOp(name: String, m: Int, rowsIn: Long)(
@@ -248,6 +248,7 @@ object ScaleStress {
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[Measurement]
     val bucketReports = scala.collection.mutable.ArrayBuffer.empty[String]
+    val quotaReports = scala.collection.mutable.ArrayBuffer.empty[String]
 
     for (m <- multipliers) {
       val docsPath = s"$workRoot/docs_x$m"
@@ -412,6 +413,79 @@ object ScaleStress {
           samples.min, -1, -1, -1, usedHeapMB())
         println(f"-- x$m stream_drain: $rowsOut rows, ${samples.min}%.2f s")
       }
+      // transformWithState per-key quota at scale: the synthesized
+      // events carry DISJOINT per-replica user spaces, so the RocksDB
+      // state key population grows ×m while per-key state stays one
+      // long — the scale question is whether state growth (disk +
+      // memory) is linear in keys and whether per-micro-batch
+      // update/commit times stay flat as the store fills.
+      // maxFilesPerTrigger forces multiple micro-batches so commit
+      // times are sampled against a GROWING store, not one bulk load.
+      if (opEnabled("stream_quota")) {
+        println(s"-- x$m stream_quota ...")
+        val root = java.nio.file.Files
+          .createTempDirectory(s"scale-quota-x$m").toString
+        val prev = spark.conf.getOption(
+          "spark.sql.streaming.stateStore.providerClass")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        try {
+          import spark.implicits._
+          val raw = spark.readStream
+            .schema(spark.read.parquet(evtsPath).schema)
+            .option("maxFilesPerTrigger", 4).parquet(evtsPath)
+          val evts = raw.select(col("event_id"), col("user_id"))
+            .as[(Long, Long)]
+          val capped = graft.streaming.StatefulOps.capPerKey(
+            evts, (e: (Long, Long)) => e._2, maxPerKey = 50L)
+          val t0 = System.nanoTime()
+          val q = capped.toDF().writeStream
+            .outputMode("append").format("parquet")
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val rowsOut = spark.read.parquet(s"$root/out").count()
+          rows += Measurement(m, "stream_quota", nEvts, rowsOut, wall,
+            -1, -1, -1, usedHeapMB())
+          // per-batch state metrics off the progress log: keys in
+          // store at end, update/commit wall per micro-batch, and the
+          // provider's own memory figure
+          val progs = q.recentProgress.toSeq
+            .filter(_.stateOperators.nonEmpty)
+          val ops = progs.map(_.stateOperators.head)
+          val keysEnd = ops.map(_.numRowsTotal).max
+          val commitMs = ops.map(_.commitTimeMs)
+          val updateMs = ops.map(_.allUpdatesTimeMs)
+          val memMB = ops.map(_.memoryUsedBytes).max / 1048576.0
+          // on-disk checkpoint state (RocksDB sst snapshots + changelog)
+          val statePath = java.nio.file.Paths.get(s"$root/ckpt/state")
+          val stateDiskMB =
+            if (java.nio.file.Files.isDirectory(statePath)) {
+              val s = java.nio.file.Files.walk(statePath)
+              try s.filter(java.nio.file.Files.isRegularFile(_))
+                .mapToLong(java.nio.file.Files.size(_)).sum / 1048576.0
+              finally s.close()
+            } else -1.0
+          quotaReports += f"x$m stream_quota: $nEvts events, " +
+            f"$keysEnd keys, $rowsOut admitted, $wall%.2f s wall, " +
+            f"${progs.size} batches, commit ms/batch " +
+            f"med=${commitMs.sorted.apply(commitMs.size / 2)} " +
+            f"max=${commitMs.max}, update ms/batch " +
+            f"med=${updateMs.sorted.apply(updateMs.size / 2)} " +
+            f"max=${updateMs.max}, state mem $memMB%.1f MB, " +
+            f"state disk $stateDiskMB%.1f MB"
+          println("-- " + quotaReports.last)
+        } finally prev match {
+          case Some(p) => spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
       // bucket-cap observability: the boilerplate clone army should
       // surface as buckets at/above the cap (star-linked by the
       // overflow fallback, no longer dropped whole)
@@ -433,7 +507,8 @@ object ScaleStress {
       s"${fmtD(r.wallSec)} | ${fmtD(r.shuffleMB)} | ${fmtL(r.shuffleRecords)} | " +
       s"${fmtD(r.spillMB)} | ${r.driverHeapMB} |")
     val report = (Seq(header, sep) ++ lines ++ Seq("") ++
-      bucketReports.map("- " + _)).mkString("\n")
+      bucketReports.map("- " + _) ++ quotaReports.map("- " + _))
+      .mkString("\n")
     println(report)
     val reportPath = java.nio.file.Paths.get(s"$workRoot/report.md")
     java.nio.file.Files.createDirectories(reportPath.getParent)
