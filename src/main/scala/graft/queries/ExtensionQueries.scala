@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.dq.{ApproxDistinctness, Dqdl, Ruleset}
 import graft.multimodal.Multimodal
-import graft.similarity.{Ivf, Similarity}
+import graft.similarity.{Ivf, Pq, Similarity}
 import graft.text.TextAnalysis
 import graft.util.{Checkpointing, Tables}
 
@@ -198,6 +198,104 @@ object ExtensionQueries {
       * top-k to bound the output. */
     val graphTopk = 5
     def knnSql: String = searchSql("", graphTopk)
+  }
+
+  /** SQL replay of Pq.train + Pq.adcTopK for the q_ann_pq oracle —
+    * the same determinism contract as [[IvfSql]]: seeds are the first
+    * ksub vectors in id order (sliced per subspace), mean updates are
+    * decimal-exact, every squared-L2 fold is the same left-associated
+    * `0.0 + t1 + …` the Spark expressions execute, argmin ties break
+    * on the lower cell, and ADC sums per-subspace distances as
+    * DECIMAL(18,9) — bit-identical adc_dist on both engines. All `m`
+    * subspace k-means run in ONE generic CTE chain with the subspace
+    * id as a data column, mirroring the Spark side's single-job-per-
+    * iteration shape. */
+  private object PqSql {
+    val m = 8; val ksub = 16; val iters = 2; val topk = 10
+    private val dsub = LshSql.dim / m
+    private def l2(a: String, b: String): String =
+      (1 to dsub).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
+        .mkString("(0.0 + ", " + ", ")")
+    /** l2 where `a` is the full query vector indexed through the
+      * subspace COLUMN `subExpr` (the oracle's LUT-free equivalent of
+      * the Spark side's precomputed per-query table — same doubles). */
+    private def l2q(qv: String, subExpr: String, b: String): String =
+      (1 to dsub).map(i =>
+        s"($qv[$subExpr * $dsub + $i] - $b[$i])" +
+          s" * ($qv[$subExpr * $dsub + $i] - $b[$i])")
+        .mkString("(0.0 + ", " + ", ")")
+    private def assign(cent: String, out: String): String =
+      s"""${out}_s AS MATERIALIZED (SELECT s.vec_id, s.sub, s.sv, c.cell,
+         |  row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |    ORDER BY ${l2("s.sv", "c.c")} ASC, c.cell ASC) AS rn
+         |  FROM sub s JOIN $cent c ON s.sub = c.sub),
+         |$out AS MATERIALIZED (SELECT vec_id, sub, sv, cell
+         |  FROM ${out}_s WHERE rn = 1)""".stripMargin
+    private def update(asn: String, prev: String, out: String): String =
+      s"""${out}_m AS MATERIALIZED (SELECT sub, cell, i AS d,
+         |  CAST(SUM(CAST(sv[i] AS DECIMAL(18,9))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS x
+         |  FROM $asn, generate_series(1, $dsub) t(i)
+         |  GROUP BY sub, cell, i),
+         |${out}_l AS MATERIALIZED (SELECT sub, cell,
+         |  list(x ORDER BY d) AS c FROM ${out}_m GROUP BY sub, cell),
+         |$out AS MATERIALIZED (SELECT p.sub, p.cell,
+         |  COALESCE(n.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN ${out}_l n USING (sub, cell))"""
+        .stripMargin
+    val fetch = 50
+    private def chain: String = {
+      val lloyd = (1 to iters).map(i =>
+        assign(s"cb${i - 1}", s"a$i") + ",\n" +
+          update(s"a$i", s"cb${i - 1}", s"cb$i")).mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |sub AS MATERIALIZED (SELECT vec_id, t.sub,
+         |  v[(t.sub * $dsub + 1):(t.sub * $dsub + $dsub)] AS sv
+         |  FROM e, generate_series(0, ${m - 1}) t(sub)),
+         |cb0 AS MATERIALIZED (SELECT sub,
+         |  row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+         |    AS cell, sv AS c
+         |  FROM sub WHERE vec_id IN
+         |    (SELECT vec_id FROM e ORDER BY vec_id LIMIT $ksub)),
+         |$lloyd,
+         |${assign(s"cb$iters", "enc")},
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+         |  FROM e WHERE vec_id < 5),
+         |dm AS MATERIALIZED (SELECT q.query_id, x.vec_id AS id, x.sub,
+         |  ${l2q("q.qv", "x.sub", "c.c")} AS d
+         |  FROM enc x JOIN cb$iters c ON x.sub = c.sub AND x.cell = c.cell
+         |  CROSS JOIN q),
+         |sc AS (SELECT query_id, id,
+         |  CAST(SUM(CAST(d AS DECIMAL(18,9))) AS DOUBLE) AS adc_dist
+         |  FROM dm GROUP BY 1, 2),
+         |r AS (SELECT query_id, id, adc_dist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, id ASC) AS rank FROM sc)"""
+        .stripMargin
+    }
+    def sql: String =
+      s"""$chain
+         |SELECT query_id, id, adc_dist, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= $topk""".stripMargin
+    /** Two-stage variant: ADC fetches `fetch` candidates, exact
+      * squared L2 (same full-dim left-associated fold both engines
+      * execute) re-ranks just those. */
+    def rerankSql: String = {
+      val l2full = (1 to LshSql.dim).map(i =>
+        s"(cv.v[$i] - q.qv[$i]) * (cv.v[$i] - q.qv[$i])")
+        .mkString("(0.0 + ", " + ", ")")
+      s"""$chain,
+         |cand AS (SELECT query_id, id FROM r WHERE rank <= $fetch),
+         |rr AS (SELECT cand.query_id, cand.id, $l2full AS l2_dist
+         |  FROM cand JOIN e cv ON cand.id = cv.vec_id
+         |  JOIN q ON cand.query_id = q.query_id),
+         |rr_r AS (SELECT query_id, id, l2_dist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY l2_dist ASC, id ASC) AS rank FROM rr)
+         |SELECT query_id, id, l2_dist, CAST(rank AS INTEGER) AS rank
+         |FROM rr_r WHERE rank <= $topk""".stripMargin
+    }
   }
 
   private val sqlTokens =
@@ -546,6 +644,36 @@ object ExtensionQueries {
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           model, k = IvfSql.topk, nprobe = IvfSql.nprobe)
       }, Some(IvfSql.sql)),
+
+    // product-quantization ANN (the compressed-index 100 TB path:
+    // codes are m bytes/vector vs 8·dim for raw doubles; the ADC scan
+    // reads codes only). Same deterministic-training discipline as
+    // q_ann_ivf, so the oracle replays training, encoding, and ADC
+    // scoring exactly — adc_dist is bit-identical.
+    QueryDef("q_ann_pq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = Pq.train(emb, "vec_id", "embedding",
+          m = PqSql.m, ksub = PqSql.ksub, iters = PqSql.iters)
+        Pq.adcTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          model, k = PqSql.topk)
+      }, Some(PqSql.sql)),
+
+    // the deployment-shaped two-stage PQ search: ADC over codes
+    // prunes to 50 candidates/query, exact L2 re-ranks only those —
+    // full-precision vectors are read for fetch/|corpus| of rows.
+    // Bit-replayed end to end (training, codes, ADC prune, exact
+    // rerank fold) by the oracle.
+    QueryDef("q_ann_pq_rerank",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = Pq.train(emb, "vec_id", "embedding",
+          m = PqSql.m, ksub = PqSql.ksub, iters = PqSql.iters)
+        Pq.adcRerankTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          model, k = PqSql.topk, fetch = PqSql.fetch)
+      }, Some(PqSql.rerankSql)),
 
     // corpus-vs-corpus kNN graph over the SHUFFLE-JOIN search path:
     // every vector queries the index at once, so broadcasting the

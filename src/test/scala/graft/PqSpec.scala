@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.Pq
+
+/** Product quantization: training determinism, codegen/eval parity,
+  * compression shape, and ADC retrieval quality against exact L2. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.01"
+  private def emb = graft.util.Tables.embeddings(spark, d)
+
+  private lazy val model =
+    Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+
+  test("training is partition-order independent") {
+    val shuffled = emb.repartition(17, col("vec_id"))
+    val m2 = Pq.train(shuffled, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    assert(model.codebooks == m2.codebooks,
+      "codebooks must be bit-identical under any partitioning")
+  }
+
+  test("codes are m small ints (the 64x compression claim) and " +
+      "near-identical vectors share codes") {
+    val codes = emb.select(col("vec_id"),
+      Pq.encode(col("embedding"), model).as("code"))
+    val row = codes.head()
+    assert(row.getSeq[Int](1).size == 8)
+    assert(codes.filter(size(col("code")) =!= 8).count() == 0)
+    // a vector jittered by 1e-9 is far inside its cells: same codes
+    val jittered = emb.select(col("vec_id"),
+      Pq.encode(transform(col("embedding").cast("array<double>"),
+        x => x + lit(1e-9)), model).as("code"))
+    val a = codes.orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    val b = jittered.orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    assert(a.sameElements(b))
+  }
+
+  test("codegen and interpreted eval agree on encode") {
+    // the DataFrame run goes through doGenCode; re-evaluate the same
+    // expression interpreted and compare
+    import org.apache.spark.sql.GraftSqlShims
+    val vecs = emb.select(col("embedding").cast("array<double>"))
+      .limit(50).collect().map(_.getSeq[Double](0))
+    val fromDf = emb.select(
+        Pq.encode(col("embedding"), model).as("code"), col("vec_id"))
+      .orderBy("vec_id").limit(50).collect().map(_.getSeq[Int](0))
+    val expr = graft.functions.PqEncode(
+      GraftSqlShims.expression(lit(null).cast("array<double>")),
+      model.codebooks)
+    val interp = vecs.map { v =>
+      expr.nullSafeEval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+    }
+    assert(fromDf.map(_.toSeq).toSeq == interp.map(_.toSeq).toSeq)
+  }
+
+  test("ADC top-k recall against exact squared-L2 brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val approx = Pq.adcTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", model, k = 10)
+      .select("query_id", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    // exact: squared L2 via cosine-free arithmetic on the same arrays
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val exact = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"),
+        aggregate(zip_with(col("v"), col("qv"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("l2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("l2").asc, col("id").asc)))
+      .filter(col("rk") <= 10)
+      .select("query_id", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    val recalls = exact.map { case (qid, ex) =>
+      approx.get(qid).map(ap => ex.intersect(ap).size / 10.0).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // every query must at least find ITSELF (ADC dist to its own code
+    // is the minimal reconstruction error)
+    approx.foreach { case (qid, ids) =>
+      assert(ids.contains(qid), s"query $qid lost itself")
+    }
+    // this corpus is unstructured (near-uniform vectors — the hardest
+    // PQ case; encoder outputs cluster and do far better): 8-byte
+    // codes measured 0.38 mean recall@10 — pin a floor under it. The
+    // deployment answer to this number is the rerank test below.
+    assert(mean >= 0.3, f"mean recall@10 $mean%.2f below the pinned " +
+      "floor for 16-cell x 8-subspace codes on this corpus")
+
+    // two-stage ADC->exact rerank: candidates fetched by codes, true
+    // distances only on fetch=50 of 2000 vectors — recall recovers
+    val rr = Pq.adcRerankTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", model, k = 10, fetch = 50)
+      .select("query_id", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    val rrRecalls = exact.map { case (qid, ex) =>
+      rr.get(qid).map(ap => ex.intersect(ap).size / 10.0).getOrElse(0.0)
+    }
+    val rrMean = rrRecalls.sum / rrRecalls.size
+    assert(rrMean >= mean,
+      f"rerank must not lose recall ($rrMean%.2f vs $mean%.2f)")
+    assert(rrMean >= 0.6,
+      f"rerank mean recall@10 $rrMean%.2f below the pinned floor")
+  }
+}
