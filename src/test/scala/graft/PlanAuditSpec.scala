@@ -471,4 +471,23 @@ class PlanAuditSpec extends AnyFunSuite {
       p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("PQ ADC search broadcasts the query side and keeps encode in " +
+      "whole-stage codegen") {
+    val df = SparkEntry.queries("q_ann_pq")(spark, sf)
+    df.collect() // force codegen compilation — a Janino overflow would
+                 // log a fallback, and the shape below would still pass
+    val p = df.queryExecution.executedPlan.toString
+    // queries (with their LUTs) broadcast; the corpus side never moves
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // the corpus-side encode projection sits INSIDE a WholeStageCodegen
+    // span: find the pq_encode line and check it is within a codegen
+    // subtree (its operator line carries the codegen-stage asterisk)
+    val encodeLine = p.linesIterator
+      .find(l => l.contains("pq_encode")
+        && (l.contains("Project") || l.contains("*")))
+    assert(encodeLine.exists(_.contains("*")),
+      s"pq_encode projection not codegen'd:\n$p")
+  }
 }
