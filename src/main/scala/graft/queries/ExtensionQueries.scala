@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.dq.{ApproxDistinctness, Dqdl, Ruleset}
 import graft.multimodal.Multimodal
-import graft.similarity.{Ivf, Pq, Similarity}
+import graft.similarity.{Ivf, Ivfpq, Pq, Similarity}
 import graft.text.TextAnalysis
 import graft.util.{Checkpointing, Tables}
 
@@ -143,7 +143,7 @@ object ExtensionQueries {
     // re-expand exponentially (each expansion carrying 64-term folds)
     // and the planner runs out of memory before executing anything.
     /** assignment stage: nearest cent cell per vector of `src`. */
-    private def assign(src: String, cent: String, out: String): String =
+    def assign(src: String, cent: String, out: String): String =
       s"""${out}_s AS MATERIALIZED (SELECT e.vec_id, e.v, c.cell,
          |  row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY ${LshSql.cosine("e.v", "c.c")} DESC, c.cell DESC)
@@ -153,7 +153,7 @@ object ExtensionQueries {
          |  FROM ${out}_s WHERE rn = 1)""".stripMargin
     /** mean update: decimal-exact per-(cell,dim) means of `asn`, empty
       * cells inheriting `prev`'s centroid. */
-    private def update(asn: String, prev: String, out: String): String =
+    def update(asn: String, prev: String, out: String): String =
       s"""${out}_m AS MATERIALIZED (SELECT cell, i AS d,
          |  CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE) AS m
@@ -212,26 +212,26 @@ object ExtensionQueries {
     * iteration shape. */
   private object PqSql {
     val m = 8; val ksub = 16; val iters = 2; val topk = 10
-    private val dsub = LshSql.dim / m
-    private def l2(a: String, b: String): String =
+    val dsub = LshSql.dim / m
+    def l2(a: String, b: String): String =
       (1 to dsub).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
         .mkString("(0.0 + ", " + ", ")")
     /** l2 where `a` is the full query vector indexed through the
       * subspace COLUMN `subExpr` (the oracle's LUT-free equivalent of
       * the Spark side's precomputed per-query table — same doubles). */
-    private def l2q(qv: String, subExpr: String, b: String): String =
+    def l2q(qv: String, subExpr: String, b: String): String =
       (1 to dsub).map(i =>
         s"($qv[$subExpr * $dsub + $i] - $b[$i])" +
           s" * ($qv[$subExpr * $dsub + $i] - $b[$i])")
         .mkString("(0.0 + ", " + ", ")")
-    private def assign(cent: String, out: String): String =
+    def assign(src: String, cent: String, out: String): String =
       s"""${out}_s AS MATERIALIZED (SELECT s.vec_id, s.sub, s.sv, c.cell,
          |  row_number() OVER (PARTITION BY s.vec_id, s.sub
          |    ORDER BY ${l2("s.sv", "c.c")} ASC, c.cell ASC) AS rn
-         |  FROM sub s JOIN $cent c ON s.sub = c.sub),
+         |  FROM $src s JOIN $cent c ON s.sub = c.sub),
          |$out AS MATERIALIZED (SELECT vec_id, sub, sv, cell
          |  FROM ${out}_s WHERE rn = 1)""".stripMargin
-    private def update(asn: String, prev: String, out: String): String =
+    def update(asn: String, prev: String, out: String): String =
       s"""${out}_m AS MATERIALIZED (SELECT sub, cell, i AS d,
          |  CAST(SUM(CAST(sv[i] AS DECIMAL(18,9))) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE) AS x
@@ -246,7 +246,7 @@ object ExtensionQueries {
     val fetch = 50
     private def chain: String = {
       val lloyd = (1 to iters).map(i =>
-        assign(s"cb${i - 1}", s"a$i") + ",\n" +
+        assign("sub", s"cb${i - 1}", s"a$i") + ",\n" +
           update(s"a$i", s"cb${i - 1}", s"cb$i")).mkString(",\n")
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
          |  FROM embeddings),
@@ -259,7 +259,7 @@ object ExtensionQueries {
          |  FROM sub WHERE vec_id IN
          |    (SELECT vec_id FROM e ORDER BY vec_id LIMIT $ksub)),
          |$lloyd,
-         |${assign(s"cb$iters", "enc")},
+         |${assign("sub", s"cb$iters", "enc")},
          |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
          |  FROM e WHERE vec_id < 5),
          |dm AS MATERIALIZED (SELECT q.query_id, x.vec_id AS id, x.sub,
@@ -295,6 +295,76 @@ object ExtensionQueries {
          |    ORDER BY l2_dist ASC, id ASC) AS rank FROM rr)
          |SELECT query_id, id, l2_dist, CAST(rank AS INTEGER) AS rank
          |FROM rr_r WHERE rank <= $topk""".stripMargin
+    }
+  }
+
+  /** SQL replay of Ivfpq (trained coarse quantizer + PQ over
+    * residuals + probed ADC search) for the q_ann_ivfpq oracle —
+    * composed from [[IvfSql]]'s training chain (identical coarse
+    * cells), elementwise residuals (exact double subtraction, written
+    * as a DuckDB list comprehension), [[PqSql]]'s subspace-k-means
+    * chain re-pointed at the residual table, and a per-(query, probed
+    * cell) ADC scoring that recomputes the Spark side's LUT values
+    * term-for-term. */
+  private object IvfPqSql {
+    val nprobe = 4; val topk = 10
+    def sql: String = {
+      val dim = LshSql.dim
+      val ivfLloyd = (1 to IvfSql.iters).map(i =>
+        IvfSql.assign("e", s"cent${i - 1}", s"a$i") + ",\n" +
+          IvfSql.update(s"a$i", s"cent${i - 1}", s"cent$i"))
+        .mkString(",\n")
+      val pqLloyd = (1 to PqSql.iters).map(i =>
+        PqSql.assign("rsub", s"pcb${i - 1}", s"pa$i") + ",\n" +
+          PqSql.update(s"pa$i", s"pcb${i - 1}", s"pcb$i"))
+        .mkString(",\n")
+      val cent = s"cent${IvfSql.iters}"
+      val pcb = s"pcb${PqSql.iters}"
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |cent0 AS MATERIALIZED (SELECT
+         |    row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id
+         |    LIMIT ${IvfSql.k})),
+         |$ivfLloyd,
+         |${IvfSql.assign("e", cent, "fin")},
+         |res AS MATERIALIZED (SELECT f.vec_id, f.cell,
+         |  [f.v[i] - c.c[i] FOR i IN range(1, ${dim + 1})] AS rv
+         |  FROM fin f JOIN $cent c USING (cell)),
+         |rsub AS MATERIALIZED (SELECT vec_id, t.sub,
+         |  rv[(t.sub * ${PqSql.dsub} + 1):(t.sub * ${PqSql.dsub}
+         |    + ${PqSql.dsub})] AS sv
+         |  FROM res, generate_series(0, ${PqSql.m - 1}) t(sub)),
+         |pcb0 AS MATERIALIZED (SELECT sub,
+         |  row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+         |    AS cell, sv AS c
+         |  FROM rsub WHERE vec_id IN
+         |    (SELECT vec_id FROM e ORDER BY vec_id LIMIT ${PqSql.ksub})),
+         |$pqLloyd,
+         |${PqSql.assign("rsub", pcb, "penc")},
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv
+         |  FROM e WHERE vec_id < 5),
+         |pr_s AS MATERIALIZED (SELECT q.query_id, q.qv, c.cell,
+         |  row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${LshSql.cosine("q.qv", "c.c")} DESC, c.cell DESC)
+         |    AS rn
+         |  FROM q CROSS JOIN $cent c),
+         |pr AS MATERIALIZED (SELECT p.query_id, p.cell,
+         |  [p.qv[i] - c.c[i] FOR i IN range(1, ${dim + 1})] AS qres
+         |  FROM pr_s p JOIN $cent c USING (cell) WHERE p.rn <= $nprobe),
+         |dm AS MATERIALIZED (SELECT pr.query_id, f.vec_id AS id, x.sub,
+         |  ${PqSql.l2q("pr.qres", "x.sub", "c.c")} AS d
+         |  FROM pr JOIN fin f ON f.cell = pr.cell
+         |  JOIN penc x ON x.vec_id = f.vec_id
+         |  JOIN $pcb c ON c.sub = x.sub AND c.cell = x.cell),
+         |sc AS (SELECT query_id, id,
+         |  CAST(SUM(CAST(d AS DECIMAL(18,9))) AS DOUBLE) AS adc_dist
+         |  FROM dm GROUP BY 1, 2),
+         |r AS (SELECT query_id, id, adc_dist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, id ASC) AS rank FROM sc)
+         |SELECT query_id, id, adc_dist, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= $topk""".stripMargin
     }
   }
 
@@ -674,6 +744,25 @@ object ExtensionQueries {
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           model, k = PqSql.topk, fetch = PqSql.fetch)
       }, Some(PqSql.rerankSql)),
+
+    // the composed billion-scale index: IVF's trained coarse
+    // quantizer routes to cells, PQ encodes each vector's RESIDUAL
+    // (tight within-cell distribution → finer quantization per byte),
+    // search probes nprobe cells with one ADC table per (query, cell)
+    // residual. Indexing is a narrow codegen map; search joins codes
+    // on the cell id. Training, routing, residual encoding and ADC
+    // scoring all bit-replayed by the oracle.
+    QueryDef("q_ann_ivfpq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ivf = Ivf.train(emb, "vec_id", "embedding",
+          k = IvfSql.k, iters = IvfSql.iters)
+        val pq = Ivfpq.trainResidualPq(emb, "vec_id", "embedding", ivf,
+          m = PqSql.m, ksub = PqSql.ksub, iters = PqSql.iters)
+        Ivfpq.searchTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          ivf, pq, k = IvfPqSql.topk, nprobe = IvfPqSql.nprobe)
+      }, Some(IvfPqSql.sql)),
 
     // corpus-vs-corpus kNN graph over the SHUFFLE-JOIN search path:
     // every vector queries the index at once, so broadcasting the

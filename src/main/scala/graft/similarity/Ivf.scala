@@ -69,7 +69,8 @@ object Ivf {
     array_max(cellScores(v, model)).getField("cell")
 
   /** The query side's nprobe nearest cells. */
-  private def probeCells(v: Column, model: IvfModel, nprobe: Int): Column =
+  private[similarity] def probeCells(v: Column, model: IvfModel,
+      nprobe: Int): Column =
     slice(reverse(array_sort(cellScores(v, model))), 1, nprobe)
       .getField("cell")
 

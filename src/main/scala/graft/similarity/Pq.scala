@@ -134,6 +134,11 @@ object Pq {
   private def lut(qv: Column, model: PqModel): Column =
     graft.functions.PqFunctions.pq_lut(qv, model.codebooks)
 
+  /** [[lut]] for composing modules ([[Ivfpq]] builds one LUT per
+    * (query, probed cell) from the cell-dependent residual). */
+  private[similarity] def lutColumn(qv: Column, model: PqModel): Column =
+    lut(qv, model)
+
   /** ADC top-k: encode the corpus (codes only cross the join),
     * broadcast the queries with their lookup tables, score each
     * (query, code) pair by the decimal-exact sum of m table lookups.

@@ -117,4 +117,27 @@ class PqSpec extends AnyFunSuite {
     assert(rrMean >= 0.6,
       f"rerank mean recall@10 $rrMean%.2f below the pinned floor")
   }
+
+  test("IVF-PQ: residual index is deterministic and every query " +
+      "retrieves itself through its probed cells") {
+    import graft.similarity.{Ivf, Ivfpq}
+    val ivf = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val pq = Ivfpq.trainResidualPq(emb, "vec_id", "embedding", ivf)
+    val queries = emb.filter(col("vec_id") < 20)
+    def search(corpus: org.apache.spark.sql.DataFrame) =
+      Ivfpq.searchTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", ivf, pq, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .toSet
+    val base = search(emb)
+    // partition-order independence end to end (training already
+    // pinned above; this pins routing + encoding + ADC)
+    assert(base == search(emb.repartition(13, col("vec_id"))))
+    // the query's own cell is its nearest probe, and ADC distance to
+    // its own code is the cell's minimal reconstruction error: every
+    // query must retrieve itself
+    val self = base.collect { case (q, id, _) if q == id => q }
+    assert(self.toSet == (0L until 20L).toSet,
+      s"queries lost themselves: ${(0L until 20L).toSet -- self}")
+  }
 }
