@@ -46,6 +46,38 @@ object Pq {
     def dim: Int = m * dsub
   }
 
+  object PqModel {
+    /** Persist the codebooks as a (sub, cell, centroid) parquet —
+      * train once (on a sample at 100 TB), then encode any corpus
+      * slice in any later job without retraining. Doubles round-trip
+      * parquet bit-exactly, so a loaded model encodes identically —
+      * the same discipline as [[Ivf.IvfModel.save]]. */
+    def save(spark: org.apache.spark.sql.SparkSession, model: PqModel,
+        path: String): Unit = {
+      import spark.implicits._
+      model.codebooks.zipWithIndex.flatMap { case (cells, s) =>
+        cells.zipWithIndex.map { case (c, cell) => (s, cell, c) }
+      }.toDF("sub", "cell", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(path)
+    }
+
+    def load(spark: org.apache.spark.sql.SparkSession,
+        path: String): PqModel = {
+      val rows = spark.read.parquet(path)
+        .select(col("sub"), col("cell"),
+          col("centroid").cast("array<double>"))
+        .collect()
+      require(rows.nonEmpty, s"no codebooks at $path")
+      val bySub = rows.groupBy(_.getInt(0))
+      PqModel((0 until bySub.size).map { s =>
+        val cells = bySub.getOrElse(s, throw new IllegalArgumentException(
+          s"codebook parquet at $path is missing subspace $s"))
+        cells.sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
+      })
+    }
+  }
+
   /** Left-associated squared-L2 fold between two plain array columns
     * (training-time, where centroids arrive via a join) — written
     * `0.0 + t1 + t2 + …` to match the oracle's fold; the encode/LUT

@@ -41,6 +41,14 @@ class PqSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("model save/load round-trips bit-exactly (loaded model " +
+      "encodes identically)") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-model").toString
+    Pq.PqModel.save(spark, model, s"$dir/cb")
+    val loaded = Pq.PqModel.load(spark, s"$dir/cb")
+    assert(loaded == model)
+  }
+
   test("codegen and interpreted eval agree on encode") {
     // the DataFrame run goes through doGenCode; re-evaluate the same
     // expression interpreted and compare
