@@ -156,13 +156,16 @@ object ScaleStress {
     "connected_components", "simhash_pairs", "embed_near_dup",
     "ivf_train", "ivf_topk", "curation_chain", "pack_sequential",
     "bigram_commonness", "lang_rebalance", "chunk_dedup", "salted_join",
-    "bucket_stats", "interval_join", "stream_drain", "stream_quota")
+    "bucket_stats", "interval_join", "stream_drain", "stream_quota",
+    "pq_train", "pq_index", "pq_search")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
   private val producers = Map(
     "connected_components" -> "minhash_pairs",
-    "ivf_topk" -> "ivf_train")
+    "ivf_topk" -> "ivf_train",
+    "pq_index" -> "pq_train",
+    "pq_search" -> "pq_train")
   private val opFilter: Option[Set[String]] = {
     val f = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -189,7 +192,8 @@ object ScaleStress {
     "connected_components", "simhash_pairs", "curation_chain",
     "pack_sequential", "bigram_commonness", "lang_rebalance",
     "chunk_dedup", "salted_join", "bucket_stats")
-  private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk")
+  private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
+    "pq_train", "pq_index", "pq_search")
   private val evtOps = Set("interval_join", "stream_drain", "stream_quota")
   private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
 
@@ -309,6 +313,35 @@ object ScaleStress {
           Ivf.ivfTopK(embs, "vec_id", "embedding",
             embs.filter(col("vec_id") % lit(nVecs / 100 max 1) === 0),
             "vec_id", "embedding", model, k = 10, nprobe = 2)
+        }
+      }
+      // product quantization at scale, the deployment split: TRAIN on
+      // the ×1 originals only (the r=0 replicas — a fixed-size sample,
+      // as a 100 TB corpus would), then ENCODE the whole replicated
+      // corpus (narrow codegen map — wall must track rows) and SEARCH
+      // over codes (ADC: corpus scan reads m ints/vector). Encode
+      // throughput and search wall are the scale claims; training cost
+      // is constant by construction.
+      if (opEnabled("pq_train")) {
+        println(s"-- x$m pq_train ...")
+        val tTrain0 = System.nanoTime()
+        val pqModel = graft.similarity.Pq.train(
+          embs.filter(col("vec_id") % lit(m.toLong) === 0),
+          "vec_id", "embedding")
+        val trainSec = (System.nanoTime() - tTrain0) / 1e9
+        rows += Measurement(m, "pq_train", nVecs / m.max(1),
+          pqModel.m.toLong * pqModel.ksub, trainSec, -1, -1, -1,
+          usedHeapMB())
+        println(f"-- x$m pq_train: ${trainSec}%.2f s")
+        if (opEnabled("pq_index")) rows += measureOp("pq_index", m, nVecs) {
+          embs.select(col("vec_id"),
+            graft.similarity.Pq.encode(
+              col("embedding").cast("array<double>"), pqModel).as("code"))
+        }
+        if (opEnabled("pq_search")) rows += measureOp("pq_search", m, nVecs) {
+          graft.similarity.Pq.adcTopK(embs, "vec_id", "embedding",
+            embs.filter(col("vec_id") % lit(nVecs / 100 max 1) === 0),
+            "vec_id", "embedding", pqModel, k = 10)
         }
       }
       // the six-stage curation chain (clean → exact dedup → near dedup
