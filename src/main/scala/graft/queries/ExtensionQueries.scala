@@ -39,6 +39,10 @@ object ExtensionQueries {
   private val streamQuotaOuts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q_stream_dedup drain outputs, same discipline. */
+  private val streamDedupOuts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Row shape streamed through the q_stream_quota cap (the typed
     * arbitrary-state API needs a product encoder). */
   final case class QuotaRow(event_id: Long, user_id: Long)
@@ -933,6 +937,35 @@ object ExtensionQueries {
              |CAST(LEAST(50, COUNT(*)) AS BIGINT) AS n_admitted
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // Watermark-bounded streaming dedup under the oracle gate: the
+    // events stream is UNIONED WITH ITSELF (the at-least-once
+    // redelivery shape — every record arrives exactly twice) and
+    // drained through dropDuplicatesWithinWatermark on event_id.
+    // State is bounded by the watermark, not history. The oracled
+    // fact: the drained output holds each event exactly once — the
+    // per-type counts equal the batch DISTINCT counts. Copies are
+    // byte-identical, so which copy survives is immaterial.
+    QueryDef("q_stream_dedup",
+      (s, d) => {
+        val out = streamDedupOuts.getOrElseUpdate(d, {
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-stream-dedup").toString
+          def src = eventStream(s, d)
+            .select(col("event_id"), col("ts"), col("event_type"))
+          val redelivered = src.unionByName(src)
+          val deduped = graft.streaming.StreamingIngest.dedupStream(
+            redelivered, Seq("event_id"), watermark = "35 days")
+          graft.streaming.StreamingIngest.runAvailableNow(deduped,
+            s"$root/out", s"$root/ckpt")
+          s"$root/out"
+        })
+        s.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // ------------------------------------------------------ text analysis
 
     QueryDef("q_text_tokens",
@@ -979,6 +1012,30 @@ object ExtensionQueries {
               |CAST(SUM(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
               |  AS commonness
               |FROM b JOIN c USING (bigram) GROUP BY 1""".stripMargin)),
+
+    // corpus-LM sequence plausibility: mean p(w2|w1) under the
+    // corpus's own bigram model — catches improbable word ORDER
+    // (gibberish, shuffles, OCR noise) that per-token frequency
+    // misses. Prefix counts derive from the aggregated bigram table,
+    // never a second corpus scan.
+    QueryDef("q_text_bigram_lm",
+      (s, d) => TextAnalysis.bigramLmScore(Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks
+              |  FROM documents),
+              |b0 AS (SELECT doc_id,
+              |  unnest(list_transform(generate_series(1, len(toks)-1),
+              |    i -> struct_pack(w1 := toks[i], w2 := toks[i+1])))
+              |    AS bg
+              |  FROM t WHERE len(toks) >= 2),
+              |b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b0),
+              |c12 AS (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY 1, 2),
+              |c1 AS (SELECT w1, SUM(c) AS cp FROM c12 GROUP BY 1)
+              |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |CAST(SUM(CAST(CAST(c12.c AS DOUBLE) / CAST(c1.cp AS DOUBLE)
+              |  AS DECIMAL(18,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              |  AS lm_score
+              |FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+              |GROUP BY 1""".stripMargin)),
 
     // model-based quality scoring (ml.LogisticQuality): the logit is a
     // fixed-order double expression (((bias + x1·w1) + x2·w2)), so a

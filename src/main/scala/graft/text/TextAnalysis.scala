@@ -168,6 +168,46 @@ object TextAnalysis {
           .as("commonness"))
   }
 
+  /** Mean bigram conditional probability of each document under the
+    * corpus's own bigram language model: score = mean over the doc's
+    * bigrams of p(w2|w1) = c(w1,w2) / c(w1,·). The statistical
+    * quality signal `bigramCommonness` approximates from raw
+    * frequency — a low score means improbable word SEQUENCES
+    * (gibberish, shuffled text, OCR noise) even when every individual
+    * token is common. Deterministic across engines: each p is one
+    * correctly-rounded double division of two exact counts, and the
+    * mean quantizes each p to DECIMAL(18,9) before the
+    * order-independent exact sum.
+    *
+    * Scale shape: one shuffle to count bigrams, the prefix table
+    * derives from the ALREADY-AGGREGATED bigram counts (no second
+    * corpus scan), then two shuffled-hash joins keyed on grams —
+    * hinted, because sorting the fat occurrence side was the one
+    * spill the scale matrix ever produced (see bigramCommonness). */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = toks.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(t)-2), " +
+        "i -> struct(element_at(t, i+1) AS w1, element_at(t, i+2) AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c")).as("cp"))
+    bi.join(c12.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(c1.hint("shuffle_hash"), Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum((col("c").cast("double") / col("cp").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .cast("double") / count(lit(1)).cast("double"))
+          .as("lm_score"))
+  }
+
   /** PII redaction: mask emails and phone-number-shaped digit runs —
     * the standard scrub before text enters a training corpus. Pure
     * regexp_replace chain (codegen'd, narrow); patterns deliberately
