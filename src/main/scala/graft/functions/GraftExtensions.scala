@@ -62,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("dot_product", 2, exprs)
         DotProduct(d(exprs(0)), d(exprs(1)))
       }))
+    e.injectFunction((FunctionIdentifier("vec_sub"),
+      info("vec_sub", "vec_sub(a, b) - elementwise difference"),
+      (exprs: Seq[Expression]) => {
+        arity("vec_sub", 2, exprs)
+        VectorSubtract(d(exprs(0)), d(exprs(1)))
+      }))
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(hashes, k) - MinHash signature"),
       (exprs: Seq[Expression]) => {

@@ -110,6 +110,52 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** vec_sub(a, b) — elementwise difference over the common prefix of
+  * two double arrays (the residual primitive for IVF-PQ: `zip_with`
+  * would drop the whole indexing stage to interpreted eval). Exact
+  * per-element IEEE subtraction — no accumulation, so the result is
+  * engine-independent by construction. */
+case class VectorSubtract(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = x.getDouble(i) - y.getDouble(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $x.getDouble($i) - $y.getDouble($i);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+  override def prettyName: String = "vec_sub"
+}
+
 object VectorFunctions {
   private def toDouble(c: Column): Column = c.cast("array<double>")
 
@@ -122,6 +168,12 @@ object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
     GraftSqlShims.column(DotProduct(
+      GraftSqlShims.expression(toDouble(a)),
+      GraftSqlShims.expression(toDouble(b))))
+
+  /** Column API for [[VectorSubtract]]. */
+  def vec_sub(a: Column, b: Column): Column =
+    GraftSqlShims.column(VectorSubtract(
       GraftSqlShims.expression(toDouble(a)),
       GraftSqlShims.expression(toDouble(b))))
 

@@ -39,9 +39,12 @@ object Ivfpq {
     typedLit(model.centroids.map(_.toIndexedSeq).toIndexedSeq)
 
   /** Elementwise residual v − centroid[cell] (exact double
-    * subtraction — no accumulation, engine-independent). */
+    * subtraction — no accumulation, engine-independent). VectorSubtract
+    * rather than `zip_with`: the HOF is CodegenFallback and would drop
+    * the whole indexing projection to interpreted eval. */
   private def residual(v: Column, cell: Column, model: IvfModel): Column =
-    zip_with(v, element_at(centroidsLit(model), cell + 1), _ - _)
+    graft.functions.VectorFunctions.vec_sub(v,
+      element_at(centroidsLit(model), cell + 1))
 
   /** Train the residual PQ codebooks: assign cells with the trained
     * coarse quantizer, subtract centroids, and run [[Pq.train]] on the
