@@ -78,7 +78,15 @@ object Ivfpq {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       ivf: IvfModel, pq: PqModel, k: Int = 10,
       nprobe: Int = 4): DataFrame = {
-    val idx = index(corpus, idCol, vecCol, ivf, pq)
+    // MATERIALIZED, not recomputed per consumer: left as lineage, the
+    // join's isnotnull(cell) null-filter rewrites through the
+    // projection into isnotnull(<full 16-centroid assignment>) and
+    // pushes into the parquet scan as a row-by-row INTERPRETED data
+    // filter — measured 10× the whole search (54 s vs 5 s at a 20k
+    // corpus). Materializing (id, cell, code) is also the deployment
+    // shape: the index is the stored asset, built once, and raw
+    // vectors are never read at search time.
+    val idx = index(corpus, idCol, vecCol, ivf, pq).localCheckpoint(true)
     val qv = col(queryVecCol).cast("array<double>")
     // one row per (query, probed cell), carrying the LUT built from
     // the query's residual AGAINST THAT CELL — computed before the

@@ -157,7 +157,7 @@ object ScaleStress {
     "ivf_train", "ivf_topk", "curation_chain", "pack_sequential",
     "bigram_commonness", "lang_rebalance", "chunk_dedup", "salted_join",
     "bucket_stats", "interval_join", "stream_drain", "stream_quota",
-    "pq_train", "pq_index", "pq_search")
+    "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -193,7 +193,7 @@ object ScaleStress {
     "pack_sequential", "bigram_commonness", "lang_rebalance",
     "chunk_dedup", "salted_join", "bucket_stats")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
-    "pq_train", "pq_index", "pq_search")
+    "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search")
   private val evtOps = Set("interval_join", "stream_drain", "stream_quota")
   private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
 
@@ -343,6 +343,31 @@ object ScaleStress {
             embs.filter(col("vec_id") % lit(nVecs / 100 max 1) === 0),
             "vec_id", "embedding", pqModel, k = 10)
         }
+      }
+      // IVF-PQ at scale, same deployment split: BOTH quantizers train
+      // on the ×1 originals, the full corpus is indexed to
+      // (id, cell, code) in one narrow codegen map, and search joins
+      // codes on the cell id (the probe side broadcast) — each query
+      // reads nprobe cells' worth of codes, never the corpus
+      if (opEnabled("ivfpq_index") || opEnabled("ivfpq_search")) {
+        println(s"-- x$m ivfpq train (on x1 sample) ...")
+        val sample = embs.filter(col("vec_id") % lit(m.toLong) === 0)
+        val ivfModel = Ivf.train(sample, "vec_id", "embedding",
+          k = 16, iters = 2)
+        val ivfpqModel = graft.similarity.Ivfpq.trainResidualPq(
+          sample, "vec_id", "embedding", ivfModel)
+        if (opEnabled("ivfpq_index"))
+          rows += measureOp("ivfpq_index", m, nVecs) {
+            graft.similarity.Ivfpq.index(embs, "vec_id", "embedding",
+              ivfModel, ivfpqModel)
+          }
+        if (opEnabled("ivfpq_search"))
+          rows += measureOp("ivfpq_search", m, nVecs) {
+            graft.similarity.Ivfpq.searchTopK(embs, "vec_id", "embedding",
+              embs.filter(col("vec_id") % lit(nVecs / 100 max 1) === 0),
+              "vec_id", "embedding", ivfModel, ivfpqModel,
+              k = 10, nprobe = 4)
+          }
       }
       // the six-stage curation chain (clean → exact dedup → near dedup
       // → decontaminate → split), same shape as q_curation_e2e

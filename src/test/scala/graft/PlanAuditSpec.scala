@@ -490,4 +490,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(encodeLine.exists(_.contains("*")),
       s"pq_encode projection not codegen'd:\n$p")
   }
+
+  test("IVF-PQ search joins MATERIALIZED codes on the cell id; the " +
+      "index map itself stays in codegen") {
+    import graft.similarity.{Ivf, Ivfpq}
+    import graft.util.Tables
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val pq = Ivfpq.trainResidualPq(emb, "vec_id", "embedding", ivf)
+    // the index projection (assign + residual + encode) is a codegen
+    // narrow map (vec_sub is a native expression; zip_with would
+    // break the span)
+    val ip = Ivfpq.index(emb, "vec_id", "embedding", ivf, pq)
+      .queryExecution.executedPlan.toString
+    val idxLine = ip.linesIterator.find(_.contains("pq_encode"))
+    assert(idxLine.exists(_.contains("*")),
+      s"ivfpq index projection not codegen'd:\n$ip")
+    assert(!ip.contains("zip_with"), "HOF left in the indexing path")
+    // the SEARCH plan reads the materialized index — codes are never
+    // recomputed behind the join (left as lineage, the join's
+    // isnotnull(cell) filter pushes the full interpreted assignment
+    // into the parquet scan: measured 10x the search)
+    val sp = SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastHashJoin"), sp)
+    assert(!sp.contains("CartesianProduct"), sp)
+    assert(!sp.contains("pq_encode"),
+      s"search must read materialized codes, not re-encode:\n$sp")
+  }
 }
