@@ -139,9 +139,17 @@ object Ivf {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       model: IvfModel, k: Int = 10, nprobe: Int = 2,
       broadcastThresholdBytes: Long = -1L): DataFrame = {
+    // MATERIALIZED inverted file, not lineage: the cell join's
+    // isnotnull(cell) null-filter otherwise rewrites into
+    // isnotnull(<full k-centroid assignment>) and pushes into the
+    // parquet scan as a row-by-row interpreted data filter (the same
+    // pathology measured at 10-100× on the IVF-PQ search — see
+    // Ivfpq.searchTopK). Materializing (id, v, cell) is the
+    // deployment shape anyway: the inverted file is the stored index.
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell", assignCell(col("v"), model))
+      .localCheckpoint(true)
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).cast("array<double>").as("qv"))
       .withColumn("cell",
