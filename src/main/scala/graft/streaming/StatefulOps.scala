@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming operators on the Spark 4 arbitrary-state API
   * (`KeyValueGroupedDataset.transformWithState` + `StatefulProcessor`
@@ -67,5 +67,87 @@ object StatefulOps {
     ds.groupByKey(keyFn)
       .transformWithState(new CapPerKeyProcessor[K, V](maxPerKey, ttl),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Input/output rows for [[sessionizeWithTimers]]. */
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long)
+
+  /** Gap sessionization on the modern timer API — the
+    * `transformWithState` successor of `StreamingIngest.sessionize`'s
+    * classic GroupState path. A session CLOSED by a later event in
+    * the same or a later batch is emitted immediately; the LAST open
+    * session per key is finalized by an EVENT-TIME TIMER registered
+    * at `end + gap` — it fires when the watermark passes that point,
+    * so no session waits for another event to flush (the classic
+    * path's known wart). State per key is one (start, end, n) triple
+    * plus one registered timer; both clear on emission.
+    *
+    * Semantics note: events are gap-merged in timestamp order WITHIN
+    * a batch; an out-of-order event arriving after its session's
+    * timer already fired (i.e. later than the watermark allows)
+    * starts a fresh session — standard watermark-bounded behavior. */
+  final class TimerSessionizeProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessionOut] {
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState("sess",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+        timers: TimerValues): Iterator[SessionOut] = {
+      // micro-batch arrival order is arbitrary: sort the batch's
+      // timestamps (bounded by per-key batch volume) and gap-merge
+      val ts = rows.map(_.ts.getTime).toArray.sorted
+      var out = Vector.empty[SessionOut]
+      var open: Option[(Long, Long, Long)] =
+        if (sess.exists()) Some(sess.get()) else None
+      // the open session's finalize-timer moves with its end: drop
+      // the old registration before extending
+      open.foreach(o => getHandle.deleteTimer(o._2 + gapMs))
+      ts.foreach { t =>
+        open = open match {
+          case Some((s0, e0, n0)) if t <= e0 + gapMs =>
+            Some((math.min(s0, t), math.max(e0, t), n0 + 1))
+          case Some((s0, e0, n0)) =>
+            out :+= SessionOut(key, s0, e0, n0)
+            Some((t, t, 1L))
+          case None => Some((t, t, 1L))
+        }
+      }
+      open.foreach { o =>
+        sess.update(o)
+        getHandle.registerTimer(o._2 + gapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!sess.exists()) return Iterator.empty
+      val (s0, e0, n0) = sess.get()
+      // guard stale registrations: only the timer matching the OPEN
+      // session's current expiry finalizes it
+      if (expiredTimerInfo.getExpiryTimeInMs() >= e0 + gapMs) {
+        sess.clear()
+        Iterator.single(SessionOut(key, s0, e0, n0))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[TimerSessionizeProcessor]] applied to a stream of
+    * (user_id, ts): watermark-driven gap sessions, the last open
+    * session flushed by its event-time timer instead of waiting for
+    * more traffic. */
+  def sessionizeWithTimers(ds: Dataset[SessEvent], gapMs: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionizeProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -270,6 +270,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer-based sessionization (transformWithState event-time " +
+      "timers) flushes the open session when the watermark passes") {
+    import StatefulOps.{SessEvent, SessionOut}
+    val base = Files.createTempDirectory("stream-sess-t").toString
+    def row(u: Long, hms: String) =
+      s"""{"user_id":$u,"ts":"2024-01-01T$hms.000Z"}"""
+    def addFile(name: String, rows: Seq[String]): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$base/$name"),
+        rows.mkString("\n"))
+    // batch 1: session A of user 1 (two events 30 s apart, gap 60 s)
+    Files.createDirectories(java.nio.file.Paths.get(base))
+    addFile("part-0.json", Seq(row(1, "00:00:00"), row(1, "00:00:30")))
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType)))
+      val events = spark.readStream.schema(schema).json(base)
+        .as[SessEvent]
+      val sessions = StatefulOps.sessionizeWithTimers(events,
+        gapMs = 60000L, watermarkDelay = "10 seconds")
+      assert(sessions.isStreaming)
+      val out = Files.createTempDirectory("stream-sess-t-out").toString
+      val ckpt = Files.createTempDirectory("stream-sess-t-ckpt").toString
+      def drain(): Unit =
+        StreamingIngest.runAvailableNow(sessions.toDF(), out, ckpt)
+      def read(): Set[(Long, Long, Long, Long)] =
+        spark.read.parquet(out).collect().map(r => (r.getLong(0),
+          r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def ms(hms: String): Long =
+        java.time.Instant.parse(s"2024-01-01T${hms}Z").toEpochMilli
+      drain()
+      // session A is still open: its finalize timer (end+gap =
+      // 00:01:30) is past the watermark (00:00:20)
+      assert(read().isEmpty, s"open session flushed early: ${read()}")
+      // batch 2: a later event of the SAME user closes A by gap logic
+      // directly and opens session B
+      addFile("part-1.json", Seq(row(1, "00:10:00")))
+      drain()
+      val a = (1L, ms("00:00:00"), ms("00:00:30"), 2L)
+      assert(read() == Set(a), s"expected closed session A: ${read()}")
+      // batch 3: traffic from ANOTHER user pushes the watermark past
+      // B's expiry — B must flush via its event-time timer, with no
+      // further user-1 traffic
+      addFile("part-2.json", Seq(row(99, "00:30:00")))
+      drain()
+      val b = (1L, ms("00:10:00"), ms("00:10:00"), 1L)
+      assert(read() == Set(a, b),
+        s"timer did not flush the open session: ${read()}")
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateful sessionization closes sessions on inactivity gaps") {
     import StreamingIngest.Event
     def ev(u: Long, minute: Int, v: Double) = Event(u,
