@@ -278,9 +278,13 @@ object ScaleStress {
       // the CC measurement isn't double-charged for pair generation
       if (opEnabled("minhash_pairs")) {
         val pairsPath = s"$workRoot/pairs_x$m"
-        println(s"-- x$m minhash_pairs ...")
+        // SPARK_GRAFT_STAR_REPS > 1 A/Bs the multi-rep star fallback's
+        // cost on the clone-army's genuinely overflowed buckets
+        val starReps = sys.env.getOrElse("SPARK_GRAFT_STAR_REPS", "1").toInt
+        println(s"-- x$m minhash_pairs (starReps=$starReps) ...")
         val tPairs0 = System.nanoTime()
-        Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.5)
+        Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.5,
+            starReps = starReps)
           .write.mode("overwrite").parquet(pairsPath)
         Dedup.releaseCaches()
         val pairsSec = (System.nanoTime() - tPairs0) / 1e9
