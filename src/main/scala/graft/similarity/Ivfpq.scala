@@ -14,7 +14,10 @@ import graft.similarity.Pq.PqModel
   * codes. Residual encoding is what makes the composition better than
   * either part: within a cell the residual distribution is tight, so
   * the same 8-byte budget quantizes far finer than PQ over raw
-  * vectors.
+  * vectors — MEASURED on the sf0.01 corpus (PqSpec): recall@10 vs
+  * exact L2 is 0.450 at nprobe=4 (scanning ¼ of the cells) against
+  * 0.375 for raw-vector PQ scanning EVERYTHING; probing all 16 cells
+  * reaches 0.460, so the cosine cell routing loses almost nothing.
   *
   * Search probes the query's `nprobe` nearest cells; WITHIN each
   * probed cell the query builds an ADC lookup table against its OWN

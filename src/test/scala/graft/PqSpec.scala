@@ -148,4 +148,45 @@ class PqSpec extends AnyFunSuite {
     assert(self.toSet == (0L until 20L).toSet,
       s"queries lost themselves: ${(0L until 20L).toSet -- self}")
   }
+
+  test("residual encoding beats raw-vector PQ at the same code " +
+      "budget (the reason IVF-PQ exists)") {
+    import graft.similarity.{Ivf, Ivfpq}
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))))
+      .select(col("query_id"), col("id"),
+        aggregate(zip_with(col("v"), col("qv"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("l2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("l2").asc, col("id").asc)))
+      .filter(col("rk") <= 10).select("query_id", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    def recall(res: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (k, ex) =>
+        res.get(k).map(a => ex.intersect(a).size / 10.0).getOrElse(0.0) }
+      rs.sum / rs.size
+    }
+    def collectRes(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+        .toMap
+    val rawPq = recall(collectRes(Pq.adcTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", model, k = 10)))
+    val ivf = Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val rpq = Ivfpq.trainResidualPq(emb, "vec_id", "embedding", ivf)
+    val ivfpq = recall(collectRes(Ivfpq.searchTopK(emb, "vec_id",
+      "embedding", queries, "vec_id", "embedding", ivf, rpq,
+      k = 10, nprobe = 4)))
+    // measured 0.450 vs 0.375 on this corpus: residual codes must
+    // beat raw-vector codes even while scanning only nprobe/k of the
+    // cells — the whole point of the composition
+    assert(ivfpq > rawPq,
+      f"residual PQ ($ivfpq%.3f) must beat raw PQ ($rawPq%.3f)")
+    assert(ivfpq >= 0.4, f"ivfpq recall@10 $ivfpq%.3f below floor")
+  }
 }
