@@ -89,4 +89,41 @@ object Sampling {
       .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
       .drop("__rn", "__n")
   }
+
+  /** Weighted TOKEN-budget mixture — the data-mixing step before
+    * training: each group (language, source, domain) contributes
+    * documents in deterministic content-hash order until its share
+    * of the total token budget (`weights(g) · totalTokens`) is
+    * reached; the document crossing the boundary is included (greedy
+    * take, standard mixture semantics), groups without a weight are
+    * dropped. Sampling by TOKENS, not documents — a mixture spec of
+    * 60/25/15 means token mass, and per-doc token counts vary wildly
+    * across languages.
+    *
+    * Deterministic (same portable hash as [[splitByHash]], DuckDB-
+    * replayable) and reproducible on any cluster. Scale shape: one
+    * broadcast of the weight table + one window per group — the same
+    * per-stratum window shape (and the same whale-stratum caveat) as
+    * [[stratifiedSample]]. */
+  def mixToTokenBudget(df: DataFrame, idCol: String, groupCol: String,
+      tokensCol: String, weights: Map[String, Double],
+      totalTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
+      "weights must be non-negative")
+    require(totalTokens > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val targets = weights.toSeq.toDF(groupCol, "__wt")
+      .select(col(groupCol),
+        (col("__wt") * totalTokens).cast("long").as("__target"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(contentHash(col(idCol)).asc, col(idCol).asc)
+    df.join(broadcast(targets), Seq(groupCol))
+      .withColumn("__running", sum(col(tokensCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__running") - col(tokensCol) < col("__target"))
+      .drop("__target")
+      .withColumnRenamed("__running", "running_tokens")
+  }
 }

@@ -1474,6 +1474,42 @@ object ExtensionQueries {
              |SELECT doc_id, lang FROM r
              |WHERE rn <= CEIL(0.2 * CAST(n AS DOUBLE))""".stripMargin)),
 
+    // weighted TOKEN-budget mixture (the data-mixing step before
+    // training): en/de/zh contribute documents in content-hash order
+    // until 60/24/16% of a 10k-token budget — sampling by token MASS,
+    // not documents, the unit a mixture spec is written in. The
+    // budget genuinely cuts every group at this SF. Deterministic
+    // portable hash → DuckDB replays the greedy take row-for-row.
+    QueryDef("q_mix_tokens",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.Sampling.mixToTokenBudget(docs, "doc_id", "lang",
+          "n_tokens", Map("en" -> 0.6, "de" -> 0.24, "zh" -> 0.16),
+          totalTokens = 10000L)
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("running_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+              |  CAST(len($sqlTokens) AS BIGINT) AS n_tokens,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+              |      ch -> CAST(ascii(ch) AS BIGINT))),
+              |    (acc, x) -> (acc * 31 + x) % 1000000007) AS hh
+              |  FROM documents),
+              |wt AS (SELECT * FROM (VALUES ('en', 6000), ('de', 2400),
+              |  ('zh', 1600)) w(lang, target)),
+              |r AS (SELECT t.doc_id, t.lang, t.n_tokens,
+              |  CAST(SUM(t.n_tokens) OVER (PARTITION BY t.lang
+              |    ORDER BY t.hh ASC, t.doc_id ASC
+              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens,
+              |  wt.target
+              |  FROM t JOIN wt USING (lang))
+              |SELECT doc_id, lang, n_tokens, running_tokens
+              |FROM r WHERE running_tokens - n_tokens < target"""
+        .stripMargin)),
+
     // sqrt-temperature language rebalancing (the multilingual
     // training-mix flattener: a language with n docs keeps
     // ceil(5·√n), so head languages are downsampled hard while tail

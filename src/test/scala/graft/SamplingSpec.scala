@@ -83,4 +83,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == sizes("train"))
     graft.dedup.Dedup.releaseCaches()
   }
+
+  test("mixToTokenBudget takes each group's token share greedily, " +
+      "deterministically, and drops unweighted groups") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("lang"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+    val weights = Map("en" -> 0.6, "de" -> 0.24, "zh" -> 0.16)
+    val total = 10000L
+    val mixed = Sampling.mixToTokenBudget(docs, "doc_id", "lang",
+      "n_tokens", weights, total)
+    val byLang = mixed.groupBy("lang")
+      .agg(sum(col("n_tokens")).as("toks"),
+        max(col("n_tokens")).as("maxDoc"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // only weighted groups appear
+    assert(byLang.keySet == weights.keySet, byLang.keySet.toString)
+    // greedy take: total tokens reach the target and overshoot by
+    // LESS than one document (the boundary doc is included)
+    weights.foreach { case (g, w) =>
+      val target = (w * total).toLong
+      val (toks, maxDoc) = byLang(g)
+      assert(toks >= target, s"$g under budget: $toks < $target")
+      assert(toks < target + maxDoc,
+        s"$g overshot by a full doc: $toks vs $target (+$maxDoc)")
+    }
+    // deterministic under any partitioning
+    val again = Sampling.mixToTokenBudget(docs.repartition(13), "doc_id",
+      "lang", "n_tokens", weights, total)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == mixed.select("doc_id").collect()
+      .map(_.getLong(0)).toSet)
+  }
 }
