@@ -9,7 +9,7 @@ import graft.dedup.Dedup
 import graft.dq.{ApproxDistinctness, Dqdl, Ruleset}
 import graft.multimodal.Multimodal
 import graft.similarity.{Ivf, Ivfpq, Pq, Similarity}
-import graft.text.TextAnalysis
+import graft.text.{Retrieval, TextAnalysis}
 import graft.util.{Checkpointing, Tables}
 
 /** The beyond-reference operators a large-scale training-data pipeline
@@ -1340,6 +1340,76 @@ object ExtensionQueries {
               |  FROM tf JOIN df USING (token))
               |SELECT doc_id, token, tf, df, CAST(rn AS INTEGER) AS rn
               |FROM r WHERE rn <= 3""".stripMargin)),
+
+    // BM25 keyword retrieval (quality-slice mining / eval-set
+    // curation at corpus scale). Exactly oracled: the floating-point
+    // formula is ONE fixed operation order mirrored textually in the
+    // SQL below, per-doc term scores combine by a fixed-order
+    // left-associated add (never a shuffle-order SUM over doubles),
+    // and the score is quantized through DECIMAL(18,9) so a last-ulp
+    // `ln` divergence between engines cannot flip the hash. Scale
+    // shape: tokens filter to the query terms BEFORE the (doc,term)
+    // aggregation — only matches shuffle; df and corpus stats are
+    // broadcasts; top-k is a TakeOrdered.
+    QueryDef("q_bm25",
+      (s, d) => Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "vector", "merge"), topK = 25),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks
+              |  FROM documents),
+              |base AS (SELECT doc_id, toks,
+              |  CAST(len(toks) AS BIGINT) AS dl FROM t),
+              |st AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM base),
+              |tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf
+              |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM base)
+              |  WHERE token IN ('spark', 'vector', 'merge')
+              |  GROUP BY 1, 2, 3),
+              |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+              |sc AS (SELECT tf.doc_id, tf.token,
+              |  ln(1.0 + ((CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE))
+              |      + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+              |  * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+              |     (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+              |      (CAST(tf.dl AS DOUBLE) /
+              |       (CAST(st.tot AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+              |    AS s
+              |  FROM tf JOIN df USING (token) CROSS JOIN st),
+              |g AS (SELECT doc_id,
+              |  MAX(CASE WHEN token = 'spark' THEN s END) AS s_0,
+              |  MAX(CASE WHEN token = 'vector' THEN s END) AS s_1,
+              |  MAX(CASE WHEN token = 'merge' THEN s END) AS s_2
+              |  FROM sc GROUP BY 1)
+              |SELECT doc_id,
+              |CAST((CASE WHEN s_0 IS NOT NULL THEN 1 ELSE 0 END +
+              |      CASE WHEN s_1 IS NOT NULL THEN 1 ELSE 0 END) +
+              |      CASE WHEN s_2 IS NOT NULL THEN 1 ELSE 0 END
+              |  AS INTEGER) AS n_terms_matched,
+              |CAST(CAST((COALESCE(s_0, 0.0) + COALESCE(s_1, 0.0))
+              |    + COALESCE(s_2, 0.0) AS DECIMAL(18,9)) AS DOUBLE)
+              |  AS bm25
+              |FROM g ORDER BY bm25 DESC, doc_id ASC
+              |LIMIT 25""".stripMargin)),
+
+    // sliding-window chunking (the RAG/embedding preprocessing step):
+    // size-40 token windows advancing by 30 — a narrow map + generator
+    // with NO shuffle at any corpus size; only chunk strings
+    // materialize, the token arrays stay inside the row expression
+    QueryDef("q_chunk_sliding",
+      (s, d) => Retrieval.chunkSliding(Tables.documents(s, d),
+        "doc_id", "text", size = 40, stride = 30),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks
+              |  FROM documents),
+              |n AS (SELECT doc_id, toks,
+              |  CASE WHEN len(toks) = 0 THEN 0
+              |  ELSE 1 + (GREATEST(len(toks) - 40, 0) + 29) // 30 END
+              |    AS nc FROM t),
+              |c AS (SELECT doc_id, toks, unnest(range(nc)) AS chunk_id
+              |  FROM n)
+              |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+              |CAST(len(toks[(chunk_id*30+1):(chunk_id*30+40)])
+              |  AS INTEGER) AS n_chunk_tokens,
+              |array_to_string(toks[(chunk_id*30+1):(chunk_id*30+40)], ' ')
+              |  AS chunk_text
+              |FROM c""".stripMargin)),
 
     // rolling min-shingle fingerprint, portable base-31 polynomial
     // flavor — exactly reproducible in DuckDB (the xxhash64-based

@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus retrieval operators for the training-data pipeline: BM25
+  * keyword scoring (the classic "find documents about X in 100 TB"
+  * primitive — quality-slice mining, targeted decontamination,
+  * eval-set curation) and sliding-window chunking (the RAG/embedding
+  * preprocessing step that turns long documents into bounded
+  * token-window pieces).
+  *
+  * Both are exactly oracle-replayable: BM25's floating-point formula
+  * is written as ONE fixed operation order (mirrored in the DuckDB
+  * oracle), per-document term scores are combined by a fixed-order
+  * left-associated add (never a shuffle-order SUM), and the final
+  * score is quantized through DECIMAL(18,9) so a last-ulp divergence
+  * between engines' `ln` cannot flip a hash (empirically Java
+  * `Math.log` and DuckDB `ln` agree bit-for-bit on this host; the
+  * quantization is the belt to that suspenders).
+  */
+object Retrieval {
+
+  /** BM25 scores for a literal keyword query over a document corpus.
+    *
+    * Returns the `topK` documents by descending score (ties broken by
+    * ascending id): (doc_id, n_terms_matched, bm25).
+    *
+    * Scale shape: the corpus is scanned ONCE; tokens are filtered to
+    * the query terms BEFORE the (doc, term) aggregation, so only
+    * matching occurrences ever shuffle — the reduction is
+    * |matches|, not |tokens|. Document frequencies (≤ |terms| rows)
+    * and the corpus stats (1 row) come back as broadcasts; the final
+    * top-k is a TakeOrdered, never a full sort. At 100 TB the one
+    * shuffle is the per-(doc,term) count of query-term hits.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    // one row: N and total token count (avgdl = tot/n as ONE double
+    // division — no accumulation-order drift, both are exact BIGINTs)
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+
+    val tf = base.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+    // the BM25 atom, ONE fixed operation order mirrored in the oracle:
+    //   idf = ln(1 + ((n - df) + 0.5) / (df + 0.5))
+    //   s   = idf * ((tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * (dl / (tot / n)))))
+    val nD = col("n").cast("double"); val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double"); val dlD = col("dl").cast("double")
+    val avgdl = col("tot").cast("double") / nD
+    val idf = log(lit(1.0) + ((nD - dfD) + lit(0.5)) / (dfD + lit(0.5)))
+    val s = idf * ((tfD * (lit(k1) + lit(1.0))) /
+      (tfD + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (dlD / avgdl))))
+
+    val scored = tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"), s.as("s"))
+    // fixed-order per-doc combine: one pivot column per query term
+    // (each (doc, term) has exactly one row, so MAX is the value
+    // itself), then a left-associated add — the score is identical at
+    // any parallelism, unlike SUM over shuffle-ordered doubles
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === lit(t), col("s"))).as(s"s_$i")
+    }
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(pivots.head, pivots.tail: _*)
+    val total = terms.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val matched = terms.indices
+      .map(i => when(col(s"s_$i").isNotNull, 1).otherwise(0))
+      .reduceLeft(_ + _)
+    perDoc.select(col("doc_id"), matched.as("n_terms_matched"),
+        total.cast(DecimalType(18, 9)).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Sliding-window chunking: split each document's token stream into
+    * windows of `size` tokens advancing by `stride` (< size overlaps —
+    * the standard RAG/embedding preprocessing shape). Chunk k of a
+    * document covers tokens [k·stride, k·stride + size); the last
+    * window is the first one whose span reaches the end of the
+    * document (shorter than `size` when the tail is short). Empty
+    * documents produce no chunks.
+    *
+    * Returns (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    *
+    * Scale shape: a narrow map + generator — no shuffle at any corpus
+    * size; output rows ≈ len/stride per document. The token arrays
+    * stay inside the per-row expression; only the chunk strings
+    * materialize.
+    */
+  def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
+      size: Int = 40, stride: Int = 30): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val len = org.apache.spark.sql.functions.size(toks)
+    // 1 + ceil(max(0, len - size) / stride) windows; 0 for empty docs.
+    // The division is double over exact small ints: an exact-integer
+    // quotient is exactly representable, so floor never off-by-ones.
+    val nChunks = when(len === 0, lit(0)).otherwise(
+      lit(1) + floor((greatest(len - lit(size), lit(0)) +
+        lit(stride - 1)) / lit(stride)).cast("int"))
+    // guard the generator: sequence(0, -1) would count DOWN (Spark
+    // defaults step to -1 when start > stop), not produce 0 windows
+    val ids = when(nChunks === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nChunks - lit(1)))
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+        explode(ids).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), col("chunk_id") * lit(stride) + lit(1),
+          lit(size)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        org.apache.spark.sql.functions.size(col("chunk"))
+          .as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Retrieval
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark spark spark engine"),        // high tf for 'spark'
+    (2L, "spark engine"),                    // 'spark' once, short doc
+    (3L, "engine engine engine engine engine engine engine engine"),
+    (4L, "vector search engine"),
+    (5L, "")                                 // empty doc
+  ).toDF("doc_id", "text")
+
+  test("bm25 ranks higher-tf docs first and respects tie-break by id") {
+    val r = Retrieval.bm25(docs, "doc_id", "text",
+      terms = Seq("spark", "vector"), topK = 10).collect()
+    val ids = r.map(_.getLong(0)).toSeq
+    // docs 1, 2, 4 match; 3 and 5 don't
+    assert(ids.toSet == Set(1L, 2L, 4L))
+    val byId = r.map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // doc 1 (tf=3) beats doc 2 (tf=1) for the same term
+    assert(byId(1L) > byId(2L))
+    // every returned score is positive and finite
+    assert(byId.values.forall(v => v > 0.0 && !v.isNaN && !v.isInfinite))
+    // matched-term counts: docs 1 and 2 match 1 term, doc 4 matches 1
+    val matches = r.map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(matches == Map(1L -> 1, 2L -> 1, 4L -> 1))
+  }
+
+  test("bm25 matches a hand-computed score on a 2-doc corpus") {
+    val two = Seq((1L, "a b"), (2L, "a a a a")).toDF("doc_id", "text")
+    val r = Retrieval.bm25(two, "doc_id", "text", terms = Seq("a"),
+      k1 = 1.2, b = 0.75, topK = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // n=2, df=2, dl: doc1=2 doc2=4, avgdl=3
+    def score(tf: Double, dl: Double): Double = {
+      val idf = math.log(1.0 + ((2.0 - 2.0) + 0.5) / (2.0 + 0.5))
+      val raw = idf * ((tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / 3.0))))
+      BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(r(1L) == score(1.0, 2.0))
+    assert(r(2L) == score(4.0, 4.0))
+  }
+
+  test("bm25 rejects empty and duplicate term lists") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25(docs, "doc_id", "text", terms = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25(docs, "doc_id", "text", terms = Seq("a", "a"))
+    }
+  }
+
+  test("chunkSliding covers every token with the expected windows") {
+    // 100 tokens, size 40 stride 30 → chunks at 0, 30, 60 (3 windows)
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val r = Retrieval.chunkSliding(Seq((7L, text)).toDF("id", "t"),
+      "id", "t", size = 40, stride = 30)
+      .orderBy("chunk_id").collect()
+    assert(r.length == 3)
+    assert(r.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(r.map(_.getInt(2)).toSeq == Seq(40, 40, 40))
+    // chunk 2 starts at token 61 and ends at w100
+    val last = r(2).getString(3).split(" ")
+    assert(last.head == "w61" && last.last == "w100")
+    // overlap: chunk 0 ends at w40, chunk 1 starts at w31
+    assert(r(0).getString(3).split(" ").last == "w40")
+    assert(r(1).getString(3).split(" ").head == "w31")
+  }
+
+  test("chunkSliding edge cases: short doc, exact fit, tail, empty") {
+    val d = Seq(
+      (1L, (1 to 5).map(i => s"t$i").mkString(" ")),  // shorter than size
+      (2L, (1 to 40).map(i => s"t$i").mkString(" ")), // exact fit → 1 chunk
+      (3L, (1 to 41).map(i => s"t$i").mkString(" ")), // one over → 2 chunks
+      (4L, "")                                        // empty → none
+    ).toDF("id", "t")
+    val counts = Retrieval.chunkSliding(d, "id", "t", 40, 30)
+      .groupBy("doc_id").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(counts == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // the tail chunk of doc 3 holds tokens 31..41 (11 tokens)
+    val tail = Retrieval.chunkSliding(d, "id", "t", 40, 30)
+      .filter($"doc_id" === 3 && $"chunk_id" === 1).collect().head
+    assert(tail.getInt(2) == 11)
+    assert(tail.getString(3).startsWith("t31 ") &&
+      tail.getString(3).endsWith(" t41"))
+  }
+}
