@@ -28,7 +28,10 @@ import graft.lake.Lake
   *    views use the latter, sales_per_artist_vw.sql:5-7);
   *  - deterministic topological order with loud cycle detection;
   *  - `table` models via CTAS ([[Lake.materializeTable]]), `view`
-  *    models as catalog views (K7/K8 semantics);
+  *    models as catalog views (K7/K8 semantics), `incremental` models
+  *    with dbt's is_incremental() protocol, and `snapshot` models —
+  *    dbt's SCD2 materialization (`timestamp` strategy) via
+  *    [[Scd2.snapshotMerge]];
   *  - declared schema tests compiled to [[Dqdl]] rules and run as a
   *    BLOCKING gate: a failing test halts the run before any
   *    downstream model materializes (the reference's dbt test gate,
@@ -94,7 +97,8 @@ object ModelRunner {
     * `{{ config(...) }}` block is a loud error rather than a silent
     * semantic downgrade. */
   private val SupportedConfigKeys =
-    Set("materialized", "incremental_strategy", "partition_by")
+    Set("materialized", "incremental_strategy", "partition_by",
+      "unique_key", "updated_at", "strategy")
 
   /** Parse a config block's kwargs strictly: every key must be
     * supported, and the block must contain NOTHING that KwargPat did
@@ -154,7 +158,8 @@ object ModelRunner {
             .getOrElse(Map.empty)
           val mat = config.get("materialized")
             .orElse(groupMat.get(group)).getOrElse("view")
-          require(mat == "table" || mat == "view" || mat == "incremental",
+          require(mat == "table" || mat == "view" || mat == "incremental"
+              || mat == "snapshot",
             s"model $modelName: unsupported materialization '$mat'")
           ModelDef(modelName, group, ConfigBlockPat.replaceAllIn(raw, ""),
             mat, tests.getOrElse(modelName, Seq.empty), config)
@@ -368,6 +373,45 @@ object ModelRunner {
                 checkIdent("partition_by", p))
             case other => throw new IllegalArgumentException(
               s"model $name: unsupported incremental_strategy '$other'")
+          }
+        case "snapshot" =>
+          // dbt snapshot (SCD2, `timestamp` strategy): the model's
+          // SELECT is one source snapshot; each run advances the
+          // versioned history via Scd2.snapshotMerge. The merged frame
+          // READS the table it replaces, so it stages through a temp
+          // parquet dir before the overwrite — same files-then-swap
+          // discipline as Lake's idempotent rewrites.
+          val uk = checkIdent("unique_key", m.config.getOrElse("unique_key",
+            throw new IllegalArgumentException(
+              s"model $name: materialized='snapshot' needs unique_key")))
+          val ua = checkIdent("updated_at", m.config.getOrElse("updated_at",
+            throw new IllegalArgumentException(
+              s"model $name: materialized='snapshot' needs updated_at")))
+          m.config.get("strategy").foreach(st => require(st == "timestamp",
+            s"model $name: unsupported snapshot strategy '$st' " +
+              "(only 'timestamp')"))
+          val fresh = spark.sql(renderIncremental(sql, incremental = false))
+          val tsType = fresh.schema(ua).dataType
+          if (!spark.catalog.tableExists(relation)) {
+            clearOrphanLocation(name, relation)
+            Lake.materializeTable(spark, fresh
+              .withColumn("dbt_valid_from", org.apache.spark.sql.functions.col(ua))
+              .withColumn("dbt_valid_to",
+                org.apache.spark.sql.functions.lit(null).cast(tsType)),
+              relation)
+          } else {
+            val merged = Scd2.snapshotMerge(spark.table(relation), fresh,
+              uk, ua)
+            val stage = Files.createTempDirectory("graft_snapshot_stage")
+            try {
+              merged.write.mode("overwrite").parquet(stage.toString)
+              Lake.materializeTable(spark,
+                spark.read.parquet(stage.toString), relation)
+            } finally {
+              val p = new org.apache.hadoop.fs.Path(stage.toUri)
+              p.getFileSystem(spark.sessionState.newHadoopConf())
+                .delete(p, true)
+            }
           }
       }
       val verdict = Option.when(m.tests.nonEmpty) {

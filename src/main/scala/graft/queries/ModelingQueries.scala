@@ -244,8 +244,141 @@ object ModelingQueries {
              |SELECT d, lang, CAST(COUNT(*) AS BIGINT) AS n,
              |CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
              |  AS chars
-             |FROM src GROUP BY 1, 2""".stripMargin))
+             |FROM src GROUP BY 1, 2""".stripMargin)),
+
+    // SCD2 from a change log in one pass (Scd2.historize): each
+    // user's event_type timeline collapses into versioned validity
+    // intervals — two window passes over ONE shuffle on the key, no
+    // joins. The oracle replays the lag-filter + lead-interval chain.
+    QueryDef("q_scd2_dim",
+      (s, d) => graft.model.Scd2.historize(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        keyCols = Seq("user_id"), stateCols = Seq("event_type"),
+        tsCol = "ts", tieCols = Seq("event_id"))
+        .withColumnRenamed("event_type", "status"),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |o AS (SELECT user_id, ts, event_id, event_type,
+             |  lag(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS prev FROM e),
+             |c AS (SELECT user_id, ts, event_id, event_type FROM o
+             |  WHERE prev IS NULL OR prev <> event_type),
+             |v AS (SELECT user_id, event_type, ts, event_id,
+             |  lead(ts) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS valid_to,
+             |  row_number() OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS version FROM c)
+             |SELECT user_id, CAST(version AS INTEGER) AS version,
+             |event_type AS status, ts AS valid_from, valid_to,
+             |valid_to IS NULL AS is_current FROM v""".stripMargin)),
+
+    // the dbt `snapshot` materialization end-to-end: two ModelRunner
+    // runs of a snapshot model (timestamp strategy) over per-user
+    // latest-status snapshots cut at two watermarks; the second run
+    // closes superseded versions and opens fresh ones via
+    // Scd2.snapshotMerge. The oracle replays both snapshots and the
+    // merge algebra inline. Built once per (process, data dir).
+    QueryDef("q_model_snapshot",
+      (s, d) => {
+        snapBuilt.getOrElseUpdate(d, {
+          s.sql("CREATE DATABASE IF NOT EXISTS graft_snap_src")
+          s.sql("CREATE DATABASE IF NOT EXISTS graft_snap_out")
+          s.sql("DROP TABLE IF EXISTS graft_snap_src.events")
+          s.sql("DROP TABLE IF EXISTS graft_snap_out.user_status")
+          Seq(("graft_snap_src", "events"), ("graft_snap_out", "user_status"))
+            .foreach { case (db, tbl) =>
+              if (!s.catalog.tableExists(s"$db.$tbl")) {
+                val meta = s.sessionState.catalog.getDatabaseMetadata(db)
+                val loc = new org.apache.hadoop.fs.Path(
+                  new org.apache.hadoop.fs.Path(meta.locationUri), tbl)
+                val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+                if (fs.exists(loc)) fs.delete(loc, true)
+              }
+            }
+          Tables.events(s, d).write.mode("overwrite")
+            .saveAsTable("graft_snap_src.events")
+          val project = ModelRunner.loadProject(snapProjectRoot)
+          ModelRunner.run(s, project,
+            varOverrides = Map("cutoff" -> "2024-01-15 00:00:00"))
+          ModelRunner.run(s, project,
+            varOverrides = Map("cutoff" -> "2099-01-01 00:00:00"))
+          true
+        })
+        s.table("graft_snap_out.user_status")
+          .select(col("user_id"), col("status"),
+            col("dbt_valid_from"), col("dbt_valid_to"),
+            col("dbt_valid_to").isNull.as("is_current"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |s1 AS (SELECT user_id, event_type AS status,
+             |  ts AS updated_at FROM
+             |  (SELECT user_id, event_type, ts, row_number() OVER
+             |    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+             |    AS rn FROM e
+             |   WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+             |  WHERE rn = 1),
+             |s2 AS (SELECT user_id, event_type AS status,
+             |  ts AS updated_at FROM
+             |  (SELECT user_id, event_type, ts, row_number() OVER
+             |    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+             |    AS rn FROM e
+             |   WHERE ts < TIMESTAMP '2099-01-01 00:00:00')
+             |  WHERE rn = 1),
+             |prior AS (SELECT s1.user_id, s1.status,
+             |  s1.updated_at AS dbt_valid_from,
+             |  CASE WHEN s2.updated_at > s1.updated_at
+             |    THEN s2.updated_at END AS dbt_valid_to
+             |  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id),
+             |fresh AS (SELECT s2.user_id, s2.status,
+             |  s2.updated_at AS dbt_valid_from,
+             |  CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+             |  FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
+             |  WHERE s1.user_id IS NULL
+             |     OR s2.updated_at > s1.updated_at)
+             |SELECT user_id, status, dbt_valid_from, dbt_valid_to,
+             |dbt_valid_to IS NULL AS is_current
+             |FROM (SELECT * FROM prior UNION ALL
+             |      SELECT * FROM fresh)""".stripMargin))
   )
+
+  private val snapBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private val snapProjectFiles: Seq[(String, String)] = Seq(
+    "dbt_project.yml" ->
+      """name: 'graft_snap'
+        |vars:
+        |  source_schema: graft_snap_src
+        |  target_schema: graft_snap_out
+        |  cutoff: '2024-01-15 00:00:00'
+        |""".stripMargin,
+    "models/core/user_status.sql" ->
+      """{{ config(materialized='snapshot', strategy='timestamp',
+        |   unique_key='user_id', updated_at='updated_at') }}
+        |SELECT user_id, status, updated_at FROM (
+        |  SELECT user_id, event_type AS status, ts AS updated_at,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM {{ var("source_schema") }}.events
+        |  WHERE ts < TIMESTAMP '{{ var("cutoff") }}'
+        |) WHERE rn = 1
+        |""".stripMargin)
+
+  /** Snapshot project written once per JVM (same leak discipline as
+    * [[projectRoot]]). */
+  private lazy val snapProjectRoot: Path = {
+    val root = Files.createTempDirectory("graft-snap-models")
+    root.toFile.deleteOnExit()
+    snapProjectFiles.foreach { case (rel, content) =>
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    root
+  }
 
   private val incBuilt =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
