@@ -376,6 +376,34 @@ object ExtensionQueries {
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
 
+  /** DuckDB replay of one greedy BPE merge pass ([[graft.text.Bpe
+    * .applyMerge]]'s exact fold): elements wrap as singleton lists so
+    * the reduce's accumulator and element types agree (the repo's
+    * list_prepend-initial trick), out-of-range acc[-1] is NULL (never
+    * an error), and the CASE mirrors the Spark fold branch-for-branch.
+    * `inner` is any VARCHAR[] expression (chars or prior-merge
+    * symbols). */
+  private def bpeFoldSql(inner: String, l: String, r: String): String =
+    s"""list_reduce(list_prepend(CAST([] AS VARCHAR[]),
+       |  list_transform($inner, c -> [c])),
+       |  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$l'
+       |      AND x[1] = '$r'
+       |    THEN list_append(acc[1:len(acc)-1], '$l$r')
+       |    ELSE list_append(acc, x[1]) END)""".stripMargin
+
+  /** The fixed "pretrained tokenizer" merge table for q_bpe_segment —
+    * standing in for an offline learnMerges() run, the same
+    * literal-model pattern as q_quality_model_score's weights
+    * (training determinism itself is pinned by BpeSpec against an
+    * independent reference implementation, and by q_bpe_train's
+    * argmax oracle). Includes a chained merge (m+er) so the oracle
+    * exercises multi-char symbols. */
+  private val bpePretrained = graft.text.Bpe.BpeModel(Seq(
+    graft.text.Bpe.BpeMerge(1, "e", "r", 0L),
+    graft.text.Bpe.BpeMerge(2, "i", "n", 0L),
+    graft.text.Bpe.BpeMerge(3, "o", "w", 0L),
+    graft.text.Bpe.BpeMerge(4, "m", "er", 0L)))
+
   val all: Seq[QueryDef] = Seq(
 
     // -------------------------------------------------------------- dedup
@@ -1410,6 +1438,66 @@ object ExtensionQueries {
               |array_to_string(toks[(chunk_id*30+1):(chunk_id*30+40)], ' ')
               |  AS chunk_text
               |FROM c""".stripMargin)),
+
+    // distributed BPE training: each merge round is one adjacent-pair
+    // count over the WEIGHTED DISTINCT-WORD table (Heaps-law small at
+    // any corpus size) + a 1-row argmax to the driver. The learned
+    // table's values are iteration-dependent, so the hashed output
+    // carries the trainer's GUARANTEES: the rank-1 merge must equal
+    // DuckDB's exact argmax over initial pair counts (count DESC,
+    // pair ASC tie-break), the run must complete all 8 merges, and
+    // merge counts must be non-increasing (a new pair's frequency is
+    // bounded by the occurrences of the pair that created its symbol).
+    // BpeSpec pins full multi-round training against an independent
+    // reference implementation.
+    QueryDef("q_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val model = graft.text.Bpe.learnMerges(Tables.documents(s, d),
+          "text", nMerges = 8)
+        val ms = model.merges
+        val counts = ms.map(_.count)
+        val monotone = counts.zip(counts.drop(1))
+          .forall { case (a, b) => a >= b }
+        Seq((ms.head.left, ms.head.right, ms.head.count, ms.length,
+          monotone)).toDF("first_left", "first_right", "first_cnt",
+          "n_merges", "counts_monotone")
+      },
+      Some(s"""WITH w AS (SELECT tok AS word,
+              |  CAST(COUNT(*) AS BIGINT) AS w FROM
+              |  (SELECT unnest($sqlTokens) AS tok FROM documents)
+              |  GROUP BY 1),
+              |p0 AS (SELECT word, w,
+              |  unnest(generate_series(1, length(word) - 1)) AS i
+              |  FROM w),
+              |p AS (SELECT word[i] AS l, word[i+1] AS r,
+              |  SUM(w) AS cnt FROM p0 GROUP BY 1, 2)
+              |SELECT l AS first_left, r AS first_right,
+              |CAST(cnt AS BIGINT) AS first_cnt,
+              |CAST(8 AS INTEGER) AS n_merges,
+              |TRUE AS counts_monotone
+              |FROM p ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin)),
+
+    // applying a pretrained BPE tokenizer at corpus scale (the shape
+    // production pipelines actually run: train rarely on a sample,
+    // segment everything): subword vocabulary under a fixed merge
+    // table — one narrow segmentation map (a pure array fold per
+    // word, no UDF) + one count shuffle on the subword key. The
+    // oracle replays every merge as the exact same greedy fold via
+    // nested list_reduce.
+    QueryDef("q_bpe_segment",
+      (s, d) => graft.text.Bpe.subwordVocab(Tables.documents(s, d),
+        "text", bpePretrained),
+      Some {
+        val folded = bpePretrained.merges.foldLeft(
+          "string_split(word, '')") { (e, m) =>
+          bpeFoldSql(e, m.left, m.right) }
+        s"""WITH w AS (SELECT unnest($sqlTokens) AS word
+           |  FROM documents),
+           |seg AS (SELECT unnest($folded) AS subword FROM w)
+           |SELECT subword, CAST(COUNT(*) AS BIGINT) AS cnt
+           |FROM seg GROUP BY 1""".stripMargin
+      }),
 
     // rolling min-shingle fingerprint, portable base-31 polynomial
     // flavor — exactly reproducible in DuckDB (the xxhash64-based
