@@ -812,4 +812,45 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .groupBy(col("idA"), col("idB")).agg(first(col("cosine")).as("cosine"))
   }
+
+  /** Cluster-based semantic dedup (the SemDeDup recipe): assign every
+    * vector to its nearest trained centroid, compare cosines only
+    * WITHIN a cluster, and drop any vector dominated by a lower-id
+    * cluster-mate at `threshold`+. Returns the survivors
+    * (idCol, cell).
+    *
+    * Contrast with [[embeddingNearDupPairs]] (hyperplane-LSH buckets —
+    * recall comes from multiple random tables): here the candidate
+    * structure is a LEARNED partition of the embedding space, so one
+    * assignment pass suffices and near-dups concentrate in the same
+    * cell by construction. Scale shape: one narrow assignment map,
+    * one self-join shuffled on the cell key — per-cell pair work is
+    * bounded by cluster size, and the centroid count is the knob
+    * (SemDeDup's own recipe: grow k with the corpus, k≈√n keeps
+    * E[cell] = √n). Only ids cross the dominated-set shuffle; the
+    * anti-join returns full rows without ever moving vectors twice.
+    *
+    * Deterministic end-to-end: training is [[graft.similarity.Ivf]]'s
+    * decimal-exact Lloyd (bit-replayable in the oracle), assignment
+    * ties break on the higher cell (array_max's struct order), and
+    * the keep-rule is pure id ordering. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      model: graft.similarity.Ivf.IvfModel,
+      threshold: Double): DataFrame = {
+    import graft.similarity.Ivf
+    val base = ensureParallelism(df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")))
+      .withColumn("cell", Ivf.assignCell(col("v"), model))
+    val a = base.select(col("cell"), col("id").as("a_id"),
+      col("v").as("a_v"))
+    val b = base.select(col("cell"), col("id").as("b_id"),
+      col("v").as("b_v"))
+    val dominated = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id") &&
+        graft.functions.VectorFunctions
+          .cosine_sim(col("a_v"), col("b_v")) >= threshold)
+      .select(col("b_id").as("id")).distinct()
+    base.join(dominated, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
 }

@@ -170,7 +170,11 @@ object ExtensionQueries {
       * differ ONLY in which vectors query (`probeFilter`) and the
       * rank bound — one source of truth for the deterministic recipe,
       * so a tiebreak/seeding fix can't drift between them. */
-    private def searchSql(probeFilter: String, bound: Int): String = {
+    /** Shared WITH-prefix: vectors, seed, Lloyd unroll, and the final
+      * `fin(vec_id, v, cell)` assignment — one source of truth for
+      * the deterministic training recipe across the search AND
+      * semantic-dedup oracles. */
+    private def trainChain: String = {
       val lloyd = (1 to iters).map(i =>
         assign("e", s"cent${i - 1}", s"a$i") + ",\n" +
           update(s"a$i", s"cent${i - 1}", s"cent$i")).mkString(",\n")
@@ -180,7 +184,21 @@ object ExtensionQueries {
          |    row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
          |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
          |$lloyd,
-         |${assign("e", s"cent$iters", "fin")},
+         |${assign("e", s"cent$iters", "fin")}""".stripMargin
+    }
+    /** Cluster-scoped dominated-by-lower-id dedup over the trained
+      * cells — the q_dedup_semantic oracle. */
+    def dedupSql(tau: Double): String =
+      s"""$trainChain,
+         |dom AS MATERIALIZED (SELECT DISTINCT b.vec_id AS id
+         |  FROM fin a JOIN fin b ON a.cell = b.cell
+         |    AND a.vec_id < b.vec_id
+         |  WHERE ${LshSql.cosine("a.v", "b.v")} >= $tau)
+         |SELECT f.vec_id, CAST(f.cell AS INTEGER) AS cell
+         |FROM fin f LEFT JOIN dom ON f.vec_id = dom.id
+         |WHERE dom.id IS NULL""".stripMargin
+    private def searchSql(probeFilter: String, bound: Int): String = {
+      s"""$trainChain,
          |pr_s AS (SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
          |  row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY ${LshSql.cosine("e.v", "c.c")} DESC, c.cell DESC)
@@ -678,6 +696,22 @@ object ExtensionQueries {
            |  ${LshSql.cosine("va", "vb")} AS cosine FROM p)
            |SELECT idA, idB, cosine FROM c WHERE cosine >= 0.35""".stripMargin
       }),
+
+    // cluster-based semantic dedup (the SemDeDup recipe): assign to
+    // trained IVF cells, compare cosines only within a cell, drop
+    // vectors dominated by a lower-id cluster-mate. Exactly oracled —
+    // the DuckDB side replays the decimal-exact Lloyd training
+    // (IvfSql.trainChain, shared with q_ann_ivf), the assignment
+    // tie-break, and the same left-associated cosine fold, so the
+    // survivor set hashes bit-identically.
+    QueryDef("q_dedup_semantic",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = Ivf.train(emb, "vec_id", "embedding",
+          k = IvfSql.k, iters = IvfSql.iters)
+        Dedup.semanticDedup(emb, "vec_id", "embedding", model,
+          threshold = 0.35)
+      }, Some(IvfSql.dedupSql(0.35))),
 
     // --------------------------------------------------------- similarity
 

@@ -542,4 +542,31 @@ class DedupSpec extends AnyFunSuite {
       (100L until 200L).toSet),
       "each family must collapse into exactly its own cluster")
   }
+
+  test("semanticDedup drops lower-id-dominated cluster-mates only") {
+    import graft.similarity.Ivf
+    // two well-separated directions in R^4; near-dups are tiny
+    // perturbations (cosine ≈ 1), plus one orthogonal-ish singleton
+    // per cluster that must survive any sane threshold
+    def v(xs: Double*): Seq[Double] = xs
+    val data = Seq(
+      (1L, v(1.0, 0.02, 0.0, 0.0)),   // cluster A rep
+      (2L, v(1.0, 0.01, 0.0, 0.0)),   // near-dup of 1 → dropped
+      (3L, v(1.0, 0.03, 0.01, 0.0)),  // near-dup of 1 → dropped
+      (4L, v(0.0, 0.0, 1.0, 0.02)),   // cluster B rep
+      (5L, v(0.0, 0.0, 1.0, 0.01)),   // near-dup of 4 → dropped
+      (6L, v(0.1, 0.0, 0.9, 0.0)),    // B-side but not a near-dup
+      (7L, v(0.7, 0.7, 0.0, 0.0))     // A-side but not a near-dup
+    ).toDF("vec_id", "embedding")
+    val model = Ivf.train(data, "vec_id", "embedding", k = 2, iters = 2)
+    val survivors = Dedup.semanticDedup(data, "vec_id", "embedding",
+      model, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L, 6L, 7L))
+    // threshold high enough that nothing dominates → everything stays
+    val all = Dedup.semanticDedup(data, "vec_id", "embedding",
+      model, threshold = 1.1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == (1L to 7L).toSet)
+  }
 }
