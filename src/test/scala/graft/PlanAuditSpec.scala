@@ -518,4 +518,58 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!sp.contains("pq_encode"),
       s"search must read materialized codes, not re-encode:\n$sp")
   }
+
+  test("BM25 filters to query terms BEFORE any shuffle; df broadcasts; " +
+      "top-k is TakeOrdered") {
+    val p = plan("q_bm25")
+    // the isin filter sits directly on the Generate output, upstream
+    // of the (doc,term) aggregation — only matching tokens ever
+    // shuffle
+    assert("Filter \\(token#\\d+ IN \\(spark,vector,merge\\)".r
+      .findFirstIn(p).isDefined, s"term filter not before the agg:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)   // df side broadcasts
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    // the only nested-loop is the deliberate 1-row stats cross-join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("sliding chunking is a shuffle-free narrow generator") {
+    val p = plan("q_chunk_sliding")
+    assert(!p.contains("Exchange"), s"chunking plans a shuffle:\n$p")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
+  }
+
+  test("BPE segmentation is one narrow fold map + one count shuffle, " +
+      "UDF-free") {
+    val p = plan("q_bpe_segment")
+    assert(!p.contains("ScalaUDF"), s"BPE fold fell out of expressions:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly the vocab-count shuffle:\n$p")
+    assert(p.contains("aggregate("), p) // the pure-function fold
+  }
+
+  test("semantic dedup joins on the cell key — no cartesian, ids-only " +
+      "dominated set") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the dominated-set aggregation carries ONLY the id column
+    assert("HashAggregate\\(keys=\\[id#\\d+L\\], functions=\\[\\]".r
+      .findFirstIn(p).isDefined, s"dominated set must be ids only:\n$p")
+  }
+
+  test("SCD2 historize is ONE shuffle on the key; both windows share it") {
+    val p = plan("q_scd2_dim")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"historize must not re-shuffle between windows:\n$p")
+    assert("Window ".r.findAllIn(p).length == 2, p)
+    assert("Sort ".r.findAllIn(p).length == 1,
+      s"the second window must reuse the first's sort:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
