@@ -107,6 +107,80 @@ object AnalyticsQueries {
              |  AS total_value
              |FROM z GROUP BY user_id, sess_idx""".stripMargin)),
 
+    // ordered funnel (view → click → purchase): three conditional-min
+    // window passes over ONE user-key shuffle — each step's timestamp
+    // is the first qualifying event strictly after the previous
+    // step's, so out-of-order events never count. Output is the
+    // per-step user population (exact integers).
+    QueryDef("q_funnel_steps",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" &&
+              col("ts") > col("t1"), col("ts"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" &&
+              col("ts") > col("t2"), col("ts"))).over(w))
+          .groupBy(col("user_id"))
+          .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+            max(col("t3")).as("t3"))
+          .agg(count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_click_after_view"),
+            count(col("t3")).as("n_purchase_after_click"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |  event_type FROM events),
+             |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view'
+             |  THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM e),
+             |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+             |  AND ts > t1 THEN ts END)
+             |  OVER (PARTITION BY user_id) AS t2 FROM s1),
+             |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+             |  AND ts > t2 THEN ts END)
+             |  OVER (PARTITION BY user_id) AS t3 FROM s2),
+             |u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2,
+             |  MAX(t3) AS t3 FROM s3 GROUP BY 1)
+             |SELECT CAST(COUNT(t1) AS BIGINT) AS n_view,
+             |CAST(COUNT(t2) AS BIGINT) AS n_click_after_view,
+             |CAST(COUNT(t3) AS BIGINT) AS n_purchase_after_click
+             |FROM u""".stripMargin)),
+
+    // cohort retention: users bucketed by first-seen day, activity
+    // counted per (cohort, week offset) — distinct (user, day)
+    // activity first, so per-day event volume can't inflate
+    // retention. All-integer output; two shuffles (user-day distinct,
+    // cohort join) at any scale.
+    QueryDef("q_retention_cohorts",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val cohort = e.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        e.join(cohort, Seq("user_id"))
+          .select(col("user_id"), col("cohort_day"),
+            floor(datediff(col("day"), col("cohort_day")) / lit(7.0))
+              .cast("int").as("week_offset"))
+          .distinct()
+          .groupBy(col("cohort_day"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+             |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+             |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e
+             |  GROUP BY 1),
+             |o AS (SELECT DISTINCT e.user_id, c.cohort_day,
+             |  CAST(FLOOR(date_diff('day', c.cohort_day, e.day) / 7.0)
+             |    AS INTEGER) AS week_offset
+             |  FROM e JOIN c ON e.user_id = c.user_id)
+             |SELECT cohort_day, week_offset,
+             |CAST(COUNT(*) AS BIGINT) AS n_users
+             |FROM o GROUP BY 1, 2""".stripMargin)),
+
     // rollup: sales by (year, priority) with subtotals and grand total
     QueryDef("q_rollup_sales",
       (s, d) => Tables.orders(s, d)

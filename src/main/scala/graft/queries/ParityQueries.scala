@@ -246,6 +246,38 @@ object ParityQueries {
              |  AS all_passed
              |FROM lineitem""".stripMargin)),
 
+    // volume ANOMALY detection (the Glue-DQ capability the rule DSL
+    // can't express): each ingest day's row count judged against the
+    // distribution of all days' counts — z-scores from exact decimal
+    // moment sums with a fixed-order float recipe mirrored in the
+    // oracle, quantized through DECIMAL(18,9). Two tiny shuffles at
+    // any scale (day counts; 1-row stats broadcast back).
+    QueryDef("q_dq_anomaly",
+      (s, d) => graft.dq.Anomaly.volumeByPartition(
+        Tables.events(s, d).select(to_date(col("ts")).as("ingest_on")),
+        "ingest_on", zThreshold = 2.0),
+      Some("""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE)
+             |  AS ingest_on FROM events),
+             |c AS (SELECT ingest_on, COUNT(*) AS cnt FROM e GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n,
+             |  SUM(CAST(cnt AS DECIMAL(28,0))) AS s,
+             |  SUM(CAST(cnt * cnt AS DECIMAL(28,0))) AS ss FROM c),
+             |x AS (SELECT c.ingest_on, c.cnt,
+             |  CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE) AS mean,
+             |  sqrt(CAST(st.ss AS DOUBLE) / CAST(st.n AS DOUBLE)
+             |    - (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+             |      * (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)))
+             |    AS std
+             |  FROM c, st)
+             |SELECT ingest_on, cnt,
+             |CASE WHEN std > 0.0 THEN CAST(CAST(
+             |  (CAST(cnt AS DOUBLE) - mean) / std
+             |  AS DECIMAL(18,9)) AS DOUBLE) END AS z,
+             |CASE WHEN std > 0.0 THEN
+             |  abs((CAST(cnt AS DOUBLE) - mean) / std) >= 2.0
+             |ELSE FALSE END AS is_anomaly
+             |FROM x""".stripMargin)),
+
     // widened Glue-DQDL surface through the string parser: schema
     // guard (ColumnExists), decimal-summed statistics (StandardDeviation
     // / Sum), exact domain cardinality (DistinctValuesCount), and the

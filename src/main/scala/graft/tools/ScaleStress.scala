@@ -157,11 +157,14 @@ object ScaleStress {
     "ivf_train", "ivf_topk", "curation_chain", "pack_sequential",
     "bigram_commonness", "lang_rebalance", "chunk_dedup", "salted_join",
     "bucket_stats", "interval_join", "stream_drain", "stream_quota",
-    "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search")
+    "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
+    "bpe_train", "bpe_segment", "bm25", "chunk_sliding",
+    "semantic_dedup", "scd2_historize")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
   private val producers = Map(
+    "bpe_segment" -> "bpe_train",
     "connected_components" -> "minhash_pairs",
     "ivf_topk" -> "ivf_train",
     "pq_index" -> "pq_train",
@@ -191,10 +194,13 @@ object ScaleStress {
   private val docOps = Set("exact_dedup", "minhash_pairs",
     "connected_components", "simhash_pairs", "curation_chain",
     "pack_sequential", "bigram_commonness", "lang_rebalance",
-    "chunk_dedup", "salted_join", "bucket_stats")
+    "chunk_dedup", "salted_join", "bucket_stats",
+    "bpe_train", "bpe_segment", "bm25", "chunk_sliding")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
-    "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search")
-  private val evtOps = Set("interval_join", "stream_drain", "stream_quota")
+    "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
+    "semantic_dedup")
+  private val evtOps = Set("interval_join", "stream_drain", "stream_quota",
+    "scd2_historize")
   private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
 
   private def measureOp(name: String, m: Int, rowsIn: Long)(
@@ -431,6 +437,72 @@ object ScaleStress {
           dim, "src", saltBuckets = 16,
           hotThreshold = (nDocs / 50) max 100)
       }
+      // BPE training at scale: the replicated corpus's replica-salted
+      // tokens grow the DISTINCT-WORD table ~linearly with m — the
+      // WORST case for the Heaps-law sizing claim, deliberately: per-
+      // round cost must track distinct words, never raw corpus rows,
+      // and the 8-round loop's per-round cache swap must keep total
+      // work O(rounds), not O(rounds²)
+      if (opEnabled("bpe_train")) {
+        println(s"-- x$m bpe_train ...")
+        val t0 = System.nanoTime()
+        val bpeModel = graft.text.Bpe.learnMerges(docs, "text",
+          nMerges = 8)
+        val sec = (System.nanoTime() - t0) / 1e9
+        rows += Measurement(m, "bpe_train", nDocs,
+          bpeModel.merges.length.toLong, sec, -1, -1, -1, usedHeapMB())
+        println(f"-- x$m bpe_train: ${bpeModel.merges.length} merges, " +
+          f"$sec%.2f s")
+        // segmentation with the just-learned table: a narrow fold map
+        // + one subword-count shuffle — wall must track corpus rows
+        if (opEnabled("bpe_segment"))
+          rows += measureOp("bpe_segment", m, nDocs) {
+            graft.text.Bpe.subwordVocab(docs, "text", bpeModel)
+          }
+      }
+      // BM25: term filter upstream of the (doc,term) shuffle means
+      // shuffle volume tracks MATCHES (only base-corpus docs carry the
+      // query terms — the replica-salted tokens can't match), while
+      // the scan tracks the corpus
+      if (opEnabled("bm25")) rows += measureOp("bm25", m, nDocs) {
+        graft.text.Retrieval.bm25(docs, "doc_id", "text",
+          terms = Seq("spark", "vector", "merge"), topK = 25)
+      }
+      // sliding chunking: shuffle-free narrow generator — wall must
+      // track rows with ZERO shuffle bytes at every scale
+      if (opEnabled("chunk_sliding"))
+        rows += measureOp("chunk_sliding", m, nDocs) {
+          graft.text.Retrieval.chunkSliding(docs, "doc_id", "text",
+            size = 40, stride = 30)
+        }
+      // SemDeDup at scale: centroid count grows with the corpus
+      // (k ≈ √n, capped) so expected cell size — hence per-cell pair
+      // work — stays bounded; the claim is sub-quadratic total wall
+      if (opEnabled("semantic_dedup")) {
+        val k = math.min(64, math.max(16, math.sqrt(nVecs.toDouble).toInt))
+        println(s"-- x$m semantic_dedup (k=$k) ...")
+        val t0 = System.nanoTime()
+        val semModel = Ivf.train(embs, "vec_id", "embedding",
+          k = k, iters = 2)
+        println(f"-- x$m semantic_dedup train: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        rows += measureOp("semantic_dedup", m, nVecs) {
+          Dedup.semanticDedup(embs, "vec_id", "embedding", semModel,
+            threshold = 0.99)
+        }
+      }
+      // SCD2 historize over the replicated event log: one shuffle on
+      // the user key, two shared-window passes — wall must track rows,
+      // shuffle bytes must track rows, no spill (per-user partitions
+      // stay small because the user population scales with m)
+      if (opEnabled("scd2_historize"))
+        rows += measureOp("scd2_historize", m, nEvts) {
+          graft.model.Scd2.historize(
+            spark.read.parquet(evtsPath)
+              .select("user_id", "ts", "event_id", "event_type"),
+            keyCols = Seq("user_id"), stateCols = Seq("event_type"),
+            tsCol = "ts", tieCols = Seq("event_id"))
+        }
       // bounded-gap interval join (the batch shape of the streaming
       // click→conversion join, q_stream_join/q_range_join_pairs): the
       // time-bin band-join rewrite joins only on the equi-key
