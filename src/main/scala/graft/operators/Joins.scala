@@ -153,4 +153,39 @@ object Joins {
     // legal output (unionByName would reject them)
     cold.union(hotJoined)
   }
+
+  /** Range-lookup join without a nested loop: each fact row finds the
+    * dim rows whose `[loCol, hiCol]` interval (inclusive) contains its
+    * `valueCol`. The naive `value BETWEEN lo AND hi` join has no
+    * equi-key, so Spark plans a BroadcastNestedLoopJoin — every fact
+    * row probes EVERY dim row, O(|fact|·|dim|). Here both sides bin to
+    * `floor(x / binWidth)`: the dim explodes one row per covered bin
+    * (bounded by interval span / binWidth), the fact maps to exactly
+    * one bin, and the join is a plain equi-join on the bin key with
+    * the range predicate as a residual filter — Catalyst broadcasts a
+    * small dim or shuffles both sides on the bin, and either way the
+    * per-row probe set is one bin's worth of intervals, not the whole
+    * dim. Size `binWidth` near the typical interval width: wider bins
+    * fewer dim replicas but more residual-filter misses.
+    *
+    * Same row multiset as the naive join (overlapping intervals emit
+    * one row per matching interval). */
+  def rangeLookupJoin(fact: DataFrame, valueCol: String,
+      dim: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // an inverted interval (lo > hi) matches nothing under BETWEEN —
+    // drop it BEFORE sequence(), which would otherwise count DOWN and
+    // fabricate bins
+    val binnedDim = dim.filter(col(loCol) <= col(hiCol))
+      .withColumn("__bin",
+        explode(sequence(floor(col(loCol) / binWidth.toDouble),
+          floor(col(hiCol) / binWidth.toDouble))))
+    val binnedFact = fact.withColumn("__bin",
+      floor(col(valueCol) / binWidth.toDouble))
+    binnedFact.join(binnedDim, Seq("__bin"))
+      .filter(col(valueCol) >= col(loCol) &&
+        col(valueCol) <= col(hiCol))
+      .drop("__bin")
+  }
 }

@@ -304,6 +304,39 @@ object BreadthQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderpriority = '1-URGENT'""".stripMargin)),
 
+    // range-LOOKUP join (operators.Joins.rangeLookupJoin): documents
+    // classified into size-band intervals, including an OVERLAPPING
+    // band so multi-match semantics is exercised. The naive BETWEEN
+    // join has no equi-key (BroadcastNestedLoopJoin, O(fact·dim));
+    // the operator bins both sides to floor(x/100) and equi-joins on
+    // the bin with the range as a residual — per-row probe work is
+    // one bin's intervals at any scale. Oracle = the naive BETWEEN
+    // join, which the binned join must reproduce row-for-row.
+    QueryDef("q_range_lookup",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          ("tiny", 0L, 99L), ("small", 100L, 199L),
+          ("medium", 200L, 349L), ("large", 350L, 499L),
+          ("huge", 500L, 9999L), ("sample_window", 150L, 400L)
+        ).toDF("size_class", "lo", "hi")
+        graft.operators.Joins.rangeLookupJoin(
+            Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+            "n_chars", bands, "lo", "hi", binWidth = 100L)
+          .groupBy(col("size_class"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+      },
+      Some("""WITH bands(size_class, lo, hi) AS (VALUES
+             |  ('tiny', 0, 99), ('small', 100, 199),
+             |  ('medium', 200, 349), ('large', 350, 499),
+             |  ('huge', 500, 9999), ('sample_window', 150, 400))
+             |SELECT size_class, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM documents JOIN bands
+             |ON n_chars >= lo AND n_chars <= hi
+             |GROUP BY 1""".stripMargin)),
+
     // Skew-salted fact⋈dim join (operators.Joins.saltedJoin): keys
     // with ≥602 fact rows (the per-supplier median — both paths stay
     // populated) route through a salted two-sided join (per-

@@ -184,4 +184,29 @@ class JoinsSpec extends AnyFunSuite {
     assert(salted.columns.toSeq ==
       Seq("l_suppkey", "l_extendedprice", "s_suppkey", "s_name"))
   }
+
+  test("rangeLookupJoin equals the naive BETWEEN join, without a " +
+      "nested loop") {
+    import spark.implicits._
+    val fact = Seq((1L, 5L), (2L, 99L), (3L, 100L), (4L, 250L),
+      (5L, 9999L), (6L, 10000L)).toDF("id", "v")
+    // overlapping bands + an inverted interval that must match nothing
+    val dim = Seq(("a", 0L, 99L), ("b", 100L, 499L), ("c", 50L, 250L),
+      ("bad", 500L, 400L)).toDF("cls", "lo", "hi")
+    val got = Joins.rangeLookupJoin(fact, "v", dim, "lo", "hi",
+        binWidth = 100L)
+      .select("id", "cls").collect().map(r =>
+        (r.getLong(0), r.getString(1))).sorted.toSeq
+    val naive = fact.join(dim, $"v" >= $"lo" && $"v" <= $"hi")
+      .select("id", "cls").collect().map(r =>
+        (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == naive)
+    assert(got.contains((2L, "a")) && got.contains((2L, "c"))) // overlap
+    assert(!got.exists(_._2 == "bad"))
+    assert(!got.exists(_._1 == 6L)) // out of every band
+    val plan = Joins.rangeLookupJoin(fact, "v", dim, "lo", "hi", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
