@@ -156,6 +156,107 @@ case class VectorSubtract(left: Expression, right: Expression)
   override def prettyName: String = "vec_sub"
 }
 
+/** nearest_centroid(v, centroids) — argmax-by-cosine cell id of `v`
+  * against a centroid MATRIX (array of k double arrays, normally a
+  * literal). The one-expression replacement for the
+  * `array_max(array(struct(cos, cell) × k))` formulation: that plan
+  * carries k separate cosine subtrees (untenable past k ≈ 10², and the
+  * reason assignments used to cap k), this is ONE codegen loop whose
+  * cost is k·dim multiplies with no per-row struct materialization —
+  * so the SemDeDup/IVF recipe "grow k with the corpus (k ≈ √n)"
+  * actually holds at scale.
+  *
+  * Bit-compatible with the struct formulation (and the DuckDB oracle
+  * replays): per-cell cosine is [[CosineSimilarity]]'s exact loop, and
+  * the argmax mirrors Spark's (cos, cell) struct ordering — later cell
+  * wins ties, NaN compares greatest, ±0.0 equal. Empty matrix → null.
+  */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    var bestCell = -1
+    var best = 0.0
+    var cell = 0
+    while (cell < k) {
+      val c = cents.getArray(cell)
+      val nx = v.numElements(); val ny = c.numElements()
+      val m = math.max(nx, ny)
+      var dot = 0.0; var sx = 0.0; var sy = 0.0
+      var i = 0
+      while (i < m) {
+        val xi = if (i < nx && !v.isNullAt(i)) v.getDouble(i) else 0.0
+        val yi = if (i < ny && !c.isNullAt(i)) c.getDouble(i) else 0.0
+        dot += xi * yi; sx += xi * xi; sy += yi * yi
+        i += 1
+      }
+      val cos =
+        if (sx == 0.0 || sy == 0.0) 0.0 else dot / math.sqrt(sx * sy)
+      val take =
+        if (bestCell < 0) true
+        else if (java.lang.Double.isNaN(cos)) true
+        else if (java.lang.Double.isNaN(best)) false
+        else cos >= best
+      if (take) { best = cos; bestCell = cell }
+      cell += 1
+    }
+    if (bestCell < 0) null else bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cents) => {
+      val k = ctx.freshName("k"); val cell = ctx.freshName("cell")
+      val c = ctx.freshName("c"); val bestCell = ctx.freshName("bestCell")
+      val best = ctx.freshName("best"); val cos = ctx.freshName("cos")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val sx = ctx.freshName("sx")
+      val sy = ctx.freshName("sy"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi"); val take = ctx.freshName("take")
+      s"""
+         |int $k = $cents.numElements();
+         |int $bestCell = -1;
+         |double $best = 0.0;
+         |for (int $cell = 0; $cell < $k; $cell++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $c =
+         |    $cents.getArray($cell);
+         |  int $nx = $v.numElements();
+         |  int $ny = $c.numElements();
+         |  int $m = Math.max($nx, $ny);
+         |  double $dot = 0.0, $sx = 0.0, $sy = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double $xi = ($i < $nx && !$v.isNullAt($i))
+         |      ? $v.getDouble($i) : 0.0;
+         |    double $yi = ($i < $ny && !$c.isNullAt($i))
+         |      ? $c.getDouble($i) : 0.0;
+         |    $dot += $xi * $yi; $sx += $xi * $xi; $sy += $yi * $yi;
+         |  }
+         |  double $cos = ($sx == 0.0 || $sy == 0.0)
+         |    ? 0.0 : $dot / Math.sqrt($sx * $sy);
+         |  boolean $take;
+         |  if ($bestCell < 0) $take = true;
+         |  else if (Double.isNaN($cos)) $take = true;
+         |  else if (Double.isNaN($best)) $take = false;
+         |  else $take = $cos >= $best;
+         |  if ($take) { $best = $cos; $bestCell = $cell; }
+         |}
+         |if ($bestCell < 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $bestCell; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 object VectorFunctions {
   private def toDouble(c: Column): Column = c.cast("array<double>")
 
@@ -176,6 +277,13 @@ object VectorFunctions {
     GraftSqlShims.column(VectorSubtract(
       GraftSqlShims.expression(toDouble(a)),
       GraftSqlShims.expression(toDouble(b))))
+
+  /** Column API for [[NearestCentroid]]. `centroids` is normally a
+    * `typedLit(Seq[Seq[Double]])` matrix. */
+  def nearest_centroid(v: Column, centroids: Column): Column =
+    GraftSqlShims.column(NearestCentroid(
+      GraftSqlShims.expression(toDouble(v)),
+      GraftSqlShims.expression(centroids.cast("array<array<double>>"))))
 
   /** SQL registration: `SELECT cosine_sim(a, b), dot_product(a, b)`.
     * Arguments are cast to array<double> here — the expressions read

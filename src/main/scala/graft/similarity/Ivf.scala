@@ -64,9 +64,15 @@ object Ivf {
         lit(i).as("cell"))
     }: _*)
 
-  /** Nearest-centroid cell id for a vector column. */
+  /** Nearest-centroid cell id for a vector column — ONE codegen loop
+    * over the centroid matrix ([[graft.functions.NearestCentroid]]),
+    * bit-compatible with the `array_max(struct(cos, cell))`
+    * formulation it replaces (same cosine fold, same tie-break) but
+    * O(1) plan nodes instead of k cosine subtrees, so k can track the
+    * corpus (k ≈ √n) without drowning the optimizer/codegen. */
   def assignCell(v: Column, model: IvfModel): Column =
-    array_max(cellScores(v, model)).getField("cell")
+    VectorFunctions.nearest_centroid(v,
+      typedLit(model.centroids.map(_.toSeq)))
 
   /** The query side's nprobe nearest cells. */
   private[similarity] def probeCells(v: Column, model: IvfModel,

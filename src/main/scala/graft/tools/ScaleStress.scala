@@ -479,7 +479,11 @@ object ScaleStress {
       // (k ≈ √n, capped) so expected cell size — hence per-cell pair
       // work — stays bounded; the claim is sub-quadratic total wall
       if (opEnabled("semantic_dedup")) {
-        val k = math.min(64, math.max(16, math.sqrt(nVecs.toDouble).toInt))
+        // k ≈ √n UNCAPPED in the working range — the first run of this
+        // matrix capped k at 64 and ×100 collapsed into 3k-vector
+        // cells (225 s of in-cell pairs); the NearestCentroid native
+        // expression removed the plan-size ceiling that forced the cap
+        val k = math.min(1024, math.max(16, math.sqrt(nVecs.toDouble).toInt))
         println(s"-- x$m semantic_dedup (k=$k) ...")
         val t0 = System.nanoTime()
         val semModel = Ivf.train(embs, "vec_id", "embedding",

@@ -141,4 +141,62 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(viaBroadcast == viaShuffle)
   }
+
+  test("nearest_centroid matches the struct-argmax formulation " +
+      "bit-for-bit (property over random vectors)") {
+    import graft.functions.VectorFunctions
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val rnd = new scala.util.Random(7)
+    val cents: Seq[Seq[Double]] =
+      Seq.fill(5)(Seq.fill(8)(rnd.nextGaussian()))
+    // the struct formulation this expression replaces
+    def structArgmax(v: org.apache.spark.sql.Column) =
+      array_max(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(VectorFunctions.cosine_sim(v, typedLit(c)).as("cos"),
+          lit(i).as("cell"))
+      }: _*)).getField("cell")
+    val gen = Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0))
+    val prop = forAll(gen) { xs =>
+      val df = Seq(Tuple1(xs)).toDF("v")
+      val r = df.select(
+        VectorFunctions.nearest_centroid($"v",
+          typedLit(cents)).as("fast"),
+        structArgmax($"v").as("ref")).collect().head
+      r.getInt(0) == r.getInt(1)
+    }
+    org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(50),
+      prop).passed || (throw new AssertionError("property failed"))
+  }
+
+  test("nearest_centroid edge cases: ties to the LATER cell, zero " +
+      "vector, empty matrix, codegen/interpreted agreement") {
+    import graft.functions.VectorFunctions
+    // duplicate centroids → equal cosines → the later cell wins, like
+    // array_max's (cos, cell) struct order
+    val dup: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0),
+      Seq(0.0, 1.0))
+    val df = Seq(Tuple1(Seq(2.0, 0.0)), Tuple1(Seq(0.0, 0.0)))
+      .toDF("v")
+    val rows = df.select(VectorFunctions.nearest_centroid($"v",
+      typedLit(dup)).as("c")).collect()
+    assert(rows(0).getInt(0) == 1) // tie between cells 0 and 1 → 1
+    // zero vector: every cosine is 0.0 → all tie → last cell
+    assert(rows(1).getInt(0) == 2)
+    // empty matrix → null
+    val empty = df.select(VectorFunctions.nearest_centroid($"v",
+      typedLit(Seq.empty[Seq[Double]])).as("c")).collect()
+    assert(empty.forall(_.isNullAt(0)))
+    // interpreted eval (e.g. inside a filter pushed to a scan) agrees
+    // with codegen
+    val expr = graft.functions.NearestCentroid(
+      org.apache.spark.sql.GraftSqlShims.expression(
+        $"v".cast("array<double>")),
+      org.apache.spark.sql.GraftSqlShims.expression(
+        typedLit(dup).cast("array<array<double>>")))
+    val interp = df.select(org.apache.spark.sql.GraftSqlShims
+      .column(expr).as("c")).collect()
+    assert(interp.map(_.getInt(0)).toSeq == rows.map(_.getInt(0)).toSeq)
+  }
 }
