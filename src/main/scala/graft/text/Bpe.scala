@@ -42,17 +42,32 @@ object Bpe {
   /** A word (no whitespace) split into single characters. */
   def chars(word: Column): Column = split(word, "")
 
-  /** Segment one word through the model's merges in rank order. */
-  def segmentWord(word: Column, model: BpeModel): Column =
+  /** Segment one word through the model's merges in rank order —
+    * the composable fold formulation. Correct but allocation-bound
+    * (`concat(acc, array(x))` copies the accumulator per character:
+    * O(len²) per merge); [[segment]] uses the native expression
+    * instead. Kept as the executable spec the native path is
+    * property-tested against. */
+  def segmentWordComposed(word: Column, model: BpeModel): Column =
     model.merges.foldLeft(chars(word)) { (syms, m) =>
       applyMerge(syms, m.left, m.right)
     }
 
-  /** Segment whole text: whitespace words, each BPE-segmented;
-    * flattened subword stream (word boundaries do not merge). */
-  def segment(text: Column, model: BpeModel): Column =
+  /** [[segment]]'s fold formulation (spec twin). */
+  def segmentComposed(text: Column, model: BpeModel): Column =
     flatten(transform(TextAnalysis.tokens(text),
-      w => segmentWord(w, model)))
+      w => segmentWordComposed(w, model)))
+
+  /** Segment whole text: whitespace words, each BPE-segmented;
+    * flattened subword stream (word boundaries do not merge). One
+    * native expression ([[graft.functions.BpeSegmentWords]]): an
+    * in-place buffer pass per merge inside whole-stage codegen —
+    * measured orders of magnitude over the interpreted fold at
+    * corpus scale (SCALING.md). */
+  def segment(text: Column, model: BpeModel): Column =
+    graft.functions.BpeFunctions.bpe_segment_words(
+      TextAnalysis.tokens(text),
+      model.merges.map(m => (m.left, m.right)))
 
   /** Corpus subword vocabulary under a model: (subword, count). One
     * narrow segmentation map + one count shuffle on the subword key. */

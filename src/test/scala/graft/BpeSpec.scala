@@ -123,6 +123,30 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Map("low" -> 5L, "e" -> 2L, "s" -> 2L, "t" -> 2L))
   }
 
+  test("native segment equals the composed fold formulation " +
+      "(property, incl. multi-byte code points)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val model = BpeModel(Seq(BpeMerge(1, "a", "a", 9),
+      BpeMerge(2, "aa", "a", 5), BpeMerge(3, "é", "日", 3),
+      BpeMerge(4, "b", "c", 3)))
+    val wordGen = Gen.listOf(Gen.oneOf("a", "b", "c", "é", "日", "𝄞"))
+      .map(_.mkString)
+    val gen = Gen.listOf(wordGen).map(_.mkString(" "))
+    val prop = forAll(gen) { text =>
+      val df = Seq(text).toDF("t")
+      val native = df.select(Bpe.segment(col("t"), model))
+        .as[Seq[String]].head()
+      val composed = df.select(Bpe.segmentComposed(col("t"), model))
+        .as[Seq[String]].head()
+      native == composed
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(40),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("empty and single-char words segment cleanly") {
     val model = BpeModel(Seq(BpeMerge(1, "a", "b", 2)))
     val got = Seq("a ab b", "").toDF("text")

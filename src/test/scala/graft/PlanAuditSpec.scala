@@ -543,13 +543,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
   }
 
-  test("BPE segmentation is one narrow fold map + one count shuffle, " +
-      "UDF-free") {
+  test("BPE segmentation is one native codegen map + one count " +
+      "shuffle, UDF-free") {
     val p = plan("q_bpe_segment")
     assert(!p.contains("ScalaUDF"), s"BPE fold fell out of expressions:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       s"expected exactly the vocab-count shuffle:\n$p")
-    assert(p.contains("aggregate("), p) // the pure-function fold
+    // the native expression replaced the nested interpreted folds
+    assert(p.contains("bpe_segment_words"), p)
+    assert(!p.contains("aggregate("),
+      s"interpreted fold left in the segmentation path:\n$p")
   }
 
   test("semantic dedup joins on the cell key — no cartesian, ids-only " +
