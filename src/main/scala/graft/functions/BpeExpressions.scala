@@ -107,6 +107,18 @@ object BpeSegmentWords {
     out.toArray(new Array[UTF8String](out.size()))
   }
 
+  /** [[BpeApplyMerge]]'s entry: one merge pass over an ArrayData of
+    * symbols. */
+  def applyMergeData(syms: ArrayData,
+      m: Array[UTF8String]): ArrayData = {
+    val n = syms.numElements()
+    val in = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { in(i) = syms.getUTF8String(i); i += 1 }
+    new GenericArrayData(
+      applyMerge(in, m).asInstanceOf[Array[AnyRef]])
+  }
+
   /** One greedy left-to-right non-overlapping pass — the exact
     * semantics of [[graft.text.Bpe.applyMerge]]'s fold, O(len) with
     * no per-step copies. */
@@ -124,6 +136,46 @@ object BpeSegmentWords {
   }
 }
 
+/** bpe_apply_merge(syms, [l, r]) — ONE greedy merge pass over a
+  * symbol array (the training-loop primitive: each Lloyd-style round
+  * applies the round's winning pair to every distinct word's symbol
+  * array). Same in-place buffer pass as [[BpeSegmentWords]], same
+  * fold semantics as [[graft.text.Bpe.applyMerge]]'s composable twin. */
+case class BpeApplyMerge(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply_merge"
+
+  @transient private lazy val merge: Array[UTF8String] = {
+    require(right.foldable,
+      "bpe_apply_merge: the merge pair must be a literal")
+    val pair = right.eval().asInstanceOf[ArrayData]
+    require(pair.numElements() == 2, "merge must be [left, right]")
+    val l = pair.getUTF8String(0).clone()
+    val r = pair.getUTF8String(1).clone()
+    Array(l, r, UTF8String.concat(l, r))
+  }
+
+  override def nullSafeEval(syms: Any, mergeIgnored: Any): Any =
+    BpeSegmentWords.applyMergeData(syms.asInstanceOf[ArrayData], merge)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val mergeRef = ctx.addReferenceObj("bpeMerge", merge,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, (syms, _) =>
+      s"""
+         |${ev.value} = graft.functions.BpeSegmentWords
+         |  .applyMergeData($syms, $mergeRef);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 object BpeFunctions {
   /** Column API for [[BpeSegmentWords]]: `merges` as a literal
     * `Seq[Seq[String]]` of [left, right] pairs in rank order. */
@@ -133,4 +185,11 @@ object BpeFunctions {
       GraftSqlShims.expression(words),
       GraftSqlShims.expression(org.apache.spark.sql.functions
         .typedLit(merges.map(m => Seq(m._1, m._2))))))
+
+  /** Column API for [[BpeApplyMerge]]. */
+  def bpe_apply_merge(syms: Column, l: String, r: String): Column =
+    GraftSqlShims.column(BpeApplyMerge(
+      GraftSqlShims.expression(syms),
+      GraftSqlShims.expression(org.apache.spark.sql.functions
+        .typedLit(Seq(l, r)))))
 }

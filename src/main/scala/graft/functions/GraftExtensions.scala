@@ -68,6 +68,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("vec_sub", 2, exprs)
         VectorSubtract(d(exprs(0)), d(exprs(1)))
       }))
+    e.injectFunction((FunctionIdentifier("nearest_centroid"),
+      info("nearest_centroid",
+        "nearest_centroid(v, centroids) - argmax-by-cosine cell id"),
+      (exprs: Seq[Expression]) => {
+        arity("nearest_centroid", 2, exprs)
+        NearestCentroid(d(exprs(0)),
+          Cast(exprs(1), ArrayType(ArrayType(DoubleType))))
+      }))
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(hashes, k) - MinHash signature"),
       (exprs: Seq[Expression]) => {

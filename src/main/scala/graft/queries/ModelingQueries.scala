@@ -274,6 +274,48 @@ object ModelingQueries {
              |event_type AS status, ts AS valid_from, valid_to,
              |valid_to IS NULL AS is_current FROM v""".stripMargin)),
 
+    // the consumption side of SCD2: enrich facts with the dimension
+    // version valid AT EVENT TIME (valid_from <= ts < valid_to, open
+    // version unbounded). An equi-join on the dimension key with the
+    // interval as a residual filter — per-key version lists are short,
+    // so the probe work per fact row is bounded at any scale; no
+    // range cross-product. Self-consistency makes a sharp oracle: the
+    // as-of status of an event inside its user's history is exactly
+    // the state that event (or its predecessor) set.
+    QueryDef("q_scd2_asof_lookup",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+        val dim = graft.model.Scd2.historize(ev,
+          keyCols = Seq("user_id"), stateCols = Seq("event_type"),
+          tsCol = "ts", tieCols = Seq("event_id"))
+          .select(col("user_id"), col("event_type").as("status"),
+            col("valid_from"), col("valid_to"))
+        ev.join(dim, Seq("user_id"))
+          .filter(col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+          .groupBy(col("status"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |o AS (SELECT user_id, ts, event_id, event_type,
+             |  lag(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS prev FROM e),
+             |c AS (SELECT user_id, ts, event_id, event_type FROM o
+             |  WHERE prev IS NULL OR prev <> event_type),
+             |dim AS (SELECT user_id, event_type AS status,
+             |  ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS valid_to FROM c)
+             |SELECT dim.status, e.event_type,
+             |CAST(COUNT(*) AS BIGINT) AS n
+             |FROM e JOIN dim ON e.user_id = dim.user_id
+             |WHERE e.ts >= dim.valid_from
+             |  AND (dim.valid_to IS NULL OR e.ts < dim.valid_to)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // the dbt `snapshot` materialization end-to-end: two ModelRunner
     // runs of a snapshot model (timestamp strategy) over per-user
     // latest-status snapshots cut at two watermarks; the second run

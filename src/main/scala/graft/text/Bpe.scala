@@ -111,8 +111,13 @@ object Bpe {
             (best.head.getString(0), best.head.getString(1),
               best.head.getLong(2))
           merges += BpeMerge(rank, l, r, c)
+          // native single-merge pass (same greedy semantics as the
+          // composable applyMerge fold, which BpeSpec pins) — the fold
+          // copies the accumulator per character, this is one buffer
+          // pass per word
           val next = cur
-            .select(applyMerge(col("syms"), l, r).as("syms"), col("w"))
+            .select(graft.functions.BpeFunctions
+              .bpe_apply_merge(col("syms"), l, r).as("syms"), col("w"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // materialize the fold ONCE per round, then drop the parent
           // cache — without this each round re-evaluates every prior

@@ -41,6 +41,12 @@ class ExtensionsSpec extends AnyFunSuite {
       // x=0b11 → out bits 0 and 2; y=0b01 → out bit 1 → 0b0111 = 7
       // (same as LayoutSpec's Column-API zValue known-values case)
       assert(z.getLong(0) == 7L)
+      // nearest_centroid through SQL: ties go to the LATER cell
+      val nc = spark.sql(
+        """SELECT nearest_centroid(array(1.0, 0.0),
+          |array(array(0.0, 1.0), array(1.0, 0.0))) AS c""".stripMargin)
+        .collect().head
+      assert(nc.getInt(0) == 1)
       // non-foldable k → clear analysis error, not an internal
       // unbound-reference failure (ADVICE r1)
       val err = intercept[Exception] {
