@@ -1561,6 +1561,68 @@ object ExtensionQueries {
            |FROM seg GROUP BY 1""".stripMargin
       }),
 
+    // end-to-end retrieval pipeline (the RAG preprocessing + search
+    // shape): sliding-window chunks → feature-hashed bag-of-words
+    // embeddings (portable base-31 hashing trick — deterministic in
+    // any engine, no model weights) → cosine top-10 against an
+    // embedded query. Exactly oracled END TO END: DuckDB replays
+    // chunking, hashing, bucket histograms, and the same
+    // left-associated cosine fold. Scale shape: chunk+embed is one
+    // narrow map; the query vector is computed once and inlined as a
+    // literal; top-k is a TakeOrdered — no shuffle but the final
+    // 10-row ordering.
+    QueryDef("q_rag_search",
+      (s, d) => {
+        val dim = 64
+        val chunks = Retrieval.chunkSliding(Tables.documents(s, d),
+          "doc_id", "text", size = 40, stride = 30)
+        val qv = s.range(1).select(Retrieval.hashEmbed(
+            TextAnalysis.tokens(lit("spark vector hash join table")),
+            dim).as("v"))
+          .head.getSeq[Double](0)
+        chunks.select(col("doc_id"), col("chunk_id"),
+            graft.functions.VectorFunctions.cosine_sim(
+              Retrieval.hashEmbed(
+                TextAnalysis.tokens(col("chunk_text")), dim),
+              typedLit(qv)).as("cosine"))
+          .orderBy(col("cosine").desc, col("doc_id").asc,
+            col("chunk_id").asc)
+          .limit(10)
+      },
+      Some {
+        val polyBuckets = (toks: String) =>
+          s"""list_transform($toks, t ->
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(t, ''),
+             |      ch -> CAST(ascii(ch) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) % 64
+             |    AS INTEGER))""".stripMargin
+        val hist = (bk: String) =>
+          s"""list_transform(generate_series(0, 63), b ->
+             |  CAST(len(list_filter($bk, x -> x = b)) AS DOUBLE))"""
+            .stripMargin
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks
+           |  FROM documents),
+           |n AS (SELECT doc_id, toks,
+           |  CASE WHEN len(toks) = 0 THEN 0
+           |  ELSE 1 + (GREATEST(len(toks) - 40, 0) + 29) // 30 END
+           |    AS nc FROM t),
+           |c AS (SELECT doc_id, toks,
+           |  unnest(range(nc)) AS chunk_id FROM n),
+           |ck AS (SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           |  ${polyBuckets("toks[(chunk_id*30+1):(chunk_id*30+40)]")}
+           |    AS bk FROM c),
+           |emb AS (SELECT doc_id, chunk_id, ${hist("bk")} AS v
+           |  FROM ck),
+           |q AS (SELECT ${hist(polyBuckets(
+              "['spark', 'vector', 'hash', 'join', 'table']"))} AS v)
+           |SELECT e.doc_id, e.chunk_id,
+           |${LshSql.cosine("e.v", "q.v")} AS cosine
+           |FROM emb e, q
+           |ORDER BY cosine DESC, e.doc_id ASC, e.chunk_id ASC
+           |LIMIT 10""".stripMargin
+      }),
+
     // rolling min-shingle fingerprint, portable base-31 polynomial
     // flavor — exactly reproducible in DuckDB (the xxhash64-based
     // rollingFingerprint stays library-only: faster, engine-specific)

@@ -89,6 +89,24 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Feature-hashed embedding (the "hashing trick"): tokens bucket by
+    * a portable base-31 polynomial hash mod `dim`, the vector is the
+    * bucket-count histogram as doubles. Deterministic in ANY engine —
+    * integer hashing and integer counts, no model weights — which
+    * makes an end-to-end retrieval pipeline exactly oracle-checkable;
+    * cosine against these vectors is a real lexical similarity (it is
+    * a compressed bag-of-words). The same recipe as
+    * [[TextAnalysis.polyFingerprint]]'s hash, bucketed instead of
+    * minimized. */
+  def hashEmbed(toks: Column, dim: Int = 64): Column = {
+    val polyHash = (s: Column) => aggregate(split(s, ""), lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
+    val buckets = transform(toks,
+      t => pmod(polyHash(t), lit(dim.toLong)).cast("int"))
+    transform(sequence(lit(0), lit(dim - 1)),
+      b => size(filter(buckets, x => x === b)).cast("double"))
+  }
+
   /** Sliding-window chunking: split each document's token stream into
     * windows of `size` tokens advancing by `stride` (< size overlaps —
     * the standard RAG/embedding preprocessing shape). Chunk k of a

@@ -59,6 +59,33 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("hashEmbed buckets by the portable polynomial hash") {
+    import graft.text.TextAnalysis
+    // hand-compute: hash("ab") = (0*31+97)*31+98 = 3105 (mod 1e9+7
+    // no-op at this size); bucket = 3105 % 8 = 1
+    def poly(s: String): Long =
+      s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    // "ce" (not "cd": poly("cd") - poly("ab") = 64, a bucket collision
+    // at any power-of-two dim ≤ 64 — the hashing trick colliding as
+    // designed)
+    val v = Seq("ab ab ce").toDF("t")
+      .select(Retrieval.hashEmbed(TextAnalysis.tokens($"t"), 8))
+      .as[Seq[Double]].head()
+    assert(v.length == 8)
+    assert(v.sum == 3.0) // one count per token
+    assert(v((poly("ab") % 8).toInt) == 2.0)
+    assert(v((poly("ce") % 8).toInt) == 1.0)
+    // identical texts embed identically; cosine of identical = 1
+    val c = Seq(("ab cd", "ab cd"), ("ab ab", "zz zz"))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.cosine_sim(
+        Retrieval.hashEmbed(TextAnalysis.tokens($"a"), 8),
+        Retrieval.hashEmbed(TextAnalysis.tokens($"b"), 8)))
+      .as[Double].collect()
+    assert(c(0) == 1.0)
+    assert(c(1) <= 1.0) // disjoint vocab → 0 unless buckets collide
+  }
+
   test("chunkSliding covers every token with the expected windows") {
     // 100 tokens, size 40 stride 30 → chunks at 0, 30, 60 (3 windows)
     val text = (1 to 100).map(i => s"w$i").mkString(" ")
