@@ -566,6 +566,33 @@ class PlanAuditSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined, s"dominated set must be ids only:\n$p")
   }
 
+  test("RAG search is a single-scan narrow pipeline ending in " +
+      "TakeOrdered — zero shuffle") {
+    val p = plan("q_rag_search")
+    assert(!p.contains("Exchange"), s"rag search plans a shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(p.contains("cosinesimilarity"), p) // the native expression
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("funnel runs three windows over ONE user-key shuffle") {
+    val p = plan("q_funnel_steps")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"funnel must not re-shuffle between window passes:\n$p")
+    assert("Window ".r.findAllIn(p).length == 3, p)
+    assert("Sort ".r.findAllIn(p).length == 1,
+      s"the windows must share one sort:\n$p")
+  }
+
+  test("SCD2 as-of lookup joins on the key equi-join — interval is a " +
+      "residual, never a nested loop") {
+    val p = plan("q_scd2_asof_lookup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("SCD2 historize is ONE shuffle on the key; both windows share it") {
     val p = plan("q_scd2_dim")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
