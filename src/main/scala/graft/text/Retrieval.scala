@@ -98,7 +98,15 @@ object Retrieval {
     * a compressed bag-of-words). The same recipe as
     * [[TextAnalysis.polyFingerprint]]'s hash, bucketed instead of
     * minimized. */
-  def hashEmbed(toks: Column, dim: Int = 64): Column = {
+  def hashEmbed(toks: Column, dim: Int = 64): Column =
+    graft.functions.HashEmbed.hash_embed(toks, dim)
+
+  /** [[hashEmbed]]'s composable-HOF formulation — the executable spec
+    * the native expression is property-tested against (the HOF route
+    * recomputes the bucket comparison dim× per token interpreted:
+    * measured ~260 µs/doc at the ×100 scale run vs one histogram pass
+    * native). */
+  def hashEmbedComposed(toks: Column, dim: Int = 64): Column = {
     val polyHash = (s: Column) => aggregate(split(s, ""), lit(0L),
       (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
     val buckets = transform(toks,

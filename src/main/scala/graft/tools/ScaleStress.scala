@@ -159,7 +159,8 @@ object ScaleStress {
     "bucket_stats", "interval_join", "stream_drain", "stream_quota",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "bpe_train", "bpe_segment", "bm25", "chunk_sliding",
-    "semantic_dedup", "scd2_historize")
+    "semantic_dedup", "scd2_historize", "rag_search", "funnel",
+    "retention_cohorts")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -195,12 +196,12 @@ object ScaleStress {
     "connected_components", "simhash_pairs", "curation_chain",
     "pack_sequential", "bigram_commonness", "lang_rebalance",
     "chunk_dedup", "salted_join", "bucket_stats",
-    "bpe_train", "bpe_segment", "bm25", "chunk_sliding")
+    "bpe_train", "bpe_segment", "bm25", "chunk_sliding", "rag_search")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "semantic_dedup")
   private val evtOps = Set("interval_join", "stream_drain", "stream_quota",
-    "scd2_historize")
+    "scd2_historize", "funnel", "retention_cohorts")
   private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
 
   private def measureOp(name: String, m: Int, rowsIn: Long)(
@@ -495,6 +496,60 @@ object ScaleStress {
             threshold = 0.99)
         }
       }
+      // RAG retrieval end-to-end: chunk → hash-embed → cosine top-10
+      // (the q_rag_search shape). Single-scan narrow pipeline ending
+      // in TakeOrdered — ZERO shuffle at every scale; wall tracks
+      // rows, only 10 rows ever leave the executors
+      if (opEnabled("rag_search")) rows += measureOp("rag_search", m, nDocs) {
+        import graft.text.{Retrieval, TextAnalysis => TA}
+        val spark2 = docs.sparkSession
+        val qv = spark2.range(1).select(Retrieval.hashEmbed(
+            TA.tokens(lit("spark vector hash join table")), 64).as("v"))
+          .head.getSeq[Double](0)
+        Retrieval.chunkSliding(docs, "doc_id", "text", 40, 30)
+          .select(col("doc_id"), col("chunk_id"),
+            graft.functions.VectorFunctions.cosine_sim(
+              Retrieval.hashEmbed(TA.tokens(col("chunk_text")), 64),
+              typedLit(qv)).as("cosine"))
+          .orderBy(col("cosine").desc, col("doc_id"), col("chunk_id"))
+          .limit(10)
+      }
+      // ordered funnel: three conditional-min window passes over one
+      // user-key shuffle — the user population scales with m, per-user
+      // partitions stay constant-size
+      if (opEnabled("funnel")) rows += measureOp("funnel", m, nEvts) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+        spark.read.parquet(evtsPath)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2", min(when(col("event_type") === "click" &&
+            col("ts") > col("t1"), col("ts"))).over(w))
+          .withColumn("t3", min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t2"), col("ts"))).over(w))
+          .groupBy(col("user_id"))
+          .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+            max(col("t3")).as("t3"))
+          .agg(count(col("t1")), count(col("t2")), count(col("t3")))
+      }
+      // cohort retention: distinct user-day activity, first-seen
+      // cohort join, all-integer aggregation
+      if (opEnabled("retention_cohorts"))
+        rows += measureOp("retention_cohorts", m, nEvts) {
+          val e = spark.read.parquet(evtsPath)
+            .select(col("user_id"), to_date(col("ts")).as("day"))
+            .distinct()
+          val cohort = e.groupBy(col("user_id"))
+            .agg(min(col("day")).as("cohort_day"))
+          e.join(cohort, Seq("user_id"))
+            .select(col("user_id"), col("cohort_day"),
+              floor(datediff(col("day"), col("cohort_day")) / lit(7.0))
+                .cast("int").as("week_offset"))
+            .distinct()
+            .groupBy(col("cohort_day"), col("week_offset"))
+            .agg(count(lit(1)).as("n_users"))
+        }
       // SCD2 historize over the replicated event log: one shuffle on
       // the user key, two shared-window passes — wall must track rows,
       // shuffle bytes must track rows, no spill (per-user partitions

@@ -86,6 +86,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(c(1) <= 1.0) // disjoint vocab → 0 unless buckets collide
   }
 
+  test("native hashEmbed equals the composable HOF twin (property, " +
+      "incl. multi-byte tokens)") {
+    import graft.text.TextAnalysis
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val tokGen = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumStr.suchThat(_.nonEmpty),
+        Gen.oneOf("é日", "𝄞x", "a-b."))).map(_.mkString(" "))
+    val prop = forAll(tokGen) { text =>
+      val df = Seq(text).toDF("t")
+      val native = df.select(Retrieval.hashEmbed(
+        TextAnalysis.tokens($"t"), 16)).as[Seq[Double]].head()
+      val composed = df.select(Retrieval.hashEmbedComposed(
+        TextAnalysis.tokens($"t"), 16)).as[Seq[Double]].head()
+      native == composed
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(40),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("chunkSliding covers every token with the expected windows") {
     // 100 tokens, size 40 stride 30 → chunks at 0, 30, 60 (3 windows)
     val text = (1 to 100).map(i => s"w$i").mkString(" ")
