@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
 /** SparkSessionExtensions hook registering the engine's native
   * expressions for SQL use — the idiomatic deployment path:
@@ -75,6 +75,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("nearest_centroid", 2, exprs)
         NearestCentroid(d(exprs(0)),
           Cast(exprs(1), ArrayType(ArrayType(DoubleType))))
+      }))
+    e.injectFunction((FunctionIdentifier("hash_embed"),
+      info("hash_embed",
+        "hash_embed(tokens, dim) - feature-hashed bag-of-words vector"),
+      (exprs: Seq[Expression]) => {
+        arity("hash_embed", 2, exprs)
+        HashEmbedTokens(Cast(exprs(0), ArrayType(StringType)), exprs(1))
+      }))
+    e.injectFunction((FunctionIdentifier("bpe_segment_words"),
+      info("bpe_segment_words",
+        "bpe_segment_words(words, merges) - BPE subword stream"),
+      (exprs: Seq[Expression]) => {
+        arity("bpe_segment_words", 2, exprs)
+        BpeSegmentWords(Cast(exprs(0), ArrayType(StringType)),
+          Cast(exprs(1), ArrayType(ArrayType(StringType))))
       }))
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(hashes, k) - MinHash signature"),

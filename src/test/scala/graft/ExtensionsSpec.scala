@@ -41,6 +41,14 @@ class ExtensionsSpec extends AnyFunSuite {
       // x=0b11 → out bits 0 and 2; y=0b01 → out bit 1 → 0b0111 = 7
       // (same as LayoutSpec's Column-API zValue known-values case)
       assert(z.getLong(0) == 7L)
+      // hash_embed + bpe_segment_words through SQL
+      val he = spark.sql(
+        """SELECT hash_embed(array('ab', 'ab'), 8) AS v,
+          |bpe_segment_words(array('merger'),
+          |  array(array('e','r'), array('m','er'))) AS s""".stripMargin)
+        .collect().head
+      assert(he.getSeq[Double](0).sum == 2.0)
+      assert(he.getSeq[String](1) == Seq("mer", "g", "er"))
       // nearest_centroid through SQL: ties go to the LATER cell
       val nc = spark.sql(
         """SELECT nearest_centroid(array(1.0, 0.0),
