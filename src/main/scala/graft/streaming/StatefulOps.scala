@@ -150,4 +150,70 @@ object StatefulOps {
       .transformWithState(new TimerSessionizeProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Input/output rows for [[funnelProgress]]. */
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  final case class FunnelHit(user_id: Long, stage: Int, ts_ms: Long)
+  private final case class FunnelState(times: Seq[Long])
+
+  /** Online ordered-funnel state machine: per key, advance through
+    * `stages` (stage i completes on the FIRST event of its type
+    * strictly after the recorded stage-(i-1) time) and emit one
+    * [[FunnelHit]] the moment a stage completes — the streaming face
+    * of the batch `q_funnel_steps` windows, for live conversion
+    * dashboards. State per key is one fixed-width long vector
+    * (completed-stage timestamps), so the store is O(keys · stages)
+    * no matter how long the stream runs.
+    *
+    * Online semantics, stated plainly: each batch's rows are
+    * processed in timestamp order (sorted here — batch arrival order
+    * is arbitrary), but completed stages never retract. An
+    * out-of-order event landing in a LATER batch can still complete
+    * the next stage if its timestamp qualifies; it cannot lower an
+    * already-recorded stage time (the batch funnel, seeing all
+    * history at once, could — the divergence window is exactly
+    * cross-batch reordering, the standard online-funnel contract). */
+  final class FunnelProcessor(stages: IndexedSeq[String])
+      extends StatefulProcessor[Long, FunnelEvent, FunnelHit] {
+    @transient private var reached: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      reached = getHandle.getValueState("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+        timers: TimerValues): Iterator[FunnelHit] = {
+      val cur: Array[Long] =
+        if (reached.exists()) reached.get().times.toArray
+        else Array.fill(stages.length)(-1L)
+      val out = Vector.newBuilder[FunnelHit]
+      var dirty = false
+      rows.toVector
+        .sortBy(e => (e.ts.getTime, e.event_type))
+        .foreach { e =>
+          val i = stages.indexOf(e.event_type)
+          if (i >= 0 && cur(i) < 0 &&
+              (i == 0 || (cur(i - 1) >= 0 && e.ts.getTime > cur(i - 1)))) {
+            cur(i) = e.ts.getTime
+            dirty = true
+            out += FunnelHit(key, i, cur(i))
+          }
+        }
+      if (dirty) reached.update(FunnelState(cur.toSeq))
+      out.result().iterator
+    }
+  }
+
+  /** [[FunnelProcessor]] applied to a stream. */
+  def funnelProgress(ds: Dataset[FunnelEvent],
+      stages: Seq[String]): Dataset[FunnelHit] = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct: $stages")
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[FunnelHit] = Encoders.product[FunnelHit]
+    ds.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stages.toIndexedSeq),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

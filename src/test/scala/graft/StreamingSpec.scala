@@ -270,6 +270,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel advances per-key stages across batches and " +
+      "never retracts") {
+    import StatefulOps.FunnelEvent
+    val base = Files.createTempDirectory("stream-funnel").toString
+    def row(u: Long, hms: String, t: String) =
+      s"""{"user_id":$u,"ts":"2024-01-01T$hms.000Z","event_type":"$t"}"""
+    def addFile(name: String, rows: Seq[String]): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$base/$name"),
+        rows.mkString("\n"))
+    Files.createDirectories(java.nio.file.Paths.get(base))
+    // batch 1 — u1: view then click (out of arrival order in the
+    // file: click line first, sorted by ts inside the processor);
+    // u2: purchase BEFORE any view (must not count)
+    addFile("part-0.json", Seq(
+      row(1, "00:10:00", "click"), row(1, "00:00:00", "view"),
+      row(2, "00:00:00", "purchase")))
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType)))
+      val hits = StatefulOps.funnelProgress(
+        spark.readStream.schema(schema).json(base).as[FunnelEvent],
+        stages = Seq("view", "click", "purchase"))
+      assert(hits.isStreaming)
+      val out = Files.createTempDirectory("stream-funnel-out").toString
+      val ckpt = Files.createTempDirectory("stream-funnel-ckpt").toString
+      def drain(): Unit =
+        StreamingIngest.runAvailableNow(hits.toDF(), out, ckpt)
+      def read(): Set[(Long, Int)] =
+        spark.read.parquet(out).collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+      drain()
+      assert(read() == Set((1L, 0), (1L, 1)),
+        s"batch-1 stages wrong: ${read()}")
+      // batch 2 — u1 completes purchase (state crossed the restart);
+      // u2 finally views, then a stale purchase at the SAME ts as the
+      // view must NOT complete (needs strictly-after); a second
+      // purchase later does
+      addFile("part-1.json", Seq(
+        row(1, "00:20:00", "purchase"),
+        row(2, "00:30:00", "view"), row(2, "00:30:00", "purchase"),
+        row(2, "00:31:00", "click"), row(2, "00:32:00", "purchase")))
+      drain()
+      assert(read() == Set((1L, 0), (1L, 1), (1L, 2),
+        (2L, 0), (2L, 1), (2L, 2)), s"batch-2 stages wrong: ${read()}")
+      // batch 3 — duplicates of completed stages emit nothing new
+      addFile("part-2.json", Seq(row(1, "00:40:00", "view"),
+        row(1, "00:41:00", "purchase")))
+      drain()
+      assert(spark.read.parquet(out).count() == 6,
+        "completed stages must not re-emit")
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("timer-based sessionization (transformWithState event-time " +
       "timers) flushes the open session when the watermark passes") {
     import StatefulOps.{SessEvent, SessionOut}
