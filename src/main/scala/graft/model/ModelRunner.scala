@@ -402,16 +402,22 @@ object ModelRunner {
           } else {
             val merged = Scd2.snapshotMerge(spark.table(relation), fresh,
               uk, ua)
-            val stage = Files.createTempDirectory("graft_snapshot_stage")
+            // stage on the WAREHOUSE filesystem (next to the table),
+            // not a driver-local temp dir: on a real cluster the
+            // executors writing the staged parquet and the driver
+            // reading it back must see the same shared filesystem —
+            // /tmp of the driver node is not it
+            val db = spark.sessionState.catalog
+              .getDatabaseMetadata(targetSchema)
+            val stage = new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(db.locationUri),
+              s"${name}__snapshot_stage")
+            val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
             try {
               merged.write.mode("overwrite").parquet(stage.toString)
               Lake.materializeTable(spark,
                 spark.read.parquet(stage.toString), relation)
-            } finally {
-              val p = new org.apache.hadoop.fs.Path(stage.toUri)
-              p.getFileSystem(spark.sessionState.newHadoopConf())
-                .delete(p, true)
-            }
+            } finally fs.delete(stage, true)
           }
       }
       val verdict = Option.when(m.tests.nonEmpty) {
