@@ -357,6 +357,79 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** A materializable MinHash-LSH corpus index: `shingles` (id, sh —
+    * the hashed shingle sets verification needs) and `bands`
+    * (id, band, bucket — 3 scalars per doc per band). Both are plain
+    * DataFrames the caller lands as parquet tables; [[union]] appends
+    * a batch's index. */
+  final case class MinHashIndex(shingles: DataFrame, bands: DataFrame) {
+    def union(other: MinHashIndex): MinHashIndex =
+      MinHashIndex(shingles.unionByName(other.shingles),
+        bands.unionByName(other.bands))
+  }
+
+  /** Build the LSH index of a corpus slice — the once-per-batch cost
+    * (shingle, sign, band) that [[incrementalMinHashPairs]] never
+    * re-pays for previously indexed data. */
+  def buildMinHashIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 64, bands: Int = 16): MinHashIndex = {
+    val withSig = persistEager(
+      ensureParallelism(df.select(col(idCol).as("id"),
+          col(textCol).as("__text")))
+        .select(col("id"),
+          shingleHashes(col("__text"), shingleSize).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", minHashSignature(col("sh"), k)))
+    MinHashIndex(
+      withSig.select(col("id"), col("sh")),
+      withSig
+        .select(col("id"), explode(bandKeys(col("sig"), k, bands)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"),
+          col("bk.bucket").as("bucket")))
+  }
+
+  /** Incremental near-dup detection — the daily-ingest shape: dedupe a
+    * NEW batch against an indexed corpus without re-shingling or
+    * re-signing the corpus. Returns (idA, idB, jaccard) for every
+    * verified pair TOUCHING the batch (new-vs-corpus and new-vs-new;
+    * corpus-internal pairs were known when the corpus was indexed).
+    *
+    * Scale shape: the batch pays the full shingle+sign cost for its
+    * own rows only; the corpus contributes its stored (id, band,
+    * bucket) triples — 3 scalars per doc per band, orders of
+    * magnitude under the corpus itself — to ONE capped bucket
+    * aggregation (the same skew-safe [[bucketPairs]] machinery,
+    * star-fallback included), and its stored shingle sets join in
+    * only for the pairs that survive candidate dedup. Old-old
+    * candidate pairs drop before the expensive verification joins.
+    * `index.union(newIndex)` is the caller's next-day index. */
+  def incrementalMinHashPairs(index: MinHashIndex, newDocs: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucketSize: Int = 200, starReps: Int = 1): DataFrame = {
+    val newIdx = buildMinHashIndex(newDocs, idCol, textCol,
+      shingleSize, k, bands)
+    val newIds = newIdx.shingles.select(col("id"))
+    val candidates = bucketPairs(
+      index.bands.unionByName(newIdx.bands),
+      Seq("band", "bucket"), maxBucketSize, starReps)
+    val touching = candidates
+      .join(newIds.withColumnRenamed("id", "idA"), Seq("idA"), "left_semi")
+      .unionByName(candidates
+        .join(newIds.withColumnRenamed("id", "idB"), Seq("idB"),
+          "left_semi"))
+      .distinct()
+    val allSh = index.shingles.unionByName(newIdx.shingles)
+    touching
+      .join(allSh.select(col("id").as("idA"), col("sh").as("shA")),
+        Seq("idA"))
+      .join(allSh.select(col("id").as("idB"), col("sh").as("shB")),
+        Seq("idB"))
+      .select(col("idA"), col("idB"),
+        jaccard(col("shA"), col("shB")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over a pair list: assigns every id the
     * minimum id reachable through the pair graph (cluster
     * representative). Iterative min-label propagation — each round is

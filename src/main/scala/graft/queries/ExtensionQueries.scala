@@ -533,6 +533,38 @@ object ExtensionQueries {
              |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3"""
         .stripMargin)),
 
+    // incremental near-dedup — the daily-ingest shape: the 80% slice
+    // is the pre-indexed corpus (stored shingle sets + band triples),
+    // the doc_id%5==0 slice is the incoming batch; only the batch
+    // pays shingling/signing, and the output is every verified pair
+    // TOUCHING the batch. Oracle: the same exact all-pairs jaccard as
+    // q_dedup_minhash (banding recall 1.0 above threshold on this
+    // corpus), restricted to pairs touching the batch slice.
+    QueryDef("q_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = Dedup.buildMinHashIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        Dedup.incrementalMinHashPairs(idx,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          threshold = 0.3)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\s+') w
+             |  FROM documents),
+             |s AS (SELECT doc_id, list_distinct(
+             |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |   for i in range(1, len(w) - 1)]) sh
+             |  FROM t WHERE len(w) >= 3)
+             |SELECT a.doc_id AS idA, b.doc_id AS idB,
+             |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+             |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3"""
+        .stripMargin)),
+
     // survivors after near-dedup, keep-min-id policy. Oracle: survivors
     // of the exact all-pairs jaccard (valid on this bimodal corpus —
     // banding recall 1.0 above threshold, cross-checked empirically)

@@ -543,6 +543,40 @@ class DedupSpec extends AnyFunSuite {
       "each family must collapse into exactly its own cluster")
   }
 
+  test("incremental minhash equals the full run's pairs touching the " +
+      "batch, incl. new-new pairs and capped buckets") {
+    // the star-fallback fixture: one boilerplate family across the
+    // old/new boundary, plus a new-new duplicate pair disjoint from
+    // the corpus
+    val boiler = (0 until 150).map(i => s"tok0b$i").mkString(" ")
+    val fresh = (0 until 20).map(i => s"only0new$i").mkString(" ")
+    // family starts at id 1 so the capped bucket's min-rep (the star
+    // hub) is an OLD doc — old-old star pairs then exist in the full
+    // run and must be excluded from the incremental result
+    val docs = ((1 to 40).map(i => (i.toLong, s"$boiler mark$i")) ++
+      Seq((100L, fresh), (101L, fresh + " tail"))).toDF("doc_id", "text")
+    def isNew(id: Long) = id % 4 == 0 || id >= 100
+    val oldDocs = docs.filter(!(col("doc_id") % 4 === 0 ||
+      col("doc_id") >= 100))
+    val newDocs = docs.filter(col("doc_id") % 4 === 0 ||
+      col("doc_id") >= 100)
+    val full = Dedup.minHashPairs(docs, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Dedup.buildMinHashIndex(oldDocs, "doc_id", "text")
+    val inc = Dedup.incrementalMinHashPairs(idx, newDocs, "doc_id",
+        "text", threshold = 0.5, maxBucketSize = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter(p => isNew(p._1) || isNew(p._2))
+    assert(inc == expected,
+      s"missing=${expected -- inc} extra=${inc -- expected}")
+    // the fixture exercised what it claims: a new-new pair exists and
+    // old-old pairs were excluded
+    assert(inc.contains((100L, 101L)))
+    assert(full.exists(p => !isNew(p._1) && !isNew(p._2)))
+    assert(!inc.exists(p => !isNew(p._1) && !isNew(p._2)))
+  }
+
   test("semanticDedup drops lower-id-dominated cluster-mates only") {
     import graft.similarity.Ivf
     // two well-separated directions in R^4; near-dups are tiny
