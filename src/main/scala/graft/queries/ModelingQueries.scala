@@ -275,13 +275,15 @@ object ModelingQueries {
              |valid_to IS NULL AS is_current FROM v""".stripMargin)),
 
     // the consumption side of SCD2: enrich facts with the dimension
-    // version valid AT EVENT TIME (valid_from <= ts < valid_to, open
-    // version unbounded). An equi-join on the dimension key with the
-    // interval as a residual filter — per-key version lists are short,
-    // so the probe work per fact row is bounded at any scale; no
-    // range cross-product. Self-consistency makes a sharp oracle: the
-    // as-of status of an event inside its user's history is exactly
-    // the state that event (or its predecessor) set.
+    // version valid at a LOOKUP time (here ts + 30 min — "what was
+    // this user's status half an hour after the event", the typical
+    // attribution-lag shape; it also makes the oracle sharp: the
+    // status genuinely differs from the event's own type whenever the
+    // user changed state within the window, so any interval
+    // off-by-one redistributes the counts). An equi-join on the
+    // dimension key with the interval as a residual filter — per-key
+    // version lists are short, so the probe work per fact row is
+    // bounded at any scale; no range cross-product.
     QueryDef("q_scd2_asof_lookup",
       (s, d) => {
         val ev = Tables.events(s, d)
@@ -292,9 +294,11 @@ object ModelingQueries {
           tsCol = "ts", tieCols = Seq("event_id"))
           .select(col("user_id"), col("event_type").as("status"),
             col("valid_from"), col("valid_to"))
-        ev.join(dim, Seq("user_id"))
-          .filter(col("ts") >= col("valid_from") &&
-            (col("valid_to").isNull || col("ts") < col("valid_to")))
+        val probes = ev.select(col("user_id"), col("event_type"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("at"))
+        probes.join(dim, Seq("user_id"))
+          .filter(col("at") >= col("valid_from") &&
+            (col("valid_to").isNull || col("at") < col("valid_to")))
           .groupBy(col("status"), col("event_type"))
           .agg(count(lit(1)).as("n"))
       },
@@ -308,12 +312,14 @@ object ModelingQueries {
              |dim AS (SELECT user_id, event_type AS status,
              |  ts AS valid_from,
              |  lead(ts) OVER (PARTITION BY user_id
-             |    ORDER BY ts, event_id) AS valid_to FROM c)
-             |SELECT dim.status, e.event_type,
+             |    ORDER BY ts, event_id) AS valid_to FROM c),
+             |p AS (SELECT user_id, event_type,
+             |  ts + INTERVAL 30 MINUTE AS at FROM e)
+             |SELECT dim.status, p.event_type,
              |CAST(COUNT(*) AS BIGINT) AS n
-             |FROM e JOIN dim ON e.user_id = dim.user_id
-             |WHERE e.ts >= dim.valid_from
-             |  AND (dim.valid_to IS NULL OR e.ts < dim.valid_to)
+             |FROM p JOIN dim ON p.user_id = dim.user_id
+             |WHERE p.at >= dim.valid_from
+             |  AND (dim.valid_to IS NULL OR p.at < dim.valid_to)
              |GROUP BY 1, 2""".stripMargin)),
 
     // the dbt `snapshot` materialization end-to-end: two ModelRunner
