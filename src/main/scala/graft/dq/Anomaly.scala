@@ -31,10 +31,14 @@ object Anomaly {
   def volumeByPartition(df: DataFrame, partCol: String,
       zThreshold: Double = 2.0): DataFrame = {
     val counts = df.groupBy(col(partCol)).agg(count(lit(1)).as("cnt"))
+    // the square is computed IN decimal: cnt*cnt as a long overflows
+    // silently past ~3e9 rows per partition — real at 100 TB.
+    // DECIMAL(19,0)² → DECIMAL(38,0) on both engines.
+    val cntDec = col("cnt").cast(DecimalType(19, 0))
     val stats = counts.agg(
       count(lit(1)).as("n"),
       sum(col("cnt").cast(DecimalType(28, 0))).as("s"),
-      sum((col("cnt") * col("cnt")).cast(DecimalType(28, 0))).as("ss"))
+      sum((cntDec * cntDec).cast(DecimalType(38, 0))).as("ss"))
     // fixed-order float recipe, mirrored textually in the oracle:
     //   mean = s/n ; var = ss/n - mean*mean ; std = sqrt(var)
     //   z = (cnt - mean) / std

@@ -34,6 +34,9 @@ case class BpeSegmentWords(left: Expression, right: Expression)
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
+  // a null ELEMENT in the words array yields a null result (flatten
+  // semantics) even when the array itself is non-null
+  override def nullable: Boolean = true
   override def prettyName: String = "bpe_segment_words"
 
   // the merge table literal, parsed once: [ [l, r, lr], ... ]
@@ -62,6 +65,7 @@ case class BpeSegmentWords(left: Expression, right: Expression)
       s"""
          |${ev.value} = graft.functions.BpeSegmentWords
          |  .segmentAll($words, $tableRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin)
   }
 
@@ -72,13 +76,17 @@ case class BpeSegmentWords(left: Expression, right: Expression)
 object BpeSegmentWords {
 
   /** Shared by interpreted eval and generated code — one
-    * implementation, bit-identical results. */
+    * implementation, bit-identical results. A null WORD yields a null
+    * result (the composable twin's semantics: `flatten` over an array
+    * with a null element is null), rather than an NPE from a
+    * SQL-registered call on dirty data. */
   def segmentAll(words: ArrayData,
       merges: Array[Array[UTF8String]]): ArrayData = {
     val out = new java.util.ArrayList[AnyRef]()
     val n = words.numElements()
     var wi = 0
     while (wi < n) {
+      if (words.isNullAt(wi)) return null
       val w = words.getUTF8String(wi)
       // split to code points (split(w, "") semantics)
       var syms = toCodePoints(w)

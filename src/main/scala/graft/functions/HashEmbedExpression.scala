@@ -50,21 +50,25 @@ case class HashEmbedTokens(left: Expression, right: Expression)
 
 object HashEmbed {
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Null tokens
+    * count toward no bucket — the composable twin's semantics (a null
+    * token's bucket is null, matching no histogram slot). */
   def embed(toks: ArrayData, dim: Int): ArrayData = {
     val hist = new Array[Double](dim)
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      val s = toks.getUTF8String(i).toString
-      var h = 0L
-      var j = 0
-      while (j < s.length) {
-        val cp = s.codePointAt(j)
-        h = (h * 31L + cp) % 1000000007L
-        j += Character.charCount(cp)
+      if (!toks.isNullAt(i)) {
+        val s = toks.getUTF8String(i).toString
+        var h = 0L
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          h = (h * 31L + cp) % 1000000007L
+          j += Character.charCount(cp)
+        }
+        hist((h % dim).toInt) += 1.0
       }
-      hist((h % dim).toInt) += 1.0
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData

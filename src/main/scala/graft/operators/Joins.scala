@@ -169,7 +169,10 @@ object Joins {
     * fewer dim replicas but more residual-filter misses.
     *
     * Same row multiset as the naive join (overlapping intervals emit
-    * one row per matching interval). */
+    * one row per matching interval). Binning divides in doubles, so
+    * values are binned exactly for |x| < 2^53 — every practical id /
+    * timestamp-micros / measure domain; beyond that pre-scale the
+    * column. */
   def rangeLookupJoin(fact: DataFrame, valueCol: String,
       dim: DataFrame, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {

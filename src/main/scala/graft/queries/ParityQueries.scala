@@ -261,7 +261,9 @@ object ParityQueries {
              |c AS (SELECT ingest_on, COUNT(*) AS cnt FROM e GROUP BY 1),
              |st AS (SELECT COUNT(*) AS n,
              |  SUM(CAST(cnt AS DECIMAL(28,0))) AS s,
-             |  SUM(CAST(cnt * cnt AS DECIMAL(28,0))) AS ss FROM c),
+             |  SUM(CAST(CAST(cnt AS DECIMAL(19,0))
+             |    * CAST(cnt AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+             |    AS ss FROM c),
              |x AS (SELECT c.ingest_on, c.cnt,
              |  CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE) AS mean,
              |  sqrt(CAST(st.ss AS DOUBLE) / CAST(st.n AS DOUBLE)

@@ -147,6 +147,22 @@ class BpeSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("a null word yields a null subword stream (flatten semantics), " +
+      "not an NPE") {
+    import graft.text.Bpe.BpeModel
+    val model = BpeModel(Seq(Bpe.BpeMerge(1, "a", "b", 2)))
+    val df = spark.sql("SELECT array('ab', CAST(NULL AS STRING)) AS w")
+      .select(graft.functions.BpeFunctions
+        .bpe_segment_words($"w" , model.merges.map(m => (m.left, m.right)))
+        .as("s"))
+    assert(df.collect().head.isNullAt(0))
+    // matches the composable flatten-over-null behavior
+    val composed = spark.sql("SELECT array('ab', CAST(NULL AS STRING)) AS w")
+      .select(flatten(transform($"w",
+        x => Bpe.applyMerge(Bpe.chars(x), "a", "b"))).as("s"))
+    assert(composed.collect().head.isNullAt(0))
+  }
+
   test("empty and single-char words segment cleanly") {
     val model = BpeModel(Seq(BpeMerge(1, "a", "b", 2)))
     val got = Seq("a ab b", "").toDF("text")

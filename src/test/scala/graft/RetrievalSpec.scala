@@ -108,6 +108,16 @@ class RetrievalSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("hashEmbed skips null tokens like the composable twin") {
+    val df = spark.sql("SELECT array('ab', CAST(NULL AS STRING), 'ab') AS t")
+    val native = df.select(Retrieval.hashEmbed($"t", 8))
+      .as[Seq[Double]].head()
+    val composed = df.select(Retrieval.hashEmbedComposed($"t", 8))
+      .as[Seq[Double]].head()
+    assert(native == composed)
+    assert(native.sum == 2.0) // the null token counts toward nothing
+  }
+
   test("chunkSliding covers every token with the expected windows") {
     // 100 tokens, size 40 stride 30 → chunks at 0, 30, 60 (3 windows)
     val text = (1 to 100).map(i => s"w$i").mkString(" ")
