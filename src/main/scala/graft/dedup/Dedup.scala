@@ -127,7 +127,7 @@ object Dedup {
     * and each recomputes the partition while racing to populate the
     * cache (block "already exists" churn) — one materialization up
     * front means every consumer reads warm cache. */
-  private def persistEager(df: DataFrame): DataFrame = {
+  private[graft] def persistEager(df: DataFrame): DataFrame = {
     val p = trackPersist(df)
     p.count()
     p
@@ -318,25 +318,17 @@ object Dedup {
       shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucketSize: Int = 200,
       starReps: Int = 1): DataFrame = {
-    // (id, sh) with shingles pre-hashed to longs — everything downstream
-    // (signature, shuffle payloads, set intersection) works on int64
-    // persisted: the signature pipeline feeds BOTH sides of the bucket
-    // self-join plus the two verification joins — without persistence
-    // Spark recomputes the k×|shingles| hashing once per reference.
-    // MEMORY_AND_DISK: at cluster scale this spills rather than OOMs.
-    val withSig = persistEager(
-      ensureParallelism(df.select(col(idCol).as("id"),
-          col(textCol).as("__text")))
-      .select(col("id"), shingleHashes(col("__text"), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), k)))
-    // banding carries ONLY (id, band, bucket) — never the shingle array.
-    // At scale the band shuffle is the widest exchange in this job; 16
-    // bands × an attached array would multiply it by the document size.
-    val banded = withSig
-      .select(col("id"), explode(bandKeys(col("sig"), k, bands)).as("bk"))
-      .select(col("id"),
-        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // shared first stage (one source of truth with the incremental
+    // path): (id, sh) shingles pre-hashed to longs, signatures,
+    // banding as ONLY (id, band, bucket) — never the shingle array
+    // (at scale the band shuffle is the widest exchange in this job;
+    // 16 bands × an attached array would multiply it by the document
+    // size). The signature pipeline is persisted inside
+    // buildMinHashIndex: it feeds the bucket aggregation plus the two
+    // verification joins — without persistence Spark recomputes the
+    // k×|shingles| hashing once per reference; MEMORY_AND_DISK spills
+    // rather than OOMs at cluster scale.
+    val idx = buildMinHashIndex(df, idCol, textCol, shingleSize, k, bands)
     // One aggregation replaces the bucket-size count, the oversized
     // anti-join, AND the bucket self-join: collect each bucket's ids
     // (bounded by maxBucketSize — oversized buckets star-link against
@@ -346,9 +338,9 @@ object Dedup {
     // (8 bytes/doc, ≤ maxBucketSize per key), never the documents.
     // Pairs dedupe BEFORE verification: a true near-dup collides in
     // many bands, and exact-jaccard verification is the expensive step.
-    val candidates = bucketPairs(banded, Seq("band", "bucket"),
+    val candidates = bucketPairs(idx.bands, Seq("band", "bucket"),
       maxBucketSize, starReps)
-    val shTbl = withSig.select(col("id"), col("sh"))
+    val shTbl = idx.shingles
     candidates
       .join(shTbl.select(col("id").as("idA"), col("sh").as("shA")), Seq("idA"))
       .join(shTbl.select(col("id").as("idB"), col("sh").as("shB")), Seq("idB"))
@@ -359,18 +351,30 @@ object Dedup {
 
   /** A materializable MinHash-LSH corpus index: `shingles` (id, sh —
     * the hashed shingle sets verification needs) and `bands`
-    * (id, band, bucket — 3 scalars per doc per band). Both are plain
-    * DataFrames the caller lands as parquet tables; [[union]] appends
-    * a batch's index. */
-  final case class MinHashIndex(shingles: DataFrame, bands: DataFrame) {
-    def union(other: MinHashIndex): MinHashIndex =
+    * (id, band, bucket — 3 scalars per doc per band), stamped with
+    * the parameters that produced it. Both frames are plain
+    * DataFrames the caller lands as parquet tables (re-wrap with the
+    * SAME parameters on load); [[union]] appends a batch's index and
+    * refuses mismatched parameters — band buckets from different
+    * (shingleSize, k, nBands) never collide, so a silent mismatch
+    * would mean near-zero recall, not an error. */
+  final case class MinHashIndex(shingles: DataFrame, bands: DataFrame,
+      shingleSize: Int = 3, k: Int = 64, nBands: Int = 16) {
+    def union(other: MinHashIndex): MinHashIndex = {
+      require(shingleSize == other.shingleSize && k == other.k &&
+        nBands == other.nBands,
+        s"cannot union indexes with different parameters: " +
+          s"($shingleSize,$k,$nBands) vs " +
+          s"(${other.shingleSize},${other.k},${other.nBands})")
       MinHashIndex(shingles.unionByName(other.shingles),
-        bands.unionByName(other.bands))
+        bands.unionByName(other.bands), shingleSize, k, nBands)
+    }
   }
 
   /** Build the LSH index of a corpus slice — the once-per-batch cost
     * (shingle, sign, band) that [[incrementalMinHashPairs]] never
-    * re-pays for previously indexed data. */
+    * re-pays for previously indexed data. Also the shared first stage
+    * of [[minHashPairs]] — one source of truth for the index shape. */
   def buildMinHashIndex(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 64, bands: Int = 16): MinHashIndex = {
     val withSig = persistEager(
@@ -385,7 +389,8 @@ object Dedup {
       withSig
         .select(col("id"), explode(bandKeys(col("sig"), k, bands)).as("bk"))
         .select(col("id"), col("bk.band").as("band"),
-          col("bk.bucket").as("bucket")))
+          col("bk.bucket").as("bucket")),
+      shingleSize, k, bands)
   }
 
   /** Incremental near-dup detection — the daily-ingest shape: dedupe a
@@ -402,14 +407,26 @@ object Dedup {
     * star-fallback included), and its stored shingle sets join in
     * only for the pairs that survive candidate dedup. Old-old
     * candidate pairs drop before the expensive verification joins.
-    * `index.union(newIndex)` is the caller's next-day index. */
+    * `index.union(newIndex)` is the caller's next-day index.
+    *
+    * The batch signs with the INDEX's own parameters (stamped on
+    * [[MinHashIndex]] — mismatched banding would silently never
+    * collide), and ids already present in the index are a loud error:
+    * re-ingested rows would otherwise emit self-pairs and duplicate
+    * every verification join through the doubled shingle rows. */
   def incrementalMinHashPairs(index: MinHashIndex, newDocs: DataFrame,
-      idCol: String, textCol: String, shingleSize: Int = 3,
-      k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      idCol: String, textCol: String, threshold: Double = 0.5,
       maxBucketSize: Int = 200, starReps: Int = 1): DataFrame = {
     val newIdx = buildMinHashIndex(newDocs, idCol, textCol,
-      shingleSize, k, bands)
+      index.shingleSize, index.k, index.nBands)
     val newIds = newIdx.shingles.select(col("id"))
+    val overlap = newIds
+      .join(index.shingles.select(col("id")), Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(overlap.isEmpty,
+      s"batch ids already present in the index (e.g. ${overlap.headOption
+        .map(_.get(0)).getOrElse("")}) — dedupe re-ingests before " +
+        "calling, or rebuild the index")
     val candidates = bucketPairs(
       index.bands.unionByName(newIdx.bands),
       Seq("band", "bucket"), maxBucketSize, starReps)
@@ -911,9 +928,15 @@ object Dedup {
       model: graft.similarity.Ivf.IvfModel,
       threshold: Double): DataFrame = {
     import graft.similarity.Ivf
-    val base = ensureParallelism(df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v")))
-      .withColumn("cell", Ivf.assignCell(col("v"), model))
+    // persisted: the assigned frame feeds BOTH sides of the cell
+    // self-join AND the final anti-join branch — without it the scan
+    // plus the k·dim nearest-centroid pass (the dominant narrow cost
+    // at the k≈√n sizes the scale recipe calls for) re-evaluates for
+    // the anti-join
+    val base = persistEager(
+      ensureParallelism(df.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("v")))
+        .withColumn("cell", Ivf.assignCell(col("v"), model)))
     val a = base.select(col("cell"), col("id").as("a_id"),
       col("v").as("a_v"))
     val b = base.select(col("cell"), col("id").as("b_id"),

@@ -104,6 +104,10 @@ object BpeSegmentWords {
 
   private def toCodePoints(w: UTF8String): Array[UTF8String] = {
     val s = w.toString
+    // split("", "") yields [""] — the empty word contributes one empty
+    // symbol, matching the composable twin exactly (it never merges:
+    // merge sides are non-empty by construction)
+    if (s.isEmpty) return Array(UTF8String.EMPTY_UTF8)
     val out = new java.util.ArrayList[UTF8String](s.length)
     var i = 0
     while (i < s.length) {
@@ -129,14 +133,16 @@ object BpeSegmentWords {
 
   /** One greedy left-to-right non-overlapping pass — the exact
     * semantics of [[graft.text.Bpe.applyMerge]]'s fold, O(len) with
-    * no per-step copies. */
+    * no per-step copies. Null symbols pass through unmerged (the
+    * fold's when/otherwise does the same: a null comparison falls to
+    * the append branch). */
   private def applyMerge(syms: Array[UTF8String],
       m: Array[UTF8String]): Array[UTF8String] = {
     val out = new java.util.ArrayList[UTF8String](syms.length)
     var i = 0
     while (i < syms.length) {
-      if (i + 1 < syms.length && syms(i).equals(m(0)) &&
-          syms(i + 1).equals(m(1))) {
+      if (i + 1 < syms.length && m(0).equals(syms(i)) &&
+          m(1).equals(syms(i + 1))) {
         out.add(m(2)); i += 2
       } else { out.add(syms(i)); i += 1 }
     }
@@ -152,8 +158,10 @@ object BpeSegmentWords {
 case class BpeApplyMerge(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // null symbols pass through unmerged (the composable fold appends
+  // them), so the output can carry nulls when the input does
   override def dataType: DataType =
-    ArrayType(StringType, containsNull = false)
+    ArrayType(StringType, containsNull = true)
   override def prettyName: String = "bpe_apply_merge"
 
   @transient private lazy val merge: Array[UTF8String] = {

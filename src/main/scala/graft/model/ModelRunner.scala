@@ -161,6 +161,19 @@ object ModelRunner {
           require(mat == "table" || mat == "view" || mat == "incremental"
               || mat == "snapshot",
             s"model $modelName: unsupported materialization '$mat'")
+          // per-materialization key check: a kwarg only SOME
+          // materialization reads (unique_key on an incremental,
+          // strategy on a table) is a silent semantic downgrade
+          // unless rejected here — the parser's loud-error contract
+          val allowedFor = mat match {
+            case "incremental" => Set("incremental_strategy", "partition_by")
+            case "snapshot" => Set("unique_key", "updated_at", "strategy")
+            case _ => Set.empty[String]
+          }
+          val stray = config.keySet - "materialized" -- allowedFor
+          require(stray.isEmpty, s"model $modelName: config " +
+            s"${stray.toSeq.sorted.mkString(", ")} not supported for " +
+            s"materialized='$mat'")
           ModelDef(modelName, group, ConfigBlockPat.replaceAllIn(raw, ""),
             mat, tests.getOrElse(modelName, Seq.empty), config)
         }

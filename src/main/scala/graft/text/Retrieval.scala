@@ -27,7 +27,9 @@ object Retrieval {
     * Returns the `topK` documents by descending score (ties broken by
     * ascending id): (doc_id, n_terms_matched, bm25).
     *
-    * Scale shape: the corpus is scanned ONCE; tokens are filtered to
+    * Scale shape: the corpus is scanned and tokenized ONCE (into a
+    * tracked MEMORY_AND_DISK cache — it feeds both the stats
+    * aggregate and the term-frequency branch); tokens are filtered to
     * the query terms BEFORE the (doc, term) aggregation, so only
     * matching occurrences ever shuffle — the reduction is
     * |matches|, not |tokens|. Document frequencies (≤ |terms| rows)
@@ -40,10 +42,15 @@ object Retrieval {
       topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(terms.distinct == terms, s"duplicate query terms: $terms")
-    val base = docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("long").as("dl"))
+    // persisted (Dedup's tracked cache, spills at scale): the
+    // tokenized corpus feeds BOTH the stats aggregate and the tf
+    // branch — unpersisted, the corpus would be scanned and
+    // TOKENIZED twice, the dominant narrow cost at 100 TB
+    val base = graft.dedup.Dedup.persistEager(
+      docs.select(col(idCol).as("doc_id"),
+          TextAnalysis.tokens(col(textCol)).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("dl")))
     // one row: N and total token count (avgdl = tot/n as ONE double
     // division — no accumulation-order drift, both are exact BIGINTs)
     val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))

@@ -577,6 +577,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!inc.exists(p => !isNew(p._1) && !isNew(p._2)))
   }
 
+  test("incremental minhash fails loudly on parameter mismatch and " +
+      "re-ingested ids") {
+    val d = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    val idx64 = Dedup.buildMinHashIndex(d, "doc_id", "text", k = 64)
+    val idx32 = Dedup.buildMinHashIndex(d, "doc_id", "text", k = 32)
+    intercept[IllegalArgumentException] { idx64.union(idx32) }
+    // a batch containing an already-indexed id is a loud error, not
+    // silent self-pairs
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinHashPairs(idx64,
+        Seq((2L, "f g h i j"), (3L, "k l m n o")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("already present"))
+  }
+
   test("semanticDedup drops lower-id-dominated cluster-mates only") {
     import graft.similarity.Ivf
     // two well-separated directions in R^4; near-dups are tiny

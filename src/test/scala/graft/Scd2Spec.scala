@@ -163,6 +163,25 @@ class Scd2Spec extends AnyFunSuite {
     assert(k2.length == 1 && k2.head.isNullAt(4))
   }
 
+  test("snapshot-only config keys on other materializations are a " +
+      "loud error, not a silent downgrade") {
+    val root = writeProject(Seq(
+      "dbt_project.yml" ->
+        """name: 'scd2_stray'
+          |vars:
+          |  target_schema: scd2_out
+          |""".stripMargin,
+      "models/core/stray.sql" ->
+        """{{ config(materialized='incremental', unique_key='id') }}
+          |SELECT 1 AS id
+          |""".stripMargin))
+    val e = intercept[IllegalArgumentException] {
+      ModelRunner.loadProject(root)
+    }
+    assert(e.getMessage.contains("unique_key") &&
+      e.getMessage.contains("incremental"), e.getMessage)
+  }
+
   test("snapshot model demands unique_key and updated_at config") {
     val root = writeProject(Seq(
       "dbt_project.yml" ->
