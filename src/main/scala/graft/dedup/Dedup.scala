@@ -763,6 +763,26 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-level decontamination: drop every corpus row whose
+    * vector clears `tau` cosine against ANY benchmark vector — the
+    * semantic complement of [[decontaminate]] (n-gram overlap misses
+    * paraphrased benchmark leakage; cosine catches it). EXACT, not
+    * LSH-approximate: a benchmark is an eval set — thousands of
+    * vectors, not billions — so the right 100 TB plan is a broadcast
+    * nested-loop LEFT ANTI join with the codegen cosine probe: the
+    * corpus never shuffles, every row streams once past the broadcast
+    * benchmark matrix, and the anti-join short-circuits on the first
+    * match. The output keeps all corpus columns (ids and metadata
+    * only ever leave the executor via whatever the caller selects). */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+      vecCol: String, tau: Double): DataFrame = {
+    val bench = benchmark.select(col(vecCol).as("__bench_v"))
+    corpus.join(broadcast(bench),
+      graft.functions.VectorFunctions
+        .cosine_sim(col(vecCol), col("__bench_v")) >= tau,
+      "left_anti")
+  }
+
   /** Bucket-size distribution for a banded signature table — the
     * observability hook for the skew cap. */
   def bucketStats(df: DataFrame, idCol: String, textCol: String,

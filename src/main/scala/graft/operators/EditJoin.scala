@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity self-join — the entity-resolution /
+  * fuzzy-matching primitive (near-identical titles, ids, names) that a
+  * plain equi-join can't express and an all-pairs `levenshtein` cross
+  * join can't survive at scale.
+  *
+  * Returns every unordered pair `(id_a < id_b, dist)` with
+  * `levenshtein(a, b) <= maxDist`, EXACTLY (candidate generation is a
+  * superset; every candidate is verified), without ever comparing all
+  * pairs. Candidates come from segment pigeonholing (the PassJoin
+  * family, Li/Deng/Feng, public literature): partition each string
+  * into `maxDist + 1` contiguous segments — at most `maxDist` edits
+  * can touch at most `maxDist` segments, so any qualifying pair shares
+  * at least one segment VERBATIM, and that segment's position in the
+  * other string shifts by at most `maxDist` (each edit shifts later
+  * characters by at most one). Candidate generation is therefore an
+  * equi-join on `(segmentIndex, assumedLength, segmentText)` between
+  * each string's canonical segments (build side) and every substring
+  * within ±maxDist of the canonical position (probe side) — a
+  * shuffle-hash/sort-merge join on scalar keys, never a cross product.
+  *
+  * Scale shape: build emits `maxDist+1` rows per string, probe at most
+  * `(maxDist+1)·(2·maxDist+1)²` (deduplicated) — constant fan-out;
+  * only `(id, segIdx, len, short segment text)` cross the candidate
+  * shuffle, full strings rejoin once per SIDE of the deduplicated pair
+  * list for verification. Low-entropy segments (templated corpora —
+  * every id sharing a `"Customer#"`-style prefix) are the known hot
+  * spot: the shared prefix makes one bucket hold everything. The
+  * `stripCommonPrefix` stage removes exactly that: unit-cost
+  * Levenshtein satisfies `ed(c·x, c·y) = ed(x, y)` (matching an equal
+  * leading character is always optimal in the DP), so stripping the
+  * corpus-global longest common prefix — computed from just
+  * `min(str)` / `max(str)`, one aggregation — preserves every pairwise
+  * distance while restoring segment entropy.
+  *
+  * Strings shorter than `maxDist + 1` (post-strip) can't be pigeonholed
+  * into non-empty segments; they pair through their DISTINCT VALUES
+  * (a value-level cross join bounded by the number of distinct strings
+  * of length ≤ 2·maxDist, i.e. alphabet-bounded, not corpus-bounded)
+  * against values within `maxDist` of their length, then expand back
+  * to id pairs — output-bound, like any join on duplicated keys.
+  */
+object EditJoin {
+
+  /** All unordered pairs within `maxDist` edits: `(id_a, id_b, dist)`
+    * with `id_a < id_b`, `dist` the exact Levenshtein distance. Null
+    * strings never match (join semantics). */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, stripCommonPrefix: Boolean = true): DataFrame = {
+    require(maxDist >= 1,
+      "maxDist must be >= 1 — for exact string equality use " +
+        "Dedup.exact (one hash aggregation, no candidate stage)")
+    val k = maxDist
+    val n = k + 1 // segments per string
+
+    val base0 = df.select(col(idCol).cast("long").as("__id"),
+      col(strCol).as("__s")).filter(col("__s").isNotNull)
+
+    // corpus-global LCP via min/max: every string shares LCP(min, max)
+    // (strings sort lexicographically, so anything between the two
+    // extremes starts with their common prefix). Two strings reach the
+    // driver — bounded like the IVF centroid pulls.
+    val base = if (stripCommonPrefix) {
+      val r = base0.agg(min("__s"), max("__s")).head()
+      val lcpLen =
+        if (r.isNullAt(0)) 0
+        else r.getString(0).zip(r.getString(1)).takeWhile(t => t._1 == t._2).length
+      if (lcpLen == 0) base0
+      else base0.select(col("__id"),
+        substring(col("__s"), lcpLen + 1, Int.MaxValue).as("__s"))
+    } else base0
+
+    val withLen = base.select(col("__id"), col("__s"),
+      length(col("__s")).as("__l"))
+    val longSide = withLen.filter(col("__l") >= n)
+
+    // ceil-first segment starts: st(i) = ceil(i*L/n) puts the LONGER
+    // (higher-entropy) segments first — on digit-suffix corpora the
+    // short trailing segment is the low-entropy one, and shorter
+    // segments mean smaller candidate buckets when they do collide.
+    def st(i: String, l: String) = s"(($i * $l + ${n - 1}) div $n)"
+    def segLen(i: String, l: String) =
+      s"(${st(s"($i + 1)", l)} - ${st(i, l)})"
+
+    // build: the k+1 canonical segments of each string
+    val segArr =
+      s"""transform(sequence(0, $k), i ->
+         |  substring(__s, ${st("i", "__l")} + 1, ${segLen("i", "__l")}))"""
+        .stripMargin
+    val build = longSide.select(col("__id"), col("__l"),
+      posexplode(expr(segArr))).toDF("__id", "__l", "__i", "__seg")
+
+    // probe: for each segment index and each assumed build length
+    // l1 ∈ [L-k, L+k] (capped below at n — the build side has no
+    // shorter strings), every substring whose start sits within ±k of
+    // the canonical position. Invalid windows null out and filter away;
+    // array_distinct collapses windows that repeat the same key.
+    val probeArr =
+      s"""flatten(flatten(transform(sequence(0, $k), i ->
+         |  transform(sequence(greatest(__l - $k, $n), __l + $k), l1 ->
+         |    filter(transform(sequence(${st("i", "l1")} + 1 - $k,
+         |                              ${st("i", "l1")} + 1 + $k), q ->
+         |      CASE WHEN q >= 1
+         |             AND q + ${segLen("i", "l1")} - 1 <= __l
+         |           THEN named_struct('i', i, 'l1', l1,
+         |             'seg', substring(__s, q, ${segLen("i", "l1")}))
+         |      END), x -> x IS NOT NULL)))))""".stripMargin
+    val probe = longSide
+      .select(col("__id"), explode(array_distinct(expr(probeArr))).as("__p"))
+      .select(col("__id"), col("__p.i").as("__i"),
+        col("__p.l1").as("__l1"), col("__p.seg").as("__seg"))
+
+    // candidate pairs: equi-join on (segIdx, length, segment), ids only
+    val candLong = build.as("ba")
+      .join(probe.as("pb"),
+        col("ba.__i") === col("pb.__i") &&
+          col("ba.__l") === col("pb.__l1") &&
+          col("ba.__seg") === col("pb.__seg") &&
+          col("ba.__id") =!= col("pb.__id"))
+      .select(least(col("ba.__id"), col("pb.__id")).as("id_a"),
+        greatest(col("ba.__id"), col("pb.__id")).as("id_b"))
+      .distinct()
+
+    val strs = withLen.select(col("__id"), col("__s"))
+    val longPairs = candLong
+      .join(strs.as("sa"), col("id_a") === col("sa.__id"))
+      .join(strs.as("sb"), col("id_b") === col("sb.__id"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("sa.__s"), col("sb.__s")).as("dist"))
+      .filter(col("dist") <= k)
+
+    // short strings (len < n): pair through distinct values. Both
+    // value tables are alphabet-bounded (lengths < n and < n+k); the
+    // symmetrized value-level cross join keeps mixed short-vs-near
+    // pairs reachable in either id order, and the min-length guard
+    // keeps this path disjoint from the long path (which only ever
+    // pairs two len >= n strings), so no global dedup is needed.
+    val shortVals = withLen.filter(col("__l") < n)
+      .select(col("__s"), col("__l")).distinct()
+    val nearVals = withLen.filter(col("__l") < n + k)
+      .select(col("__s"), col("__l")).distinct()
+    val valPairs = shortVals.as("va")
+      .crossJoin(nearVals.as("vb"))
+      .union(nearVals.as("va").crossJoin(shortVals.as("vb")))
+      .select(col("va.__s").as("__sa"), col("vb.__s").as("__sb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= k)
+    val shortPairs = valPairs
+      .join(strs.as("ia"), col("__sa") === col("ia.__s"))
+      .join(strs.as("ib"), col("__sb") === col("ib.__s"))
+      .filter(col("ia.__id") < col("ib.__id"))
+      .select(col("ia.__id").as("id_a"), col("ib.__id").as("id_b"),
+        col("dist"))
+      .distinct() // (v,v) value pairs reach both cross-join branches
+
+    longPairs.union(shortPairs)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+}

@@ -1767,6 +1767,46 @@ object ExtensionQueries {
              |WHERE s.doc_id >= 10
              |AND len(list_intersect(s.sh, bench.bg)) = 0""".stripMargin)),
 
+    // embedding-level decontamination: drop every corpus vector whose
+    // cosine to ANY benchmark vector clears tau — the semantic twin of
+    // the n-gram q_decontaminate (paraphrased benchmark leakage that
+    // shares no 5-gram). Exact semantics, not approximate: the
+    // benchmark side is always the small one (an eval set, not the
+    // corpus), so a broadcast nested-loop anti-join with the codegen
+    // cosine IS the right 100 TB plan — corpus rows stream through the
+    // probe without shuffling, and only ids survive into the output.
+    QueryDef("q_decontaminate_semantic",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Dedup.decontaminateSemantic(
+          e.filter(col("vec_id") % 10 =!= 0),
+          e.filter(col("vec_id") % 10 === 0),
+          "embedding", tau = 0.30)
+          .select(col("vec_id"), col("label"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              |  embedding::DOUBLE[] AS v FROM embeddings),
+              |corp AS (SELECT * FROM e WHERE vec_id % 10 != 0),
+              |bench AS (SELECT v FROM e WHERE vec_id % 10 = 0)
+              |SELECT c.vec_id, c.label FROM corp c
+              |WHERE NOT EXISTS (SELECT 1 FROM bench b
+              |  WHERE ${LshSql.cosine("c.v", "b.v")} >= 0.30)"""
+        .stripMargin)),
+
+    // edit-distance similarity self-join (entity resolution): every
+    // customer-name pair within 1 edit, via PassJoin-style segment
+    // pigeonholing + LCP stripping (operators/EditJoin.scala) — the
+    // oracle is the all-pairs definition; the Spark side never
+    // compares all pairs.
+    QueryDef("q_edit_join",
+      (s, d) => graft.operators.EditJoin
+        .selfJoin(Tables.customer(s, d), "c_custkey", "c_name", maxDist = 1),
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             |CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+             |FROM customer a JOIN customer b
+             |ON a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
+
     // deterministic train/eval split: membership is a pure function of
     // the row id (polynomial hash), so the split survives reruns,
     // repartitions, and engine changes — reproduced exactly in DuckDB

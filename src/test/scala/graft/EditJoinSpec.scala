@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EditJoin
+
+class EditJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Fixture stressing every candidate-generation path: a templated
+    * common prefix (the LCP-strip case), substitutions, inserts and
+    * deletes (segment-position shifts), duplicates (dist 0), strings
+    * that go SHORT after the prefix strip, the empty remainder, and
+    * far-apart strings that must NOT pair. */
+  private val corpus: Seq[(Long, String)] = Seq(
+    1L -> "item-00417-blue",
+    2L -> "item-00417-blu",   // deletion, dist 1 to #1
+    3L -> "item-00417-bleu",  // insert/transpose shape vs #1
+    4L -> "item-00418-blue",  // substitution, dist 1 to #1
+    5L -> "item-00417-blue",  // exact duplicate of #1
+    6L -> "item-99999-none",  // far from everything
+    7L -> "item-0041-blue",   // deletion inside the digits
+    8L -> "item-",            // empty remainder after strip
+    9L -> "item-b",           // short remainder
+    10L -> "item-bl",         // short remainder, dist 1 to #9
+    11L -> "item-00517-blue", // substitution in a middle segment
+    12L -> "xitem-00417-blue" // breaks the common prefix entirely
+  )
+
+  private def brute(k: Int): Set[(Long, Long, Int)] = {
+    val df = corpus.toDF("id", "s")
+    df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).as("d"))
+      .filter(col("d") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  private def viaOp(k: Int, strip: Boolean): Set[(Long, Long, Int)] =
+    EditJoin.selfJoin(corpus.toDF("id", "s"), "id", "s", k, strip)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("selfJoin equals brute force at maxDist=1") {
+    val expected = brute(1)
+    assert(expected.nonEmpty)
+    assert(viaOp(1, strip = true) == expected)
+  }
+
+  test("selfJoin equals brute force at maxDist=2, with and without LCP strip") {
+    val expected = brute(2)
+    assert(expected.exists(_._3 == 2)) // fixture exercises dist-2 pairs
+    assert(viaOp(2, strip = true) == expected)
+    assert(viaOp(2, strip = false) == expected)
+  }
+
+  test("shift pairs (insert/delete) survive the pigeonhole windows") {
+    // pure-shift pair: deleting one char early in the string moves
+    // every later segment by one — the ±k probe windows must find it
+    val df = Seq(1L -> "abcdefgh", 2L -> "bcdefgh", 3L -> "abcdefghx")
+      .toDF("id", "s")
+    val got = EditJoin.selfJoin(df, "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1)))
+  }
+
+  test("all-short corpus pairs through the value path") {
+    val df = Seq(1L -> "a", 2L -> "b", 3L -> "ab", 4L -> "", 5L -> "a")
+      .toDF("id", "s")
+    val got = EditJoin.selfJoin(df, "id", "s", 1, stripCommonPrefix = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 0),
+      (2L, 3L, 1), (2L, 4L, 1), (2L, 5L, 1), (4L, 5L, 1), (3L, 5L, 1))
+    assert(got == expected)
+  }
+
+  test("maxDist=0 is rejected with a pointer to exact dedup") {
+    val err = intercept[IllegalArgumentException] {
+      EditJoin.selfJoin(Seq(1L -> "a").toDF("id", "s"), "id", "s", 0)
+    }
+    assert(err.getMessage.contains("Dedup.exact"))
+  }
+}
