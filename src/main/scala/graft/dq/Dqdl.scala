@@ -222,6 +222,35 @@ final case class UniqueCombination(columns: Seq[String]) extends DqRule {
   def passed: Column = col(s"dup_rows_$tag") === 0L
 }
 
+/** K-anonymity over quasi-identifier columns: every combination of
+  * quasi-identifier values must be shared by at least `k` rows, so no
+  * row is re-identifiable by that combination alone — the privacy
+  * gate a training-data pipeline runs before releasing metadata
+  * alongside text. Metrics: the smallest group size and the number of
+  * EXPOSED rows (rows in groups under `k` — the suppression set a
+  * failing table would need to drop). One grouped side-pass like
+  * [[Uniqueness]]: group sizes aggregate per partition before the
+  * key shuffle (partial aggregation), so the exchange carries one row
+  * per distinct quasi-identifier combination, not per input row.
+  * Aliases carry `k` so tiered thresholds on one column set coexist
+  * in a single ruleset. An empty table passes vacuously. */
+final case class KAnonymity(columns: Seq[String], k: Long) extends DqRule {
+  require(columns.nonEmpty, "KAnonymity needs at least one column")
+  require(k >= 1, s"KAnonymity needs k >= 1, got $k")
+  private val tag = columns.map(c => s"${c.length}${DqOps.safe(c)}")
+    .mkString("_")
+  val name = s"k_anonymity_${k}_$tag"
+  def metrics: Seq[Column] = Seq.empty
+  override def hasSide: Boolean = true
+  override def sideMetrics(df: DataFrame): Option[DataFrame] = Some(
+    df.groupBy(columns.map(col): _*).agg(count(lit(1)).as("__cnt"))
+      .agg(
+        coalesce(min(col("__cnt")), lit(k)).as(s"min_group_${k}_$tag"),
+        coalesce(sum(when(col("__cnt") < k, col("__cnt"))
+          .otherwise(0L)), lit(0L)).as(s"exposed_rows_${k}_$tag")))
+  def passed: Column = col(s"min_group_${k}_$tag") >= k
+}
+
 /** The column is present in the schema at all — the guard against a
   * renamed/dropped upstream field arriving as a silently-null column.
   * (DQDL `ColumnExists "c"`.) Schema-level: contributes a constant

@@ -52,6 +52,8 @@ object DqdlParser {
     """DatasetMatch\s+"([^"]+)"\s+"([^"]+)"\s*(<=|>=|!=|<|>|=)\s*([\d.]+)""".r
   private val DataFreshnessRe =
     """DataFreshness\s+"([^"]+)"\s*<=\s*(\d+)\s*(days?|hours?|minutes?|seconds?)""".r
+  private val KAnonymityRe =
+    """KAnonymity\s+"([^"]+)"\s*>=\s*(\d+)""".r
 
   /** Parse a ruleset. `asOf` is the explicit reference instant any
     * `DataFreshness` rule in the text evaluates against — rule
@@ -113,6 +115,8 @@ object DqdlParser {
     case SchemaMatchRe(ref, op, v) => SchemaMatch(ref, op, v.toDouble)
     case DatasetMatchRe(ref, keys, op, v) => DatasetMatch(ref,
       keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq, op, v.toDouble)
+    case KAnonymityRe(cols, k) => KAnonymity(
+      cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, k.toLong)
     case ColumnValuesBetweenRe(c, lo, hi) =>
       ColumnValues(c, _.between(lo.toDouble, hi.toDouble))
     case ColumnValuesRe(c, op, v) =>

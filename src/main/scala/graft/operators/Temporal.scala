@@ -102,4 +102,50 @@ object Temporal {
       .select(col("__k").as(keyCol), col("idA"), col("idB"),
         (col("tB") - col("tA")).as("gap_us"))
   }
+
+  /** Fixed-grid resampling with gap fill — the time-series
+    * regularization step (hourly feature tables, training curricula
+    * over event history) that event streams need before any
+    * sequence model sees them: aggregate onto a `unit` grid
+    * (`"hour"`/`"day"`/`"minute"`), then materialize EVERY grid slot
+    * between each key's first and last active bucket, carrying the
+    * last observed value forward across the gaps.
+    *
+    * Output: `keyCol`, `bucket_ts`, each aggregate from `aggs` (null
+    * on gap rows — callers coalesce counts to 0 if they want), one
+    * `<c>_filled` per `fillCols` entry (running `last` ignoring
+    * nulls), and `is_gap`.
+    *
+    * Scale shape: the only pass over the raw table is the first
+    * aggregation (partial map-side combine, one shuffle on
+    * (key, bucket)); the span, grid explosion, grid join, and
+    * forward-fill window all run over the BUCKETIZED table — smaller
+    * than the input by the events-per-bucket factor, which is what
+    * makes dense-grid materialization affordable at 100 TB. The grid
+    * size is bounded by span × keys, not by input rows; a key idle
+    * for years then active again does inflate its span — callers
+    * windowing by ingest partition (the usual incremental shape)
+    * bound it naturally. */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+      unit: String, aggs: Seq[Column], fillCols: Seq[String]): DataFrame = {
+    require(Set("minute", "hour", "day", "week").contains(unit.toLowerCase),
+      s"unsupported resample unit '$unit'")
+    require(aggs.nonEmpty, "resample needs at least one aggregate")
+    val aggd = df
+      .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket_ts"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__present", lit(true))
+    val span = aggd.groupBy(col(keyCol))
+      .agg(min(col("bucket_ts")).as("__lo"), max(col("bucket_ts")).as("__hi"))
+    val grid = span.select(col(keyCol),
+      explode(expr(s"sequence(__lo, __hi, interval 1 $unit)"))
+        .as("bucket_ts"))
+    val joined = grid.join(aggd, Seq(keyCol, "bucket_ts"), "left")
+      .withColumn("is_gap", col("__present").isNull)
+      .drop("__present")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(joined)((acc, c) =>
+      acc.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w)))
+  }
 }

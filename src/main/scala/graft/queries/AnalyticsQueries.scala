@@ -181,6 +181,44 @@ object AnalyticsQueries {
              |CAST(COUNT(*) AS BIGINT) AS n_users
              |FROM o GROUP BY 1, 2""".stripMargin)),
 
+    // fixed-grid hourly resampling with forward-fill gap filling
+    // (operators/Temporal.resample): every hour between each user's
+    // first and last active hour materializes, carrying the last
+    // observed hourly spend across gaps — the time-series
+    // regularization a sequence model needs. Only the first
+    // aggregation touches raw events; grid + fill run on the
+    // bucketized table.
+    QueryDef("q_resample_gapfill",
+      (s, d) => graft.operators.Temporal.resample(
+        Tables.events(s, d), "user_id", "ts", "hour",
+        aggs = Seq(count(lit(1)).as("n0"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("hourly_value")),
+        fillCols = Seq("hourly_value"))
+        .select(col("user_id"), col("bucket_ts"),
+          coalesce(col("n0"), lit(0L)).as("n"), col("hourly_value"),
+          col("hourly_value_filled"), col("is_gap")),
+      Some("""WITH a AS (SELECT user_id, date_trunc('hour', ts)
+             |    AS bucket_ts,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS hourly_value
+             |  FROM events GROUP BY 1, 2),
+             |s AS (SELECT user_id, MIN(bucket_ts) AS lo,
+             |  MAX(bucket_ts) AS hi FROM a GROUP BY 1),
+             |g AS (SELECT user_id,
+             |  unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+             |    AS bucket_ts FROM s)
+             |SELECT g.user_id, g.bucket_ts, COALESCE(a.n, 0) AS n,
+             |a.hourly_value,
+             |last_value(a.hourly_value IGNORE NULLS) OVER (
+             |  PARTITION BY g.user_id ORDER BY g.bucket_ts
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |  AS hourly_value_filled,
+             |a.n IS NULL AS is_gap
+             |FROM g LEFT JOIN a USING (user_id, bucket_ts)"""
+        .stripMargin)),
+
     // rollup: sales by (year, priority) with subtotals and grand total
     QueryDef("q_rollup_sales",
       (s, d) => Tables.orders(s, d)

@@ -187,6 +187,36 @@ object ParityQueries {
              |  / CAST(SUM(cnt) AS DOUBLE)) > 0.95 AS all_passed
              |FROM g""".stripMargin)),
 
+    // K-anonymity privacy gate over quasi-identifiers, parsed from
+    // DQDL text: tiered thresholds (k=5 holds on this corpus, k=10
+    // does not) in ONE ruleset — the failing tier also reports the
+    // suppression set size (rows in groups under k). The Spark side
+    // goes through DqdlParser to pin the string grammar end-to-end.
+    QueryDef("q_dq_k_anonymity",
+      (s, d) => Dqdl.evaluateDf(Tables.customer(s, d), DqdlParser.parse(
+        "cust_kanon",
+        """Rules = [ KAnonymity "c_nationkey,c_mktsegment" >= 5,
+          |          KAnonymity "c_nationkey,c_mktsegment" >= 10 ]"""
+          .stripMargin)),
+      Some("""WITH g AS (SELECT COUNT(*) AS cnt FROM customer
+             |  GROUP BY c_nationkey, c_mktsegment)
+             |SELECT CAST(SUM(cnt) AS BIGINT) AS row_count,
+             |CAST(COALESCE(MIN(cnt), 5) AS BIGINT)
+             |  AS min_group_5_11c_nationkey_12c_mktsegment,
+             |CAST(COALESCE(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END), 0)
+             |  AS BIGINT) AS exposed_rows_5_11c_nationkey_12c_mktsegment,
+             |CAST(COALESCE(MIN(cnt), 10) AS BIGINT)
+             |  AS min_group_10_11c_nationkey_12c_mktsegment,
+             |CAST(COALESCE(SUM(CASE WHEN cnt < 10 THEN cnt ELSE 0 END), 0)
+             |  AS BIGINT) AS exposed_rows_10_11c_nationkey_12c_mktsegment,
+             |COALESCE(MIN(cnt), 5) >= 5
+             |  AS k_anonymity_5_11c_nationkey_12c_mktsegment_passed,
+             |COALESCE(MIN(cnt), 10) >= 10
+             |  AS k_anonymity_10_11c_nationkey_12c_mktsegment_passed,
+             |(COALESCE(MIN(cnt), 5) >= 5 AND COALESCE(MIN(cnt), 10) >= 10)
+             |  AS all_passed
+             |FROM g""".stripMargin)),
+
     // A6 — DQ ColumnLength = 18 (c_name is fixed 18 chars, like song_id)
     QueryDef("q_dq_column_length",
       (s, d) => Dqdl.evaluateDf(Tables.customer(s, d), Ruleset("cust_len",

@@ -548,6 +548,38 @@ class DqdlSpec extends AnyFunSuite {
     assert(Dqdl.evaluate(users, Dqdl.usersRuleset).passed)
   }
 
+  test("KAnonymity verdicts, exposed-row metric, and vacuous empty pass") {
+    val df = Seq(
+      ("us", "a"), ("us", "a"), ("us", "a"),
+      ("de", "b"), ("de", "b"), ("fr", "c")).toDF("country", "seg")
+    val v3 = Dqdl.evaluate(df, Ruleset("t",
+      Seq(KAnonymity(Seq("country", "seg"), 3))))
+    assert(!v3.passed)
+    // suppression set: the (de,b) pair and the (fr,c) singleton
+    assert(v3.metrics("exposed_rows_3_7country_3seg") == 3L)
+    assert(v3.metrics("min_group_3_7country_3seg") == 1L)
+    val v1 = Dqdl.evaluate(df, Ruleset("t",
+      Seq(KAnonymity(Seq("country", "seg"), 1))))
+    assert(v1.passed)
+    // tiered thresholds coexist: aliases carry k
+    val both = Dqdl.evaluate(df, Ruleset("t", Seq(
+      KAnonymity(Seq("country", "seg"), 1),
+      KAnonymity(Seq("country", "seg"), 3))))
+    assert(both.ruleResults("k_anonymity_1_7country_3seg"))
+    assert(!both.ruleResults("k_anonymity_3_7country_3seg"))
+    // empty table: no group is smaller than k (vacuous pass, not null)
+    val empty = Dqdl.evaluate(df.filter("false"), Ruleset("t",
+      Seq(KAnonymity(Seq("country"), 5))))
+    assert(empty.passed)
+    assert(empty.metrics("exposed_rows_5_7country") == 0L)
+  }
+
+  test("KAnonymity parses from DQDL text") {
+    val rs = DqdlParser.parse("t",
+      """Rules = [ KAnonymity "country,seg" >= 4 ]""")
+    assert(rs.rules == Seq(KAnonymity(Seq("country", "seg"), 4)))
+  }
+
   test("plain-aggregate rules compile to a single aggregation pass") {
     val df = Fixtures.usersDf(spark, month = 2)
     val noUniq = Dqdl.usersRuleset.copy(rules =

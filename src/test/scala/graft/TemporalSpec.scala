@@ -115,6 +115,39 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("resample materializes gaps, forward-fills, keeps spans per key") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 2.0),
+      (1L, ts("2024-01-01 10:45:00"), 3.0), // same bucket as above
+      (1L, ts("2024-01-01 13:10:00"), 7.0), // 2-hour gap before this
+      (2L, ts("2024-01-01 00:30:00"), 1.0)  // single-bucket key
+    ).toDF("k", "t", "v")
+    val out = Temporal.resample(df, "k", "t", "hour",
+        aggs = Seq(sum($"v").as("sv")), fillCols = Seq("sv"))
+      .orderBy($"k", $"bucket_ts")
+      .select($"k", $"bucket_ts", $"sv", $"sv_filled", $"is_gap")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01 10:00:00.0", Some(5.0), 5.0, false),
+      (1L, "2024-01-01 11:00:00.0", None, 5.0, true),
+      (1L, "2024-01-01 12:00:00.0", None, 5.0, true),
+      (1L, "2024-01-01 13:00:00.0", Some(7.0), 7.0, false),
+      (2L, "2024-01-01 00:00:00.0", Some(1.0), 1.0, false)))
+  }
+
+  test("resample rejects unknown units and empty aggregate lists") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      Temporal.resample(df, "k", "t", "fortnight", Seq(sum($"v")), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.resample(df, "k", "t", "hour", Nil, Nil)
+    }
+  }
+
   test("temporal operators never plan a cartesian/range cross product") {
     val ev = Seq((1L, 1L, ts("2024-01-01 00:00:00"))).toDF("id", "user", "ts")
     val band = Temporal.boundedGapSelfJoin(ev, "user", "ts", "id", 1000L)
