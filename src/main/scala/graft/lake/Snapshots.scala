@@ -259,4 +259,43 @@ object Snapshots {
         s.dataDirs.size, s.deleteDirs.size))
       .toDF("version", "op", "ts_ms", "data_dirs", "delete_dirs")
   }
+
+  /** Row-level diff between two versions — the change-data-feed read
+    * (Delta CDF / Iceberg changelog analog): which keys were
+    * `insert`ed, `delete`d, or `update`d going from `fromV` to `toV`.
+    * Unchanged rows never appear. `keyCols` must identify a row in
+    * both versions (the same contract deleteWhere's key column has);
+    * every non-key column is payload, compared null-safely as one
+    * struct.
+    *
+    * Scale shape: both versions reconstruct through the usual
+    * merge-on-read path, reduce to `(key, payload-struct)`, and meet
+    * in ONE full-outer hash join on the key — no column-by-column
+    * comparison fan-out, no collect. The output is bounded by the
+    * changed-row count plus both versions' key sets (the join's own
+    * cost), which is the floor for any diff that must CLASSIFY
+    * changes. */
+  def diff(spark: SparkSession, root: String, fromV: Int, toV: Int,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    val a = readVersion(spark, root, fromV)
+    val b = readVersion(spark, root, toV)
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"diff requires matching schemas between v$fromV and v$toV — " +
+        s"got ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val valCols = a.columns.filterNot(keyCols.contains).sorted.toSeq
+    def keyed(df: DataFrame, payload: String) = df.select(
+      keyCols.map(col) :+
+        struct(valCols.map(col): _*).as(payload) :+
+        lit(true).as(s"${payload}_present"): _*)
+    val old = keyed(a, "__old")
+    val neu = keyed(b, "__new")
+    old.join(neu, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__old_present").isNull, lit("insert"))
+          .when(col("__new_present").isNull, lit("delete"))
+          .when(!(col("__old") <=> col("__new")), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type"): _*)
+  }
 }

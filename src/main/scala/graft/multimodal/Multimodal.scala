@@ -658,4 +658,111 @@ object Multimodal {
         decodeAudio(col("bytes"))).otherwise(lit(null)))
       .withColumn("decoded_video", when(col("kind") === "video",
         decodeVideo(col("bytes"))).otherwise(lit(null)))
+
+  // ------------------------------------------------- perceptual dedup
+
+  /** 64-bit difference hash (dHash) from REAL decoded pixels: box-
+    * average the image onto a 9×8 luminance grid (integer-geometry
+    * averaging, not Graphics2D resampling — deterministic across JREs)
+    * and set bit `(row, col)` when the cell right of `(row, col)` is
+    * brighter. Robust to re-encoding, resizing, and small edits; flips
+    * ~1 bit per local change. Undecodable bytes → None (the same
+    * degrade-to-filterable contract as every decoder here). */
+  private[graft] def dHash64(bytes: Array[Byte]): Option[Long] =
+    readImage(bytes, headerOnly = false).flatMap {
+      case (_, _, Some(img), _) =>
+        try {
+          val (gw, gh) = (9, 8)
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w < 1 || h < 1) None
+          else {
+            val cell = Array.ofDim[Double](gh, gw)
+            val row = new Array[Int](w)
+            // accumulate row-by-row (one bulk getRGB per row, as in
+            // imageFeaturesOf), binning each pixel into its grid cell
+            val cnt = Array.ofDim[Long](gh, gw)
+            var y = 0
+            while (y < h) {
+              val gy = math.min(gh - 1, y * gh / h)
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val gx = math.min(gw - 1, x * gw / w)
+                val rgb = row(x)
+                val lum = 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                cell(gy)(gx) += lum
+                cnt(gy)(gx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var bits = 0L
+            var gy = 0
+            while (gy < gh) {
+              var gx = 0
+              while (gx < gw - 1) {
+                val a = cell(gy)(gx) / math.max(1L, cnt(gy)(gx))
+                val b = cell(gy)(gx + 1) / math.max(1L, cnt(gy)(gx + 1))
+                if (b > a) bits |= 1L << (gy * (gw - 1) + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            Some(bits)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+
+  /** Near-duplicate image pairs by perceptual hash: every pair whose
+    * dHashes differ in at most `maxHamming` of 64 bits — re-encoded,
+    * rescaled, or lightly-edited copies that exact byte dedup can
+    * never see. EXACT over the hash space: candidates come from
+    * SimHash-style pigeonholing (split 64 bits into `maxHamming + 1`
+    * chunks — a qualifying pair must agree on at least one chunk
+    * verbatim), so generation is an equi-join on (chunk index, chunk
+    * value), verification is `bit_count(xor)` as a join residual, and
+    * no all-pairs comparison exists anywhere. The O(pixels) decode
+    * runs exactly once per image (the hash is 8 bytes from there on);
+    * only (id, hash, chunk) scalars cross the shuffle.
+    *
+    * Returns `(id_a < id_b, hamming)`. Undecodable rows drop out
+    * (they have no perceptual content to compare — run byte-level
+    * exact dedup for those). */
+  def imageNearDup(spark: SparkSession, media: DataFrame, idCol: String,
+      bytesCol: String, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    import spark.implicits._
+    val nChunks = maxHamming + 1
+    val hashes = media
+      .select(col(idCol).cast("long").as("_1"), col(bytesCol).as("_2"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        dHash64(Option(bytes).getOrElse(Array.empty[Byte])).map(h => (id, h))
+      })
+      .toDF("__id", "__h")
+    // chunk i covers bits [i*64/n, (i+1)*64/n) — extracted inside one
+    // transform, so the fan-out is n rows of (id, hash, idx, value).
+    // The 64-bit-wide single-chunk case (maxHamming = 0, exact hash
+    // equality) keeps the raw hash: shiftleft wraps at 64 and would
+    // zero the mask.
+    val chunks = hashes.select(col("__id"), col("__h"),
+      posexplode(expr(
+        if (nChunks == 1) "array(__h)"
+        else s"""transform(sequence(0, ${nChunks - 1}), i ->
+           |  shiftright(__h, (i * 64) div $nChunks) &
+           |  (shiftleft(1L, ((i + 1) * 64) div $nChunks
+           |    - (i * 64) div $nChunks) - 1L))""".stripMargin)))
+      .toDF("__id", "__h", "__i", "__v")
+    chunks.as("ca")
+      .join(chunks.as("cb"),
+        col("ca.__i") === col("cb.__i") && col("ca.__v") === col("cb.__v") &&
+          col("ca.__id") < col("cb.__id"))
+      .select(col("ca.__id").as("id_a"), col("cb.__id").as("id_b"),
+        bit_count(col("ca.__h").bitwiseXOR(col("cb.__h"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

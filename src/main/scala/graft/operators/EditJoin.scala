@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: build emits `maxDist+1` rows per string, probe at most
   * `(maxDist+1)·(2·maxDist+1)²` (deduplicated) — constant fan-out;
-  * only `(id, segIdx, len, short segment text)` cross the candidate
-  * shuffle, full strings rejoin once per SIDE of the deduplicated pair
-  * list for verification. Low-entropy segments (templated corpora —
+  * rows carry `(id, segIdx, len, segment, string)` into the candidate
+  * shuffle so verification runs as a join residual (banded 3-arg
+  * levenshtein) and only verified scalar pairs reach the final
+  * distinct. Low-entropy segments (templated corpora —
   * every id sharing a `"Customer#"`-style prefix) are the known hot
   * spot: the shared prefix makes one bucket hold everything. The
   * `stripCommonPrefix` stage removes exactly that: unit-cost
@@ -86,22 +87,43 @@ object EditJoin {
     def segLen(i: String, l: String) =
       s"(${st(s"($i + 1)", l)} - ${st(i, l)})"
 
-    // build: the k+1 canonical segments of each string
+    // build: the k+1 canonical segments of each string. The row
+    // carries the (post-strip) string itself: verification runs as a
+    // RESIDUAL on the candidate join — the banded levenshtein (3-arg,
+    // O(len·k) with early exit) — so no unverified pair ever reaches
+    // an exchange and no verification rejoin exists. The string
+    // widens the shuffle row by ~n× over the segment alone (bounded),
+    // which buys removing the candidate-distinct shuffle entirely —
+    // the right trade for entity-resolution-length strings; corpora
+    // of long documents want MinHash, not edit distance.
     val segArr =
       s"""transform(sequence(0, $k), i ->
          |  substring(__s, ${st("i", "__l")} + 1, ${segLen("i", "__l")}))"""
         .stripMargin
-    val build = longSide.select(col("__id"), col("__l"),
-      posexplode(expr(segArr))).toDF("__id", "__l", "__i", "__seg")
+    val build = longSide.select(col("__id"), col("__l"), col("__s"),
+      posexplode(expr(segArr))).toDF("__id", "__l", "__sa", "__i", "__seg")
 
     // probe: for each segment index and each assumed build length
     // l1 ∈ [L-k, L+k] (capped below at n — the build side has no
     // shorter strings), every substring whose start sits within ±k of
     // the canonical position. Invalid windows null out and filter away;
     // array_distinct collapses windows that repeat the same key.
+    // Assumed lengths that exist on NO build string can never match —
+    // when the corpus has few distinct lengths (one tiny distinct agg,
+    // pulled only if it fits 64 values — fixed-format corpora
+    // typically have exactly one), they embed as an IN-list and prune
+    // probe fan-out by ~(2k+1)× before the shuffle.
+    val lenFilter = {
+      val ls = longSide.select(col("__l")).distinct().limit(65)
+        .collect().map(_.getInt(0))
+      if (ls.length <= 64 && ls.nonEmpty)
+        s"filter(sequence(greatest(__l - $k, $n), __l + $k), " +
+          s"l1 -> l1 IN (${ls.sorted.mkString(",")}))"
+      else s"sequence(greatest(__l - $k, $n), __l + $k)"
+    }
     val probeArr =
       s"""flatten(flatten(transform(sequence(0, $k), i ->
-         |  transform(sequence(greatest(__l - $k, $n), __l + $k), l1 ->
+         |  transform($lenFilter, l1 ->
          |    filter(transform(sequence(${st("i", "l1")} + 1 - $k,
          |                              ${st("i", "l1")} + 1 + $k), q ->
          |      CASE WHEN q >= 1
@@ -110,28 +132,30 @@ object EditJoin {
          |             'seg', substring(__s, q, ${segLen("i", "l1")}))
          |      END), x -> x IS NOT NULL)))))""".stripMargin
     val probe = longSide
-      .select(col("__id"), explode(array_distinct(expr(probeArr))).as("__p"))
-      .select(col("__id"), col("__p.i").as("__i"),
+      .select(col("__id"), col("__s").as("__sb"),
+        explode(array_distinct(expr(probeArr))).as("__p"))
+      .select(col("__id"), col("__sb"), col("__p.i").as("__i"),
         col("__p.l1").as("__l1"), col("__p.seg").as("__seg"))
 
-    // candidate pairs: equi-join on (segIdx, length, segment), ids only
-    val candLong = build.as("ba")
+    // candidate equi-join on (segIdx, length, segment) with the
+    // verification as a residual: the 3-arg levenshtein returns -1
+    // past the threshold, so the filter and the dist column are one
+    // computation. A pair found through several matching segments
+    // re-verifies redundantly (cheap, O(len·k)) but reaches the final
+    // distinct only as an already-verified scalar row.
+    val longPairs = build.as("ba")
       .join(probe.as("pb"),
         col("ba.__i") === col("pb.__i") &&
           col("ba.__l") === col("pb.__l1") &&
           col("ba.__seg") === col("pb.__seg") &&
           col("ba.__id") =!= col("pb.__id"))
       .select(least(col("ba.__id"), col("pb.__id")).as("id_a"),
-        greatest(col("ba.__id"), col("pb.__id")).as("id_b"))
+        greatest(col("ba.__id"), col("pb.__id")).as("id_b"),
+        levenshtein(col("__sa"), col("__sb"), k).as("dist"))
+      .filter(col("dist") >= 0)
       .distinct()
 
     val strs = withLen.select(col("__id"), col("__s"))
-    val longPairs = candLong
-      .join(strs.as("sa"), col("id_a") === col("sa.__id"))
-      .join(strs.as("sb"), col("id_b") === col("sb.__id"))
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("sa.__s"), col("sb.__s")).as("dist"))
-      .filter(col("dist") <= k)
 
     // short strings (len < n): pair through distinct values. Both
     // value tables are alphabet-bounded (lengths < n and < n+k); the

@@ -118,12 +118,16 @@ object Temporal {
     *
     * Scale shape: the only pass over the raw table is the first
     * aggregation (partial map-side combine, one shuffle on
-    * (key, bucket)); the span, grid explosion, grid join, and
-    * forward-fill window all run over the BUCKETIZED table — smaller
-    * than the input by the events-per-bucket factor, which is what
-    * makes dense-grid materialization affordable at 100 TB. The grid
-    * size is bounded by span × keys, not by input rows; a key idle
-    * for years then active again does inflate its span — callers
+    * (key, bucket)); everything after runs over the BUCKETIZED table —
+    * smaller than the input by the events-per-bucket factor. Gap slots
+    * come from LEAD expansion, not a grid join: each bucket row emits
+    * the slots up to (exclusive) the key's next active bucket, so the
+    * bucket table is consumed ONCE (no span re-aggregation, no grid
+    * self-join — a grid build via min/max spans would scan the
+    * aggregate twice), and forward fill is the generating row's own
+    * running value — the fill window and the lead share one sort. The
+    * output size is bounded by span × keys, not by input rows; a key
+    * idle for years then active again does inflate its span — callers
     * windowing by ingest partition (the usual incremental shape)
     * bound it naturally. */
   def resample(df: DataFrame, keyCol: String, tsCol: String,
@@ -134,18 +138,26 @@ object Temporal {
     val aggd = df
       .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket_ts"))
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("__present", lit(true))
-    val span = aggd.groupBy(col(keyCol))
-      .agg(min(col("bucket_ts")).as("__lo"), max(col("bucket_ts")).as("__hi"))
-    val grid = span.select(col(keyCol),
-      explode(expr(s"sequence(__lo, __hi, interval 1 $unit)"))
-        .as("bucket_ts"))
-    val joined = grid.join(aggd, Seq(keyCol, "bucket_ts"), "left")
-      .withColumn("is_gap", col("__present").isNull)
-      .drop("__present")
+    val aggCols = aggd.columns.filterNot(c =>
+      c == keyCol || c == "bucket_ts").toSeq
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    fillCols.foldLeft(joined)((acc, c) =>
-      acc.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w)))
+    // running fill over PRESENT buckets only — gap slots inherit their
+    // generating row's value below, which extends the fill across gaps
+    val withFill = fillCols.foldLeft(aggd)((acc, c) =>
+      acc.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val expanded = withFill
+      .withColumn("__next", lead(col("bucket_ts"), 1).over(w))
+      .withColumn("__slot", explode(expr(
+        s"""sequence(bucket_ts,
+           |  coalesce(__next - interval 1 $unit, bucket_ts),
+           |  interval 1 $unit)""".stripMargin)))
+      .withColumn("is_gap", col("__slot") =!= col("bucket_ts"))
+    expanded.select(
+      Seq(col(keyCol), col("__slot").as("bucket_ts")) ++
+        aggCols.map(c => when(col("is_gap"), lit(null)).otherwise(col(c))
+          .as(c)) ++
+        fillCols.map(c => col(s"${c}_filled")) :+
+        col("is_gap"): _*)
   }
 }

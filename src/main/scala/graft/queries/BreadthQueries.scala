@@ -977,6 +977,72 @@ object BreadthQueries {
     // drift), and the giant scale-4 product sums stay INTERNAL —
     // DuckDB's decimal→double conversion is not correctly rounded at
     // those magnitudes, while the scale-2 money sums convert exactly.
+    // higher central moments (skewness, kurtosis) from raw power sums,
+    // same discipline as q_manual_corr: the four power sums are EXACT
+    // (l_quantity is integral — DECIMAL(7,0) powers stay well inside
+    // both engines' 38-digit cap, and every sum is < 2^53 so the
+    // double conversion is exact); the derived statistics divide as
+    // doubles with the identical expression tree on both sides and
+    // emit as float32 (FMA-fusion armor). The whole battery is ONE
+    // aggregation pass — no second centered-moments scan.
+    QueryDef("q_stats_moments",
+      (s, d) => {
+        val q = col("l_quantity").cast(DecimalType(7, 0))
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("double").as("__n"),
+            sum(q).cast("double").as("__s1"),
+            sum(q * q).cast("double").as("__s2"),
+            sum(q * q * q).cast("double").as("__s3"),
+            sum(q * q * q * q).cast("double").as("__s4"))
+          .withColumn("__mu", col("__s1") / col("__n"))
+          .withColumn("__m2",
+            col("__s2") / col("__n") - col("__mu") * col("__mu"))
+          .withColumn("__m3",
+            col("__s3") / col("__n") -
+              lit(3.0) * col("__mu") * (col("__s2") / col("__n")) +
+              lit(2.0) * col("__mu") * col("__mu") * col("__mu"))
+          .withColumn("__m4",
+            col("__s4") / col("__n") -
+              lit(4.0) * col("__mu") * (col("__s3") / col("__n")) +
+              lit(6.0) * col("__mu") * col("__mu") * (col("__s2") / col("__n")) -
+              lit(3.0) * col("__mu") * col("__mu") * col("__mu") * col("__mu"))
+          .select(col("l_returnflag"),
+            col("__n").cast("long").as("n"),
+            col("__mu").as("mean_qty"),
+            (col("__m3") / (col("__m2") * sqrt(col("__m2"))))
+              .cast("float").as("skew_qty"),
+            (col("__m4") / (col("__m2") * col("__m2")) - lit(3.0))
+              .cast("float").as("kurt_qty"))
+      },
+      Some("""WITH a AS (SELECT l_returnflag,
+             |  CAST(COUNT(*) AS DOUBLE) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(7,0))) AS DOUBLE) AS s1,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(7,0))
+             |    * CAST(l_quantity AS DECIMAL(7,0))) AS DOUBLE) AS s2,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(7,0))
+             |    * CAST(l_quantity AS DECIMAL(7,0))
+             |    * CAST(l_quantity AS DECIMAL(7,0))) AS DOUBLE) AS s3,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(7,0))
+             |    * CAST(l_quantity AS DECIMAL(7,0))
+             |    * CAST(l_quantity AS DECIMAL(7,0))
+             |    * CAST(l_quantity AS DECIMAL(7,0))) AS DOUBLE) AS s4
+             |  FROM lineitem GROUP BY 1),
+             |b AS (SELECT l_returnflag, n, s1 / n AS mu, s2, s3, s4
+             |  FROM a),
+             |c AS (SELECT l_returnflag, n, mu,
+             |  s2 / n - mu * mu AS m2,
+             |  s3 / n - 3.0 * mu * (s2 / n)
+             |    + 2.0 * mu * mu * mu AS m3,
+             |  s4 / n - 4.0 * mu * (s3 / n)
+             |    + 6.0 * mu * mu * (s2 / n)
+             |    - 3.0 * mu * mu * mu * mu AS m4
+             |  FROM b)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n, mu AS mean_qty,
+             |CAST(m3 / (m2 * sqrt(m2)) AS REAL) AS skew_qty,
+             |CAST(m4 / (m2 * m2) - 3.0 AS REAL) AS kurt_qty
+             |FROM c""".stripMargin)),
+
     QueryDef("q_manual_corr",
       (s, d) => {
         val dec = (c: org.apache.spark.sql.Column) =>

@@ -1260,6 +1260,40 @@ object ExtensionQueries {
              |SELECT doc_id, 'restored' AS lang, source FROM documents
              |WHERE doc_id < 40""".stripMargin)),
 
+    // change-data-feed read: row-level diff between two table versions
+    // (Snapshots.diff — Delta CDF analog). v0 creates ids < 300, v1
+    // deletes < 50, v2 appends 300..399, v3 re-inserts < 30 with a
+    // changed payload; the diff v0 → v3 must classify exactly those:
+    // updates (< 30), deletes (30..49), inserts (300..399) — the
+    // 50..299 majority never surfaces. One full-outer key join over
+    // the two merge-on-read reconstructions.
+    QueryDef("q_snapshot_diff",
+      (s, d) => {
+        import graft.lake.Snapshots
+        val root = snapshotRoots.getOrElseUpdate(s"diff|$d", {
+          val r = java.nio.file.Files
+            .createTempDirectory("graft-snap-diff").toString
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("source"))
+          Snapshots.createOrReplace(docs.filter(col("doc_id") < 300), r)
+          Snapshots.deleteWhere(s, r, "doc_id", col("doc_id") < 50)
+          Snapshots.append(
+            docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), r)
+          Snapshots.append(docs.filter(col("doc_id") < 30)
+            .withColumn("lang", lit("v2")), r)
+          r
+        })
+        Snapshots.diff(s, root, 0, 3, Seq("doc_id"))
+      },
+      Some("""SELECT doc_id, 'update' AS change_type FROM documents
+             |WHERE doc_id < 30
+             |UNION ALL
+             |SELECT doc_id, 'delete' AS change_type FROM documents
+             |WHERE doc_id >= 30 AND doc_id < 50
+             |UNION ALL
+             |SELECT doc_id, 'insert' AS change_type FROM documents
+             |WHERE doc_id >= 300 AND doc_id < 400""".stripMargin)),
+
     // ------------------------------------------------- sequence packing
 
     // GPT-style token-stream packing: documents concatenate in id

@@ -160,7 +160,7 @@ object ScaleStress {
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "bpe_train", "bpe_segment", "bm25", "chunk_sliding",
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
-    "retention_cohorts", "minhash_incremental")
+    "retention_cohorts", "minhash_incremental", "edit_join", "resample")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -202,7 +202,7 @@ object ScaleStress {
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "semantic_dedup")
   private val evtOps = Set("interval_join", "stream_drain", "stream_quota",
-    "scd2_historize", "funnel", "retention_cohorts")
+    "scd2_historize", "funnel", "retention_cohorts", "resample")
   private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
 
   private def measureOp(name: String, m: Int, rowsIn: Long)(
@@ -597,6 +597,34 @@ object ScaleStress {
         graft.operators.Temporal.boundedGapSelfJoin(
           spark.read.parquet(evtsPath), "user_id", "ts", "event_id",
           maxGapUs = 2L * 3600 * 1000000)
+      }
+      // edit-distance similarity join over templated ids — the
+      // LOW-ENTROPY corpus (every string shares a prefix), i.e. the
+      // hard case for segment blocking. After the LCP strip the
+      // remainder's digit entropy grows with the corpus, so candidate
+      // count — hence wall and shuffle — must track rows roughly
+      // linearly, never quadratically.
+      if (opEnabled("edit_join")) {
+        val n = 30000L * m
+        rows += measureOp("edit_join", m, n) {
+          graft.operators.EditJoin.selfJoin(
+            spark.range(n).select(col("id"),
+              format_string("user-%08d", col("id")).as("name")),
+            "id", "name", maxDist = 1)
+        }
+      }
+      // fixed-grid resample with gap fill: the synthesized user
+      // population scales with m over a constant one-month span, so
+      // grid rows (keys × span) and wall must track m linearly; the
+      // only raw-table pass is the bucket aggregation
+      if (opEnabled("resample")) rows += measureOp("resample", m, nEvts) {
+        graft.operators.Temporal.resample(
+          spark.read.parquet(evtsPath), "user_id", "ts", "hour",
+          aggs = Seq(count(lit(1)).as("n0"),
+            sum(col("value")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("v")),
+          fillCols = Seq("v"))
       }
       // checkpointed streaming drain: the synthesized events consumed
       // as a file STREAM and landed to a partitioned silver table

@@ -409,4 +409,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(feat(2) - 1.0 / 3) < 0.05)
     assert(!feat.sameElements(Multimodal.hashEmbedding(gif)))
   }
+
+  /** Deterministic structured test image: a left-to-right luminance
+    * gradient with per-image phase so distinct images hash apart. */
+  private def gradientImage(w: Int, h: Int, phase: Int,
+      format: String = "png",
+      patch: Option[(Int, Int, Int)] = None): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach { x =>
+      (0 until h).foreach { y =>
+        val v = ((x * 255 / w) + phase * 53 +
+          (if ((y * 8 / h + phase) % 2 == 0) 0 else 40)) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    patch.foreach { case (px, py, c) =>
+      (px until math.min(w, px + 6)).foreach(x =>
+        (py until math.min(h, py + 6)).foreach(y => img.setRGB(x, y, c)))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos))
+    bos.toByteArray
+  }
+
+  test("dHash64: stable under re-encode/rescale, far apart for distinct content") {
+    val base = Multimodal.dHash64(gradientImage(96, 64, 0)).get
+    // identical content, different byte stream (JPEG re-encode)
+    val jpeg = Multimodal.dHash64(gradientImage(96, 64, 0, "jpg")).get
+    assert(java.lang.Long.bitCount(base ^ jpeg) <= 4)
+    // same content at a different resolution
+    val scaled = Multimodal.dHash64(gradientImage(48, 32, 0)).get
+    assert(java.lang.Long.bitCount(base ^ scaled) <= 4)
+    // a small local edit flips only a few bits
+    val patched = Multimodal
+      .dHash64(gradientImage(96, 64, 0, patch = Some((40, 20, 0xff0000)))).get
+    assert(java.lang.Long.bitCount(base ^ patched) <= 10)
+    // different content is far away
+    val other = Multimodal.dHash64(gradientImage(96, 64, 3)).get
+    assert(java.lang.Long.bitCount(base ^ other) > 16)
+    // junk bytes have no hash
+    assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
+  }
+
+  test("imageNearDup equals brute force over the hash space") {
+    val imgs: Seq[(Long, Array[Byte])] = Seq(
+      1L -> gradientImage(96, 64, 0),
+      2L -> gradientImage(96, 64, 0, "jpg"),        // re-encode of 1
+      3L -> gradientImage(48, 32, 0),               // rescale of 1
+      4L -> gradientImage(96, 64, 3),               // distinct
+      5L -> gradientImage(96, 64, 7),               // distinct
+      6L -> gradientImage(64, 64, 7),               // rescale of 5
+      7L -> "junk bytes, not an image".getBytes // undecodable
+    )
+    val df = imgs.toDF("media_id", "bytes")
+    for (t <- Seq(0, 6)) {
+      val got = Multimodal.imageNearDup(spark, df, "media_id", "bytes", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val hs = imgs.flatMap { case (id, b) =>
+        Multimodal.dHash64(b).map(id -> _) }
+      val brute = (for {
+        (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= t
+      } yield (ia, ib, d)).toSet
+      assert(got == brute, s"maxHamming=$t")
+      assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+    }
+    // the intended near-dups actually surface at the default threshold
+    val pairs = Multimodal.imageNearDup(spark, df, "media_id", "bytes")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
 }

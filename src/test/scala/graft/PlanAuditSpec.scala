@@ -602,4 +602,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the second window must reuse the first's sort:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("edit join candidates come from a hash/merge equi-join on segments") {
+    val p = plan("q_edit_join")
+    // the long path's candidate join and the verify rejoins are all
+    // equi-joins; the only nested-loop shapes allowed are the
+    // value-level short-string cross joins (alphabet-bounded inputs)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    val crossy = "CartesianProduct".r.findAllIn(p).length +
+      "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(crossy <= 3, s"only the bounded short-value crosses may nest:\n$p")
+  }
+
+  test("semantic decontamination broadcasts the BENCHMARK, anti-joins the corpus") {
+    val p = plan("q_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+      p.contains("LeftAnti"), p)
+    // exactly one broadcast exchange: the benchmark side; the corpus
+    // must stream (a corpus broadcast would OOM the 100 TB run)
+    assert("BroadcastExchange".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("ScalaUDF"), s"cosine must stay native:\n$p")
+  }
+
+  test("resample scans the raw table once; fill and lead share one sort") {
+    val p = plan("q_resample_gapfill")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"lead-expansion must not re-scan events for the grid:\n$p")
+    assert(!p.contains("Join"), s"no grid join:\n$p")
+    // one shuffle for the (key,bucket) agg, one for the key window
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert("Sort ".r.findAllIn(p).length == 1,
+      s"the fill window and the lead must share one sort:\n$p")
+  }
 }

@@ -144,4 +144,41 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(cur.filter(col("payload").isin("row_50", "row_51")).count() == 0)
     assert(cur.filter(col("id") === 49).count() == 1)
   }
+
+  test("diff classifies inserts, deletes, and updates; unchanged rows stay out") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(0 until 10), root) // v0
+    Snapshots.deleteWhere(spark, root, "id", col("id") < 3) // v1: drop 0,1,2
+    Snapshots.append(table(10 until 12), root) // v2: insert 10,11
+    Snapshots.append( // v3: re-insert id 2 with a changed payload
+      Seq((2L, "patched")).toDF("id", "payload"), root)
+    val got = Snapshots.diff(spark, root, 0, 3, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((0L, "delete"), (1L, "delete"), (2L, "update"),
+      (10L, "insert"), (11L, "insert")))
+    // a version diffed against itself is empty
+    assert(Snapshots.diff(spark, root, 3, 3, Seq("id")).count() == 0)
+    // null-safe payload compare: null -> value and value -> null are updates
+    val r2 = freshRoot()
+    Snapshots.createOrReplace(
+      Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "payload"),
+      r2)
+    Snapshots.deleteWhere(spark, r2, "id", col("id").isin(1L, 2L))
+    Snapshots.append(
+      Seq((1L, Some("now")), (2L, Option.empty[String])).toDF("id", "payload"),
+      r2)
+    val g2 = Snapshots.diff(spark, r2, 0, 2, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g2 == Set((1L, "update"), (2L, "update")))
+  }
+
+  test("diff rejects mismatched schemas loudly") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(0 until 5), root)
+    Snapshots.append(Seq((9L, "x", 1.0)).toDF("id", "payload", "extra"), root)
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.diff(spark, root, 0, 1, Seq("id"))
+    }
+    assert(err.getMessage.contains("matching schemas"))
+  }
 }
