@@ -1,0 +1,74 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph analytics over edge DataFrames — the centrality layer a
+  * training-data pipeline uses for importance-weighted selection
+  * (rank documents by their similarity-graph centrality, rank
+  * entities by interaction volume) on top of the kNN / co-occurrence
+  * graphs the dedup and ANN operators already build. Connected
+  * components live in [[graft.dedup.Dedup]]; this module adds
+  * PageRank.
+  *
+  * Scale shape: one iteration = one equi-join of the rank vector with
+  * the edge list on the source key plus one aggregation on the
+  * destination key — the textbook distributed PR step. Both sides
+  * hash-partition on node ids; nothing is ever collected to the
+  * driver (the node count rides along as a 1-row cross join). Plans
+  * grow linearly with the (small, fixed) iteration count.
+  *
+  * Determinism: per-edge contributions divide as doubles (IEEE ops
+  * are deterministic), but their SUM is order-dependent under
+  * parallelism — so each contribution quantizes to DECIMAL(28,18)
+  * and the aggregation sums decimals (exact, order-free), then the
+  * damping update returns to doubles. Any engine replaying the same
+  * expression tree reproduces the ranks bit-exactly at any
+  * parallelism — the same discipline as the money sums and the IVF
+  * Lloyd replay.
+  */
+object Graph {
+
+  /** PageRank with damping `d` over directed `edges` (`src`, `dst`
+    * columns), `iters` fixed iterations from a uniform start. Returns
+    * `(node, rank)` for every node appearing as a source or
+    * destination. Multi-edges should be deduplicated by the caller if
+    * unwanted (they weight the link). Dangling nodes (no out-edges)
+    * contribute nothing — pass a symmetrized edge list for the
+    * undirected semantics where mass is conserved. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    // every iteration consumes the edge list, the node set, and the
+    // out-degrees — materialize them once (Checkpointing policy for
+    // multi-consumer stages) or each iteration would re-derive them
+    // from the raw tables: 3 iterations = 3 full input rescans
+    val e = graft.util.Checkpointing.materialize(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val nodes = graft.util.Checkpointing.materialize(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    // node count as data, not a collect: a 1-row frame cross-joined
+    // into the rank vector (broadcast — it is literally one row)
+    val n = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    val init = nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
+    (1 to iters).foldLeft(init) { (ranks, _) =>
+      val contribs = ranks
+        .join(e, ranks("node") === e("src"))
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("__outdeg").cast("double")).as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c").cast(DecimalType(28, 18)))
+          .cast("double").as("__in"))
+      nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) / col("__n") +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+    }
+  }
+}

@@ -219,6 +219,60 @@ object AnalyticsQueries {
              |FROM g LEFT JOIN a USING (user_id, bucket_ts)"""
         .stripMargin)),
 
+    // PageRank over the symmetrized customer↔supplier interaction
+    // graph (graph/Graph.scala): 3 fixed iterations, per-edge
+    // contributions quantized to DECIMAL(28,18) before the sum so the
+    // ranks are bit-identical at any parallelism AND in DuckDB, which
+    // replays the iterations as unrolled CTEs (the Lloyd-replay
+    // discipline). Every double literal is CAST explicitly in the
+    // oracle — DuckDB would otherwise evaluate 1.0 - 0.85 in decimal
+    // (exactly 0.15) while doubles give 0.15000000000000002.
+    QueryDef("q_pagerank",
+      (s, d) => {
+        val o = Tables.orders(s, d); val li = Tables.lineitem(s, d)
+        val pairs = o.join(li, o("o_orderkey") === li("l_orderkey"))
+          .select(col("o_custkey").cast("long").as("c"),
+            (col("l_suppkey").cast("long") + lit(2000000L)).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        graft.graph.Graph.pageRank(edges, iters = 3)
+          // float32 emission: the decimal-quantized sums are exact,
+          // but the double->decimal cast rounds ties differently
+          // across engines (HALF_UP vs half-even) -- one observed ULP
+          // on one node; REAL absorbs it (same armor as q_manual_corr)
+          .select(col("node"), col("rank").cast("float").as("rank"))
+      },
+      Some {
+        val iter = (k: Int) =>
+          s"""c$k AS MATERIALIZED (SELECT e.dst AS node,
+             |  CAST(SUM(CAST(r.rank / od.outdeg AS DECIMAL(28,18)))
+             |    AS DOUBLE) AS inr
+             |  FROM r${k - 1} r JOIN e ON r.node = e.src
+             |  JOIN od ON e.src = od.src GROUP BY 1),
+             |r$k AS MATERIALIZED (SELECT nodes.node,
+             |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             |    + CAST(0.85 AS DOUBLE)
+             |      * COALESCE(c$k.inr, CAST(0.0 AS DOUBLE)) AS rank
+             |  FROM nodes CROSS JOIN nn
+             |  LEFT JOIN c$k ON nodes.node = c$k.node)""".stripMargin
+        s"""WITH eb AS MATERIALIZED (SELECT DISTINCT
+           |  CAST(o_custkey AS BIGINT) AS c,
+           |  CAST(l_suppkey AS BIGINT) + 2000000 AS p
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM eb
+           |  UNION ALL SELECT p, c FROM eb),
+           |nodes AS MATERIALIZED (SELECT src AS node FROM e
+           |  UNION SELECT dst FROM e),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+           |od AS MATERIALIZED (SELECT src,
+           |  CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY 1),
+           |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+           |  FROM nodes CROSS JOIN nn),
+           |${(1 to 3).map(iter).mkString(",\n")}
+           |SELECT node, CAST(rank AS REAL) AS rank FROM r3""".stripMargin
+      }),
+
     // rollup: sales by (year, priority) with subtotals and grand total
     QueryDef("q_rollup_sales",
       (s, d) => Tables.orders(s, d)
