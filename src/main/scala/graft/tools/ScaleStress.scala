@@ -160,7 +160,8 @@ object ScaleStress {
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "bpe_train", "bpe_segment", "bm25", "chunk_sliding",
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
-    "retention_cohorts", "minhash_incremental", "edit_join", "resample")
+    "retention_cohorts", "minhash_incremental", "edit_join", "resample",
+    "pagerank")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -611,6 +612,22 @@ object ScaleStress {
             spark.range(n).select(col("id"),
               format_string("user-%08d", col("id")).as("name")),
             "id", "name", maxDist = 1)
+        }
+      }
+      // PageRank over a synthesized uniform random graph (100k×m
+      // nodes, 1M×m edges): per iteration one rank-edge equi-join +
+      // one decimal-summed aggregation — wall and shuffle must track
+      // edges linearly across the matrix; the edge list materializes
+      // once (not once per iteration)
+      if (opEnabled("pagerank")) {
+        val nNodes = 100000L * m
+        val nEdges = 1000000L * m
+        rows += measureOp("pagerank", m, nEdges) {
+          graft.graph.Graph.pageRank(
+            spark.range(nEdges).select(
+              pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+              pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("dst")),
+            iters = 3)
         }
       }
       // fixed-grid resample with gap fill: the synthesized user

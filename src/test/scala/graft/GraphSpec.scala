@@ -9,7 +9,7 @@ class GraphSpec extends AnyFunSuite {
   import spark.implicits._
 
   /** Reference PageRank with the operator's exact arithmetic: per-edge
-    * contributions quantized to scale-18 HALF_UP decimals (Spark's
+    * contributions quantized to scale-15 HALF_UP decimals (Spark's
     * double→decimal cast rounding), summed exactly, damped in
     * doubles. */
   private def localPR(edges: Seq[(Long, Long)], iters: Int,
@@ -21,7 +21,7 @@ class GraphSpec extends AnyFunSuite {
     for (_ <- 1 to iters) {
       val in = edges.groupBy(_._2).map { case (dst, es) =>
         dst -> es.map(e => BigDecimal(r(e._1) / out(e._1))
-          .setScale(18, BigDecimal.RoundingMode.HALF_UP))
+          .setScale(15, BigDecimal.RoundingMode.HALF_UP))
           .sum.toDouble
       }
       r = nodes.map(nd => nd -> ((1.0 - d) / n + d * in.getOrElse(nd, 0.0)))

@@ -117,4 +117,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == mixed.select("doc_id").collect()
       .map(_.getLong(0)).toSet)
   }
+
+  test("kFold: complete, disjoint, roughly balanced, partition-stable") {
+    val df = (0L until 500L).toDF("id")
+    val folds = Sampling.kFold(df, "id", 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(folds.size == 500) // every row assigned exactly once
+    assert(folds.values.toSet == Set(0, 1, 2, 3, 4))
+    val sizes = folds.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.values.forall(n => n > 50 && n < 150), sizes.toMap)
+    val again = Sampling.kFold(df.repartition(11), "id", 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == folds)
+    intercept[IllegalArgumentException] { Sampling.kFold(df, "id", 1) }
+  }
 }
