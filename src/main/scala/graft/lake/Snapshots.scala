@@ -284,18 +284,26 @@ object Snapshots {
       s"diff requires matching schemas between v$fromV and v$toV — " +
         s"got ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
     val valCols = a.columns.filterNot(keyCols.contains).sorted.toSeq
-    def keyed(df: DataFrame, payload: String) = df.select(
-      keyCols.map(col) :+
+    def keyed(df: DataFrame, payload: String, prefix: String) = df.select(
+      keyCols.map(c => col(c).as(s"$prefix$c")) :+
         struct(valCols.map(col): _*).as(payload) :+
         lit(true).as(s"${payload}_present"): _*)
-    val old = keyed(a, "__old")
-    val neu = keyed(b, "__new")
-    old.join(neu, keyCols, "full_outer")
+    val old = keyed(a, "__old", "__ka_")
+    val neu = keyed(b, "__new", "__kb_")
+    // NULL-SAFE key equality: a row whose key is null must still match
+    // itself across versions (same reason evaluateByPartition joins
+    // its side pass with <=>) — a plain equi-join would report it as a
+    // phantom delete + insert every diff
+    val cond = keyCols.map(c => col(s"__ka_$c") <=> col(s"__kb_$c"))
+      .reduce(_ && _)
+    old.join(neu, cond, "full_outer")
       .withColumn("change_type",
         when(col("__old_present").isNull, lit("insert"))
           .when(col("__new_present").isNull, lit("delete"))
           .when(!(col("__old") <=> col("__new")), lit("update")))
       .filter(col("change_type").isNotNull)
-      .select(keyCols.map(col) :+ col("change_type"): _*)
+      .select(keyCols.map(c =>
+        coalesce(col(s"__ka_$c"), col(s"__kb_$c")).as(c)) :+
+        col("change_type"): _*)
   }
 }

@@ -676,35 +676,59 @@ object Multimodal {
           val (w, h) = (img.getWidth, img.getHeight)
           if (w < 1 || h < 1) None
           else {
+            // CELL-driven box sampling: cell (gy,gx) averages the
+            // source box [gx*w/gw, max(+1, (gx+1)*w/gw)) × [...] — on
+            // images at least 9×8 the boxes partition the pixels (one
+            // visit each); on SMALLER images the boxes overlap
+            // (nearest-pixel upsampling), so every cell still sees at
+            // least one real pixel. A pixel-driven binning would leave
+            // sub-grid images with EMPTY (silently black) cells and
+            // break the rescale robustness for thumbnails.
             val cell = Array.ofDim[Double](gh, gw)
             val row = new Array[Int](w)
-            // accumulate row-by-row (one bulk getRGB per row, as in
-            // imageFeaturesOf), binning each pixel into its grid cell
-            val cnt = Array.ofDim[Long](gh, gw)
-            var y = 0
-            while (y < h) {
-              val gy = math.min(gh - 1, y * gh / h)
-              img.getRGB(0, y, w, 1, row, 0, w)
-              var x = 0
-              while (x < w) {
-                val gx = math.min(gw - 1, x * gw / w)
-                val rgb = row(x)
-                val lum = 0.299 * ((rgb >> 16) & 0xff) +
-                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                cell(gy)(gx) += lum
-                cnt(gy)(gx) += 1
-                x += 1
+            val rowLum = new Array[Double](w)
+            val acc = new Array[Double](gw)
+            var gy = 0
+            while (gy < gh) {
+              val y0 = gy * h / gh
+              val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+              var y = y0
+              java.util.Arrays.fill(acc, 0.0)
+              while (y < y1) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) {
+                  val rgb = row(x)
+                  rowLum(x) = 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                var gx = 0
+                while (gx < gw) {
+                  val x0 = gx * w / gw
+                  val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+                  var xx = x0
+                  var s = 0.0
+                  while (xx < x1) { s += rowLum(xx); xx += 1 }
+                  acc(gx) += s / (x1 - x0)
+                  gx += 1
+                }
+                y += 1
               }
-              y += 1
+              var gx = 0
+              while (gx < gw) {
+                cell(gy)(gx) = acc(gx) / (y1 - y0)
+                gx += 1
+              }
+              gy += 1
             }
             var bits = 0L
-            var gy = 0
+            gy = 0
             while (gy < gh) {
               var gx = 0
               while (gx < gw - 1) {
-                val a = cell(gy)(gx) / math.max(1L, cnt(gy)(gx))
-                val b = cell(gy)(gx + 1) / math.max(1L, cnt(gy)(gx + 1))
-                if (b > a) bits |= 1L << (gy * (gw - 1) + gx)
+                if (cell(gy)(gx + 1) > cell(gy)(gx))
+                  bits |= 1L << (gy * (gw - 1) + gx)
                 gx += 1
               }
               gy += 1

@@ -64,12 +64,21 @@ object EditJoin {
     // corpus-global LCP via min/max: every string shares LCP(min, max)
     // (strings sort lexicographically, so anything between the two
     // extremes starts with their common prefix). Two strings reach the
-    // driver — bounded like the IVF centroid pulls.
+    // driver — bounded like the IVF centroid pulls. (Construction
+    // therefore runs small driver jobs, like bloomPrune's filter
+    // build — the literals must exist before the plan does.) The LCP
+    // is counted in CODE POINTS, not UTF-16 units: Spark's substring
+    // (and levenshtein) walk code points, so a char-unit count would
+    // split supplementary-plane characters and corrupt distances.
     val base = if (stripCommonPrefix) {
       val r = base0.agg(min("__s"), max("__s")).head()
       val lcpLen =
         if (r.isNullAt(0)) 0
-        else r.getString(0).zip(r.getString(1)).takeWhile(t => t._1 == t._2).length
+        else {
+          val (a, b) = (r.getString(0).codePoints().toArray,
+            r.getString(1).codePoints().toArray)
+          a.zip(b).takeWhile(t => t._1 == t._2).length
+        }
       if (lcpLen == 0) base0
       else base0.select(col("__id"),
         substring(col("__s"), lcpLen + 1, Int.MaxValue).as("__s"))

@@ -230,9 +230,12 @@ object AnalyticsQueries {
     QueryDef("q_pagerank",
       (s, d) => {
         val o = Tables.orders(s, d); val li = Tables.lineitem(s, d)
+        // disjoint node ids by parity (2k / 2k+1), not a fixed
+        // offset — an additive offset silently merges the id spaces
+        // once custkey reaches it
         val pairs = o.join(li, o("o_orderkey") === li("l_orderkey"))
-          .select(col("o_custkey").cast("long").as("c"),
-            (col("l_suppkey").cast("long") + lit(2000000L)).as("p"))
+          .select((col("o_custkey").cast("long") * 2).as("c"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("p"))
           .distinct()
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .union(pairs.select(col("p").as("src"), col("c").as("dst")))
@@ -257,8 +260,8 @@ object AnalyticsQueries {
              |  FROM nodes CROSS JOIN nn
              |  LEFT JOIN c$k ON nodes.node = c$k.node)""".stripMargin
         s"""WITH eb AS MATERIALIZED (SELECT DISTINCT
-           |  CAST(o_custkey AS BIGINT) AS c,
-           |  CAST(l_suppkey AS BIGINT) + 2000000 AS p
+           |  CAST(o_custkey AS BIGINT) * 2 AS c,
+           |  CAST(l_suppkey AS BIGINT) * 2 + 1 AS p
            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
            |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM eb
            |  UNION ALL SELECT p, c FROM eb),

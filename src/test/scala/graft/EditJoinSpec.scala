@@ -76,6 +76,17 @@ class EditJoinSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("LCP strip counts code points — supplementary-plane prefixes survive") {
+    // U+1D11E (musical G clef) is ONE code point but TWO UTF-16 chars;
+    // a char-unit LCP count would over-strip and corrupt distances
+    val clef = new String(Character.toChars(0x1D11E))
+    val df = Seq(1L -> s"$clef${clef}abc", 2L -> s"$clef${clef}abd",
+      3L -> s"$clef${clef}xyz").toDF("id", "s")
+    val got = EditJoin.selfJoin(df, "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1)))
+  }
+
   test("maxDist=0 is rejected with a pointer to exact dedup") {
     val err = intercept[IllegalArgumentException] {
       EditJoin.selfJoin(Seq(1L -> "a").toDF("id", "s"), "id", "s", 0)

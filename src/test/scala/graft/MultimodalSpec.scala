@@ -448,6 +448,12 @@ class MultimodalSpec extends AnyFunSuite {
     // different content is far away
     val other = Multimodal.dHash64(gradientImage(96, 64, 3)).get
     assert(java.lang.Long.bitCount(base ^ other) > 16)
+    // sub-grid thumbnail (smaller than the 9×8 grid): the cell-driven
+    // box sampling upsamples instead of leaving silently-black cells,
+    // so even a 6×4 thumbnail stays near its full-size original
+    val thumb = Multimodal.dHash64(gradientImage(6, 4, 0)).get
+    assert(java.lang.Long.bitCount(base ^ thumb) <= 12,
+      s"thumbnail drifted ${java.lang.Long.bitCount(base ^ thumb)} bits")
     // junk bytes have no hash
     assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
   }

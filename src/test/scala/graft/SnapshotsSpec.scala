@@ -172,6 +172,18 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(g2 == Set((1L, "update"), (2L, "update")))
   }
 
+  test("diff matches null keys null-safely — no phantom insert/delete") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(
+      Seq((Option(1L), "a"), (Option.empty[Long], "b")).toDF("id", "payload"),
+      root) // v0: a null-keyed row
+    Snapshots.append(Seq((Option(2L), "c")).toDF("id", "payload"), root)
+    val got = Snapshots.diff(spark, root, 0, 1, Seq("id"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    // the unchanged null-keyed row must NOT surface as delete+insert
+    assert(got == Set((Some(2L), "insert")))
+  }
+
   test("diff rejects mismatched schemas loudly") {
     val root = freshRoot()
     Snapshots.createOrReplace(table(0 until 5), root)
