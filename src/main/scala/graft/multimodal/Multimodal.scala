@@ -676,51 +676,92 @@ object Multimodal {
           val (w, h) = (img.getWidth, img.getHeight)
           if (w < 1 || h < 1) None
           else {
-            // CELL-driven box sampling: cell (gy,gx) averages the
-            // source box [gx*w/gw, max(+1, (gx+1)*w/gw)) × [...] — on
-            // images at least 9×8 the boxes partition the pixels (one
-            // visit each); on SMALLER images the boxes overlap
-            // (nearest-pixel upsampling), so every cell still sees at
-            // least one real pixel. A pixel-driven binning would leave
-            // sub-grid images with EMPTY (silently black) cells and
-            // break the rescale robustness for thumbnails.
-            val cell = Array.ofDim[Double](gh, gw)
+            // Separable resampling onto the 9×8 grid, per axis:
+            //  - axis length >= grid: BOX average over
+            //    [g*len/glen, max(+1, (g+1)*len/glen)) — the boxes
+            //    partition the pixels, one visit each (downscale).
+            //  - axis length < grid (sub-grid thumbnails): BILINEAR
+            //    sample at the cell center (g+0.5)*len/glen - 0.5,
+            //    edge-clamped. Nearest-pixel upsampling would map
+            //    adjacent grid cells onto the SAME source pixel —
+            //    equal cells, strict-> comparison bits silently unset,
+            //    ~3 lost columns × 8 rows for a 6-wide thumbnail.
+            //    Bilinear keeps a monotone source monotone across the
+            //    grid, so a true downscale of an image hashes within a
+            //    few bits of the original even below 9×8.
             val row = new Array[Int](w)
             val rowLum = new Array[Double](w)
-            val acc = new Array[Double](gw)
-            var gy = 0
-            while (gy < gh) {
-              val y0 = gy * h / gh
-              val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
-              var y = y0
-              java.util.Arrays.fill(acc, 0.0)
-              while (y < y1) {
-                img.getRGB(0, y, w, 1, row, 0, w)
-                var x = 0
-                while (x < w) {
-                  val rgb = row(x)
-                  rowLum(x) = 0.299 * ((rgb >> 16) & 0xff) +
-                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                  x += 1
-                }
-                var gx = 0
+            // one source row -> gw resampled luminances
+            def resampleRow(y: Int): Array[Double] = {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val rgb = row(x)
+                rowLum(x) = 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                x += 1
+              }
+              val out = new Array[Double](gw)
+              var gx = 0
+              if (w >= gw) {
                 while (gx < gw) {
                   val x0 = gx * w / gw
                   val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
                   var xx = x0
                   var s = 0.0
                   while (xx < x1) { s += rowLum(xx); xx += 1 }
-                  acc(gx) += s / (x1 - x0)
+                  out(gx) = s / (x1 - x0)
                   gx += 1
                 }
-                y += 1
+              } else {
+                while (gx < gw) {
+                  val cx = (gx + 0.5) * w / gw - 0.5
+                  val x0 = math.max(0, math.min(w - 1, math.floor(cx).toInt))
+                  val x1 = math.min(w - 1, x0 + 1)
+                  val f = math.max(0.0, math.min(1.0, cx - x0))
+                  out(gx) = rowLum(x0) * (1 - f) + rowLum(x1) * f
+                  gx += 1
+                }
               }
-              var gx = 0
-              while (gx < gw) {
-                cell(gy)(gx) = acc(gx) / (y1 - y0)
-                gx += 1
+              out
+            }
+            val cell = Array.ofDim[Double](gh, gw)
+            var gy = 0
+            if (h >= gh) {
+              val acc = new Array[Double](gw)
+              while (gy < gh) {
+                val y0 = gy * h / gh
+                val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+                var y = y0
+                java.util.Arrays.fill(acc, 0.0)
+                while (y < y1) {
+                  val r = resampleRow(y)
+                  var gx = 0
+                  while (gx < gw) { acc(gx) += r(gx); gx += 1 }
+                  y += 1
+                }
+                var gx = 0
+                while (gx < gw) {
+                  cell(gy)(gx) = acc(gx) / (y1 - y0)
+                  gx += 1
+                }
+                gy += 1
               }
-              gy += 1
+            } else {
+              // h < 8 source rows — materializing them all is tiny
+              val rows = Array.tabulate(h)(resampleRow)
+              while (gy < gh) {
+                val cy = (gy + 0.5) * h / gh - 0.5
+                val y0 = math.max(0, math.min(h - 1, math.floor(cy).toInt))
+                val y1 = math.min(h - 1, y0 + 1)
+                val f = math.max(0.0, math.min(1.0, cy - y0))
+                var gx = 0
+                while (gx < gw) {
+                  cell(gy)(gx) = rows(y0)(gx) * (1 - f) + rows(y1)(gx) * f
+                  gx += 1
+                }
+                gy += 1
+              }
             }
             var bits = 0L
             gy = 0
@@ -758,15 +799,16 @@ object Multimodal {
       bytesCol: String, maxHamming: Int = 8): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
-    import spark.implicits._
     val nChunks = maxHamming + 1
+    // The id column keeps the CALLER's type end-to-end (it only needs
+    // to be orderable for the `<` dedup); casting to long would null
+    // out non-numeric ids and drop their rows silently.
+    val dHashUdf = udf { bytes: Array[Byte] =>
+      dHash64(Option(bytes).getOrElse(Array.empty[Byte]))
+    }
     val hashes = media
-      .select(col(idCol).cast("long").as("_1"), col(bytesCol).as("_2"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        dHash64(Option(bytes).getOrElse(Array.empty[Byte])).map(h => (id, h))
-      })
-      .toDF("__id", "__h")
+      .select(col(idCol).as("__id"), dHashUdf(col(bytesCol)).as("__h"))
+      .filter(col("__h").isNotNull)
     // chunk i covers bits [i*64/n, (i+1)*64/n) — extracted inside one
     // transform, so the fan-out is n rows of (id, hash, idx, value).
     // The 64-bit-wide single-chunk case (maxHamming = 0, exact hash

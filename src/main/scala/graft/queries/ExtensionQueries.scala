@@ -2110,5 +2110,63 @@ object ExtensionQueries {
       Some("""SELECT doc_id AS media_id, 'blob' AS kind,
              |CAST(length(text) AS INTEGER) AS byte_len
              |FROM documents""".stripMargin)),
+
+    // perceptual image near-dup over a deterministic synthetic corpus:
+    // one 9×8 grayscale PNG per document (one pixel per dHash grid
+    // cell), groups of 4 consecutive doc_ids share a base pattern and
+    // members 1-3 carry a single-pixel perturbation, so intra-group
+    // pairs sit at Hamming <= 4. The Spark side runs the REAL pipeline
+    // — PNG encode, ImageIO decode, luminance dHash64, pigeonhole
+    // chunk equi-join, bit_count residual — while the oracle replays
+    // the hash in pure integer arithmetic: PNG is lossless and one
+    // pixel per cell makes each dHash bit exactly `v(x+1,y) > v(x,y)`
+    // on the generated pixel values (luminance is strictly monotone in
+    // gray v), so DuckDB rebuilds each 64-bit hash from the pixel
+    // formula and takes exact all-pairs Hamming — no decode needed.
+    QueryDef("q_image_near_dup",
+      (s, d) => {
+        val gen = udf { id: Long => syntheticGrayPng(id) }
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), gen(col("doc_id")).as("bytes"))
+        Multimodal.imageNearDup(s, media, "doc_id", "bytes", maxHamming = 4)
+      },
+      Some {
+        def vExpr(x: Int, y: Int): String = {
+          val base = s"((${x * 23 + y * 7} + (doc_id // 4) * 37) % 251)"
+          s"(CASE WHEN doc_id % 4 > 0 AND $x = 2 * (doc_id % 4)" +
+            s" AND $y = doc_id % 4 THEN ($base + 128) % 251 ELSE $base END)"
+        }
+        val terms = (for (gy <- 0 until 8; gx <- 0 until 8) yield
+          s"(CASE WHEN ${vExpr(gx + 1, gy)} > ${vExpr(gx, gy)} THEN " +
+            s"CAST(${java.lang.Long.toUnsignedString(1L << (gy * 8 + gx))}" +
+            " AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)").mkString("\n + ")
+        s"""WITH h AS (SELECT doc_id, $terms AS hash FROM documents)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |CAST(bit_count(xor(a.hash, b.hash)) AS INTEGER) AS hamming
+           |FROM h a JOIN h b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.hash, b.hash)) <= 4""".stripMargin
+      }),
   )
+
+  /** Deterministic 9×8 grayscale PNG for doc `id` — the perceptual-
+    * dedup oracle corpus. One pixel per dHash grid cell means the box
+    * average degenerates to the pixel itself, so each hash bit is an
+    * integer comparison the DuckDB oracle replays without any image
+    * decoding. Pixel: v = (x*23 + y*7 + (id/4)*37) % 251; ids in the
+    * same group of 4 share the pattern, members m = 1..3 perturb the
+    * single pixel (2m, m) by +128 (flips at most the 2 comparison
+    * bits touching that pixel). */
+  private def syntheticGrayPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val m = (id % 4).toInt
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val base = ((x * 23 + y * 7 + (id / 4) * 37) % 251).toInt
+      val v = if (m > 0 && x == 2 * m && y == m) (base + 128) % 251 else base
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

@@ -433,6 +433,34 @@ class MultimodalSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  /** True box-downscale of an encoded image to (tw, th): the SAME
+    * content at thumbnail resolution, unlike re-rendering the fixture
+    * formula at a small size (which quantizes the gradient into too
+    * few steps and is genuinely different content). */
+  private def downscale(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.awt.image.BufferedImage(tw, th,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until tw; y <- 0 until th) {
+      val x0 = x * src.getWidth / tw
+      val x1 = math.max(x0 + 1, (x + 1) * src.getWidth / tw)
+      val y0 = y * src.getHeight / th
+      val y1 = math.max(y0 + 1, (y + 1) * src.getHeight / th)
+      var (r, g, b, n) = (0L, 0L, 0L, 0L)
+      for (xx <- x0 until x1; yy <- y0 until y1) {
+        val rgb = src.getRGB(xx, yy)
+        r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+        n += 1
+      }
+      out.setRGB(x, y,
+        ((r / n).toInt << 16) | ((g / n).toInt << 8) | (b / n).toInt)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(out, "png", bos))
+    bos.toByteArray
+  }
+
   test("dHash64: stable under re-encode/rescale, far apart for distinct content") {
     val base = Multimodal.dHash64(gradientImage(96, 64, 0)).get
     // identical content, different byte stream (JPEG re-encode)
@@ -448,10 +476,15 @@ class MultimodalSpec extends AnyFunSuite {
     // different content is far away
     val other = Multimodal.dHash64(gradientImage(96, 64, 3)).get
     assert(java.lang.Long.bitCount(base ^ other) > 16)
-    // sub-grid thumbnail (smaller than the 9×8 grid): the cell-driven
-    // box sampling upsamples instead of leaving silently-black cells,
-    // so even a 6×4 thumbnail stays near its full-size original
-    val thumb = Multimodal.dHash64(gradientImage(6, 4, 0)).get
+    // sub-grid thumbnail (smaller than the 9×8 grid): a TRUE box
+    // downscale of the SAME image to 6×4 — the bilinear cell-center
+    // upsampling keeps adjacent grid cells distinct (nearest-pixel
+    // would map neighbouring cells onto one source pixel and zero
+    // their comparison bits), so the thumbnail stays near its
+    // full-size original. (Re-RENDERING the fixture formula at 6×4 is
+    // different content — the gradient quantizes to 6 steps — and is
+    // deliberately not asserted against.)
+    val thumb = Multimodal.dHash64(downscale(gradientImage(96, 64, 0), 6, 4)).get
     assert(java.lang.Long.bitCount(base ^ thumb) <= 12,
       s"thumbnail drifted ${java.lang.Long.bitCount(base ^ thumb)} bits")
     // junk bytes have no hash
