@@ -176,6 +176,61 @@ object Snapshots {
     snap
   }
 
+  /** Expire old snapshot metadata and VACUUM the data/delete dirs no
+    * surviving snapshot references (Iceberg's `expire_snapshots` +
+    * `remove_orphan_files` maintenance pair). Without expiry the
+    * manifest and the version dirs grow forever — every append keeps
+    * every historical base alive. The reference never exercises this
+    * (its Iceberg tables are append-only within the course window),
+    * but any long-lived deployment needs it.
+    *
+    * Retention guard, both conditions required to expire a snapshot:
+    *  - it is NOT among the `keepLast` most recent (min 1 — the
+    *    current version can never expire), and
+    *  - its commit timestamp is strictly older than `olderThanMs`.
+    *
+    * Dirs are deleted only when NO surviving snapshot references them
+    * — a rollback snapshot keeps its target's dirs alive even after
+    * the target version itself expires. Time travel to an expired
+    * version fails loudly afterwards (`version not found`). The
+    * manifest rewrite is the same temp-file + atomic-rename commit as
+    * every other write; a reader never sees a partial log.
+    *
+    * Returns (expired version numbers, deleted dir names). */
+  def expireSnapshots(root: String, keepLast: Int = 1,
+      olderThanMs: Long = Long.MaxValue): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1,
+      s"keepLast must be >= 1 — the current version cannot expire " +
+        s"(got $keepLast)")
+    val snaps = log(root)
+    require(snaps.nonEmpty, s"no snapshot table at $root")
+    val protectedVs = snaps.takeRight(keepLast).map(_.version).toSet
+    val (expired, kept) = snaps.partition(s =>
+      !protectedVs.contains(s.version) && s.timestampMs < olderThanMs)
+    if (expired.isEmpty) (Nil, Nil)
+    else {
+      val tmp = Paths.get(root, "_manifest.json.tmp-expire")
+      Files.write(tmp, render(kept).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifestPath(root),
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      val live = kept.flatMap(s => s.dataDirs ++ s.deleteDirs).toSet
+      val deleted = Option(Paths.get(root).toFile.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory &&
+          (f.getName.startsWith("data-") ||
+            f.getName.startsWith("delete-")) &&
+          !live.contains(f.getName))
+        .sortBy(_.getName)
+        .map { d => deleteRec(d); d.getName }
+      (expired.map(_.version), deleted)
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete(); ()
+  }
+
   // -------------------------------------------------------------- reads
 
   /** A dir's commit version doubles as its Iceberg sequence number

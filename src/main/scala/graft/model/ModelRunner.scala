@@ -98,7 +98,7 @@ object ModelRunner {
     * semantic downgrade. */
   private val SupportedConfigKeys =
     Set("materialized", "incremental_strategy", "partition_by",
-      "unique_key", "updated_at", "strategy")
+      "unique_key", "updated_at", "strategy", "on_schema_change")
 
   /** Parse a config block's kwargs strictly: every key must be
     * supported, and the block must contain NOTHING that KwargPat did
@@ -166,7 +166,8 @@ object ModelRunner {
           // strategy on a table) is a silent semantic downgrade
           // unless rejected here — the parser's loud-error contract
           val allowedFor = mat match {
-            case "incremental" => Set("incremental_strategy", "partition_by")
+            case "incremental" =>
+              Set("incremental_strategy", "partition_by", "on_schema_change")
             case "snapshot" => Set("unique_key", "updated_at", "strategy")
             case _ => Set.empty[String]
           }
@@ -252,6 +253,77 @@ object ModelRunner {
     raw"""\{%[^}]*%\}""".r.findFirstIn(out).foreach(t =>
       throw new IllegalArgumentException(s"unsupported template tag '$t'"))
     out
+  }
+
+  /** dbt `on_schema_change` for incremental models: reconcile the
+    * increment's schema with the existing target, then align by NAME
+    * to the (possibly evolved) table — positional order, target types
+    * (a narrower increment up-casts; under ANSI an incompatible type
+    * fails loudly — type CHANGES are out of scope, exactly dbt's
+    * contract).
+    *
+    *  - `ignore` (dbt default): new SELECT columns are dropped (never
+    *    added to the target); a column the SELECT stopped producing is
+    *    a LOUD error — silently null-filling it would be a semantic
+    *    downgrade nobody asked for.
+    *  - `append_new_columns`: new columns ALTER TABLE ADD COLUMNS
+    *    (metadata-only; history rows read null); removed columns stay
+    *    and the increment null-fills them.
+    *  - `sync_all_columns`: adds new AND drops removed columns in one
+    *    catalog data-schema swap (metadata-only on parquet: readers
+    *    request the catalog schema, orphan columns in old files are
+    *    simply never read). The partition column can never be dropped.
+    *  - `fail`: any drift in either direction is a loud error. */
+  private def applyOnSchemaChange(spark: SparkSession, model: String,
+      relation: String, increment: org.apache.spark.sql.DataFrame,
+      policy: String, partitionBy: Option[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = spark.table(relation).schema
+    val targetLower = target.map(_.name.toLowerCase).toSet
+    val incLower = increment.columns.map(_.toLowerCase).toSet
+    val added = increment.schema
+      .filterNot(f => targetLower.contains(f.name.toLowerCase))
+    val removed = target.map(_.name)
+      .filterNot(c => incLower.contains(c.toLowerCase))
+    policy match {
+      case "ignore" =>
+        require(removed.isEmpty, s"model $model: incremental SELECT no " +
+          s"longer produces column(s) ${removed.mkString(", ")} of " +
+          s"$relation — on_schema_change='ignore' will not fill them " +
+          "(use append_new_columns/sync_all_columns, or full-refresh)")
+      case "fail" =>
+        require(added.isEmpty && removed.isEmpty, s"model $model: schema " +
+          s"drift vs $relation (new: [${added.map(_.name).mkString(", ")}]" +
+          s", removed: [${removed.mkString(", ")}]) and " +
+          "on_schema_change='fail'")
+      case "append_new_columns" =>
+        if (added.nonEmpty)
+          spark.sql(s"ALTER TABLE $relation ADD COLUMNS (" +
+            added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ") +
+            ")")
+      case "sync_all_columns" =>
+        partitionBy.foreach(p => require(
+          !removed.exists(_.equalsIgnoreCase(p)),
+          s"model $model: cannot drop partition column $p of $relation"))
+        if (added.nonEmpty || removed.nonEmpty) {
+          val newData = org.apache.spark.sql.types.StructType(
+            target.filterNot(f =>
+              removed.contains(f.name) ||
+                partitionBy.exists(_.equalsIgnoreCase(f.name))) ++ added)
+          org.apache.spark.sql.GraftSqlShims
+            .alterTableDataSchema(spark, relation, newData)
+          spark.catalog.refreshTable(relation)
+        }
+      case other => throw new IllegalArgumentException(s"model $model: " +
+        s"unsupported on_schema_change '$other' (ignore, " +
+        "append_new_columns, sync_all_columns, fail)")
+    }
+    val evolved = spark.table(relation).schema
+    increment.select(evolved.map(f =>
+      if (incLower.contains(f.name.toLowerCase))
+        col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 
   /** Deterministic topological order (lexicographic among ready
@@ -369,23 +441,31 @@ object ModelRunner {
               case None => Lake.materializeTable(spark, spark.sql(body),
                 relation)
             }
-          } else m.config.getOrElse("incremental_strategy", "append") match {
-            case "append" =>
-              // Align by NAME before the positional insert: a first
-              // build with partition_by moves the partition column to
-              // the END of the table schema, so `INSERT INTO t <sel>`
-              // would land values in the wrong columns on every
-              // incremental run.
-              Lake.alignTo(spark, spark.sql(body), relation)
-                .write.mode("append").insertInto(relation)
-            case "insert_overwrite" =>
-              val p = m.config.getOrElse("partition_by",
-                throw new IllegalArgumentException(s"model $name: " +
-                  "incremental_strategy=insert_overwrite needs partition_by"))
-              Lake.overwritePartitions(spark, spark.sql(body), relation,
-                checkIdent("partition_by", p))
-            case other => throw new IllegalArgumentException(
-              s"model $name: unsupported incremental_strategy '$other'")
+          } else {
+            // dbt on_schema_change: reconcile the SELECT's schema with
+            // the existing target BEFORE the strategy write. The
+            // resulting frame is aligned to the (possibly evolved)
+            // table by NAME — positional order matters because a first
+            // build with partition_by moves the partition column to
+            // the END of the table schema, so a raw `INSERT INTO t
+            // <sel>` would land values in the wrong columns on every
+            // incremental run.
+            val aligned = applyOnSchemaChange(spark, name, relation,
+              spark.sql(body),
+              m.config.getOrElse("on_schema_change", "ignore"),
+              m.config.get("partition_by"))
+            m.config.getOrElse("incremental_strategy", "append") match {
+              case "append" =>
+                aligned.write.mode("append").insertInto(relation)
+              case "insert_overwrite" =>
+                val p = m.config.getOrElse("partition_by",
+                  throw new IllegalArgumentException(s"model $name: " +
+                    "incremental_strategy=insert_overwrite needs partition_by"))
+                Lake.overwritePartitions(spark, aligned, relation,
+                  checkIdent("partition_by", p))
+              case other => throw new IllegalArgumentException(
+                s"model $name: unsupported incremental_strategy '$other'")
+            }
           }
         case "snapshot" =>
           // dbt snapshot (SCD2, `timestamp` strategy): the model's

@@ -50,8 +50,22 @@ object GraftSqlShims {
     * readers handle widened reads (int32 files under a bigint column —
     * SPARK-40876). */
   def alterTableDataSchema(spark: SparkSession, table: String,
-      newDataSchema: org.apache.spark.sql.types.StructType): Unit =
-    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
-      .alterTableDataSchema(
-        org.apache.spark.sql.catalyst.TableIdentifier(table), newDataSchema)
+      newDataSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val session = spark.asInstanceOf[classic.SparkSession]
+    // parse rather than wrap: `db.table` must resolve as a QUALIFIED
+    // identifier (a single-part TableIdentifier would look the dotted
+    // string up as a table named "db.table" in the current database)
+    val ident = session.sessionState.sqlParser.parseTableIdentifier(table)
+    val catalog = session.sessionState.catalog
+    val db = ident.database.getOrElse(catalog.getCurrentDatabase)
+    // the EXTERNAL catalog, not SessionCatalog.alterTableDataSchema:
+    // the session-level wrapper hard-refuses column DROPS ("We don't
+    // support dropping columns yet"), but the swap is safe on parquet
+    // — readers request the catalog schema, so orphan columns left in
+    // old files are simply never read again (sync_all_columns needs
+    // exactly this)
+    session.sharedState.externalCatalog.alterTableDataSchema(
+      db, ident.table, newDataSchema)
+    catalog.refreshTable(ident)
+  }
 }

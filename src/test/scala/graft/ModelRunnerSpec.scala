@@ -262,6 +262,109 @@ class ModelRunnerSpec extends AnyFunSuite {
         (2L, "2024-01-02", 20.0), (3L, "2024-01-03", 30.0)))
   }
 
+  // --- on_schema_change (dbt parity): the SELECT's schema drifts
+  // between incremental runs; each policy reconciles differently ---
+
+  private def oscProject(selectSql: String, config: String): Path =
+    writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/core/osc_model.sql" ->
+        s"""{{ config(materialized='incremental'$config) }}
+           |$selectSql FROM {{ var("source_schema") }}.osc_rows
+           |{% if is_incremental() %}
+           |WHERE id > (SELECT max(id) FROM {{ this }})
+           |{% endif %}
+           |""".stripMargin))
+
+  private def seedOsc(): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS mr_src")
+    Seq((1L, "x", 1.5)).toDF("id", "a", "b").write.mode("overwrite")
+      .saveAsTable("mr_src.osc_rows")
+    spark.sql("DROP TABLE IF EXISTS mr_out.osc_model")
+  }
+
+  test("on_schema_change default 'ignore': new SELECT columns are not " +
+      "added; a removed column fails loudly") {
+    seedOsc()
+    ModelRunner.run(spark,
+      ModelRunner.loadProject(oscProject("SELECT id, a", "")))
+    Seq((2L, "y", 2.5)).toDF("id", "a", "b").write.mode("append")
+      .saveAsTable("mr_src.osc_rows")
+    ModelRunner.run(spark,
+      ModelRunner.loadProject(oscProject("SELECT id, a, b", "")))
+    // b was silently NOT added (dbt's documented ignore contract)
+    assert(spark.table("mr_out.osc_model").columns.toSeq == Seq("id", "a"))
+    assert(spark.table("mr_out.osc_model").as[(Long, String)].collect()
+      .toSet == Set((1L, "x"), (2L, "y")))
+    // but a column the SELECT stopped producing cannot be ignored
+    val err = intercept[IllegalArgumentException] {
+      ModelRunner.run(spark,
+        ModelRunner.loadProject(oscProject("SELECT id", "")))
+    }
+    assert(err.getMessage.contains("ignore"))
+  }
+
+  test("on_schema_change='append_new_columns' evolves the table; " +
+      "history rows read the new column as null") {
+    seedOsc()
+    val cfg = ", on_schema_change='append_new_columns'"
+    ModelRunner.run(spark,
+      ModelRunner.loadProject(oscProject("SELECT id, a", cfg)))
+    Seq((2L, "y", 2.5)).toDF("id", "a", "b").write.mode("append")
+      .saveAsTable("mr_src.osc_rows")
+    ModelRunner.run(spark,
+      ModelRunner.loadProject(oscProject("SELECT id, a, b", cfg)))
+    assert(spark.table("mr_out.osc_model").columns.toSeq ==
+      Seq("id", "a", "b"))
+    assert(spark.table("mr_out.osc_model")
+      .as[(Long, String, Option[Double])].collect().toSet ==
+      Set((1L, "x", None), (2L, "y", Some(2.5))))
+    // removed columns are kept and null-filled, never dropped
+    Seq((3L, "z", 3.5)).toDF("id", "a", "b").write.mode("append")
+      .saveAsTable("mr_src.osc_rows")
+    ModelRunner.run(spark,
+      ModelRunner.loadProject(oscProject("SELECT id, b", cfg)))
+    assert(spark.table("mr_out.osc_model")
+      .as[(Long, Option[String], Option[Double])].collect().toSet ==
+      Set((1L, Some("x"), None), (2L, Some("y"), Some(2.5)),
+        (3L, None, Some(3.5))))
+  }
+
+  test("on_schema_change='sync_all_columns' adds new and drops removed " +
+      "columns, metadata-only") {
+    seedOsc()
+    val cfg = ", on_schema_change='sync_all_columns'"
+    ModelRunner.run(spark,
+      ModelRunner.loadProject(oscProject("SELECT id, a", cfg)))
+    Seq((2L, "y", 2.5)).toDF("id", "a", "b").write.mode("append")
+      .saveAsTable("mr_src.osc_rows")
+    ModelRunner.run(spark,
+      ModelRunner.loadProject(oscProject("SELECT id, b", cfg)))
+    assert(spark.table("mr_out.osc_model").columns.toSeq == Seq("id", "b"))
+    // row 1's b reads null (its file predates the column); row 1's a
+    // is an orphan column in the old file — simply never read again
+    assert(spark.table("mr_out.osc_model").as[(Long, Option[Double])]
+      .collect().toSet == Set((1L, None), (2L, Some(2.5))))
+  }
+
+  test("on_schema_change='fail' rejects any drift loudly") {
+    seedOsc()
+    val cfg = ", on_schema_change='fail'"
+    ModelRunner.run(spark,
+      ModelRunner.loadProject(oscProject("SELECT id, a", cfg)))
+    Seq((2L, "y", 2.5)).toDF("id", "a", "b").write.mode("append")
+      .saveAsTable("mr_src.osc_rows")
+    // no drift: runs fine
+    ModelRunner.run(spark,
+      ModelRunner.loadProject(oscProject("SELECT id, a", cfg)))
+    val err = intercept[IllegalArgumentException] {
+      ModelRunner.run(spark,
+        ModelRunner.loadProject(oscProject("SELECT id, a, b", cfg)))
+    }
+    assert(err.getMessage.contains("on_schema_change='fail'"))
+    assert(err.getMessage.contains("b"))
+  }
+
   test("config(...) blocks are parsed strictly: unknown kwargs and " +
       "unquoted values are loud errors") {
     val root = writeProject(Seq(

@@ -193,4 +193,45 @@ class SnapshotsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("matching schemas"))
   }
+
+  test("expireSnapshots drops old metadata, vacuums unreferenced dirs, " +
+      "protects the current version") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(0 until 10), root)  // v0 → data-0
+    Snapshots.createOrReplace(table(10 until 20), root) // v1 → data-1
+    Snapshots.append(table(20 until 30), root)          // v2 → data-1 + data-2
+    val (expired, deleted) = Snapshots.expireSnapshots(root, keepLast = 1)
+    assert(expired == Seq(0, 1))
+    // data-1/data-2 stay: the surviving v2 references them; only the
+    // orphaned v0 base is vacuumed
+    assert(deleted == Seq("data-0"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/data-0")))
+    assert(Snapshots.read(spark, root).count() == 20)
+    // time travel to an expired version fails loudly
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, root, 0)
+    }
+    assert(err.getMessage.contains("not found"))
+    // idempotent: a second expiry finds nothing
+    assert(Snapshots.expireSnapshots(root, keepLast = 1) == ((Nil, Nil)))
+  }
+
+  test("expireSnapshots retention guards: keepLast floor, olderThan, " +
+      "rollback keeps its target's dirs alive") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(0 until 5), root) // v0 → data-0
+    Snapshots.createOrReplace(table(5 until 9), root) // v1 → data-1
+    Snapshots.rollback(root, 0)                       // v2 references data-0
+    // the current version can never expire
+    intercept[IllegalArgumentException] {
+      Snapshots.expireSnapshots(root, keepLast = 0)
+    }
+    // an olderThan bound in the past expires nothing
+    assert(Snapshots.expireSnapshots(root, olderThanMs = 0L) == ((Nil, Nil)))
+    // v0 expires (only v1+v2 protected), but data-0 SURVIVES the
+    // vacuum — the live rollback snapshot v2 still references it
+    val (expired, deleted) = Snapshots.expireSnapshots(root, keepLast = 2)
+    assert(expired == Seq(0) && deleted.isEmpty)
+    assert(Snapshots.read(spark, root).count() == 5)
+  }
 }
