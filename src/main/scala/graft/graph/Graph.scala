@@ -2,7 +2,6 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Graph analytics over edge DataFrames — the centrality layer a
   * training-data pipeline uses for importance-weighted selection
@@ -21,15 +20,19 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Determinism: per-edge contributions divide as doubles (IEEE ops
   * are deterministic), but their SUM is order-dependent under
-  * parallelism — so each contribution quantizes to DECIMAL(18,15)
-  * (precision 18 keeps Spark's compact-long decimal fast path — the
-  * 128-bit BigDecimal path measured 26% slower at 10M edges; scale
-  * 15 bounds the quantization at 1e-15 of total mass)
-  * and the aggregation sums decimals (exact, order-free), then the
-  * damping update returns to doubles. Any engine replaying the same
-  * expression tree reproduces the ranks bit-exactly at any
-  * parallelism — the same discipline as the money sums and the IVF
-  * Lloyd replay.
+  * parallelism — so each contribution quantizes by FLOOR to an
+  * integer count of 1e-15 units and the aggregation sums BIGINTs
+  * (exact, order-free; a long sum keeps the compact fast path the
+  * DECIMAL(18,15) variant was chosen for — the 128-bit path measured
+  * 26% slower at 10M edges), then one division returns to doubles.
+  * floor is explicitly the SAME function in every engine, unlike a
+  * double→decimal cast, which rounds HALF_UP in Spark but half-even
+  * in DuckDB — a one-ULP cross-engine divergence observed in round 8.
+  * Units stay exact: a contribution < 1 is < 1e15 units < 2^53, and
+  * per-node incoming mass ≤ total mass ≈ 1 never overflows the sum.
+  * Any engine replaying the same expression tree reproduces the ranks
+  * bit-exactly at any parallelism — the same discipline as the money
+  * sums and the IVF Lloyd replay.
   */
 object Graph {
 
@@ -63,10 +66,10 @@ object Graph {
         .join(e, ranks("node") === e("src"))
         .join(outdeg, "src")
         .select(col("dst").as("node"),
-          (col("rank") / col("__outdeg").cast("double")).as("__c"))
+          floor((col("rank") / col("__outdeg").cast("double"))
+            * lit(1e15)).as("__u"))
         .groupBy(col("node"))
-        .agg(sum(col("__c").cast(DecimalType(18, 15)))
-          .cast("double").as("__in"))
+        .agg((sum(col("__u")).cast("double") / lit(1e15)).as("__in"))
       nodes.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),

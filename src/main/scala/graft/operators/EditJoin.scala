@@ -44,6 +44,16 @@ import org.apache.spark.sql.functions._
   * of length ≤ 2·maxDist, i.e. alphabet-bounded, not corpus-bounded)
   * against values within `maxDist` of their length, then expand back
   * to id pairs — output-bound, like any join on duplicated keys.
+  *
+  * Choosing the threshold: the probe fan-out `(k+1)(2k+1)²` is 27
+  * lookups per string at k=1, 75 at k=2, 189 at k=3 — and shorter
+  * segments (len/(k+1)) lose entropy, so candidate sets fatten on both
+  * axes (measured: SCALING.md's edit_join vs edit_join_k2 rows).
+  * PassJoin is the right tool for small fixed k (typo-level dedup,
+  * k ≤ 2 on ids/titles); past that, or for LONG strings where a
+  * character-budget threshold stops being meaningful, switch to
+  * MinHash/n-gram Jaccard candidates ([[graft.dedup.Dedup]]) and treat
+  * edit distance as the verifier, not the generator.
   */
 object EditJoin {
 

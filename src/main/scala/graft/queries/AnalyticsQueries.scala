@@ -221,12 +221,15 @@ object AnalyticsQueries {
 
     // PageRank over the symmetrized customer↔supplier interaction
     // graph (graph/Graph.scala): 3 fixed iterations, per-edge
-    // contributions quantized to DECIMAL(18,15) before the sum so the
-    // ranks are bit-identical at any parallelism AND in DuckDB, which
-    // replays the iterations as unrolled CTEs (the Lloyd-replay
-    // discipline). Every double literal is CAST explicitly in the
-    // oracle — DuckDB would otherwise evaluate 1.0 - 0.85 in decimal
-    // (exactly 0.15) while doubles give 0.15000000000000002.
+    // contributions FLOOR-quantized to integer 1e-15 units before an
+    // exact BIGINT sum, so the ranks are bit-identical at any
+    // parallelism AND in DuckDB, which replays the iterations as
+    // unrolled CTEs (the Lloyd-replay discipline). floor is the same
+    // function in both engines — a double→DECIMAL cast is not (Spark
+    // HALF_UP vs DuckDB half-even; one observed ULP in round 8).
+    // Every double literal is CAST explicitly in the oracle — DuckDB
+    // would otherwise evaluate 1.0 - 0.85 in decimal (exactly 0.15)
+    // while doubles give 0.15000000000000002.
     QueryDef("q_pagerank",
       (s, d) => {
         val o = Tables.orders(s, d); val li = Tables.lineitem(s, d)
@@ -239,18 +242,18 @@ object AnalyticsQueries {
           .distinct()
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        // full-double emission: every arithmetic step is bit-identical
+        // by construction (floor-quantized integer-unit sums — see
+        // Graph.pageRank), so no float32 armor is needed; the oracle
+        // must match all 52 mantissa bits
         graft.graph.Graph.pageRank(edges, iters = 3)
-          // float32 emission: the decimal-quantized sums are exact,
-          // but the double->decimal cast rounds ties differently
-          // across engines (HALF_UP vs half-even) -- one observed ULP
-          // on one node; REAL absorbs it (same armor as q_manual_corr)
-          .select(col("node"), col("rank").cast("float").as("rank"))
       },
       Some {
         val iter = (k: Int) =>
           s"""c$k AS MATERIALIZED (SELECT e.dst AS node,
-             |  CAST(SUM(CAST(r.rank / od.outdeg AS DECIMAL(18,15)))
-             |    AS DOUBLE) AS inr
+             |  CAST(SUM(CAST(floor((r.rank / od.outdeg)
+             |      * CAST(1e15 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+             |    / CAST(1e15 AS DOUBLE) AS inr
              |  FROM r${k - 1} r JOIN e ON r.node = e.src
              |  JOIN od ON e.src = od.src GROUP BY 1),
              |r$k AS MATERIALIZED (SELECT nodes.node,
@@ -273,7 +276,7 @@ object AnalyticsQueries {
            |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
            |  FROM nodes CROSS JOIN nn),
            |${(1 to 3).map(iter).mkString(",\n")}
-           |SELECT node, CAST(rank AS REAL) AS rank FROM r3""".stripMargin
+           |SELECT node, rank FROM r3""".stripMargin
       }),
 
     // rollup: sales by (year, priority) with subtotals and grand total

@@ -89,6 +89,11 @@ object ExtensionQueries {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val incIndexRoots =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Materialized base IVF inverted file + cell counts for
+    * q_ann_incremental, one per (process, data dir) — same stored-
+    * artifact discipline as [[incIndexRoots]]. */
+  private val incAnnRoots =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Tokens in portable SQL (DuckDB): mirrors TextAnalysis.tokens. */
   /** SQL for the deterministic hyperplane LSH, shared by the
@@ -176,15 +181,22 @@ object ExtensionQueries {
       * `fin(vec_id, v, cell)` assignment — one source of truth for
       * the deterministic training recipe across the search AND
       * semantic-dedup oracles. */
-    private def trainChain: String = {
+    private def trainChain: String = trainChainFrom("TRUE")
+    /** `trainWhere` restricts which vectors TRAIN (seed + Lloyd); the
+      * final `fin` assignment always covers ALL vectors — with
+      * `TRUE` this is exactly the classic chain, with a batch filter
+      * it is the q_ann_incremental replay (train on the stored base,
+      * assign the appended whole). */
+    private def trainChainFrom(trainWhere: String): String = {
       val lloyd = (1 to iters).map(i =>
-        assign("e", s"cent${i - 1}", s"a$i") + ",\n" +
+        assign("et", s"cent${i - 1}", s"a$i") + ",\n" +
           update(s"a$i", s"cent${i - 1}", s"cent$i")).mkString(",\n")
       s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
          |  FROM embeddings),
+         |et AS MATERIALIZED (SELECT vec_id, v FROM e WHERE $trainWhere),
          |cent0 AS MATERIALIZED (SELECT
          |    row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+         |  FROM (SELECT vec_id, v FROM et ORDER BY vec_id LIMIT $k)),
          |$lloyd,
          |${assign("e", s"cent$iters", "fin")}""".stripMargin
     }
@@ -199,8 +211,9 @@ object ExtensionQueries {
          |SELECT f.vec_id, CAST(f.cell AS INTEGER) AS cell
          |FROM fin f LEFT JOIN dom ON f.vec_id = dom.id
          |WHERE dom.id IS NULL""".stripMargin
-    private def searchSql(probeFilter: String, bound: Int): String = {
-      s"""$trainChain,
+    private def searchSql(probeFilter: String, bound: Int,
+        trainWhere: String = "TRUE"): String = {
+      s"""${trainChainFrom(trainWhere)},
          |pr_s AS (SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
          |  row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY ${LshSql.cosine("e.v", "c.c")} DESC, c.cell DESC)
@@ -217,6 +230,14 @@ object ExtensionQueries {
          |FROM r WHERE rank <= $bound""".stripMargin
     }
     def sql: String = searchSql(" WHERE e.vec_id < 5", topk)
+    /** q_ann_incremental replay: centroids train on the stored base
+      * (vec_id % 5 <> 0) ONLY; `fin` assigns the whole appended
+      * corpus with those frozen centroids — exactly what
+      * appendToIndex does without retraining — and the batch's first
+      * vectors query the appended index. */
+    def incrementalSql: String = searchSql(
+      " WHERE e.vec_id % 5 = 0 AND e.vec_id < 25", topk,
+      trainWhere = "vec_id % 5 <> 0")
     /** Corpus-vs-corpus variant: EVERY vector is a query (kNN graph,
       * self-match included — it is rank 1 by construction), smaller
       * top-k to bound the output. */
@@ -863,6 +884,46 @@ object ExtensionQueries {
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           model, k = IvfSql.topk, nprobe = IvfSql.nprobe)
       }, Some(IvfSql.sql)),
+
+    // incremental IVF index maintenance: the corpus index is a STORED
+    // artifact (inverted file + cell counts, materialized once per
+    // process like the minhash incremental index); the daily batch
+    // (vec_id % 5 == 0) is assigned to the EXISTING cells — only the
+    // batch pays assignment, the base is never rescanned or
+    // reassigned — and the batch's first vectors then search the
+    // appended index through the stored-index path. Exactly oracled:
+    // DuckDB trains on the base slice only, assigns the appended
+    // whole with those frozen centroids, and replays probe + rank
+    // (IvfSql.incrementalSql).
+    QueryDef("q_ann_incremental",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        def base = emb.filter(col("vec_id") % 5 =!= 0)
+        val model = ivfModels.getOrElseUpdate(
+          (d + "::base", IvfSql.k, IvfSql.iters),
+          Ivf.train(base, "vec_id", "embedding",
+            k = IvfSql.k, iters = IvfSql.iters))
+        val root = incAnnRoots.getOrElseUpdate(d, {
+          val r = java.nio.file.Files
+            .createTempDirectory("graft-ann-idx").toString
+          val inv = base.select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("v"))
+            .withColumn("cell", Ivf.assignCell(col("v"), model))
+          inv.write.mode("overwrite").parquet(s"$r/inv")
+          s.read.parquet(s"$r/inv").groupBy(col("cell")).count()
+            .write.mode("overwrite").parquet(s"$r/counts")
+          r
+        })
+        val appended = Ivf.appendToIndex(
+          s.read.parquet(s"$root/inv"),
+          emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+          model,
+          baseCellCounts = Some(s.read.parquet(s"$root/counts")))
+        Ivf.searchIndex(appended.index,
+          emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 25),
+          "vec_id", "embedding", model,
+          k = IvfSql.topk, nprobe = IvfSql.nprobe)
+      }, Some(IvfSql.incrementalSql)),
 
     // product-quantization ANN (the compressed-index 100 TB path:
     // codes are m bytes/vector vs 8·dim for raw doubles; the ADC scan

@@ -128,6 +128,65 @@ object Ivf {
     } finally vecs.unpersist(false)
   }
 
+  final case class IndexAppendStats(maxCellSize: Long, meanCellSize: Double,
+      needsRetrain: Boolean)
+
+  /** The appended inverted file, its refreshed per-cell counts (k rows
+    * — store them next to the index so the next append never rescans
+    * it), and the balance verdict. */
+  final case class IndexAppend(index: DataFrame, cellCounts: DataFrame,
+      stats: IndexAppendStats)
+
+  /** Incremental index maintenance: assign NEW vectors to the EXISTING
+    * cells of a stored inverted file — the daily-ingest shape, paying
+    * only the batch's assignment cost (a narrow map against the k×dim
+    * centroid literals; the stored corpus is never rescanned, never
+    * reassigned). Mirrors [[graft.dedup.Dedup.incrementalMinHashPairs]]'
+    * stored-artifact contract: ids already present in the index are a
+    * LOUD error (a re-ingested row would silently shadow its stored
+    * assignment), and the batch is assigned with the index's OWN model
+    * — pass the model that built `index`, not a retrained one.
+    *
+    * Retrain trigger: appends shift the data distribution but never
+    * the centroids, so recall decays as cells bloat. The returned
+    * stats flag `needsRetrain` when the fullest cell exceeds
+    * `imbalanceBound` × the mean cell size — the standard IVF health
+    * bound (a balanced index probes nprobe/k of the corpus; a cell at
+    * B× mean makes its probes B× more expensive and its neighbors
+    * under-trained). Counts come from `baseCellCounts` (k rows, stored
+    * with the index) plus the batch's own aggregation; only without
+    * the stored counts does the base index get one column-pruned
+    * cell-count scan. */
+  def appendToIndex(index: DataFrame, newVecs: DataFrame, idCol: String,
+      vecCol: String, model: IvfModel,
+      baseCellCounts: Option[DataFrame] = None,
+      imbalanceBound: Double = 4.0): IndexAppend = {
+    val newIdx = newVecs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", assignCell(col("v"), model))
+    // bounded collect: at most 1 row — the overlap probe
+    val overlap = newIdx.select(col("id"))
+      .join(index.select(col("id")), Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(overlap.isEmpty,
+      s"batch ids already present in the index (e.g. ${overlap.headOption
+        .map(_.get(0)).getOrElse("")}) — dedupe re-ingests before " +
+        "calling, or rebuild the index")
+    val base = baseCellCounts
+      .getOrElse(index.groupBy(col("cell")).count())
+      .select(col("cell"), col("count"))
+    val counts = base
+      .unionByName(newIdx.groupBy(col("cell")).count())
+      .groupBy(col("cell")).agg(sum(col("count")).as("count"))
+    // bounded collect: k cells → 1 aggregate row
+    val statsRow = counts
+      .agg(max(col("count")).as("mx"), avg(col("count")).as("mean"))
+      .collect().head
+    val stats = IndexAppendStats(statsRow.getLong(0), statsRow.getDouble(1),
+      statsRow.getLong(0) > imbalanceBound * statsRow.getDouble(1))
+    IndexAppend(index.unionByName(newIdx), counts, stats)
+  }
+
   /** ANN top-k: corpus rows live in one cell each; every query probes
     * its `nprobe` nearest cells. Output shape matches
     * Similarity.bruteForceTopK.
@@ -156,13 +215,29 @@ object Ivf {
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("cell", assignCell(col("v"), model))
       .localCheckpoint(true)
+    searchIndex(c, queries, queryIdCol, queryVecCol, model, k, nprobe,
+      broadcastThresholdBytes)
+  }
+
+  /** [[ivfTopK]] against a STORED inverted file `(id, v, cell)` — the
+    * deployment shape where assignment happened at ingest
+    * ([[appendToIndex]]) and search pays ZERO assignment cost for the
+    * corpus. */
+  def searchIndex(index: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      model: IvfModel, k: Int = 10, nprobe: Int = 2,
+      broadcastThresholdBytes: Long = -1L): DataFrame = {
+    require(Seq("id", "v", "cell").forall(index.columns.contains),
+      s"stored IVF index needs (id, v, cell) columns — got " +
+        index.columns.mkString(", "))
+    val c = index
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).cast("array<double>").as("qv"))
       .withColumn("cell",
         explode(probeCells(col("qv"), model, nprobe)))
     val threshold =
       if (broadcastThresholdBytes >= 0) BigInt(broadcastThresholdBytes)
-      else BigInt(corpus.sparkSession.sessionState.conf
+      else BigInt(index.sparkSession.sessionState.conf
         .autoBroadcastJoinThreshold)
     val qBytes = q.queryExecution.optimizedPlan.stats.sizeInBytes
     val joined =

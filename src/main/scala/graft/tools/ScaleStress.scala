@@ -161,7 +161,7 @@ object ScaleStress {
     "bpe_train", "bpe_segment", "bm25", "chunk_sliding",
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
     "retention_cohorts", "minhash_incremental", "edit_join", "resample",
-    "pagerank")
+    "pagerank", "ivf_append")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -169,6 +169,7 @@ object ScaleStress {
     "bpe_segment" -> "bpe_train",
     "connected_components" -> "minhash_pairs",
     "ivf_topk" -> "ivf_train",
+    "ivf_append" -> "ivf_train",
     "pq_index" -> "pq_train",
     "pq_search" -> "pq_train")
   private val opFilter: Option[Set[String]] = {
@@ -201,7 +202,7 @@ object ScaleStress {
     "minhash_incremental")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
-    "semantic_dedup")
+    "semantic_dedup", "ivf_append")
   private val evtOps = Set("interval_join", "stream_drain", "stream_quota",
     "scd2_historize", "funnel", "retention_cohorts", "resample")
   private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
@@ -326,6 +327,28 @@ object ScaleStress {
           Ivf.ivfTopK(embs, "vec_id", "embedding",
             embs.filter(col("vec_id") % lit(nVecs / 100 max 1) === 0),
             "vec_id", "embedding", model, k = 10, nprobe = 2)
+        }
+        // incremental maintenance: the stored inverted file (99% of
+        // the corpus) materializes OUTSIDE the timer — the claim under
+        // test is that a daily 1% batch pays only its own assignment
+        // plus the k-row count merge, then searches the appended index
+        // through the stored path (no corpus reassignment anywhere)
+        if (opEnabled("ivf_append")) {
+          val baseInv = embs.filter(col("vec_id") % 100 =!= 0)
+            .select(col("vec_id").as("id"),
+              col("embedding").cast("array<double>").as("v"))
+            .withColumn("cell", Ivf.assignCell(col("v"), model))
+            .localCheckpoint(true)
+          val baseCounts = baseInv.groupBy(col("cell")).count()
+            .localCheckpoint(true)
+          rows += measureOp("ivf_append", m, nVecs / 100 max 1) {
+            val app = Ivf.appendToIndex(baseInv,
+              embs.filter(col("vec_id") % 100 === 0), "vec_id",
+              "embedding", model, baseCellCounts = Some(baseCounts))
+            Ivf.searchIndex(app.index,
+              embs.filter(col("vec_id") % lit(nVecs / 100 max 1) === 0),
+              "vec_id", "embedding", model, k = 10, nprobe = 2)
+          }
         }
       }
       // product quantization at scale, the deployment split: TRAIN on
@@ -612,6 +635,17 @@ object ScaleStress {
             spark.range(n).select(col("id"),
               format_string("user-%08d", col("id")).as("name")),
             "id", "name", maxDist = 1)
+        }
+        // k=2: probe fan-out is (k+1)(2k+1)² = 75 segment lookups per
+        // string vs 27 at k=1 — measured so the matrix SHOWS where
+        // PassJoin's constant stops being cheap and a MinHash-style
+        // candidate filter wins (distance thresholds past ~2 on short
+        // strings admit most of the corpus anyway)
+        rows += measureOp("edit_join_k2", m, n) {
+          graft.operators.EditJoin.selfJoin(
+            spark.range(n).select(col("id"),
+              format_string("user-%08d", col("id")).as("name")),
+            "id", "name", maxDist = 2)
         }
       }
       // PageRank over a synthesized uniform random graph (100k×m

@@ -9,9 +9,10 @@ class GraphSpec extends AnyFunSuite {
   import spark.implicits._
 
   /** Reference PageRank with the operator's exact arithmetic: per-edge
-    * contributions quantized to scale-15 HALF_UP decimals (Spark's
-    * double→decimal cast rounding), summed exactly, damped in
-    * doubles. */
+    * contributions FLOOR-quantized to integer 1e-15 units (floor, not
+    * a decimal cast — the same engine-neutral rounding rule the
+    * operator and its DuckDB oracle share), summed exactly as longs,
+    * one division back to doubles, damped in doubles. */
   private def localPR(edges: Seq[(Long, Long)], iters: Int,
       d: Double): Map[Long, Double] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
@@ -20,9 +21,8 @@ class GraphSpec extends AnyFunSuite {
     var r = nodes.map(_ -> 1.0 / n).toMap
     for (_ <- 1 to iters) {
       val in = edges.groupBy(_._2).map { case (dst, es) =>
-        dst -> es.map(e => BigDecimal(r(e._1) / out(e._1))
-          .setScale(15, BigDecimal.RoundingMode.HALF_UP))
-          .sum.toDouble
+        dst -> es.map(e => math.floor(r(e._1) / out(e._1) * 1e15).toLong)
+          .sum.toDouble / 1e15
       }
       r = nodes.map(nd => nd -> ((1.0 - d) / n + d * in.getOrElse(nd, 0.0)))
         .toMap

@@ -105,6 +105,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(back == model)
   }
 
+  test("appendToIndex: batch-only assignment equals full reassignment; " +
+      "overlap and imbalance are surfaced") {
+    import graft.similarity.Ivf
+    val rnd = new scala.util.Random(29)
+    val centers = Seq.fill(8)(Seq.fill(32)(rnd.nextGaussian()))
+    def mk(ids: Range, centerOf: Int => Int) = ids.map { i =>
+      (i.toLong, centers(centerOf(i)).map(_ + rnd.nextGaussian() * 0.1))
+    }.toDF("vec_id", "embedding")
+    val base = mk(0 until 200, _ % 8)
+    val model = Ivf.train(base, "vec_id", "embedding", k = 8, iters = 2)
+    val stored = base.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("v"))
+      .withColumn("cell", Ivf.assignCell($"v", model))
+      .localCheckpoint(true)
+    // balanced batch: every cluster gains a few members
+    val batch = mk(200 until 240, _ % 8)
+    val app = Ivf.appendToIndex(stored, batch, "vec_id", "embedding", model)
+    assert(!app.stats.needsRetrain)
+    assert(app.cellCounts.agg(sum($"count")).collect().head.getLong(0) == 240)
+    // the appended index is EXACTLY what assigning the union from
+    // scratch would produce — append paid only the batch's cost
+    val full = base.unionByName(batch).select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("v"))
+      .withColumn("cell", Ivf.assignCell($"v", model))
+    assert(app.index.select("id", "cell").collect().map(r =>
+      (r.getLong(0), r.getInt(1))).toSet ==
+      full.select("id", "cell").collect().map(r =>
+        (r.getLong(0), r.getInt(1))).toSet)
+    // search over the stored index matches ivfTopK over the union
+    val queries = batch.filter($"vec_id" < 205)
+    val viaIndex = Ivf.searchIndex(app.index, queries, "vec_id",
+      "embedding", model, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val viaCorpus = Ivf.ivfTopK(base.unionByName(batch), "vec_id",
+      "embedding", queries, "vec_id", "embedding", model, k = 5,
+      nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaIndex == viaCorpus)
+    // re-ingested ids are a loud error, not silent shadow assignments
+    val err = intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(stored, mk(150 until 210, _ % 8), "vec_id",
+        "embedding", model)
+    }
+    assert(err.getMessage.contains("already present"))
+    // a batch dumped entirely into one cluster trips the retrain bound
+    val skewed = mk(300 until 1200, _ => 3)
+    val skewApp = Ivf.appendToIndex(stored, skewed, "vec_id", "embedding",
+      model)
+    assert(skewApp.stats.needsRetrain)
+    assert(skewApp.stats.maxCellSize >= 900)
+  }
+
   test("ANN plans broadcast the query side (no corpus shuffle join)") {
     val plan = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
       corpus.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
