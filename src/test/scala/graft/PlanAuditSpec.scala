@@ -625,6 +625,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), s"cosine must stay native:\n$p")
   }
 
+  test("image near-dup candidates come from the chunk equi-join — " +
+      "decode runs once per image, no all-pairs anywhere") {
+    val p = plan("q_image_near_dup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be the pigeonhole equi-join:\n$p")
+    // the O(pixels) decode+hash UDF must appear below the join, never
+    // re-evaluated per candidate pair: after the join only the 8-byte
+    // hashes meet (bit_count over a join residual)
+    assert("BatchEvalPython|ScalaUDF".r.findAllIn(
+      p.linesIterator.filter(_.contains("Join")).mkString).isEmpty, p)
+  }
+
+  test("incremental ANN search joins the STORED index on its cell " +
+      "column — no reassignment of the base corpus") {
+    val p = plan("q_ann_incremental")
+    // the stored inverted file joins queries on `cell`; assignment
+    // (nearest_centroid over the k x dim matrix) may appear for the
+    // BATCH and the query probes only — if the base were reassigned,
+    // the parquet index scan would feed a nearest_centroid projection
+    // before the join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), p)
+    val idxScanToJoin = p.linesIterator
+      .filter(_.contains("graft-ann-idx")).mkString
+    assert(!idxScanToJoin.contains("nearest_centroid"),
+      s"stored index must be consumed as-is:\n$p")
+  }
+
   test("resample scans the raw table once; fill and lead share one sort") {
     val p = plan("q_resample_gapfill")
     assert("Scan parquet".r.findAllIn(p).length == 1,
