@@ -363,10 +363,18 @@ object ModelRunner {
     * targeted backfills: when non-empty, only the named models AND
     * their transitive upstream closure run — unrelated models are
     * neither materialized nor touched (their existing tables/views
-    * stay as-is). Unknown names fail loudly. */
+    * stay as-is). Unknown names fail loudly.
+    *
+    * `fullRefresh` is dbt's `--full-refresh`: every selected
+    * incremental model DROPS its table and rebuilds from the full
+    * SELECT (`is_incremental()` renders false) — the recovery path
+    * after a backfill bug or an incompatible schema change that
+    * on_schema_change can't reconcile. Snapshot models are exempt
+    * (dbt semantics: version history must survive a refresh). */
   def run(spark: SparkSession, project: ModelProject,
       varOverrides: Map[String, String] = Map.empty,
-      select: Seq[String] = Seq.empty): Seq[ModelRun] = {
+      select: Seq[String] = Seq.empty,
+      fullRefresh: Boolean = false): Seq[ModelRun] = {
     val vars = project.vars ++ varOverrides
     val targetSchema = checkIdent("target_schema",
       vars.getOrElse("target_schema", "default"))
@@ -430,6 +438,9 @@ object ModelRunner {
           //    partitions present in the increment — idempotent reruns,
           //    the scale-canonical strategy (Lake.overwritePartitions'
           //    dynamic overwrite prunes untouched partitions).
+          // --full-refresh: drop and rebuild from the full SELECT
+          if (fullRefresh && spark.catalog.tableExists(relation))
+            spark.sql(s"DROP TABLE $relation")
           val exists = spark.catalog.tableExists(relation)
           val body = renderIncremental(sql, incremental = exists)
           if (!exists) {

@@ -806,9 +806,15 @@ object Multimodal {
     val dHashUdf = udf { bytes: Array[Byte] =>
       dHash64(Option(bytes).getOrElse(Array.empty[Byte]))
     }
+    // MATERIALIZED before the self-join (same discipline as ivfTopK's
+    // inverted file): both join branches reference this frame, and
+    // without the checkpoint each branch would re-run the O(pixels)
+    // decode+hash — the "decode runs exactly once per image" contract
+    // would silently become twice
     val hashes = media
       .select(col(idCol).as("__id"), dHashUdf(col(bytesCol)).as("__h"))
       .filter(col("__h").isNotNull)
+      .localCheckpoint(true)
     // chunk i covers bits [i*64/n, (i+1)*64/n) — extracted inside one
     // transform, so the fan-out is n rows of (id, hash, idx, value).
     // The 64-bit-wide single-chunk case (maxHamming = 0, exact hash

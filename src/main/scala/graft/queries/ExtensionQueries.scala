@@ -2187,7 +2187,18 @@ object ExtensionQueries {
     QueryDef("q_image_near_dup",
       (s, d) => {
         val gen = udf { id: Long => syntheticGrayPng(id) }
+        // repartition the ID column before rendering: the documents
+        // scan is 1-2 input splits at this SF, which would serialize
+        // every PNG encode+decode on one task. Shuffling longs is
+        // free; the O(pixels) work then spreads across all cores —
+        // the same shape a real lake gives for free (many files) or
+        // buys with one ids-only shuffle
+        // the count is PINNED (repartition-by-num): AQE's partition
+        // coalescing would fold a no-count repartition of 40 KB of
+        // ids back into one task and re-serialize the decode
         val media = Tables.documents(s, d)
+          .select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), gen(col("doc_id")).as("bytes"))
         Multimodal.imageNearDup(s, media, "doc_id", "bytes", maxHamming = 4)
       },

@@ -347,6 +347,32 @@ class ModelRunnerSpec extends AnyFunSuite {
       .collect().toSet == Set((1L, None), (2L, Some(2.5))))
   }
 
+  test("--full-refresh drops and rebuilds incremental models from the " +
+      "full SELECT; normal runs stay incremental") {
+    seedOsc()
+    val proj = () => ModelRunner.loadProject(
+      oscProject("SELECT id, a", ""))
+    ModelRunner.run(spark, proj())
+    // rows 'behind' the high-water mark arrive late: an incremental
+    // run cannot see them, a full refresh must
+    spark.sql("DROP TABLE mr_src.osc_rows")
+    Seq((0L, "late", 0.5), (1L, "x", 1.5), (2L, "y", 2.5))
+      .toDF("id", "a", "b").write.mode("overwrite")
+      .saveAsTable("mr_src.osc_rows")
+    ModelRunner.run(spark, proj())
+    // incremental: id 0 is invisible (0 > max(id)=1 fails), id 2 lands
+    assert(spark.table("mr_out.osc_model").as[(Long, String)].collect()
+      .toSet == Set((1L, "x"), (2L, "y")))
+    ModelRunner.run(spark, proj(), fullRefresh = true)
+    assert(spark.table("mr_out.osc_model").as[(Long, String)].collect()
+      .toSet == Set((0L, "late"), (1L, "x"), (2L, "y")))
+    // refreshed table keeps working incrementally afterwards
+    Seq((3L, "z", 3.5)).toDF("id", "a", "b").write.mode("append")
+      .saveAsTable("mr_src.osc_rows")
+    ModelRunner.run(spark, proj())
+    assert(spark.table("mr_out.osc_model").count() == 4)
+  }
+
   test("on_schema_change='fail' rejects any drift loudly") {
     seedOsc()
     val cfg = ", on_schema_change='fail'"
