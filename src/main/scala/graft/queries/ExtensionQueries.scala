@@ -2204,7 +2204,9 @@ object ExtensionQueries {
       },
       Some {
         def vExpr(x: Int, y: Int): String = {
-          val base = s"((${x * 23 + y * 7} + (doc_id // 4) * 37) % 251)"
+          val base = s"(($x * (23 + (doc_id // 4) % 13)" +
+            s" + $y * (7 + ((doc_id // 4) // 13) % 11)" +
+            s" + (doc_id // 4) * 37) % 251)"
           s"(CASE WHEN doc_id % 4 > 0 AND $x = 2 * (doc_id % 4)" +
             s" AND $y = doc_id % 4 THEN ($base + 128) % 251 ELSE $base END)"
         }
@@ -2224,16 +2226,24 @@ object ExtensionQueries {
     * dedup oracle corpus. One pixel per dHash grid cell means the box
     * average degenerates to the pixel itself, so each hash bit is an
     * integer comparison the DuckDB oracle replays without any image
-    * decoding. Pixel: v = (x*23 + y*7 + (id/4)*37) % 251; ids in the
-    * same group of 4 share the pattern, members m = 1..3 perturb the
-    * single pixel (2m, m) by +128 (flips at most the 2 comparison
-    * bits touching that pixel). */
-  private def syntheticGrayPng(id: Long): Array[Byte] = {
+    * decoding. Pixel: v = (x·cx + y·cy + p·37) % 251 with p = id/4
+    * and per-group coefficients cx = 23 + p%13, cy = 7 + (p/13)%11 —
+    * by CRT the pattern space is 13·11·251 ≈ 36k distinct groups, so
+    * hash-duplicate cliques stay O(n/36k) instead of repeating every
+    * 251 groups (a fixed-coefficient gradient made pair counts grow
+    * quadratically past ~1k images — the ScaleStress ×100 run found
+    * it). Ids in the same group of 4 share the pattern; members
+    * m = 1..3 perturb the single pixel (2m, m) by +128 (flips at most
+    * the 2 comparison bits touching that pixel). */
+  private[graft] def syntheticGrayPng(id: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(9, 8,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val m = (id % 4).toInt
+    val p = id / 4
+    val cx = 23 + (p % 13)
+    val cy = 7 + ((p / 13) % 11)
     for (y <- 0 until 8; x <- 0 until 9) {
-      val base = ((x * 23 + y * 7 + (id / 4) * 37) % 251).toInt
+      val base = ((x * cx + y * cy + p * 37) % 251).toInt
       val v = if (m > 0 && x == 2 * m && y == m) (base + 128) % 251 else base
       img.setRGB(x, y, (v << 16) | (v << 8) | v)
     }

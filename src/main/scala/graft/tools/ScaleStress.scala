@@ -161,7 +161,7 @@ object ScaleStress {
     "bpe_train", "bpe_segment", "bm25", "chunk_sliding",
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
     "retention_cohorts", "minhash_incremental", "edit_join", "resample",
-    "pagerank", "ivf_append")
+    "pagerank", "ivf_append", "image_near_dup")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -646,6 +646,45 @@ object ScaleStress {
             spark.range(n).select(col("id"),
               format_string("user-%08d", col("id")).as("name")),
             "id", "name", maxDist = 2)
+        }
+      }
+      // perceptual image dedup: n synthetic 9×8 PNGs — groups of 4
+      // near-identical images over SCRAMBLED (hash-mixed) pixels, so
+      // group hashes are uniform over the 64-bit space like a real
+      // photo corpus's dHashes (the oracle query's SQL-replayable
+      // LINEAR-gradient fixture is wrong here: linear patterns share
+      // comparison structure, near-pairs grow superlinearly, and the
+      // measurement becomes an output benchmark). REAL encode +
+      // ImageIO decode + dHash + pigeonhole join at production
+      // banding (maxHamming=3 → 4 chunks of 16 bits). Decode wall
+      // must track rows linearly (dominant cost, embarrassingly
+      // parallel); pairs out ≈ 6 per group — output-linear.
+      if (opEnabled("image_near_dup")) {
+        val n = 2000L * m
+        rows += measureOp("image_near_dup", m, n) {
+          val gen = udf { id: Long =>
+            val img = new java.awt.image.BufferedImage(9, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val mm = (id % 4).toInt
+            val p = id / 4
+            for (y <- 0 until 8; x <- 0 until 9) {
+              var h = p * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
+                y * 0x165667B19E3779F9L
+              h ^= h >>> 29; h *= 0xBF58476D1CE4E5B9L; h ^= h >>> 32
+              val base = ((h % 251 + 251) % 251).toInt
+              val v = if (mm > 0 && x == 2 * mm && y == mm)
+                (base + 128) % 251 else base
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          val media = spark.range(n)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(col("id"), gen(col("id")).as("bytes"))
+          graft.multimodal.Multimodal.imageNearDup(spark, media, "id",
+            "bytes", maxHamming = 3)
         }
       }
       // PageRank over a synthesized uniform random graph (100k×m
