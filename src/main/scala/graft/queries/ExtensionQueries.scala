@@ -2148,6 +2148,52 @@ object ExtensionQueries {
            |FROM customer""".stripMargin
       }.mkString("\nUNION ALL\n"))),
 
+    // Deequ-style constraint suggestion: profile once, emit the rules
+    // a DQ pipeline would bootstrap from (is_complete / completeness /
+    // unique_key on EXACT distincts / value_range / mean_in_range).
+    // Exactly oracled: every threshold derives from exact single-pass
+    // metrics with engine-neutral arithmetic (floor/ceil at 2
+    // decimals, decimal-cast sums), so DuckDB replays the same
+    // conditional emission per column.
+    QueryDef("q_dq_suggest",
+      (s, d) => {
+        import s.implicits._
+        graft.dq.Profiler.suggestRules(Tables.customer(s, d),
+          Seq("c_custkey", "c_nationkey", "c_acctbal"))
+          .map(sg => (sg.column, sg.rule, sg.lo, sg.hi))
+          .toDF("column", "rule", "lo", "hi")
+      },
+      Some(Seq("c_custkey", "c_nationkey", "c_acctbal").map { c =>
+        val mean = s"(sm_$c / CAST(nn_$c AS DOUBLE))"
+        val pad = s"greatest(abs($mean) * 0.1, 0.01)"
+        s"""SELECT '$c' AS "column", 'is_complete' AS rule,
+           |  CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi
+           |  FROM a WHERE nn_$c = n_$c
+           |UNION ALL SELECT '$c', 'completeness',
+           |  floor((CAST(nn_$c AS DOUBLE) / CAST(n_$c AS DOUBLE))
+           |    * 100) / 100 - 0.01, CAST(NULL AS DOUBLE)
+           |  FROM a WHERE nn_$c < n_$c AND nn_$c > 0
+           |UNION ALL SELECT '$c', 'unique_key',
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           |  FROM a WHERE nn_$c = n_$c AND nd_$c = nn_$c
+           |UNION ALL SELECT '$c', 'value_range', mn_$c, mx_$c
+           |  FROM a WHERE nn_$c > 0
+           |UNION ALL SELECT '$c', 'mean_in_range',
+           |  floor(($mean - $pad) * 100) / 100,
+           |  ceil(($mean + $pad) * 100) / 100
+           |  FROM a WHERE nn_$c > 0""".stripMargin
+      }.mkString(
+        s"""WITH a AS (SELECT
+           |${Seq("c_custkey", "c_nationkey", "c_acctbal").map(c =>
+             s"""  COUNT(*) AS n_$c, COUNT($c) AS nn_$c,
+                |  COUNT(DISTINCT $c) AS nd_$c,
+                |  CAST(MIN($c) AS DOUBLE) AS mn_$c,
+                |  CAST(MAX($c) AS DOUBLE) AS mx_$c,
+                |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+                |    AS sm_$c""".stripMargin).mkString(",\n")}
+           |FROM customer)
+           |""".stripMargin, "\nUNION ALL\n", ""))),
+
     // --------------------------------------------------------- multimodal
 
     // binary-column plumbing: text bytes stand in for media bytes; the

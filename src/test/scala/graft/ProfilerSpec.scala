@@ -34,4 +34,32 @@ class ProfilerSpec extends AnyFunSuite {
       Profiler.profileNumeric(df, Seq("k", "s")))
     assert(e.getMessage.contains("s"))
   }
+
+  test("suggestRules proposes the right shapes and every suggestion " +
+      "HOLDS on the profiled frame") {
+    // k: complete + unique; v: nulls + duplicates; w: all null
+    val df = Seq(
+      (1L, Some(10.0), Option.empty[Double]),
+      (2L, Some(10.0), None),
+      (3L, None, None),
+      (4L, Some(30.0), None)).toDF("k", "v", "w")
+    val sg = Profiler.suggestRules(df, Seq("k", "v", "w"))
+    val byCol = sg.groupBy(_.column).view.mapValues(_.map(_.rule).toSet)
+    assert(byCol("k") ==
+      Set("is_complete", "unique_key", "value_range", "mean_in_range"))
+    // v: not complete (completeness with headroom), dupes (no unique)
+    assert(byCol("v") ==
+      Set("completeness", "value_range", "mean_in_range"))
+    // all-null column: nothing defensible
+    assert(!byCol.contains("w"))
+    val comp = sg.find(s => s.column == "v" && s.rule == "completeness").get
+    assert(comp.lo.get == 0.74) // floor(3/4 * 100)/100 - 0.01
+    val rng = sg.find(s => s.column == "v" && s.rule == "value_range").get
+    assert((rng.lo.get, rng.hi.get) == ((10.0, 30.0)))
+    // the Deequ contract: suggested constraints pass on the profiling
+    // sample itself
+    val verdict = graft.dq.Dqdl.evaluate(df,
+      graft.dq.Ruleset("suggested", sg.map(_.dqRule)))
+    assert(verdict.passed, verdict.toString)
+  }
 }
