@@ -1724,7 +1724,7 @@ object ExtensionQueries {
         val qv = s.range(1).select(Retrieval.hashEmbed(
             TextAnalysis.tokens(lit("spark vector hash join table")),
             dim).as("v"))
-          .head.getSeq[Double](0)
+          .head().getSeq[Double](0)
         chunks.select(col("doc_id"), col("chunk_id"),
             graft.functions.VectorFunctions.cosine_sim(
               Retrieval.hashEmbed(

@@ -554,7 +554,7 @@ object ScaleStress {
         val spark2 = docs.sparkSession
         val qv = spark2.range(1).select(Retrieval.hashEmbed(
             TA.tokens(lit("spark vector hash join table")), 64).as("v"))
-          .head.getSeq[Double](0)
+          .head().getSeq[Double](0)
         Retrieval.chunkSliding(docs, "doc_id", "text", 40, 30)
           .select(col("doc_id"), col("chunk_id"),
             graft.functions.VectorFunctions.cosine_sim(
