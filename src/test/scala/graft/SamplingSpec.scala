@@ -131,4 +131,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == folds)
     intercept[IllegalArgumentException] { Sampling.kFold(df, "id", 1) }
   }
+
+  test("assignBalancedShards: totals within one max weight, " +
+      "deterministic under repartitioning") {
+    // skewed weights (power-law-ish), the case naive round-robin or
+    // hash-assignment handles badly
+    val df = (1L to 1000L).map(i => (i, 1000000L / i))
+      .toDF("id", "tokens")
+    val n = 8
+    val out = Sampling.assignBalancedShards(df, "id", "tokens", n)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 1000)
+    assert(rows.map(_._3).toSet == (0 until n).toSet)
+    val totals = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    val maxW = rows.map(_._2).max
+    assert(totals.values.max - totals.values.min <= maxW,
+      s"imbalance ${totals.values.max - totals.values.min} > max " +
+        s"weight $maxW: ${totals.toMap}")
+    // pure rank arithmetic: identical on any partitioning
+    val again = Sampling
+      .assignBalancedShards(df.repartition(13), "id", "tokens", n)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(again == rows.map(r => r._1 -> r._3).toMap)
+    intercept[IllegalArgumentException] {
+      Sampling.assignBalancedShards(df, "id", "tokens", 0)
+    }
+  }
 }
