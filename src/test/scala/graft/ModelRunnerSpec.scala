@@ -389,6 +389,13 @@ class ModelRunnerSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("on_schema_change='fail'"))
     assert(err.getMessage.contains("b"))
+    // a typo'd policy is a loud error naming the valid ones, never a
+    // silent fallback to ignore
+    val bad = intercept[IllegalArgumentException] {
+      ModelRunner.run(spark, ModelRunner.loadProject(
+        oscProject("SELECT id, a", ", on_schema_change='sync_all'")))
+    }
+    assert(bad.getMessage.contains("sync_all_columns"))
   }
 
   test("config(...) blocks are parsed strictly: unknown kwargs and " +

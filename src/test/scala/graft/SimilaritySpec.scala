@@ -155,6 +155,12 @@ class SimilaritySpec extends AnyFunSuite {
       model)
     assert(skewApp.stats.needsRetrain)
     assert(skewApp.stats.maxCellSize >= 900)
+    // a frame that is not an inverted file is rejected loudly, not
+    // consumed as one
+    val err2 = intercept[IllegalArgumentException] {
+      Ivf.searchIndex(batch, batch, "vec_id", "embedding", model)
+    }
+    assert(err2.getMessage.contains("(id, v, cell)"))
   }
 
   test("ANN plans broadcast the query side (no corpus shuffle join)") {
