@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, BreadthQueries, ExtensionQueries, ModelingQueries, ParityQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, BreadthQueries, CurationQueries, ExtensionQueries, ModelingQueries, ParityQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def slate: Seq[graft.queries.QueryDef] =
     ParityQueries.all ++ ExtensionQueries.all ++ AnalyticsQueries.all ++
-      BreadthQueries.all ++ TpchQueries.all ++ ModelingQueries.all
+      BreadthQueries.all ++ TpchQueries.all ++ ModelingQueries.all ++
+      CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SetJoin
+import graft.text.TextAnalysis
+
+class SetJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Fixture stressing the filter paths: exact dupes, high/low
+    * overlap, stopword-heavy docs (the prefix ordering must not pair
+    * them on 'the'), containment (small doc inside big doc), length
+    * mismatches the length filter must prune, case/whitespace noise,
+    * and repeated tokens (set semantics). */
+  private val docs: Seq[(Long, String)] = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "The quick  brown fox jumps over the lazy dog",  // dup of 1
+    3L -> "the quick brown fox jumps over the lazy cat",   // 1 token off
+    4L -> "the the the the the quick",                      // stopwordy
+    5L -> "quick brown",                                    // inside 1
+    6L -> "entirely different vocabulary about spark engines",
+    7L -> "spark engines about vocabulary different entirely", // perm of 6
+    8L -> "a b c d e f g h i j k l m n o p",
+    9L -> "a b c d e f g h i j k l m n o q",               // 1 off vs 8
+    10L -> "zzz",                                           // singleton
+    11L -> "   ",                                           // empty after trim
+    12L -> "the of and to in is it for on as"               // all-stopword
+  )
+
+  private def bruteJaccard(t: Double): Set[(Long, Long, Double)] = {
+    val sets = docs.toDF("id", "text")
+      .select(col("id"),
+        array_sort(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("toks"))
+      .filter(size(col("toks")) > 0)
+    sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        (size(array_intersect(col("a.toks"), col("b.toks")))
+          .cast("double") /
+          size(array_union(col("a.toks"), col("b.toks")))
+            .cast("double")).as("j"))
+      .filter(col("j") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+  }
+
+  private def bruteContainment(t: Double): Set[(Long, Long, Double)] = {
+    val sets = docs.toDF("id", "text")
+      .select(col("id"),
+        array_sort(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("toks"))
+      .filter(size(col("toks")) > 0)
+    sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        (size(array_intersect(col("a.toks"), col("b.toks")))
+          .cast("double") / size(col("a.toks")).cast("double")).as("c"))
+      .filter(col("c") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+  }
+
+  private def opJaccard(t: Double): Set[(Long, Long, Double)] =
+    SetJoin.jaccardJoin(docs.toDF("id", "text"), "id", "text", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  test("jaccardJoin equals brute force at t=0.5") {
+    val expected = bruteJaccard(0.5)
+    assert(expected.nonEmpty)            // dup + near-dup pairs exist
+    assert(expected.exists(_._3 < 1.0))  // non-trivial similarity too
+    assert(opJaccard(0.5) == expected)
+  }
+
+  test("jaccardJoin equals brute force at t=0.8 and t=0.3") {
+    assert(opJaccard(0.8) == bruteJaccard(0.8))
+    assert(opJaccard(0.3) == bruteJaccard(0.3))
+  }
+
+  test("permuted and repeated tokens are set-equal (jaccard 1.0)") {
+    val pairs = opJaccard(1.0)
+    assert(pairs.contains((1L, 2L, 1.0)))  // case/whitespace dup
+    assert(pairs.contains((6L, 7L, 1.0)))  // permutation dup
+  }
+
+  test("containmentJoin equals brute force at t=1.0 and t=0.6") {
+    val exact = bruteContainment(1.0)
+    assert(exact.contains((5L, 1L, 1.0)))  // "quick brown" inside doc 1
+    assert(exact.contains((5L, 2L, 1.0)))
+    val got = SetJoin
+      .containmentJoin(docs.toDF("id", "text"), "id", "text", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == exact)
+    val got06 = SetJoin
+      .containmentJoin(docs.toDF("id", "text"), "id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got06 == bruteContainment(0.6))
+  }
+
+  test("containment is asymmetric: the big doc is not inside the small") {
+    val got = SetJoin
+      .containmentJoin(docs.toDF("id", "text"), "id", "text", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((5L, 1L)))
+    assert(!got.contains((1L, 5L)))
+  }
+
+  test("thresholds outside (0, 1] are rejected loudly") {
+    val df = docs.toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      SetJoin.jaccardJoin(df, "id", "text", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      SetJoin.containmentJoin(df, "id", "text", 1.5)
+    }
+  }
+
+  test("jaccardJoin equals brute force on the documents fixture") {
+    val sf = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val sets = docsDf.select(col("id"),
+        array_sort(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("toks"))
+      .filter(size(col("toks")) > 0)
+    val expected = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        (size(array_intersect(col("a.toks"), col("b.toks")))
+          .cast("double") /
+          size(array_union(col("a.toks"), col("b.toks")))
+            .cast("double")).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val got = SetJoin.jaccardJoin(docsDf, "id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
+}
