@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: naive bounded time-range joins → band equi-joins
     // (the automatic form of Temporal.boundedGapSelfJoin's rewrite)
     e.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    // optimizer rule: aggregates over a registered base table answered
+    // from its materialized rollup (SummaryCatalog.register)
+    e.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity"),
       (exprs: Seq[Expression]) => {

@@ -139,6 +139,68 @@ object Sampling {
       .withColumnRenamed("__running", "running_tokens")
   }
 
+  /** Hashed-n-gram importance resampling (the DSIR shape, Xie et al.
+    * 2023, public literature): re-weight a raw corpus toward a target
+    * domain using hashed bigram features, then keep the top-k
+    * highest-importance documents. Per bucket `b` of `buckets` hashed
+    * word-bigram slots, the importance weight is the smoothed
+    * target/raw frequency ratio; a document's score is the sum of its
+    * bigram weights (with multiplicity), so documents whose n-gram
+    * profile looks like the target domain rise to the top.
+    *
+    * Deviating from the paper's float log-ratios on purpose: weights
+    * are integer-quantized —
+    * `w(b) = ((tgt_b+1) · 10^6 · tot_raw) div ((raw_b+1) · tot_tgt)`
+    * — pure BIGINT arithmetic, so scores are EXACTLY reproducible on
+    * any engine/cluster/partitioning (log-based weights differ by
+    * ULPs across libm implementations; ranking near ties would then
+    * be engine-dependent). The quantization only rescales the ratio
+    * (monotone), so the ranking it induces is the paper's. Overflow
+    * bound: `(tgt_b+1)·10^6·tot_raw < 2^63` holds while
+    * `tgt_b·tot_raw < 9·10^12` — estimate distributions from a
+    * sampled target/raw slice beyond that, as the paper itself does.
+    *
+    * Scale shape: one narrow map explodes bigrams; ONE aggregation
+    * builds the `buckets`-row weight table (counts raw and target in
+    * the same pass — the target is a flag, not a second scan); totals
+    * ride a 1-row broadcast cross join (never a collect); scoring is
+    * a broadcast join of the weight table back onto the bigram stream
+    * + one sum per document; top-k is TakeOrderedAndProject
+    * (per-partition top-k, then a k-row merge — no global sort
+    * materializes). Ties break by id, so the cut is deterministic. */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256, k: Int = 100): DataFrame = {
+    require(buckets > 0 && k > 0,
+      s"dsirResample needs buckets > 0 and k > 0, got $buckets, $k")
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    val base = df
+      .select(col(idCol).as("id"), isTarget.as("is_tgt"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = zip_with(
+      slice(col("w"), lit(1), size(col("w")) - 1),
+      slice(col("w"), lit(2), size(col("w")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    // consumed twice (weight estimation + scoring) — one materialization
+    val feat = graft.dedup.Dedup.persistEager(
+      base.select(col("id"), col("is_tgt"),
+        explode(bigrams).as("bg"))
+        .select(col("id"), col("is_tgt"),
+          pmod(contentHash(col("bg")), lit(buckets.toLong)).as("b")))
+    val counts = feat.groupBy("b").agg(
+      count(lit(1)).as("raw_cnt"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_cnt"))
+    val tots = counts.agg(sum("raw_cnt").as("tot_r"),
+      sum("tgt_cnt").as("tot_t"))
+    val weights = counts.crossJoin(broadcast(tots))
+      .select(col("b"),
+        expr("((tgt_cnt + 1L) * 1000000L * tot_r)" +
+          " div ((raw_cnt + 1L) * tot_t)").as("w"))
+    feat.join(broadcast(weights), "b")
+      .groupBy("id").agg(sum("w").as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Assign every row to one of `nShards` weight-balanced shards — the
     * final step before writing training data as N files whose token
     * counts must be near-equal (a skewed shard becomes the straggler

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.SetJoin
+import graft.operators.{Sampling, SetJoin}
 import graft.util.Tables
 
 /** Round-9 curation operators: exact set-similarity joins (the
@@ -54,6 +54,39 @@ object CurationQueries {
              |  / CAST(len(a.toks) AS DOUBLE) AS containment
              |FROM s a JOIN s b ON a.doc_id <> b.doc_id
              |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             |  / CAST(len(a.toks) AS DOUBLE) >= 1.0""".stripMargin))
+             |  / CAST(len(a.toks) AS DOUBLE) >= 1.0""".stripMargin)),
+
+    // hashed-bigram importance resampling (DSIR shape) toward the
+    // English sub-corpus: integer-quantized weights, so DuckDB replays
+    // the exact scores and the exact top-100 cut (ties by doc_id).
+    QueryDef("q_dsir_resample",
+      (s, d) => Sampling.dsirResample(Tables.documents(s, d), "doc_id",
+        "text", isTarget = col("lang") === "en", buckets = 256, k = 100)
+        .select(col("id").as("doc_id"), col("score")),
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |  string_split_regex(lower(trim(text)), '\s+') w
+             |  FROM documents WHERE len(trim(text)) > 0),
+             |f AS (SELECT doc_id, lang,
+             |  unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) bg
+             |  FROM t WHERE len(w) >= 2),
+             |h AS (SELECT doc_id, lang,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(bg, ''),
+             |      ch -> CAST(ascii(ch) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) % 256 AS b
+             |  FROM f),
+             |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) raw_cnt,
+             |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |    AS BIGINT) tgt_cnt
+             |  FROM h GROUP BY b),
+             |tot AS (SELECT CAST(SUM(raw_cnt) AS BIGINT) tot_r,
+             |  CAST(SUM(tgt_cnt) AS BIGINT) tot_t FROM c),
+             |wt AS (SELECT b,
+             |  ((tgt_cnt + 1) * 1000000 * tot_r)
+             |    // ((raw_cnt + 1) * tot_t) AS w
+             |  FROM c, tot)
+             |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
+             |FROM h JOIN wt USING (b) GROUP BY doc_id
+             |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin))
   )
 }

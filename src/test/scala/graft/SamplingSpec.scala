@@ -158,4 +158,37 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.assignBalancedShards(df, "id", "tokens", 0)
     }
   }
+
+  test("dsirResample: target-domain docs rise, deterministic under " +
+      "repartitioning, short docs excluded") {
+    // two disjoint vocabularies: "target-ish" docs repeat target
+    // bigrams, "raw-ish" docs repeat filler bigrams; a handful mix.
+    val tgtText = "solar panels convert sunlight into power"
+    val rawText = "random filler noise padding words here"
+    val docs = (
+      (1L to 20L).map(i => (i, s"$tgtText batch $i", true)) ++
+      (21L to 80L).map(i => (i, s"$rawText batch $i", false)) ++
+      (81L to 90L).map(i => (i, s"$tgtText $rawText $i", false)) ++
+      Seq((91L, "one", false), (92L, "   ", false)) // <2 tokens: no bigrams
+    ).toDF("id", "text", "is_tgt")
+    val top = Sampling.dsirResample(docs, "id", "text",
+      isTarget = col("is_tgt"), buckets = 64, k = 30)
+    val ids = top.collect().map(_.getLong(0))
+    assert(ids.length == 30)
+    // the 20 pure-target docs and the 10 mixed docs outrank pure-raw
+    assert(ids.toSet == ((1L to 20L) ++ (81L to 90L)).toSet)
+    assert(!ids.contains(91L) && !ids.contains(92L))
+    // integer scores: exact same result on any partitioning
+    val again = Sampling.dsirResample(docs.repartition(7), "id", "text",
+      isTarget = col("is_tgt"), buckets = 64, k = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = top.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == first)
+    intercept[IllegalArgumentException] {
+      Sampling.dsirResample(docs, "id", "text", col("is_tgt"), buckets = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.dsirResample(docs, "id", "text", col("is_tgt"), k = 0)
+    }
+  }
 }
