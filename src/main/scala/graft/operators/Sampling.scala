@@ -213,23 +213,51 @@ object Sampling {
     * weight in the corpus — the greedy-LPT guarantee shape without
     * LPT's sequential state.
     *
-    * Scale shape: ONE global sort (the rank window over weight) and a
-    * narrow map — no driver state, no iteration. The global
-    * row_number window is a single-partition bottleneck at extreme
-    * cardinality; for 10^10 rows, rank within `lang`-like groups
-    * first or use zorder-style range partitioning on weight — at that
-    * point per-group serpentine is equally balanced. Deterministic on
-    * any cluster, any partitioning, any engine (pure rank
-    * arithmetic). */
+    * Scale shape — exact DISTRIBUTED ranking, no global window: the
+    * rows are range-partitioned on (weight desc, id asc), so every
+    * partition holds a contiguous rank interval; the global rank of a
+    * row is then its per-partition row_number plus the total count of
+    * the partitions before it. Those counts are one
+    * numPartitions-row collect (bounded by the shuffle-partition
+    * setting, never by the corpus) broadcast back as offsets. Two
+    * narrow shuffles (range exchange + the per-partition window's
+    * hash exchange on the stamped partition id), each ~corpus-sized,
+    * and NO single-partition stage — at 10^10 rows the sort is 32k
+    * tasks of ~300k rows, not one task sorting the world. The stamped
+    * frame is materialized once (the offsets job and the output job
+    * must see identical partition ids). Rank arithmetic is exact, so
+    * the output is bit-identical to the single-window form on any
+    * cluster, any partitioning, any engine. */
   def assignBalancedShards(df: DataFrame, idCol: String,
       weightCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(weightCol).desc, col(idCol).asc)
-    val r = row_number().over(w) - 1
-    val phase = r % (2 * nShards)
-    df.withColumn("shard",
-      when(phase < nShards, phase)
-        .otherwise(lit(2 * nShards - 1) - phase).cast("int"))
+    val spark = df.sparkSession
+    require(!df.columns.contains("__pid"),
+      "assignBalancedShards reserves the column name __pid")
+    // range partitioning puts rank-contiguous runs in each partition;
+    // materialize ONCE so the offsets job and the output job agree on
+    // partition ids (AQE may otherwise re-plan between jobs)
+    val stamped = graft.dedup.Dedup.persistEager(
+      df.repartitionByRange(col(weightCol).desc, col(idCol).asc)
+        .withColumn("__pid", spark_partition_id()))
+    // cumulative row counts of the partitions BEFORE each pid — a
+    // numPartitions-row collect, independent of corpus size
+    val counts = stamped.groupBy(col("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2))
+    val offDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__off")
+    val local = row_number().over(
+      Window.partitionBy(col("__pid"))
+        .orderBy(col(weightCol).desc, col(idCol).asc)).cast("long") - 1
+    val r = local + col("__off")
+    val phase = r % (2L * nShards)
+    stamped.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("shard",
+        when(phase < nShards, phase)
+          .otherwise(lit(2L * nShards - 1) - phase).cast("int"))
+      .select(df.columns.map(col).toIndexedSeq :+ col("shard"): _*)
   }
 }

@@ -38,6 +38,26 @@ import org.apache.spark.sql.functions._
   * tokens (a huge y can absorb a tiny x, so y gets no prefix and no
   * length upper bound).
   *
+  * THRESHOLD BOUNDARY — when to use MinHash instead: prefix length is
+  * `(1-t)·|x| + 1`, so candidate volume is governed by the threshold
+  * twice over. As t drops, (a) prefixes LENGTHEN — at t=0.9 a
+  * 100-token doc posts 11 tokens, at t=0.5 it posts 51 — and (b)
+  * commoner tokens ENTER prefixes (the rarest-first canon only
+  * protects the first few slots), so bucket sizes climb toward raw
+  * document frequencies and candidate pairs toward
+  * share-any-token all-pairs. In practice the exact join is the right
+  * tool at t ≳ 0.8 on word tokens; below that, MinHash LSH (bands
+  * tuned to the threshold) + exact verification of its candidates is
+  * strictly cheaper — it probes O(bands) fixed-size keys per doc
+  * regardless of t. Orthogonally, a BOILERPLATE FAMILY of F
+  * near-identical docs costs O(F²) candidate pairs at ANY threshold:
+  * their prefixes meet on the family's shared rarest word, and
+  * exactness REQUIRES those pairs (each could be a true match — no
+  * skew cap is sound for an exact operator, unlike MinHash's). Run
+  * [[prefixBucketStats]] as the pre-flight: if the top bucket is
+  * family-sized, dedup first (exact/chunk dedup dissolves the family
+  * for a linear price) or accept MinHash's probabilistic recall.
+  *
   * Reference analog: the reference deduplicates ingested song/user
   * batches by exact key only (api_sessions-dedup in
   * transform-json-job.py); this is the content-level form its corpus
@@ -73,9 +93,13 @@ object SetJoin {
         .as("ordered"))
       .select(col("id"), col("len"),
         transform(col("ordered"), s => s.getField("tok")).as("toks"))
-    ranked.select(col("id"), col("len"), col("toks"),
-      slice(col("toks"), lit(1), greatest(prefLen(col("len")), lit(1)))
-        .as("pref"))
+    // consumed three times (probe side a, probe side b, verification
+    // sets): one materialization, or the tokenize → doc-frequency
+    // shuffle → re-aggregate chain recomputes per consumer
+    graft.dedup.Dedup.persistEager(
+      ranked.select(col("id"), col("len"), col("toks"),
+        slice(col("toks"), lit(1), greatest(prefLen(col("len")), lit(1)))
+          .as("pref")))
   }
 
   /** All unordered pairs `(idA < idB, jaccard)` with word-token
@@ -129,6 +153,26 @@ object SetJoin {
           .cast("double") / size(col("sa.toks")).cast("double"))
           .as("containment"))
       .filter(col("containment") >= t)
+  }
+
+  /** Pre-flight skew diagnostic: the size of every prefix-token
+    * bucket the Jaccard join at `threshold` would probe, largest
+    * first. Candidate pairs cost Σ bucket·(bucket-1)/2 before the
+    * length filter — a family-sized top bucket (boilerplate clones)
+    * means the exact join will pay that family's quadratic candidates
+    * and the corpus should be deduped first (see the class doc's
+    * threshold-boundary note). One aggregation over the same prefixed
+    * frame the join itself builds. */
+  def prefixBucketStats(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixBucketStats threshold must be in (0, 1], got $threshold")
+    val t = lit(threshold)
+    prefixed(df, idCol, textCol,
+        len => (len - ceil(t * len) + 1).cast("int"))
+      .select(explode(col("pref")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("bucket_size"))
+      .orderBy(col("bucket_size").desc, col("tok").asc)
   }
 
   private def verifyJaccard(cand: DataFrame, pref: DataFrame,

@@ -25,8 +25,10 @@ import org.apache.spark.sql.types.LongType
   * keep referencing the base table; plans come out reading the
   * summary. SUM/MIN/MAX/COUNT re-aggregate losslessly from partials
   * (they're decomposable: sum of group sums = total sum, etc.), so
-  * results are BIT-IDENTICAL to scanning the base — the oracle query
-  * proves exactly that. AVG and DISTINCT aggregates are NOT
+  * results are BIT-IDENTICAL to scanning the base — `q_summary_rewrite`
+  * proves exactly that against DuckDB aggregating the base, and
+  * [[graft.SummaryRewriteSpec]] pins the rewrite firing, the
+  * bit-equality, and every refusal case. AVG and DISTINCT aggregates are NOT
   * decomposable from these partials and never rewrite (AVG because
   * its result type/rounding would differ from sum÷count replay;
   * COUNT(DISTINCT) because partial distinct counts don't add).
@@ -52,8 +54,13 @@ import org.apache.spark.sql.types.LongType
   * decimal partials widens precision; the cast restores the contract).
   *
   * Registration is per-path ([[SummaryCatalog.register]]): the rule
-  * identifies the base scan by its file-source root paths, the stable
-  * identity that survives plan copies. Registered through
+  * identifies the base scan by its file-source root paths (EXACT set
+  * equality — a subset scan reads less than the rollup aggregated and
+  * must never rewrite), the stable identity that survives plan
+  * copies. A file-level fingerprint taken at registration guards
+  * staleness: once the base is appended to or overwritten, the rule
+  * falls back to the live scan until the rollup is rebuilt and
+  * re-registered. Registered through
   * [[graft.functions.GraftExtensions]] next to [[BandJoinRewrite]].
   */
 object SummaryRewrite extends Rule[LogicalPlan] {
@@ -83,12 +90,24 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
     val rel = node match {
       case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        Some((lr, fs.location.rootPaths.map(_.toString).toSet))
+        Some((lr, fs, fs.location.rootPaths.map(_.toString).toSet))
       case _ => None
     }
-    rel.flatMap { case (baseRel, paths) =>
+    rel.flatMap { case (baseRel, fs, paths) =>
       SummaryCatalog.lookup(paths).flatMap { ru =>
-        rewriteWith(agg, baseRel, filters, ru)
+        // staleness guard: the rollup answers for the EXACT file set
+        // it was built from. A base that was appended/overwritten
+        // since register() must fall back to the live scan — silently
+        // serving pre-append aggregates is a wrong answer, not a
+        // cache hit. (A scan still holding the registration-time file
+        // index reads exactly the registered files, so it rewrites —
+        // both plans see the same data either way.)
+        if (SummaryCatalog.fingerprint(fs) != ru.baseFingerprint) {
+          logWarning(s"rollup for ${ru.basePaths.mkString(",")} is " +
+            "STALE (base files changed since register) — skipping " +
+            "rewrite; rebuild and re-register the summary")
+          None
+        } else rewriteWith(agg, baseRel, filters, ru)
       }
     }
   }
@@ -123,7 +142,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         s(s"__min_${a.name}").map(Min(_).toAggregateExpression())
       case Max(a: AttributeReference) if ru.measures.contains(a.name) =>
         s(s"__max_${a.name}").map(Max(_).toAggregateExpression())
-      case Count(Seq(Literal(_, _))) =>
+      // COUNT(1)/COUNT('x') are row counts; COUNT(NULL) is NOT (it
+      // must return 0), so null literals never match
+      case Count(Seq(l: Literal)) if l.value != null =>
         s("__cnt").map(c =>
           Coalesce(Seq(Sum(c).toAggregateExpression(), Literal(0L))))
       case Count(Seq(a: AttributeReference))
@@ -139,16 +160,33 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case Some(sa) => Alias(sa, a.name)(exprId = a.exprId)
           case None     => return None
         }
-      case Alias(AggregateExpression(fn, Complete, false, None, _),
-          name) =>
-        val orig = agg.aggregateExpressions.find(_.name == name).get
-        remapAgg(fn) match {
-          case Some(e) =>
-            val cast =
-              if (e.dataType == orig.dataType) e
-              else Cast(e, orig.dataType)
-            Alias(cast, name)(exprId = orig.exprId)
-          case None => return None
+      // bind the matched alias ITSELF (its exprId/dataType), never
+      // re-find by name: duplicate output aliases are legal SQL
+      // (SELECT sum(a) s, max(b) s) and a name lookup would hand the
+      // second aggregate the first one's exprId and type. The alias
+      // may wrap the aggregate in one Cast — CollapseProject folds a
+      // downstream `.cast(...)` projection into the Aggregate before
+      // this rule runs — which is re-applied on top of the remap.
+      case al @ Alias(child, name) =>
+        val (aggExpr, rebuild) = child match {
+          case ae: AggregateExpression =>
+            (ae, identity[Expression] _)
+          case c: Cast if c.child.isInstanceOf[AggregateExpression] =>
+            (c.child.asInstanceOf[AggregateExpression],
+              (e: Expression) => c.withNewChildren(Seq(e)))
+          case _ => return None
+        }
+        aggExpr match {
+          case AggregateExpression(fn, Complete, false, None, _) =>
+            remapAgg(fn) match {
+              case Some(e) =>
+                val inner =
+                  if (e.dataType == aggExpr.dataType) e
+                  else Cast(e, aggExpr.dataType)
+                Alias(rebuild(inner), name)(exprId = al.exprId)
+              case None => return None
+            }
+          case _ => return None
         }
       case _ => return None
     }
@@ -171,26 +209,42 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 object SummaryCatalog {
 
   /** A registered rollup: the base table's root paths, its key and
-    * measure column names, and the ANALYZED logical plan of the
-    * summary scan (a fresh instance is stamped per rewrite). */
+    * measure column names, the ANALYZED logical plan of the summary
+    * scan (a fresh instance is stamped per rewrite), and the base's
+    * file fingerprint at registration time (the staleness guard). */
   final case class Rollup(basePaths: Set[String], keys: Seq[String],
-      measures: Seq[String], summaryPlan: LogicalPlan)
+      measures: Seq[String], summaryPlan: LogicalPlan,
+      baseFingerprint: Int)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[Set[String], Rollup]()
 
   def isEmpty: Boolean = entries.isEmpty
 
+  /** EXACT path-set match only: a scan over a strict subset of a
+    * registered multi-path base (read(A) when read(A, B) was
+    * registered) reads fewer rows than the rollup aggregated —
+    * rewriting it would silently return rows from paths the query
+    * never scanned. */
   private[plans] def lookup(paths: Set[String]): Option[Rollup] =
-    entries.asScala.collectFirst {
-      case (base, ru) if paths.subsetOf(base) => ru
-    }
+    Option(entries.get(paths))
 
-  private def rootPaths(df: DataFrame): Set[String] =
+  /** Order-independent hash of the scan's resolved file entries
+    * (path, length, mtime). Cheap: the file listing is already
+    * materialized in the scan's FileIndex; hashing it is linear in
+    * file count, paid only for path-matched registered bases. */
+  private[plans] def fingerprint(fs: HadoopFsRelation): Int = {
+    val files = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+      .map(f =>
+        s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+      .sorted
+    scala.util.hashing.MurmurHash3.orderedHash(files)
+  }
+
+  private def fileRelations(df: DataFrame): Seq[HadoopFsRelation] =
     df.queryExecution.analyzed.collect {
-      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        fs.location.rootPaths.map(_.toString)
-    }.flatten.toSet
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => fs
+    }
 
   /** Build the rollup convention from a base scan: one row per
     * distinct key combination carrying `__cnt` (row count) and
@@ -214,10 +268,21 @@ object SummaryCatalog {
     * in every session carrying [[graft.functions.GraftExtensions]]. */
   def register(base: DataFrame, summary: DataFrame, keys: Seq[String],
       measures: Seq[String]): Unit = {
-    val basePaths = rootPaths(base)
+    val baseRels = fileRelations(base)
+    // exactly ONE relation: the rule matches a single scan node, so a
+    // union-of-reads base could never be answered anyway — reject it
+    // loudly instead of registering a rollup that never fires (a
+    // multi-path read(A, B) is still one relation and is fine)
+    require(baseRels.length == 1,
+      s"base must be a single file-source scan (parquet/csv/json " +
+        s"read), found ${baseRels.length} file relations")
+    val baseRel = baseRels.head
+    val basePaths = baseRel.location.rootPaths.map(_.toString).toSet
     require(basePaths.nonEmpty,
       "base must be a file-source scan (parquet/csv/json read)")
-    val sumPaths = rootPaths(summary)
+    val sumPaths =
+      fileRelations(summary)
+        .flatMap(_.location.rootPaths.map(_.toString)).toSet
     require(sumPaths.nonEmpty,
       "summary must be a MATERIALIZED file-source scan; register the " +
         "read of the written rollup, not the aggregation plan")
@@ -231,7 +296,8 @@ object SummaryCatalog {
     require(missing.isEmpty,
       s"summary is missing rollup columns: ${missing.mkString(", ")} " +
         "(build it with SummaryCatalog.buildSummary)")
-    entries.put(basePaths, Rollup(basePaths, keys, measures, plan))
+    entries.put(basePaths,
+      Rollup(basePaths, keys, measures, plan, fingerprint(baseRel)))
   }
 
   def clear(): Unit = entries.clear()

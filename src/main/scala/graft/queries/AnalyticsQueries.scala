@@ -21,6 +21,11 @@ object AnalyticsQueries {
   private def money(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** q_summary_rewrite's once-per-(process, data dir) rollup build:
+    * the registered base path. */
+  private val summaryBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val all: Seq[QueryDef] = Seq(
 
     // top-3 orders per customer by price (ranking window)
@@ -293,6 +298,59 @@ object AnalyticsQueries {
              |CAST(COUNT(*) AS BIGINT) AS n
              |FROM orders
              |GROUP BY ROLLUP(1, 2)""".stripMargin)),
+
+    // materialized-rollup rewrite end-to-end (plans/SummaryRewrite):
+    // a decimal copy of lineitem becomes the registered base, its
+    // pre-aggregated rollup is materialized ONCE, and the query below
+    // aggregates the BASE — in any extensions-carrying session
+    // (Verify, Bench, production) the optimizer answers it from the
+    // rollup scan, and the result must still hash-match DuckDB
+    // aggregating the raw rows. That bit-identity is the rule's whole
+    // contract (SUM/MIN/MAX/COUNT re-aggregate losslessly from
+    // partials); SummaryRewriteSpec pins that the rewrite actually
+    // fires plus every refusal case.
+    QueryDef("q_summary_rewrite",
+      (s, d) => {
+        val basePath = summaryBuilt.getOrElseUpdate(d, {
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-rollup-q").toString
+          val bp = s"$root/base"
+          val sp = s"$root/summary"
+          Tables.lineitem(s, d).select(
+              col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+              col("l_extendedprice").cast(DecimalType(18, 2))
+                .as("price"))
+            .write.mode("overwrite").parquet(bp)
+          val base = s.read.parquet(bp)
+          graft.plans.SummaryCatalog.buildSummary(base,
+              Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"))
+            .write.mode("overwrite").parquet(sp)
+          graft.plans.SummaryCatalog.register(base, s.read.parquet(sp),
+            Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"))
+          bp
+        })
+        // key-only filter + key-subset grouping: the rewritable shape
+        s.read.parquet(basePath)
+          .filter(col("l_linestatus") === "F")
+          .groupBy("l_returnflag")
+          .agg(sum("qty").as("sq"), min("qty").as("mq"),
+            max("price").as("xp"), count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            col("sq").cast("double").as("sum_qty"),
+            col("mq").cast("double").as("min_qty"),
+            col("xp").cast("double").as("max_price"), col("n"))
+      },
+      Some("""SELECT l_returnflag,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS sum_qty,
+             |CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS min_qty,
+             |CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS max_price,
+             |CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem WHERE l_linestatus = 'F'
+             |GROUP BY 1""".stripMargin)),
 
     // set operations over two predicate-defined part sets (partial
     // overlap by construction, so both branches are non-trivial at any

@@ -161,7 +161,8 @@ object ScaleStress {
     "bpe_train", "bpe_segment", "bm25", "chunk_sliding",
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
     "retention_cohorts", "minhash_incremental", "edit_join", "resample",
-    "pagerank", "ivf_append", "image_near_dup")
+    "pagerank", "ivf_append", "image_near_dup", "set_sim_join",
+    "containment_join", "shard_balance")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -199,7 +200,8 @@ object ScaleStress {
     "pack_sequential", "bigram_commonness", "lang_rebalance",
     "chunk_dedup", "salted_join", "bucket_stats",
     "bpe_train", "bpe_segment", "bm25", "chunk_sliding", "rag_search",
-    "minhash_incremental")
+    "minhash_incremental", "set_sim_join", "containment_join",
+    "shard_balance")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "semantic_dedup", "ivf_append")
@@ -452,6 +454,64 @@ object ScaleStress {
       // grow with the UNIQUE span population, not the corpus
       if (opEnabled("chunk_dedup")) rows += measureOp("chunk_dedup", m, nDocs) {
         Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 10)
+      }
+      // exact set-similarity join (PPJoin prefix filter) at t=0.9.
+      // The clone army is the operator's documented WORST case: each
+      // clone's prefix is its unique marker + the family's shared
+      // rarest word, so the family forms ONE bucket and exactness
+      // requires its O(F²) candidate pairs (any could be a true
+      // match — no skew cap is sound for an exact join). The matrix
+      // therefore measures (a) prefixBucketStats, the pre-flight that
+      // EXPOSES the family bucket for the raw corpus, and (b) the
+      // join on the chunk-deduped corpus — the documented pipeline
+      // order (dedup first dissolves the family for a linear price),
+      // where cost must track rows near-linearly. The raw-corpus join
+      // is measured only while the family stays small (m <= 10): at
+      // ×100 its single bucket alone is ~10^8.5 candidates and the
+      // measurement would benchmark the documented anti-pattern.
+      if (opEnabled("set_sim_join")) {
+        rows += measureOp("set_sim_stats", m, nDocs) {
+          graft.operators.SetJoin
+            .prefixBucketStats(docs, "doc_id", "text", 0.9)
+        }
+        val top = graft.operators.SetJoin
+          .prefixBucketStats(docs, "doc_id", "text", 0.9)
+          .limit(3).collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        Dedup.releaseCaches()
+        println(s"-- x$m top prefix buckets (raw corpus): " +
+          top.mkString(", "))
+        if (m <= 10) rows += measureOp("set_sim_join_raw", m, nDocs) {
+          graft.operators.SetJoin.jaccardJoin(docs, "doc_id", "text",
+            threshold = 0.9)
+        }
+        rows += measureOp("set_sim_join", m, nDocs) {
+          val deduped = Dedup.chunkDedup(docs, "doc_id", "text",
+            chunkWords = 10)
+          graft.operators.SetJoin.jaccardJoin(deduped, "doc_id",
+            "text", threshold = 0.9)
+        }
+      }
+      // containment at t=1.0 (is A fully inside B): probe side posts
+      // ONE rarest token per doc, so candidates track Σ df(rarest) —
+      // near-linear even on the raw corpus (markers and salted tokens
+      // have df≈1); the index side is the full token stream
+      if (opEnabled("containment_join")) {
+        rows += measureOp("containment_join", m, nDocs) {
+          graft.operators.SetJoin.containmentJoin(docs, "doc_id",
+            "text", threshold = 1.0)
+        }
+      }
+      // weight-balanced shard assignment: distributed rank (range
+      // exchange + per-partition window + broadcast offsets) — wall
+      // and shuffle must track rows linearly with NO single-partition
+      // stage (the numPartitions-row offsets collect is constant)
+      if (opEnabled("shard_balance")) {
+        rows += measureOp("shard_balance", m, nDocs) {
+          graft.operators.Sampling.assignBalancedShards(
+            docs.select(col("doc_id"), col("n_chars")),
+            "doc_id", "n_chars", nShards = 64)
+        }
       }
       // skew-salted join: `source` is a natural hot key (the clone
       // army concentrates in few sources); dim = the distinct sources

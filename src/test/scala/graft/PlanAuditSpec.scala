@@ -667,4 +667,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Sort ".r.findAllIn(p).length == 1,
       s"the fill window and the lead must share one sort:\n$p")
   }
+
+  test("shard assignment ranks DISTRIBUTED: no single-partition sort " +
+      "or window anywhere in the plan") {
+    val p = plan("q_shard_balance")
+    // the old form was Window over Exchange SinglePartition — one task
+    // sorting the world; the range-partitioned rank must never
+    // reintroduce a single-partition stage
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition stage in shard assignment:\n$p")
+    assert(p.contains("Window"), p) // per-partition rank survives
+    assert(p.contains("BroadcastHashJoin"),
+      s"partition offsets must broadcast, not shuffle:\n$p")
+  }
 }

@@ -119,6 +119,34 @@ class SetJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SetJoin.containmentJoin(df, "id", "text", 1.5)
     }
+    intercept[IllegalArgumentException] {
+      SetJoin.prefixBucketStats(df, "id", "text", -0.1)
+    }
+  }
+
+  test("prefixBucketStats exposes a boilerplate family's hot bucket " +
+      "and lower thresholds lengthen prefixes") {
+    // 20 clones sharing one body + a unique marker each, 5 singletons
+    val family = (100L until 120L).map(i =>
+      i -> s"shared body words repeat across every clone marker$i")
+    val single = (200L until 205L).map(i =>
+      i -> s"unique${i}a unique${i}b unique${i}c unique${i}d")
+    val df = (family ++ single).toDF("id", "text")
+    val stats = SetJoin.prefixBucketStats(df, "id", "text", 0.9)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // family docs: 8 distinct tokens → prefix len 8-8+1+1... at t=0.9
+    // ceil(.9*8)=8 → prefLen 1, but the marker (df=1) fills slot 1 and
+    // greatest(...,1) keeps it ≥1 — the marker is each clone's rarest.
+    // At t=0.9 the family does NOT collide (the exact join is safe)...
+    assert(stats.forall(_._2 <= 1L) || stats.head._2 < 20L, stats.toSeq)
+    // ...at t=0.5 prefixes lengthen (prefLen 5) and the shared words
+    // ENTER them: the family bucket appears at its full size
+    val loose = SetJoin.prefixBucketStats(df, "id", "text", 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(loose.head._2 == 20L, loose.take(3).toSeq)
+    // candidate-pair pre-flight arithmetic: Σ b·(b-1)/2 over buckets
+    val pairs = loose.map { case (_, b) => b * (b - 1) / 2 }.sum
+    assert(pairs >= 20L * 19 / 2, pairs)
   }
 
   test("jaccardJoin equals brute force on the documents fixture") {

@@ -1,0 +1,292 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.SummaryCatalog
+
+/** The materialized-rollup rewrite (plans/SummaryRewrite.scala) is a
+  * LIVE optimizer rule in every production session — any defect in it
+  * is silent wrong answers. This suite pins, on a session that carries
+  * GraftExtensions:
+  *  - the rewrite FIRES (the optimized plan scans the summary parquet,
+  *    not the base) and its results equal the un-rewritten aggregation
+  *    bit-for-bit (schema included), across key subsets, key filters,
+  *    null measures, decimal sums, and duplicate output aliases;
+  *  - every refusal case refuses: AVG, COUNT(DISTINCT), COUNT(NULL),
+  *    measure-column filters, non-registered tables, subset-path scans
+  *    of a multi-path registration, and a STALE rollup (base appended
+  *    after register).
+  */
+class SummaryRewriteSpec extends AnyFunSuite {
+
+  /** Extensions bind at session build time — one extension session for
+    * the suite, shared default restored immediately (the pattern from
+    * ExtensionsSpec). */
+  private lazy val ext: SparkSession = {
+    val shared = SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-summary-rewrite-test")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
+    s
+  }
+
+  private lazy val root = java.nio.file.Files
+    .createTempDirectory("graft-rollup").toString
+  private lazy val basePath = s"$root/base"
+  private lazy val sumPath = s"$root/summary"
+
+  /** 200 rows over 2 keys with null measures in the mix: m1 decimal
+    * (the order-independent sum), m2 long. */
+  private def seedBase(): Unit = {
+    ext.range(200).select(
+        concat(lit("k"), (col("id") % 3).cast("string")).as("k1"),
+        (col("id") % 5).cast("int").as("k2"),
+        when(col("id") % 7 =!= 0,
+          ((col("id") * 7 % 1000) / 4).cast("decimal(18,2)")).as("m1"),
+        when(col("id") % 11 =!= 0, col("id") * 13 % 97).as("m2"))
+      .write.mode("overwrite").parquet(basePath)
+  }
+
+  private def registerRollup(): Unit = {
+    val base = ext.read.parquet(basePath)
+    SummaryCatalog.buildSummary(base, Seq("k1", "k2"), Seq("m1", "m2"))
+      .write.mode("overwrite").parquet(sumPath)
+    SummaryCatalog.register(base, ext.read.parquet(sumPath),
+      Seq("k1", "k2"), Seq("m1", "m2"))
+  }
+
+  private def fixture(): Unit = {
+    seedBase()
+    SummaryCatalog.clear()
+    registerRollup()
+  }
+
+  private def scannedPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten.toSet
+
+  private def scansSummary(df: DataFrame): Boolean = {
+    val p = scannedPaths(df)
+    p.exists(_.endsWith("/summary")) && !p.exists(_.endsWith("/base"))
+  }
+
+  /** Bit-for-bit: same schema (the cast contract) and same rows. The
+    * expected side runs on the SHARED session — no extensions, no
+    * rewrite — over the same parquet. */
+  private def assertMatchesBase(rewritten: DataFrame,
+      build: DataFrame => DataFrame): Unit = {
+    val plain = build(SparkTestSession.spark.read.parquet(basePath))
+    assert(rewritten.schema == plain.schema,
+      s"schema drift: ${rewritten.schema} vs ${plain.schema}")
+    val got = rewritten.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val exp = plain.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  private def aggAll(base: DataFrame): DataFrame =
+    base.groupBy("k1", "k2").agg(
+      sum("m1").as("s1"), min("m1").as("lo1"), max("m1").as("hi1"),
+      sum("m2").as("s2"), count(lit(1)).as("n"), count("m2").as("n2"))
+
+  test("rewrite fires on the full key set and matches the base " +
+      "bit-for-bit (nulls, decimals, counts)") {
+    fixture()
+    val df = aggAll(ext.read.parquet(basePath))
+    assert(scansSummary(df), df.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(df, aggAll)
+  }
+
+  test("key-subset grouping and key-only filters rewrite; the filter " +
+      "applies to the summary") {
+    fixture()
+    def q(b: DataFrame) = b.filter(col("k2") > 1).groupBy("k1")
+      .agg(sum("m1").as("s1"), count(lit(1)).as("n"))
+    val df = q(ext.read.parquet(basePath))
+    assert(scansSummary(df), df.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(df, q)
+    // global aggregate (empty grouping) rewrites too
+    def g(b: DataFrame) =
+      b.agg(count(lit(1)).as("n"), sum("m2").as("s2"))
+    val gl = g(ext.read.parquet(basePath))
+    assert(scansSummary(gl), gl.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(gl, g)
+  }
+
+  test("global COUNT over an EMPTY base returns 0 through the " +
+      "coalesce, not null") {
+    val eb = s"$root/empty-base"
+    val es = s"$root/empty-sum"
+    ext.range(0).select(lit("x").as("k1"), lit(0).as("m1"))
+      .write.mode("overwrite").parquet(eb)
+    val base = ext.read.parquet(eb)
+    SummaryCatalog.buildSummary(base, Seq("k1"), Seq("m1"))
+      .write.mode("overwrite").parquet(es)
+    SummaryCatalog.clear()
+    SummaryCatalog.register(base, ext.read.parquet(es), Seq("k1"),
+      Seq("m1"))
+    val df = ext.read.parquet(eb).agg(count(lit(1)).as("n"))
+    assert(scannedPaths(df).exists(_.contains("empty-sum")),
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().head.getLong(0) == 0L)
+  }
+
+  test("duplicate output aliases each keep their OWN type and value") {
+    fixture()
+    // sum(m2) is long->long, max(m1) is decimal(18,2): under the old
+    // find-by-name binding the second alias inherited the first's
+    // exprId and dataType — a wrong cast. Both must come back right.
+    def q(b: DataFrame) = b.groupBy("k1")
+      .agg(sum("m2").as("s"), max("m1").as("s"))
+    val df = q(ext.read.parquet(basePath))
+    assert(scansSummary(df), df.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(df, q)
+  }
+
+  test("refusals: AVG, COUNT(DISTINCT), COUNT(NULL), measure filter, " +
+      "unregistered table") {
+    fixture()
+    val base = ext.read.parquet(basePath)
+    val avg1 = base.groupBy("k1").agg(avg("m1").as("a"))
+    assert(!scansSummary(avg1),
+      avg1.queryExecution.optimizedPlan.toString)
+    val cd = base.groupBy("k1").agg(countDistinct("m2").as("d"))
+    assert(!scansSummary(cd), cd.queryExecution.optimizedPlan.toString)
+    // COUNT(NULL) must be 0, never the row count — no rewrite
+    val cn = base.groupBy("k1")
+      .agg(count(lit(null)).as("c"), count(lit(1)).as("n"))
+    assert(!scansSummary(cn), cn.queryExecution.optimizedPlan.toString)
+    val r = cn.collect() // columns: k1, c, n
+    assert(r.forall(_.getLong(2) > 0L))
+    assert(r.forall(_.getLong(1) == 0L))
+    // a filter on a measure column does not commute with the rollup
+    val mf = base.filter(col("m2") > 50).groupBy("k1")
+      .agg(sum("m1").as("s"))
+    assert(!scansSummary(mf), mf.queryExecution.optimizedPlan.toString)
+    // an unrelated table is untouched
+    val other = s"$root/other"
+    ext.range(10).select(lit("a").as("k1"), col("id").as("m2"))
+      .write.mode("overwrite").parquet(other)
+    val ot = ext.read.parquet(other).groupBy("k1")
+      .agg(sum("m2").as("s"))
+    assert(!scannedPaths(ot).exists(_.contains("summary")),
+      ot.queryExecution.optimizedPlan.toString)
+  }
+
+  test("a scan over a strict SUBSET of a multi-path registration " +
+      "never rewrites") {
+    val pa = s"$root/multi-a"
+    val pb = s"$root/multi-b"
+    ext.range(50).select(lit("a").as("k1"), col("id").as("m2"))
+      .write.mode("overwrite").parquet(pa)
+    ext.range(50).select(lit("b").as("k1"), (col("id") * 2).as("m2"))
+      .write.mode("overwrite").parquet(pb)
+    val both = ext.read.parquet(pa, pb)
+    val ms = s"$root/multi-sum"
+    SummaryCatalog.buildSummary(both, Seq("k1"), Seq("m2"))
+      .write.mode("overwrite").parquet(ms)
+    SummaryCatalog.clear()
+    SummaryCatalog.register(both, ext.read.parquet(ms), Seq("k1"),
+      Seq("m2"))
+    // full-set scan rewrites...
+    val full = ext.read.parquet(pa, pb).groupBy("k1")
+      .agg(sum("m2").as("s"))
+    assert(scannedPaths(full).exists(_.contains("multi-sum")),
+      full.queryExecution.optimizedPlan.toString)
+    // ...the single-path scan must NOT (it reads half the rows)
+    val half = ext.read.parquet(pa).groupBy("k1")
+      .agg(sum("m2").as("s"))
+    assert(!scannedPaths(half).exists(_.contains("multi-sum")),
+      half.queryExecution.optimizedPlan.toString)
+    assert(half.collect().map(_.getLong(1)).sum == (0 until 50).sum)
+  }
+
+  test("a STALE rollup (base appended after register) refuses and the " +
+      "live scan answers; re-registering re-arms") {
+    fixture()
+    // sanity: armed before the append
+    assert(scansSummary(ext.read.parquet(basePath).groupBy("k1")
+      .agg(sum("m2").as("s"))))
+    ext.range(1000, 1010).select(lit("k9").as("k1"), lit(1).as("k2"),
+        lit(java.math.BigDecimal.valueOf(5)).cast("decimal(18,2)")
+          .as("m1"), col("id").as("m2"))
+      .write.mode("append").parquet(basePath)
+    def q(b: DataFrame) = b.groupBy("k1").agg(count(lit(1)).as("n"))
+    val df = q(ext.read.parquet(basePath))
+    assert(!scansSummary(df), df.queryExecution.optimizedPlan.toString)
+    // the new k9 group is visible — pre-append aggregates were not
+    // silently served
+    assert(df.collect().exists(r => r.getString(0) == "k9" &&
+      r.getLong(1) == 10L))
+    assertMatchesBase(df, q)
+    // rebuild + re-register over the appended base: armed again
+    registerRollup()
+    val re = q(ext.read.parquet(basePath))
+    assert(scansSummary(re), re.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(re, q)
+    SummaryCatalog.clear()
+  }
+
+  test("q_summary_rewrite (the oracled registry entry) is ANSWERED " +
+      "from the rollup scan and equals the un-rewritten run") {
+    SummaryCatalog.clear()
+    val q = SparkEntry.queries("q_summary_rewrite")
+    val sf = "/root/testdata/sf0.001"
+    // extensions session: the rewrite must fire — plan-audit pin
+    val df = q(ext, sf)
+    val paths = scannedPaths(df)
+    assert(paths.exists(_.endsWith("/summary")),
+      s"q_summary_rewrite not answered from the rollup:\n" +
+        df.queryExecution.optimizedPlan)
+    assert(!paths.exists(_.endsWith("/base")),
+      df.queryExecution.optimizedPlan.toString)
+    // plain session (no extensions → no rewrite): bit-identical rows
+    val plain = q(SparkTestSession.spark, sf)
+    assert(df.schema == plain.schema)
+    assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq ==
+      plain.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq)
+  }
+
+  test("register refuses a union-of-scans base and a live-plan summary") {
+    seedBase()
+    val base = ext.read.parquet(basePath)
+    val u = base.union(base)
+    val err = intercept[IllegalArgumentException] {
+      SummaryCatalog.register(u,
+        ext.read.parquet(sumPath), Seq("k1"), Seq("m1"))
+    }
+    assert(err.getMessage.contains("single file-source scan"))
+    // an aggregation over the base itself is caught by the
+    // summary-is-base guard...
+    val selfSum = intercept[IllegalArgumentException] {
+      SummaryCatalog.register(base,
+        SummaryCatalog.buildSummary(base, Seq("k1"), Seq("m1", "m2")),
+        Seq("k1"), Seq("m1", "m2"))
+    }
+    assert(selfSum.getMessage.contains("base table itself"))
+    // ...and a summary with no file source at all (never written) by
+    // the materialization guard
+    val live = intercept[IllegalArgumentException] {
+      SummaryCatalog.register(base,
+        SummaryCatalog.buildSummary(
+          ext.range(10).select(lit("a").as("k1"), col("id").as("m1")),
+          Seq("k1"), Seq("m1")),
+        Seq("k1"), Seq("m1"))
+    }
+    assert(live.getMessage.contains("MATERIALIZED"))
+  }
+}
