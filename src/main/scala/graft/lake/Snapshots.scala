@@ -196,6 +196,22 @@ object Snapshots {
     * manifest rewrite is the same temp-file + atomic-rename commit as
     * every other write; a reader never sees a partial log.
     *
+    * CONCURRENCY CONTRACT (Iceberg's own expire_snapshots shape):
+    *  - SINGLE WRITER. The manifest rewrite is atomic, but the data-dir
+    *    vacuum that follows is not — two concurrent expiries (or an
+    *    expiry racing an append that is between writing its data dir
+    *    and committing its manifest entry) can delete each other's
+    *    work. Run expiry from the table's one maintenance job, exactly
+    *    like Iceberg.
+    *  - READERS may hold a PRE-expiry manifest (a DataFrame planned
+    *    before the vacuum). Such a reader races the dir deletion: if
+    *    the vacuum wins, the scan fails LOUDLY mid-read
+    *    (FileNotFoundException from the parquet scan — never a silent
+    *    empty or partial result; SnapshotsSpec pins this). Size
+    *    `keepLast`/`olderThanMs` beyond the longest-running reader —
+    *    the same operational rule as Iceberg's
+    *    `expire_snapshots(older_than => ...)`.
+    *
     * Returns (expired version numbers, deleted dir names). */
   def expireSnapshots(root: String, keepLast: Int = 1,
       olderThanMs: Long = Long.MaxValue): (Seq[Int], Seq[String]) = {

@@ -246,6 +246,58 @@ object ModelingQueries {
              |  AS chars
              |FROM src GROUP BY 1, 2""".stripMargin)),
 
+    // schema EVOLUTION through the incremental gate
+    // (on_schema_change='append_new_columns', dbt parity): run 1
+    // builds the stats table from day 1; the model's SELECT then
+    // GAINS a column (max_chars) and run 2's increment both evolves
+    // the table (ALTER TABLE ADD COLUMNS — metadata-only) and
+    // overwrites only the day-2 partition. History rows must read the
+    // new column as NULL (their files predate it), day-2 rows carry
+    // values — which is exactly what the oracle computes over the raw
+    // corpus. Built once per (process, data dir).
+    QueryDef("q_model_evolve",
+      (s, d) => {
+        evolveBuilt.getOrElseUpdate(d, {
+          s.sql("CREATE DATABASE IF NOT EXISTS graft_me_src")
+          s.sql("CREATE DATABASE IF NOT EXISTS graft_me_out")
+          s.sql("DROP TABLE IF EXISTS graft_me_src.docs")
+          s.sql("DROP TABLE IF EXISTS graft_me_out.doc_evolve")
+          Seq(("graft_me_src", "docs"), ("graft_me_out", "doc_evolve"))
+            .foreach { case (db, tbl) =>
+              if (!s.catalog.tableExists(s"$db.$tbl")) {
+                val meta = s.sessionState.catalog.getDatabaseMetadata(db)
+                val loc = new org.apache.hadoop.fs.Path(
+                  new org.apache.hadoop.fs.Path(meta.locationUri), tbl)
+                val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+                if (fs.exists(loc)) fs.delete(loc, true)
+              }
+            }
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("n_chars"),
+              when(col("doc_id") % 3 === 0, lit("2024-01-02"))
+                .otherwise(lit("2024-01-01")).as("d"))
+          docs.filter(col("d") === "2024-01-01").write.mode("overwrite")
+            .saveAsTable("graft_me_src.docs")
+          writeEvolveModel(withMaxChars = false)
+          ModelRunner.run(s, ModelRunner.loadProject(evolveProjectRoot))
+          docs.filter(col("d") === "2024-01-02").write.mode("append")
+            .saveAsTable("graft_me_src.docs")
+          writeEvolveModel(withMaxChars = true)
+          ModelRunner.run(s, ModelRunner.loadProject(evolveProjectRoot))
+          true
+        })
+        s.table("graft_me_out.doc_evolve")
+      },
+      Some("""WITH src AS (SELECT lang, n_chars,
+             |  CASE WHEN doc_id % 3 = 0 THEN '2024-01-02'
+             |  ELSE '2024-01-01' END AS d FROM documents)
+             |SELECT d, lang, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS chars,
+             |CASE WHEN d = '2024-01-02'
+             |  THEN CAST(MAX(n_chars) AS DOUBLE) END AS max_chars
+             |FROM src GROUP BY 1, 2""".stripMargin)),
+
     // SCD2 from a change log in one pass (Scd2.historize): each
     // user's event_type timeline collapses into versioned validity
     // intervals — two window passes over ONE shuffle on the key, no
@@ -461,5 +513,43 @@ object ModelingQueries {
       Files.writeString(p, content)
     }
     root
+  }
+
+  private val evolveBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** q_model_evolve's project: the model file is REWRITTEN between
+    * runs (that's the point — the authored SELECT drifts and
+    * on_schema_change reconciles the live table). */
+  private lazy val evolveProjectRoot: Path = {
+    val root = Files.createTempDirectory("graft-evolve-models")
+    root.toFile.deleteOnExit()
+    Files.writeString(root.resolve("dbt_project.yml"),
+      """name: 'graft_evolve'
+        |vars:
+        |  source_schema: graft_me_src
+        |  target_schema: graft_me_out
+        |""".stripMargin)
+    Files.createDirectories(root.resolve("models/core"))
+    root
+  }
+
+  private def writeEvolveModel(withMaxChars: Boolean): Unit = {
+    val extra = if (withMaxChars)
+      ",\nCAST(MAX(n_chars) AS DOUBLE) AS max_chars" else ""
+    Files.writeString(
+      evolveProjectRoot.resolve("models/core/doc_evolve.sql"),
+      s"""{{ config(materialized='incremental',
+         |   incremental_strategy='insert_overwrite', partition_by='d',
+         |   on_schema_change='append_new_columns') }}
+         |SELECT d, lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS chars$extra
+         |FROM {{ var("source_schema") }}.docs
+         |{% if is_incremental() %}
+         |WHERE d > (SELECT max(d) FROM {{ this }})
+         |{% endif %}
+         |GROUP BY d, lang
+         |""".stripMargin)
+    ()
   }
 }

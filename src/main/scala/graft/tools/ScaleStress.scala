@@ -200,8 +200,7 @@ object ScaleStress {
     "pack_sequential", "bigram_commonness", "lang_rebalance",
     "chunk_dedup", "salted_join", "bucket_stats",
     "bpe_train", "bpe_segment", "bm25", "chunk_sliding", "rag_search",
-    "minhash_incremental", "set_sim_join", "containment_join",
-    "shard_balance")
+    "minhash_incremental", "set_sim_join")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "semantic_dedup", "ivf_append")
@@ -455,20 +454,36 @@ object ScaleStress {
       if (opEnabled("chunk_dedup")) rows += measureOp("chunk_dedup", m, nDocs) {
         Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 10)
       }
-      // exact set-similarity join (PPJoin prefix filter) at t=0.9.
-      // The clone army is the operator's documented WORST case: each
-      // clone's prefix is its unique marker + the family's shared
-      // rarest word, so the family forms ONE bucket and exactness
-      // requires its O(F²) candidate pairs (any could be a true
-      // match — no skew cap is sound for an exact join). The matrix
-      // therefore measures (a) prefixBucketStats, the pre-flight that
-      // EXPOSES the family bucket for the raw corpus, and (b) the
-      // join on the chunk-deduped corpus — the documented pipeline
-      // order (dedup first dissolves the family for a linear price),
-      // where cost must track rows near-linearly. The raw-corpus join
-      // is measured only while the family stays small (m <= 10): at
-      // ×100 its single bucket alone is ~10^8.5 candidates and the
-      // measurement would benchmark the documented anti-pattern.
+      // exact set-similarity joins (PPJoin prefix filter). Two
+      // measurements, because the synthesized corpus's near-dup
+      // FAMILIES grow with m (each original gains 0.2·m close
+      // replicas) and an exact join's output is quadratic in family
+      // size — at large m the raw corpus benchmarks output volume,
+      // not the operator:
+      //  (1) the skew story, on the raw corpus: prefixBucketStats is
+      //      the pre-flight that exposes the template buckets (the sf
+      //      docs are themselves heavily templated — top buckets hold
+      //      ~75% of the corpus and the t=0.9 join's output is ~1M
+      //      TRUE pairs at m=1 — irreducible: exactness must emit
+      //      every qualifying pair, no skew cap is sound). The join
+      //      itself runs at m=1 only; the stats (linear) run at every
+      //      m.
+      //  (2) algorithmic scaling, on a FIXED-family-size fixture
+      //      (groups of 4 sharing a 24-token body; one member is a
+      //      pure subset, the rest carry a unique marker — the same
+      //      templated-fixture approach as edit_join): families stay
+      //      size-4 at every m, so candidates and output grow
+      //      LINEARLY and the matrix isolates the operator's own
+      //      cost. Jaccard within a family: 0.92-0.96 (caught at
+      //      t=0.9); cross-family token overlap: zero.
+      def famCorpus(n: Long) = spark.range(n).select(col("id"),
+        concat_ws(" ",
+          concat_ws(" ", transform(sequence(lit(0), lit(23)),
+            j => concat(lit("t"), (col("id") / 4).cast("long"),
+              lit("x"), j))),
+          when(col("id") % 4 =!= 0, concat(lit("m"), col("id"))))
+          .as("text"))
+      val nFam = 20000L * m
       if (opEnabled("set_sim_join")) {
         rows += measureOp("set_sim_stats", m, nDocs) {
           graft.operators.SetJoin
@@ -481,36 +496,44 @@ object ScaleStress {
         Dedup.releaseCaches()
         println(s"-- x$m top prefix buckets (raw corpus): " +
           top.mkString(", "))
-        if (m <= 10) rows += measureOp("set_sim_join_raw", m, nDocs) {
+        if (m == 1) rows += measureOp("set_sim_join_raw", m, nDocs) {
           graft.operators.SetJoin.jaccardJoin(docs, "doc_id", "text",
             threshold = 0.9)
         }
-        rows += measureOp("set_sim_join", m, nDocs) {
-          val deduped = Dedup.chunkDedup(docs, "doc_id", "text",
-            chunkWords = 10)
-          graft.operators.SetJoin.jaccardJoin(deduped, "doc_id",
+        rows += measureOp("set_sim_join", m, nFam) {
+          graft.operators.SetJoin.jaccardJoin(famCorpus(nFam), "id",
             "text", threshold = 0.9)
         }
       }
-      // containment at t=1.0 (is A fully inside B): probe side posts
-      // ONE rarest token per doc, so candidates track Σ df(rarest) —
-      // near-linear even on the raw corpus (markers and salted tokens
-      // have df≈1); the index side is the full token stream
+      // containment on the same fixed-family fixture: at t=1.0 only
+      // the subset member is inside its siblings (3 ordered pairs per
+      // family); at t=0.8 every within-family ordered pair qualifies
+      // (~13/family) and prefixes LENGTHEN from 1 to ~6 tokens — the
+      // documented low-threshold cost growth, measured
       if (opEnabled("containment_join")) {
-        rows += measureOp("containment_join", m, nDocs) {
-          graft.operators.SetJoin.containmentJoin(docs, "doc_id",
-            "text", threshold = 1.0)
+        rows += measureOp("containment_join", m, nFam) {
+          graft.operators.SetJoin.containmentJoin(famCorpus(nFam),
+            "id", "text", threshold = 1.0)
+        }
+        rows += measureOp("containment_join_t08", m, nFam) {
+          graft.operators.SetJoin.containmentJoin(famCorpus(nFam),
+            "id", "text", threshold = 0.8)
         }
       }
       // weight-balanced shard assignment: distributed rank (range
       // exchange + per-partition window + broadcast offsets) — wall
       // and shuffle must track rows linearly with NO single-partition
-      // stage (the numPartitions-row offsets collect is constant)
+      // stage (the numPartitions-row offsets collect is constant).
+      // Synthetic (id, weight) stream so ×100 ranks 10^8 rows — the
+      // scale the operator exists for, where the old global window
+      // was one task sorting the world
       if (opEnabled("shard_balance")) {
-        rows += measureOp("shard_balance", m, nDocs) {
+        val n = 1000000L * m
+        rows += measureOp("shard_balance", m, n) {
           graft.operators.Sampling.assignBalancedShards(
-            docs.select(col("doc_id"), col("n_chars")),
-            "doc_id", "n_chars", nShards = 64)
+            spark.range(n).select(col("id"),
+              pmod(xxhash64(col("id")), lit(1000000L)).as("w")),
+            "id", "w", nShards = 64)
         }
       }
       // skew-salted join: `source` is a natural hot key (the clone

@@ -216,6 +216,35 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.expireSnapshots(root, keepLast = 1) == ((Nil, Nil)))
   }
 
+  test("a reader holding a PRE-expiry plan loses the vacuum race " +
+      "LOUDLY — never a silent empty or partial result") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(0 until 10), root)  // v0 → data-0
+    Snapshots.createOrReplace(table(10 until 20), root) // v1 → data-1
+    // the reader plans (and can even execute) against v0 BEFORE expiry
+    val preExpiry = Snapshots.readVersion(spark, root, 0)
+    assert(preExpiry.count() == 10)
+    // maintenance expires v0 and vacuums data-0 mid-"query"
+    val (expired, deleted) = Snapshots.expireSnapshots(root, keepLast = 1)
+    assert(expired == Seq(0) && deleted == Seq("data-0"))
+    // re-executing the pre-expiry plan must FAIL, not return 0 rows —
+    // the files under its manifest are gone (refresh to drop any
+    // cached file listing, as a long-running reader's executors would)
+    spark.catalog.clearCache()
+    preExpiry.inputFiles.foreach(_ => ()) // plan still names data-0
+    val err = intercept[Exception] {
+      Snapshots.readVersion(spark, root, 0)
+    }
+    assert(err.getMessage.contains("not found"),
+      s"post-expiry time travel must name the missing version: $err")
+    val race = intercept[Exception] { preExpiry.count() }
+    val chain = Iterator.iterate[Throwable](race)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString("\n")
+    assert(chain.contains("FileNotFound") || chain.contains("PATH_NOT_FOUND")
+      || chain.contains("does not exist"),
+      s"stale reader must fail loudly, got:\n$chain")
+  }
+
   test("expireSnapshots retention guards: keepLast floor, olderThan, " +
       "rollback keeps its target's dirs alive") {
     val root = freshRoot()
