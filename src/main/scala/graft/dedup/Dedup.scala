@@ -232,6 +232,103 @@ object Dedup {
         count(lit(1)).as("kept_chunks"))
   }
 
+  /** ANY-ALIGNMENT repeated-substring dedup — the ExactSubstr pass of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (public literature), re-expressed as relational ops
+    * instead of the paper's suffix array: every `windowWords`-token
+    * sliding window (stride 1, all n-k+1 offsets — NOT the fixed
+    * chunk grid of [[chunkDedup]], which misses any duplicate shifted
+    * off its alignment) is keyed corpus-wide; windows occurring ≥ 2
+    * times elect the globally first occurrence (smallest (id, pos))
+    * as canonical, and every token covered by a NON-canonical
+    * occurrence is removed from its document. Documents losing every
+    * token drop; documents shorter than the window survive untouched.
+    * Matching is case-insensitive; survivors keep original casing
+    * with inter-word whitespace normalized (token-based, like the
+    * rest of the span family).
+    *
+    * Scale shape — and why this op, unlike an exact SIMILARITY join,
+    * is safe on template families: every stage is key-grouped, never
+    * pairwise. A boilerplate family of F copies makes ONE winner row
+    * with count=F and each occurrence joins that single row — work is
+    * O(occurrences), not O(F²) (there is no pair output to force
+    * quadratic cost). Stages: a codegen window explode (~k× token
+    * bytes — the one heavy shuffle), one map-side-combined count/min
+    * aggregation, one equi-join back, a coverage explode bounded by
+    * removals×k, an id-bucketed anti-join, and a per-document bounded
+    * reassembly collect.
+    *
+    * `hashKeys` is the production scale switch: window keys become
+    * xxhash64 of the window string (8 bytes instead of ~7·k), cutting
+    * the window shuffle and the winner-election hash table (measured
+    * 114.6 → 32.8 s at 500k docs / 50M tokens, SCALING.md). A
+    * 64-bit collision silently merges two distinct windows
+    * (probability ~2⁻⁶⁴ per pair — the same accepted risk as
+    * [[shingleHashes]]); keep `hashKeys = false` when the output must
+    * be bit-reproducible against a plain-SQL replay (the oracle
+    * query's mode).
+    *
+    * Returns (idCol, clean_text, kept_tokens). */
+  def slidingSpanDedup(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 20, hashKeys: Boolean = false): DataFrame = {
+    require(windowWords > 1,
+      s"windowWords must be > 1 (got $windowWords); use exactDedup " +
+        "for single-token keys")
+    val k = windowWords
+    val toks = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    // deliberately NOT persisted: windows and the token stream each
+    // re-derive the tokenization, and that is the cheaper plan —
+    // columnar-caching large string-array rows costs more to build
+    // and scan than re-running the codegen split from the source
+    // (measured: caching this frame TRIPLED the ×100 wall, 115 →
+    // 363 s at 500k docs — SCALING.md). The k× window expansion is
+    // never materialized either way.
+    val base = df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    // token stream: every (id, idx, token) — consumed by the
+    // anti-join and the reassembly
+    val tokens = base.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("__idx", "__tok")))
+    // sliding windows: (id, pos, key) for pos in [0, n-k]
+    val windowStr =
+      lower(array_join(slice(col("__toks"), col("__pos") + 1, lit(k)),
+        " "))
+    val windows = base
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("__toks")) - k)).as("__pos"),
+        col("__toks"))
+      .select(col(idCol), col("__pos"),
+        (if (hashKeys) xxhash64(windowStr) else windowStr).as("__key"))
+    // winner election: ONE aggregation per distinct window string
+    val winners = windows
+      .groupBy(col("__key").as("__win_key"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__win"),
+        count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+    // non-canonical occurrences of duplicated windows → removals
+    val removals = windows
+      .join(winners, col("__key") === col("__win_key") &&
+        struct(col(idCol), col("__pos")) =!= col("__win"))
+      .select(col(idCol), col("__pos"))
+    // coverage: every token index under a removed window, deduped
+    val covered = removals
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1)))
+          .as("__idx"))
+      .distinct()
+    tokens
+      .join(covered, Seq(idCol, "__idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__idx"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("clean_text"),
+        count(lit(1)).as("kept_tokens"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingles of lowercased text (distinct). Empty/short

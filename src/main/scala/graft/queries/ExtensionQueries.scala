@@ -530,6 +530,40 @@ object ExtensionQueries {
              |  AND ROW(c.doc_id, c.chunk_idx) = x.win
              |GROUP BY 1""".stripMargin)),
 
+    // ANY-alignment repeated-substring dedup (the ExactSubstr pass,
+    // Lee et al. — relational form): 5-token sliding windows, global
+    // keep-first over duplicated windows, covered tokens removed.
+    // Catches the duplicate chunkDedup's fixed grid misses when the
+    // repeat is shifted off alignment. The oracle replays windows,
+    // winner election (row_number over (doc_id, pos) — the same order
+    // as the operator's min(struct)), coverage, and reassembly.
+    QueryDef("q_dedup_sliding_spans",
+      (s, d) => Dedup.slidingSpanDedup(Tables.documents(s, d),
+        "doc_id", "text", windowWords = 5),
+      Some("""WITH t AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents WHERE len(trim(text)) > 0),
+             |win AS (SELECT doc_id, i - 1 AS pos,
+             |  lower(array_to_string(w[i:i+4], ' ')) AS key
+             |  FROM t, UNNEST(generate_series(1, len(w) - 4)) AS g(i)),
+             |marked AS (SELECT doc_id, pos,
+             |  row_number() OVER (PARTITION BY key
+             |    ORDER BY doc_id, pos) AS rn,
+             |  count(*) OVER (PARTITION BY key) AS c
+             |  FROM win),
+             |cov AS (SELECT DISTINCT doc_id, pos + j AS idx
+             |  FROM marked, UNNEST(generate_series(0, 4)) AS u(j)
+             |  WHERE c >= 2 AND rn > 1),
+             |tok AS (SELECT doc_id, i - 1 AS idx, w[i] AS tok
+             |  FROM t, UNNEST(generate_series(1, len(w))) AS g(i))
+             |SELECT tok.doc_id,
+             |string_agg(tok.tok, ' ' ORDER BY tok.idx) AS clean_text,
+             |CAST(count(*) AS BIGINT) AS kept_tokens
+             |FROM tok LEFT JOIN cov
+             |  ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+             |WHERE cov.idx IS NULL
+             |GROUP BY tok.doc_id""".stripMargin)),
+
     // MinHash LSH near-dup pairs, oracled against DuckDB's exact
     // all-pairs 3-gram jaccard. Valid because this corpus is bimodal
     // (random pairs ≈0.1, planted dups ≈0.99): banding recall is ~1.0

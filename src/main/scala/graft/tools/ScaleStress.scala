@@ -162,7 +162,7 @@ object ScaleStress {
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
     "retention_cohorts", "minhash_incremental", "edit_join", "resample",
     "pagerank", "ivf_append", "image_near_dup", "set_sim_join",
-    "containment_join", "shard_balance")
+    "containment_join", "shard_balance", "sliding_dedup")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -200,7 +200,7 @@ object ScaleStress {
     "pack_sequential", "bigram_commonness", "lang_rebalance",
     "chunk_dedup", "salted_join", "bucket_stats",
     "bpe_train", "bpe_segment", "bm25", "chunk_sliding", "rag_search",
-    "minhash_incremental", "set_sim_join")
+    "minhash_incremental", "set_sim_join", "sliding_dedup")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "semantic_dedup", "ivf_append")
@@ -453,6 +453,26 @@ object ScaleStress {
       // grow with the UNIQUE span population, not the corpus
       if (opEnabled("chunk_dedup")) rows += measureOp("chunk_dedup", m, nDocs) {
         Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 10)
+      }
+      // ANY-alignment substring dedup: the window explode is the one
+      // heavy shuffle (~k× token bytes). The clone army's shared
+      // windows each make ONE winner row with count=F and every
+      // occurrence joins that single row — work is O(occurrences),
+      // never O(F²), so this op (unlike an exact similarity JOIN,
+      // whose pair OUTPUT is quadratic in family size) must stay
+      // linear even as the synthesized families grow with m
+      if (opEnabled("sliding_dedup")) {
+        rows += measureOp("sliding_dedup", m, nDocs) {
+          Dedup.slidingSpanDedup(docs, "doc_id", "text",
+            windowWords = 10)
+        }
+        // production keying: 8-byte hashed windows instead of ~70-byte
+        // strings — same rows out (collisions ~2^-64/pair), the
+        // measured gap IS the string-key tax
+        rows += measureOp("sliding_dedup_hashed", m, nDocs) {
+          Dedup.slidingSpanDedup(docs, "doc_id", "text",
+            windowWords = 10, hashKeys = true)
+        }
       }
       // exact set-similarity joins (PPJoin prefix filter). Two
       // measurements, because the synthesized corpus's near-dup

@@ -51,6 +51,56 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.distinct.size == spans.size)
   }
 
+  test("slidingSpanDedup removes SHIFTED repeats the fixed grid " +
+      "misses, keeps canonical occurrence and short docs") {
+    // the boilerplate "b1 b2 b3 b4" recurs at DIFFERENT offsets:
+    // doc 20 at pos 1, doc 21 at pos 0, doc 22 at pos 2 — a fixed
+    // 4-word chunk grid would key three different spans and catch
+    // nothing; sliding windows catch all of them
+    val docs = Seq(
+      (20L, "u1 b1 b2 b3 b4 u2"),     // canonical (smallest id)
+      (21L, "b1 b2 b3 b4 v1 v2"),     // loses its boilerplate
+      (22L, "w1 w2 b1 b2 b3 b4"),     // loses its boilerplate
+      (23L, "b1 b2 b3 b4"),           // fully covered → vanishes
+      (24L, "short doc"),             // < windowWords → untouched
+      (25L, "B1 b2 B3 b4 q9 q8")      // case-insensitive match, loses
+    ).toDF("doc_id", "text")
+    val out = Dedup.slidingSpanDedup(docs, "doc_id", "text",
+        windowWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(20L, 21L, 22L, 24L, 25L),
+      s"survivors: ${out.keySet}")
+    assert(out(20L) == ("u1 b1 b2 b3 b4 u2", 6L)) // canonical intact
+    assert(out(21L) == ("v1 v2", 2L))
+    assert(out(22L) == ("w1 w2", 2L))
+    assert(out(24L) == ("short doc", 2L))
+    assert(out(25L) == ("q9 q8", 2L)) // original casing gone WITH span
+    // chunkDedup's fixed grid indeed misses the shifted copies (only
+    // the exact-aligned doc 23 vs 21 collide) — the gap this operator
+    // exists to close
+    val grid = Dedup.chunkDedup(docs, "doc_id", "text", chunkWords = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grid(20L).contains("b1 b2 b3 b4") &&
+      grid(22L).contains("b1 b2"), grid.toString)
+    // self-repeat within one doc: second occurrence removed
+    val self = Seq((30L, "a1 a2 a3 z a1 a2 a3"))
+      .toDF("doc_id", "text")
+    val so = Dedup.slidingSpanDedup(self, "doc_id", "text", 3)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(so == (("a1 a2 a3 z", 4L)), so.toString)
+    intercept[IllegalArgumentException] {
+      Dedup.slidingSpanDedup(docs, "doc_id", "text", 1)
+    }
+    // the production hashed-key mode returns the identical output
+    // (collisions are ~2^-64/pair; on a fixture, zero)
+    val hashed = Dedup.slidingSpanDedup(docs, "doc_id", "text",
+        windowWords = 4, hashKeys = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(hashed == out, s"hashed-key mode diverged: $hashed")
+  }
+
   test("segmentDedup removes repeated lines, keeps originals in order") {
     val docs = Seq(
       (1L, "Copyright Footer\nreal content one\nMore real text"),
