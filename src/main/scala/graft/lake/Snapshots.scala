@@ -148,6 +148,42 @@ object Snapshots {
     snap
   }
 
+  /** Atomic upsert (MERGE-by-key, merge-on-read): ONE commit carrying
+    * both an equality-delete of the batch's keys and the batch itself
+    * — readers see either none of it (pre-commit manifest) or all of
+    * it. The deleteWhere-then-append pair can't give that: its
+    * intermediate version exposes the deletion without the insert,
+    * and a concurrent reader (or a crash between the two commits)
+    * observes rows vanished. Sequencing makes the single commit
+    * correct: both dirs carry this version v, and a delete file
+    * applies only to data files with a STRICTLY smaller sequence — so
+    * the batch's own rows survive its own delete file while every
+    * older copy of a batch key is masked (Iceberg v2 upsert shape).
+    *
+    * The batch must be key-unique: two batch rows sharing a key BOTH
+    * survive (they also both out-sequence the delete file). Dedup
+    * upstream ([[graft.dedup.Dedup.exactDedup]]) — checking here
+    * would cost a full pass per commit. */
+  def upsert(spark: SparkSession, root: String, df: DataFrame,
+      keyCol: String): Snapshot = {
+    require(df.columns.contains(keyCol),
+      s"upsert batch has no column '$keyCol' " +
+        s"(columns: ${df.columns.mkString(", ")})")
+    val prev = latest(root)
+    val v = prev.version + 1
+    val dataDir = s"data-$v"
+    val delDir = s"delete-$v"
+    df.write.mode("overwrite").parquet(s"$root/$dataDir")
+    // delete keys come from the LANDED batch (not the live plan):
+    // one source of truth for what was written
+    spark.read.parquet(s"$root/$dataDir").select(col(keyCol)).distinct()
+      .write.mode("overwrite").parquet(s"$root/$delDir")
+    val snap = Snapshot(v, "upsert", System.currentTimeMillis(),
+      prev.dataDirs :+ dataDir, prev.deleteDirs :+ delDir)
+    commit(root, snap)
+    snap
+  }
+
   /** Fold accumulated deletes into a fresh single base (Iceberg
     * rewrite_data_files): the new version reads with NO anti-join;
     * older versions still time-travel (their dirs remain). */

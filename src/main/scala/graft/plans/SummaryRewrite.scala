@@ -214,7 +214,7 @@ object SummaryCatalog {
     * file fingerprint at registration time (the staleness guard). */
   final case class Rollup(basePaths: Set[String], keys: Seq[String],
       measures: Seq[String], summaryPlan: LogicalPlan,
-      baseFingerprint: Int)
+      baseFingerprint: Long)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[Set[String], Rollup]()
@@ -230,16 +230,20 @@ object SummaryCatalog {
     Option(entries.get(paths))
 
   /** Order-independent hash of the scan's resolved file entries
-    * (path, length, mtime). Cheap: the file listing is already
-    * materialized in the scan's FileIndex; hashing it is linear in
-    * file count, paid only for path-matched registered bases. */
-  private[plans] def fingerprint(fs: HadoopFsRelation): Int = {
-    val files = fs.location.listFiles(Nil, Nil).flatMap(_.files)
-      .map(f =>
-        s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
-      .sorted
-    scala.util.hashing.MurmurHash3.orderedHash(files)
-  }
+    * (path, length, mtime): the SUM of per-entry hashes — addition
+    * commutes, so no sort is needed and the cost is one linear pass
+    * over a listing the scan's FileIndex has already materialized
+    * (~tens of ms per optimization pass even at a million files).
+    * Deliberately NOT memoized per FileIndex: InMemoryFileIndex
+    * defines equality by root paths, so any map keyed on it would
+    * hand a post-append scan the pre-append fingerprint and defeat
+    * the staleness guard (the spec's stale-rollup case catches
+    * exactly that). */
+  private[plans] def fingerprint(fs: HadoopFsRelation): Long =
+    fs.location.listFiles(Nil, Nil).iterator.flatMap(_.files)
+      .map(f => scala.util.hashing.MurmurHash3.stringHash(
+        s"${f.getPath}:${f.getLen}:${f.getModificationTime}").toLong)
+      .sum
 
   private def fileRelations(df: DataFrame): Seq[HadoopFsRelation] =
     df.queryExecution.analyzed.collect {

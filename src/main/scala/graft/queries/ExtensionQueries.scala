@@ -1355,6 +1355,33 @@ object ExtensionQueries {
              |SELECT doc_id, 'restored' AS lang, source FROM documents
              |WHERE doc_id < 40""".stripMargin)),
 
+    // atomic MERGE-by-key: one upsert commit both equality-deletes the
+    // batch's keys and lands the batch — sequencing lets the batch
+    // out-live its own delete file while masking every older copy.
+    // The oracle is the merge result: base rows whose key is NOT in
+    // the batch, plus the batch in full.
+    QueryDef("q_snapshot_upsert",
+      (s, d) => {
+        import graft.lake.Snapshots
+        val root = snapshotRoots.getOrElseUpdate(s"upsert|$d", {
+          val r = java.nio.file.Files
+            .createTempDirectory("graft-snap-u").toString
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("source"))
+          Snapshots.createOrReplace(docs.filter(col("doc_id") < 300), r)
+          Snapshots.upsert(s, r,
+            docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+              .withColumn("lang", lit("merged")), "doc_id")
+          r
+        })
+        Snapshots.read(s, root)
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id < 200
+             |UNION ALL
+             |SELECT doc_id, 'merged' AS lang, source FROM documents
+             |WHERE doc_id >= 200 AND doc_id < 350""".stripMargin)),
+
     // change-data-feed read: row-level diff between two table versions
     // (Snapshots.diff — Delta CDF analog). v0 creates ids < 300, v1
     // deletes < 50, v2 appends 300..399, v3 re-inserts < 30 with a

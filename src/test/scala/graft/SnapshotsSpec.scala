@@ -216,6 +216,39 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.expireSnapshots(root, keepLast = 1) == ((Nil, Nil)))
   }
 
+  test("upsert is ONE atomic commit: batch keys replace older copies, " +
+      "batch survives its own delete file, time travel intact") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(0 until 10), root)    // v0: ids 0-9
+    val batch = spark.range(7, 13).toDF("id")
+      .selectExpr("id", "'updated' AS payload")
+    val snap = Snapshots.upsert(spark, root, batch, "id")
+    // exactly ONE new version (not a delete version + an append version)
+    assert(snap.version == 1 && snap.op == "upsert")
+    assert(Snapshots.log(root).map(_.version) == Seq(0, 1))
+    val now = Snapshots.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now.keySet == (0L until 13L).toSet)
+    // ids 7-9: the batch copy won; 0-6 keep the original payload
+    assert((7L to 12L).forall(now(_) == "updated"), now.toString)
+    assert((0L to 6L).forall(now(_) != "updated"), now.toString)
+    // time travel to v0 still shows the pre-upsert state
+    assert(Snapshots.readVersion(spark, root, 0).count() == 10)
+    // a second upsert of an already-upserted key wins again
+    Snapshots.upsert(spark, root,
+      spark.range(8, 9).toDF("id").selectExpr("id", "'again' AS payload"),
+      "id")
+    val after = Snapshots.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(8L) == "again" && after(7L) == "updated")
+    assert(after.size == 13)
+    // a batch missing the key column fails loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.upsert(spark, root,
+        spark.range(1).toDF("not_key"), "id")
+    }
+  }
+
   test("a reader holding a PRE-expiry plan loses the vacuum race " +
       "LOUDLY — never a silent empty or partial result") {
     val root = freshRoot()
