@@ -275,34 +275,9 @@ object Dedup {
       s"windowWords must be > 1 (got $windowWords); use exactDedup " +
         "for single-token keys")
     val k = windowWords
-    val toks = when(length(trim(col(textCol))) === 0,
-        array().cast("array<string>"))
-      .otherwise(split(trim(col(textCol)), "\\s+"))
-    // deliberately NOT persisted: windows and the token stream each
-    // re-derive the tokenization, and that is the cheaper plan —
-    // columnar-caching large string-array rows costs more to build
-    // and scan than re-running the codegen split from the source
-    // (measured: caching this frame TRIPLED the ×100 wall, 115 →
-    // 363 s at 500k docs — SCALING.md). The k× window expansion is
-    // never materialized either way.
-    val base = df.select(col(idCol), toks.as("__toks"))
-      .filter(size(col("__toks")) > 0)
-    // token stream: every (id, idx, token) — consumed by the
-    // anti-join and the reassembly
-    val tokens = base.select(col(idCol),
-      posexplode(col("__toks")).as(Seq("__idx", "__tok")))
-    // sliding windows: (id, pos, key) for pos in [0, n-k]
-    val windowStr =
-      lower(array_join(slice(col("__toks"), col("__pos") + 1, lit(k)),
-        " "))
-    val windows = base
-      .filter(size(col("__toks")) >= k)
-      .select(col(idCol),
-        explode(sequence(lit(0), size(col("__toks")) - k)).as("__pos"),
-        col("__toks"))
-      .select(col(idCol), col("__pos"),
-        (if (hashKeys) xxhash64(windowStr) else windowStr).as("__key"))
-    // winner election: ONE aggregation per distinct window string
+    val base = spanTokenize(df, idCol, textCol)
+    val windows = spanWindows(base, idCol, k, hashKeys)
+    // winner election: ONE aggregation per distinct window key
     val winners = windows
       .groupBy(col("__key").as("__win_key"))
       .agg(min(struct(col(idCol), col("__pos"))).as("__win"),
@@ -313,7 +288,47 @@ object Dedup {
       .join(winners, col("__key") === col("__win_key") &&
         struct(col(idCol), col("__pos")) =!= col("__win"))
       .select(col(idCol), col("__pos"))
-    // coverage: every token index under a removed window, deduped
+    spanRemoveCovered(base, removals, idCol, k)
+  }
+
+  /** Tokenized documents (id, __toks). Deliberately NOT persisted:
+    * every consumer re-derives the tokenization, and that is the
+    * cheaper plan — columnar-caching large string-array rows costs
+    * more to build and scan than re-running the codegen split from
+    * the source (measured: caching this frame TRIPLED the ×100 wall,
+    * 115 → 363 s at 500k docs — SCALING.md). The k× window expansion
+    * is never materialized either way. */
+  private def spanTokenize(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+  }
+
+  /** Sliding windows (id, __pos, __key) for pos in [0, n-k]. */
+  private def spanWindows(base: DataFrame, idCol: String, k: Int,
+      hashKeys: Boolean): DataFrame = {
+    val windowStr =
+      lower(array_join(slice(col("__toks"), col("__pos") + 1, lit(k)),
+        " "))
+    base
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("__toks")) - k)).as("__pos"),
+        col("__toks"))
+      .select(col(idCol), col("__pos"),
+        (if (hashKeys) xxhash64(windowStr) else windowStr).as("__key"))
+  }
+
+  /** Shared tail: drop every token index covered by a removed window,
+    * reassemble survivors in order → (idCol, clean_text,
+    * kept_tokens). */
+  private def spanRemoveCovered(base: DataFrame, removals: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    val tokens = base.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("__idx", "__tok")))
     val covered = removals
       .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + (k - 1)))
@@ -327,6 +342,104 @@ object Dedup {
           array_sort(collect_list(struct(col("__idx"), col("__tok")))),
           x => x.getField("__tok")), " ").as("clean_text"),
         count(lit(1)).as("kept_tokens"))
+  }
+
+  /** A materializable sliding-window corpus index for
+    * [[slidingSpanDedupIncremental]]: `keys` (the DISTINCT window
+    * keys of everything ingested so far — one column, `__key`) and
+    * `ids` (ingested document ids — the re-ingest guard), stamped
+    * with the parameters that produced them. Both frames are plain
+    * DataFrames the caller lands as parquet; re-wrap with the SAME
+    * parameters on load ([[union]] refuses mismatches — differently
+    * keyed windows never match, so a silent mismatch would mean zero
+    * cross-batch dedup, not an error). */
+  final case class SpanIndex(keys: DataFrame, ids: DataFrame,
+      windowWords: Int, hashedKeys: Boolean) {
+    def union(other: SpanIndex): SpanIndex = {
+      require(windowWords == other.windowWords &&
+        hashedKeys == other.hashedKeys,
+        s"cannot union span indexes with different parameters: " +
+          s"($windowWords,$hashedKeys) vs " +
+          s"(${other.windowWords},${other.hashedKeys})")
+      SpanIndex(keys.unionByName(other.keys).distinct(),
+        ids.unionByName(other.ids), windowWords, hashedKeys)
+    }
+  }
+
+  /** Index a corpus slice for incremental any-alignment dedup — the
+    * once-per-batch cost [[slidingSpanDedupIncremental]] never re-pays
+    * for previously ingested data. */
+  def buildSpanIndex(df: DataFrame, idCol: String, textCol: String,
+      windowWords: Int = 20, hashKeys: Boolean = false): SpanIndex = {
+    require(windowWords > 1,
+      s"windowWords must be > 1 (got $windowWords)")
+    val base = spanTokenize(df, idCol, textCol)
+    SpanIndex(
+      spanWindows(base, idCol, windowWords, hashKeys)
+        .select(col("__key")).distinct(),
+      df.select(col(idCol).as("id")),
+      windowWords, hashKeys)
+  }
+
+  /** Incremental ExactSubstr — the daily-ingest shape: clean a NEW
+    * batch against an indexed corpus without re-windowing the corpus.
+    * A batch window occurrence is removed when its key is ALREADY in
+    * the index (any earlier occurrence wins, even one that was itself
+    * removed as a duplicate — presence, not survival, is what makes a
+    * span non-novel) or when an earlier batch occurrence exists
+    * (batch-internal keep-first). Provided batch ids sort after the
+    * corpus's, the cleaned batch is EXACTLY the full-corpus
+    * [[slidingSpanDedup]] output restricted to batch ids — which is
+    * what the oracle query checks. Returns (cleaned batch, next-day
+    * index).
+    *
+    * Scale shape: the batch pays its own windowing; the corpus
+    * contributes ONE column-pruned scan of its key column, probed by
+    * the broadcast batch keys (batch ≪ corpus — the operator's
+    * premise, like incrementalMinHashPairs), and the matched keys
+    * (≤ batch keys) broadcast back. Ids already ingested are a loud
+    * error — re-ingest would mark every batch window as seen and
+    * hollow the documents out. */
+  def slidingSpanDedupIncremental(index: SpanIndex, batch: DataFrame,
+      idCol: String, textCol: String): (DataFrame, SpanIndex) = {
+    val k = index.windowWords
+    val base = spanTokenize(batch, idCol, textCol)
+    val overlap = batch.select(col(idCol))
+      .join(index.ids, col(idCol) === index.ids("id"), "left_semi")
+      .limit(1).collect()
+    require(overlap.isEmpty,
+      s"batch ids already present in the span index (e.g. ${overlap
+        .headOption.map(_.get(0)).getOrElse("")}) — dedupe re-ingests " +
+        "before calling, or rebuild the index")
+    val windows = spanWindows(base, idCol, k, index.hashedKeys)
+    val batchKeys = windows.select(col("__key")).distinct()
+    // corpus probe: index scan pruned to __key, semi-joined by the
+    // broadcast batch keys; the hits are at most batch-sized
+    val hitKeys = index.keys
+      .join(broadcast(batchKeys), Seq("__key"), "left_semi")
+    val rmIndexed = windows
+      .join(broadcast(hitKeys), Seq("__key"), "left_semi")
+      .select(col(idCol), col("__pos"))
+    // keys new to the corpus: batch-internal keep-first
+    val fresh = windows
+      .join(broadcast(hitKeys), Seq("__key"), "left_anti")
+    val winners = fresh
+      .groupBy(col("__key").as("__win_key"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__win"),
+        count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+    val rmInternal = fresh
+      .join(winners, col("__key") === col("__win_key") &&
+        struct(col(idCol), col("__pos")) =!= col("__win"))
+      .select(col(idCol), col("__pos"))
+    val cleaned = spanRemoveCovered(base,
+      rmIndexed.unionByName(rmInternal), idCol, k)
+    val next = SpanIndex(
+      index.keys.unionByName(
+        batchKeys.join(broadcast(hitKeys), Seq("__key"), "left_anti")),
+      index.ids.unionByName(batch.select(col(idCol).as("id"))),
+      k, index.hashedKeys)
+    (cleaned, next)
   }
 
   // ------------------------------------------------------------- shingles

@@ -265,6 +265,48 @@ object SummaryCatalog {
     base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Incremental rollup maintenance: combine an EXISTING summary with
+    * the rollup of an increment (the files appended since the summary
+    * was built) into a new summary equal — bit-for-bit — to
+    * [[buildSummary]] over the full base. This is why the rollup
+    * stores decomposable partials only: sum of sums = total sum, min
+    * of mins = total min, count of counts = total count, so a daily
+    * refresh costs one scan of the DAY's data plus a keys-sized
+    * re-aggregation of the old summary — never a re-scan of the
+    * petabyte base. Flow after an append trips the staleness guard:
+    * `combineSummaries(read(oldSummaryPath), buildSummary(newFiles,
+    * keys, measures), keys, measures)` → write → [[register]] the
+    * read-back.
+    *
+    * Combined columns are cast back to the inputs' column types, so
+    * the refreshed summary's schema is STABLE across any number of
+    * refreshes (summing a decimal partial widens precision; an
+    * unchecked widening would drift the materialized schema and break
+    * type equality with first-generation summaries). */
+  def combineSummaries(oldSummary: DataFrame, increment: DataFrame,
+      keys: Seq[String], measures: Seq[String]): DataFrame = {
+    val expected = keys ++ Seq("__cnt") ++ measures.flatMap(m =>
+      Seq(s"__sum_$m", s"__min_$m", s"__max_$m", s"__cnt_$m"))
+    Seq("old summary" -> oldSummary, "increment" -> increment)
+      .foreach { case (which, df) =>
+        val missing = expected.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"$which is missing rollup columns: ${missing.mkString(", ")}")
+      }
+    val schema = oldSummary.schema.map(f => f.name -> f.dataType).toMap
+    def c(name: String, agg: org.apache.spark.sql.Column) =
+      agg.cast(schema(name)).as(name)
+    val aggs = c("__cnt", sum(col("__cnt"))) +: measures.flatMap(m =>
+      Seq(c(s"__sum_$m", sum(col(s"__sum_$m"))),
+        c(s"__min_$m", min(col(s"__min_$m"))),
+        c(s"__max_$m", max(col(s"__max_$m"))),
+        c(s"__cnt_$m", sum(col(s"__cnt_$m")))))
+    oldSummary.select(expected.map(col): _*)
+      .unionByName(increment.select(expected.map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Register `summary` (a MATERIALIZED scan — read back from its
     * parquet, not the live aggregation plan) as the rollup of `base`
     * over `keys`/`measures`. Subsequent aggregates on `base` whose

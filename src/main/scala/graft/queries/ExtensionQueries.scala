@@ -564,6 +564,46 @@ object ExtensionQueries {
              |WHERE cov.idx IS NULL
              |GROUP BY tok.doc_id""".stripMargin)),
 
+    // incremental ExactSubstr (daily-ingest shape): docs < 300 are the
+    // indexed corpus, docs >= 300 the new batch — the batch is cleaned
+    // against the stored window keys WITHOUT re-windowing the corpus,
+    // and the result must equal the full-corpus run restricted to the
+    // batch (batch ids sort after corpus ids). The oracle computes
+    // exactly that: the same full-corpus replay as
+    // q_dedup_sliding_spans, output filtered to the batch.
+    QueryDef("q_dedup_sliding_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = Dedup.buildSpanIndex(
+          docs.filter(col("doc_id") < 300), "doc_id", "text",
+          windowWords = 5)
+        Dedup.slidingSpanDedupIncremental(idx,
+          docs.filter(col("doc_id") >= 300), "doc_id", "text")._1
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents WHERE len(trim(text)) > 0),
+             |win AS (SELECT doc_id, i - 1 AS pos,
+             |  lower(array_to_string(w[i:i+4], ' ')) AS key
+             |  FROM t, UNNEST(generate_series(1, len(w) - 4)) AS g(i)),
+             |marked AS (SELECT doc_id, pos,
+             |  row_number() OVER (PARTITION BY key
+             |    ORDER BY doc_id, pos) AS rn,
+             |  count(*) OVER (PARTITION BY key) AS c
+             |  FROM win),
+             |cov AS (SELECT DISTINCT doc_id, pos + j AS idx
+             |  FROM marked, UNNEST(generate_series(0, 4)) AS u(j)
+             |  WHERE c >= 2 AND rn > 1),
+             |tok AS (SELECT doc_id, i - 1 AS idx, w[i] AS tok
+             |  FROM t, UNNEST(generate_series(1, len(w))) AS g(i))
+             |SELECT tok.doc_id,
+             |string_agg(tok.tok, ' ' ORDER BY tok.idx) AS clean_text,
+             |CAST(count(*) AS BIGINT) AS kept_tokens
+             |FROM tok LEFT JOIN cov
+             |  ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+             |WHERE cov.idx IS NULL AND tok.doc_id >= 300
+             |GROUP BY tok.doc_id""".stripMargin)),
+
     // MinHash LSH near-dup pairs, oracled against DuckDB's exact
     // all-pairs 3-gram jaccard. Valid because this corpus is bimodal
     // (random pairs ≈0.1, planted dups ≈0.99): banding recall is ~1.0

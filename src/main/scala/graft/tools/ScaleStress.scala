@@ -162,7 +162,8 @@ object ScaleStress {
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
     "retention_cohorts", "minhash_incremental", "edit_join", "resample",
     "pagerank", "ivf_append", "image_near_dup", "set_sim_join",
-    "containment_join", "shard_balance", "sliding_dedup")
+    "containment_join", "shard_balance", "sliding_dedup",
+    "sliding_incremental")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -200,7 +201,8 @@ object ScaleStress {
     "pack_sequential", "bigram_commonness", "lang_rebalance",
     "chunk_dedup", "salted_join", "bucket_stats",
     "bpe_train", "bpe_segment", "bm25", "chunk_sliding", "rag_search",
-    "minhash_incremental", "set_sim_join", "sliding_dedup")
+    "minhash_incremental", "set_sim_join", "sliding_dedup",
+    "sliding_incremental")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "semantic_dedup", "ivf_append")
@@ -472,6 +474,29 @@ object ScaleStress {
         rows += measureOp("sliding_dedup_hashed", m, nDocs) {
           Dedup.slidingSpanDedup(docs, "doc_id", "text",
             windowWords = 10, hashKeys = true)
+        }
+      }
+      // incremental: a 5% daily batch against the stored window-key
+      // index (hashed keys, materialized OUTSIDE the timer) — the
+      // measured cost must track the BATCH (its own windowing + one
+      // column-pruned probe of the index), not the corpus
+      if (opEnabled("sliding_incremental")) {
+        val newPred = col("doc_id") % 20 === 0
+        println(s"-- x$m sliding_incremental (indexing corpus) ...")
+        val keysPath = s"$workRoot/spanidx_keys_x$m"
+        val idsPath = s"$workRoot/spanidx_ids_x$m"
+        val corpusIdx = Dedup.buildSpanIndex(docs.filter(!newPred),
+          "doc_id", "text", windowWords = 10, hashKeys = true)
+        corpusIdx.keys.write.mode("overwrite").parquet(keysPath)
+        corpusIdx.ids.write.mode("overwrite").parquet(idsPath)
+        Dedup.releaseCaches()
+        val stored = Dedup.SpanIndex(spark.read.parquet(keysPath),
+          spark.read.parquet(idsPath), windowWords = 10,
+          hashedKeys = true)
+        val nNew = docs.filter(newPred).count()
+        rows += measureOp("sliding_incremental", m, nNew) {
+          Dedup.slidingSpanDedupIncremental(stored,
+            docs.filter(newPred), "doc_id", "text")._1
         }
       }
       // exact set-similarity joins (PPJoin prefix filter). Two

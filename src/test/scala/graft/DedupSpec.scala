@@ -101,6 +101,51 @@ class DedupSpec extends AnyFunSuite {
     assert(hashed == out, s"hashed-key mode diverged: $hashed")
   }
 
+  test("slidingSpanDedupIncremental equals the full-corpus op " +
+      "restricted to the batch; re-ingest and param drift fail loudly") {
+    val corpus = Seq(
+      (1L, "c1 c2 c3 c4 tail one"),
+      (2L, "c1 c2 c3 c4 other words here"),  // dup of 1's span already
+      (3L, "solo words nothing shared")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "x9 c1 c2 c3 c4 x8"),      // span known to the corpus → cut
+      (11L, "n1 n2 n3 n4 fresh stuff"),// novel span, first in batch
+      (12L, "pad n1 n2 n3 n4 fresh"),  // hmm: only the 4-window shared
+      (13L, "totally new material words")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildSpanIndex(corpus, "doc_id", "text",
+      windowWords = 4)
+    val (cleaned, next) =
+      Dedup.slidingSpanDedupIncremental(idx, batch, "doc_id", "text")
+    val got = cleaned.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ground truth: full-corpus run restricted to batch ids (batch
+    // ids sort after corpus ids — the documented precondition)
+    val full = Dedup.slidingSpanDedup(corpus.unionByName(batch),
+        "doc_id", "text", windowWords = 4)
+      .filter(col("doc_id") >= 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == full, s"incremental diverged:\n$got\nvs full:\n$full")
+    // the corpus-known span was cut from doc 10, novel spans survive
+    // their first batch occurrence
+    assert(got(10L) == "x9 x8")
+    assert(got(11L).startsWith("n1 n2 n3 n4"))
+    // next-day index: knows batch ids and batch keys
+    intercept[IllegalArgumentException] {
+      Dedup.slidingSpanDedupIncremental(next, batch, "doc_id", "text")
+    }
+    val (cleaned2, _) = Dedup.slidingSpanDedupIncremental(next,
+      Seq((20L, "n1 n2 n3 n4 repeat of batch span"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(cleaned2.collect().head.getString(1) == "repeat of batch span")
+    // parameter drift refuses
+    intercept[IllegalArgumentException] {
+      idx.union(Dedup.buildSpanIndex(corpus, "doc_id", "text",
+        windowWords = 5))
+    }
+  }
+
   test("segmentDedup removes repeated lines, keeps originals in order") {
     val docs = Seq(
       (1L, "Copyright Footer\nreal content one\nMore real text"),

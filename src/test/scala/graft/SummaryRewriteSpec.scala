@@ -261,6 +261,59 @@ class SummaryRewriteSpec extends AnyFunSuite {
       plain.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq)
   }
 
+  test("combineSummaries(old, increment) equals buildSummary over the " +
+      "full base bit-for-bit, and the refresh flow re-arms the rewrite") {
+    seedBase()
+    SummaryCatalog.clear()
+    registerRollup()
+    // day-2 increment lands in the base dir → rollup goes stale
+    val day2 = s"$root/day2-staging"
+    ext.range(500, 560).select(
+        concat(lit("k"), (col("id") % 4).cast("string")).as("k1"),
+        (col("id") % 5).cast("int").as("k2"),
+        when(col("id") % 5 =!= 0,
+          ((col("id") * 3 % 700) / 4).cast("decimal(18,2)")).as("m1"),
+        when(col("id") % 9 =!= 0, col("id") * 11 % 89).as("m2"))
+      .write.mode("overwrite").parquet(day2)
+    ext.read.parquet(day2).write.mode("append").parquet(basePath)
+    // stale: the rewrite must refuse now
+    assert(!scansSummary(ext.read.parquet(basePath).groupBy("k1")
+      .agg(sum("m1").as("s"))))
+    // incremental refresh: old summary + rollup of ONLY the increment
+    val refreshed = SummaryCatalog.combineSummaries(
+      ext.read.parquet(sumPath),
+      SummaryCatalog.buildSummary(ext.read.parquet(day2),
+        Seq("k1", "k2"), Seq("m1", "m2")),
+      Seq("k1", "k2"), Seq("m1", "m2"))
+    val full = SummaryCatalog.buildSummary(ext.read.parquet(basePath),
+      Seq("k1", "k2"), Seq("m1", "m2"))
+    // names + types must be stable (nullability differs only in the
+    // live plans — COUNT is non-null there — and parquet round-trips
+    // normalize both sides to nullable)
+    assert(refreshed.schema.map(f => (f.name, f.dataType)) ==
+      full.schema.map(f => (f.name, f.dataType)),
+      s"refresh drifted the schema:\n${refreshed.schema}\n${full.schema}")
+    val sort = (df: DataFrame) => df.collect().map(_.toSeq)
+      .sortBy(_.mkString("|")).toSeq
+    assert(sort(refreshed) == sort(full))
+    // write + re-register the refreshed summary: rewrite re-armed and
+    // answers include the day-2 rows
+    refreshed.write.mode("overwrite").parquet(sumPath)
+    SummaryCatalog.register(ext.read.parquet(basePath),
+      ext.read.parquet(sumPath), Seq("k1", "k2"), Seq("m1", "m2"))
+    def q(b: DataFrame) = b.groupBy("k1").agg(count(lit(1)).as("n"))
+    val df = q(ext.read.parquet(basePath))
+    assert(scansSummary(df), df.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(df, q)
+    // mismatched rollup conventions fail loudly
+    val err = intercept[IllegalArgumentException] {
+      SummaryCatalog.combineSummaries(ext.read.parquet(sumPath),
+        ext.range(1).select(lit("a").as("k1")), Seq("k1"), Seq("m1"))
+    }
+    assert(err.getMessage.contains("missing rollup columns"))
+    SummaryCatalog.clear()
+  }
+
   test("register refuses a union-of-scans base and a live-plan summary") {
     seedBase()
     val base = ext.read.parquet(basePath)
