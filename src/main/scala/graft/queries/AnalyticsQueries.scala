@@ -284,6 +284,47 @@ object AnalyticsQueries {
            |SELECT node, rank FROM r3""".stripMargin
       }),
 
+    // per-node triangles + local clustering coefficient over the
+    // part co-purchase graph (parts linked when some order contains
+    // both). Degree-oriented wedge generation keeps the superlinear
+    // step O(m^1.5) — see Graph.triangleStats; the oracle replays the
+    // canonical a<b<c 3-way join, which counts the identical triangle
+    // set regardless of orientation key. lcc is integers cast to
+    // double + ONE IEEE division — bit-identical cross-engine.
+    QueryDef("q_triangle_count",
+      (s, d) => {
+        val lp = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"),
+            col("l_partkey").cast("long").as("p")).distinct()
+        val edges = lp.select(col("ok"), col("p").as("pa"))
+          .join(lp.select(col("ok"), col("p").as("pb")), Seq("ok"))
+          .filter(col("pa") < col("pb"))
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        graft.graph.Graph.triangleStats(edges)
+      },
+      Some("""WITH lp AS MATERIALIZED (SELECT DISTINCT
+             |  l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS p
+             |  FROM lineitem),
+             |und AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+             |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+             |  FROM (SELECT a AS node FROM und
+             |        UNION ALL SELECT b FROM und) t GROUP BY 1),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+             |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+             |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+             |  FROM (SELECT x AS node FROM tri
+             |        UNION ALL SELECT y FROM tri
+             |        UNION ALL SELECT z FROM tri) t GROUP BY 1)
+             |SELECT deg.node, deg.degree,
+             |CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+             |CASE WHEN deg.degree >= 2 THEN
+             |  CAST(COALESCE(pn.triangles, 0) * 2 AS DOUBLE)
+             |    / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+             |ELSE CAST(0 AS DOUBLE) END AS lcc
+             |FROM deg LEFT JOIN pn ON deg.node = pn.node""".stripMargin)),
+
     // rollup: sales by (year, priority) with subtotals and grand total
     QueryDef("q_rollup_sales",
       (s, d) => Tables.orders(s, d)

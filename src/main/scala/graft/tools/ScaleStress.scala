@@ -161,9 +161,9 @@ object ScaleStress {
     "bpe_train", "bpe_segment", "bm25", "chunk_sliding",
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
     "retention_cohorts", "minhash_incremental", "edit_join", "resample",
-    "pagerank", "ivf_append", "image_near_dup", "set_sim_join",
-    "containment_join", "shard_balance", "sliding_dedup",
-    "sliding_incremental")
+    "pagerank", "triangles", "ivf_append", "image_near_dup",
+    "set_sim_join", "containment_join", "shard_balance",
+    "sliding_dedup", "sliding_incremental")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -829,6 +829,33 @@ object ScaleStress {
               pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
               pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("dst")),
             iters = 3)
+        }
+      }
+      // triangles + lcc over the same uniform graph PLUS a planted
+      // 50k×m-degree supernode: constant average degree keeps wedges
+      // m-linear, and the hub — C(50k·m, 2) ≈ 1.25e9·m² wedges if
+      // naively centered — must contribute ~none (degree orientation
+      // points nearly every hub edge AT the hub). Wall tracking m
+      // linearly IS the hub-safety proof.
+      if (opEnabled("triangles")) {
+        val nNodes = 100000L * m
+        val nEdges = 1000000L * m
+        val nHub = 50000L * m
+        // slice the synthetic range so map tasks stay ~1M rows: the
+        // operator's first distinct() partially aggregates per map
+        // task, and 32 giant range slices would hand each task a
+        // multi-million-key hash map (the range analog of
+        // maxPartitionBytes, which governs only file scans)
+        val slices = (32 * m).max(32)
+        rows += measureOp("triangles", m, nEdges + nHub) {
+          graft.graph.Graph.triangleStats(
+            spark.range(0, nEdges, 1, slices).select(
+              pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+              pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("dst"))
+            .unionAll(spark.range(0, nHub, 1, slices)
+              .select(lit(0L).as("src"),
+                pmod(xxhash64(col("id"), lit(3)), lit(nNodes))
+                  .as("dst"))))
         }
       }
       // fixed-grid resample with gap fill: the synthesized user

@@ -59,4 +59,57 @@ class GraphSpec extends AnyFunSuite {
     // node 3 has the most (undirected) neighbors; node 4 the fewest
     assert(pr(3L) > pr(4L))
   }
+
+  /** Brute-force reference: canonical undirected edge set, triangles
+    * by 3-way scan, lcc with the operator's exact arithmetic. */
+  private def localTriangles(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, Double)] = {
+    val und = edges.map { case (s, d) => (s min d, s max d) }
+      .filter { case (a, b) => a != b }.distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    nbrs.map { case (n, nb) =>
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(x, y) => nbrs(x).contains(y) }.toLong
+      val d = nb.size.toLong
+      val lcc = if (d >= 2) (tri * 2).toDouble / (d * (d - 1)).toDouble
+        else 0.0
+      n -> ((d, tri, lcc))
+    }
+  }
+
+  test("triangleStats matches brute force; direction/dup/self-loop " +
+      "normalization; a hub with no closures has lcc 0") {
+    // two overlapping triangles (1,2,3) and (2,3,4), a pendant 5, a
+    // star hub 6 with leaves that never interconnect, plus noise:
+    // reversed duplicates and a self-loop
+    val es: Seq[(Long, Long)] = Seq(
+      1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 4L, 3L -> 4L, 4L -> 5L,
+      6L -> 10L, 6L -> 11L, 6L -> 12L, 6L -> 13L,
+      2L -> 1L, 3L -> 2L, 5L -> 5L) // dups + self-loop
+    val got = Graph.triangleStats(es.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val want = localTriangles(es)
+    assert(got == want, s"got:\n$got\nwant:\n$want")
+    assert(got(1L) == ((2L, 1L, 1.0)))          // in exactly one triangle
+    assert(got(2L)._2 == 2L && got(3L)._2 == 2L) // shared edge: two
+    assert(got(6L) == ((4L, 0L, 0.0)))          // hub, zero closure
+    assert(got(5L) == ((1L, 0L, 0.0)))          // pendant: degree 1
+    // partitioning invariance (integer counts, one IEEE division)
+    val rep = Graph.triangleStats(es.toDF("src", "dst").repartition(7))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rep == got)
+  }
+
+  test("triangleStats on a clique: every node closes all wedges") {
+    val nodes = (1L to 6L)
+    val es = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val got = Graph.triangleStats(es.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // K6: degree 5, C(5,2)=10 triangles per node, lcc exactly 1.0
+    assert(got.size == 6 && got.values.forall(_ == ((5L, 10L, 1.0))))
+  }
 }

@@ -680,4 +680,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"partition offsets must broadcast, not shuffle:\n$p")
   }
+
+  test("triangle counting: wedges and closures are hash equi-joins, " +
+      "no cartesian, no single-partition stage") {
+    val p = plan("q_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // wedge self-join + triangle closure + 2 degree joins + final
+    // left join all hash/merge on node keys
+    assert(p.contains("Join"), p)
+  }
 }
