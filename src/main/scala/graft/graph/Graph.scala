@@ -110,8 +110,21 @@ object Graph {
     * which counts the identical triangles regardless of orientation
     * key. */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // Edge-scale intermediates persist DISK_ONLY (+ eager count, the
+    // persistEager discipline): a localCheckpoint/MEMORY_AND_DISK
+    // cache would pin the m-row blocks in the unified memory pool and
+    // starve the wedge join + count aggregations of execution memory
+    // exactly when they need it most (the ×100 harness run OOM'd
+    // there). Disk blocks cost one serialized write each and leave
+    // the whole pool to the joins; node-scale frames (deg) stay on
+    // the normal in-memory materialize policy.
+    def diskEager(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      p.count()
+      p
+    }
     // canonical undirected edges: a < b, self-loops dropped, distinct
-    val und = graft.util.Checkpointing.materialize(
+    val und = diskEager(
       edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -127,10 +140,12 @@ object Graph {
       .join(deg.select(col("node").as("b"), col("degree").as("__db")), "b")
     val keyA = struct(col("__da").as("d"), col("a").as("n"))
     val keyB = struct(col("__db").as("d"), col("b").as("n"))
-    val oriented = withDegs.select(
+    // three consumers (both wedge sides + the closing-edge probe):
+    // materialize once, on disk
+    val oriented = diskEager(withDegs.select(
       when(keyA < keyB, col("a")).otherwise(col("b")).as("u"),
       when(keyA < keyB, col("b")).otherwise(col("a")).as("v"),
-      when(keyA < keyB, keyB).otherwise(keyA).as("__kv"))
+      when(keyA < keyB, keyB).otherwise(keyA).as("__kv")))
     // wedges (v, w) centered on u with key(v) < key(w): the closing
     // edge {v, w}, if present, is oriented v→w under the SAME key
     val o1 = oriented.select(col("u"), col("v"), col("__kv"))

@@ -260,4 +260,51 @@ object Sampling {
           .otherwise(lit(2L * nShards - 1) - phase).cast("int"))
       .select(df.columns.map(col).toIndexedSeq :+ col("shard"): _*)
   }
+
+  /** Cluster-balanced coverage sampling (prototype selection): keep
+    * the `quota` most-CENTRAL vectors of every trained IVF cell —
+    * rank within a cell by cosine to the cell's own centroid
+    * (descending; ties on id ascending), cut at `quota`. The
+    * complement of SemDeDup's within-cell near-dup removal: where
+    * dedup drops redundant cluster-mates, this selects each semantic
+    * region's exemplars under a uniform per-cluster budget, so a
+    * corpus dominated by one topic cannot crowd the sample — the
+    * standard cluster-balanced selection step of training-data
+    * curation pipelines. Returns (id, cell, centrality, rank).
+    *
+    * Scale shape: assignment + centrality are ONE narrow codegen'd
+    * map against the k×dim centroid literal (no join against a
+    * centroid table), and the frame is projected down to three
+    * scalars BEFORE the window's exchange — embeddings never cross
+    * the shuffle. The window partitions by cell: with the sensible
+    * k ≈ √n regime (and quota ≪ cell size) cells are ~√n rows each,
+    * thousands of them, so the sort is balanced across the cluster —
+    * no global or single-partition stage anywhere.
+    *
+    * Determinism: the centrality is the SAME left-associated cosine
+    * fold the assignment maximized (q_ann_ivf's oracle replays both
+    * bit-identically), and rank ties break on id — so the selected
+    * set is a pure function of the data on any cluster, any
+    * partitioning, any engine. */
+  def diverseSample(corpus: DataFrame, idCol: String, vecCol: String,
+      model: graft.similarity.Ivf.IvfModel, quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    import org.apache.spark.sql.expressions.Window
+    val cents = typedLit(model.centroids.map(_.toSeq))
+    val assigned = corpus
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("cell",
+        graft.similarity.Ivf.assignCell(col("__v"), model))
+      // cosine against the ASSIGNED centroid — by construction the
+      // maximum the assignment just computed (same expression fold)
+      .select(col("id"), col("cell"),
+        graft.functions.VectorFunctions.cosine_sim(col("__v"),
+          element_at(cents, col("cell") + 1)).as("centrality"))
+    assigned
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("cell"))
+          .orderBy(col("centrality").desc, col("id").asc)))
+      .filter(col("rank") <= quota)
+  }
 }

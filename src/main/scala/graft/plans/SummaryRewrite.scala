@@ -28,19 +28,23 @@ import org.apache.spark.sql.types.LongType
   * results are BIT-IDENTICAL to scanning the base — `q_summary_rewrite`
   * proves exactly that against DuckDB aggregating the base, and
   * [[graft.SummaryRewriteSpec]] pins the rewrite firing, the
-  * bit-equality, and every refusal case. AVG and DISTINCT aggregates are NOT
-  * decomposable from these partials and never rewrite (AVG because
-  * its result type/rounding would differ from sum÷count replay;
-  * COUNT(DISTINCT) because partial distinct counts don't add).
+  * bit-equality, and every refusal case. AVG and DISTINCT aggregates
+  * over MEASURES are NOT decomposable from these partials and never
+  * rewrite (AVG because its result type/rounding would differ from
+  * sum÷count replay; COUNT(DISTINCT m) because partial distinct
+  * counts don't add) — but DISTINCT over KEY columns is (see below).
   *
-  * Matched shape: `Aggregate` whose grouping keys are a SUBSET of the
-  * rollup's key columns (plain attribute references), whose aggregate
-  * functions are non-distinct, unfiltered SUM/MIN/MAX/COUNT over
-  * measure attributes (or COUNT(*)), sitting directly on the
-  * registered base scan — optionally through attribute-only Projects
-  * and Filters that reference key columns only (a key predicate
-  * commutes with the rollup: it drops whole groups). Anything else is
-  * left untouched.
+  * Matched shape: `Aggregate` whose grouping keys are deterministic
+  * expressions over the rollup's key columns (plain keys, or
+  * `GROUP BY month(day_key)`-style derivations — grouping the finer
+  * summary by f(key) merges exactly the base groups sharing f(key)),
+  * whose aggregate functions are unfiltered SUM/MIN/MAX/COUNT over
+  * measure attributes (or COUNT(*)), key-column aggregates as listed
+  * above, sitting on the registered base scan — optionally through
+  * deterministic Projects (alias bindings are resolved, so
+  * `select(col("m").as("x"))` upstream still rewrites) and Filters
+  * that reference key columns only (a key predicate commutes with the
+  * rollup: it drops whole groups). Anything else is left untouched.
   *
   * Rewrites substitute, per ROW-count semantics:
   *   - `SUM(m)`    → `SUM(__sum_m)`
@@ -49,6 +53,21 @@ import org.apache.spark.sql.types.LongType
   *                   0 where SUM is null — the coalesce keeps global
   *                   aggregates exact)
   *   - `COUNT(m)`  → `COALESCE(SUM(__cnt_m), 0)`
+  * and, because the summary carries EVERY distinct key combination
+  * (one row each), aggregates over KEY columns are answerable exactly
+  * — including the one DISTINCT form the measure partials can never
+  * serve:
+  *   - `COUNT(DISTINCT k…)` → `COUNT(DISTINCT k…)` over the summary
+  *                   (the 100-TB "distinct users per day" dashboard
+  *                   hit: the distinct runs over the rollup's group
+  *                   list, not the petabyte base; null keys form
+  *                   their own summary row and are skipped by COUNT
+  *                   DISTINCT on both sides, so results are identical)
+  *   - `MIN(k)`/`MAX(k)` → `MIN(k)`/`MAX(k)` over the summary (a key
+  *                   value exists in the base iff its group row exists)
+  *   - `COUNT(k)`  → `COALESCE(SUM(IF(k IS NOT NULL, __cnt, 0)), 0)`
+  *                   (non-null-key row count, re-weighted by group
+  *                   size; the null-key group contributes zero)
   * with every output re-aliased under its ORIGINAL exprId (parents
   * keep resolving) and cast back to the original result type (summing
   * decimal partials widens precision; the cast restores the contract).
@@ -72,15 +91,24 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
 
   private def tryRewrite(agg: Aggregate): Option[Aggregate] = {
-    // 1) peel attribute-only Projects and key-only Filters down to a
-    //    registered base scan, keeping the filter conditions
+    // 1) peel deterministic Projects and Filters down to a registered
+    //    base scan, keeping the filter conditions and each Project's
+    //    alias bindings — the analyzer extracts complex grouping
+    //    expressions into a computed Project below the Aggregate
+    //    (`upper(k1) AS _groupingexpression#n`), and user code aliases
+    //    columns through select(); resolving through the bindings lets
+    //    the rewrite see the expressions in base-column terms
     var node: LogicalPlan = agg.child
     var filters: Seq[Expression] = Nil
+    var subs: List[Map[ExprId, Expression]] = Nil // in peel order
     var done = false
     while (!done) {
       node match {
-        case Project(exprs, child)
-            if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+        case Project(exprs, child) if exprs.forall(_.deterministic) =>
+          val m: Map[ExprId, Expression] = exprs.collect {
+            case al @ Alias(c, _) => al.exprId -> c
+          }.toMap
+          if (m.nonEmpty) subs = subs :+ m
           node = child
         case Filter(cond, child) =>
           filters = filters :+ cond
@@ -88,6 +116,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         case _ => done = true
       }
     }
+    // substitute alias bindings outer-to-inner: an outer Project's
+    // expression may reference an inner Project's aliases
+    val resolve: Expression => Expression = e =>
+      subs.foldLeft(e)((cur, m) => cur.transformUp {
+        case a: Attribute if m.contains(a.exprId) => m(a.exprId)
+      })
+    filters = filters.map(resolve)
     val rel = node match {
       case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         Some((lr, fs, fs.location.rootPaths.map(_.toString).toSet))
@@ -107,21 +142,37 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             "STALE (base files changed since register) — skipping " +
             "rewrite; rebuild and re-register the summary")
           None
-        } else rewriteWith(agg, baseRel, filters, ru)
+        } else rewriteWith(agg, filters, resolve, ru)
       }
     }
   }
 
-  private def rewriteWith(agg: Aggregate, baseRel: LogicalRelation,
-      filters: Seq[Expression],
+  private def rewriteWith(agg: Aggregate, filters: Seq[Expression],
+      resolve: Expression => Expression,
       ru: SummaryCatalog.Rollup): Option[Aggregate] = {
     val keySet = ru.keys.toSet
-    // grouping keys: plain references to rollup key columns
-    val groupAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference if keySet.contains(a.name) => a
-      case _ => return None
+    def keysOnly(e: Expression): Boolean =
+      e.deterministic && e.references.nonEmpty &&
+        e.references.forall(a => keySet.contains(a.name))
+    // every expression in BASE-column terms (through peeled Projects)
+    val rGroup = agg.groupingExpressions.map(resolve)
+    val rAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      ne =>
+        resolve(ne) match {
+          case n: NamedExpression => n
+          // a bare output attribute that WAS a Project alias resolves
+          // to the aliased expression — re-name it under the original
+          // attribute's identity so parents keep resolving
+          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        }
     }
-    // filters may only constrain key columns
+    // grouping keys: deterministic expressions over KEY columns only
+    // (GROUP BY month(day_key) — grouping the finer summary by f(key)
+    // merges exactly the base groups that share f(key), so every
+    // decomposable partial re-aggregates to the base answer)
+    if (!rGroup.forall(keysOnly)) return None
+    // filters may only constrain key columns (they commute with the
+    // rollup: a key predicate drops whole groups)
     if (!filters.forall(_.references.forall(a => keySet.contains(a.name))))
       return None
     if (filters.exists(f => !f.deterministic)) return None
@@ -135,13 +186,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       summary.output.map(a => a.name -> a).toMap
     def s(name: String): Option[Attribute] = sAttr.get(name)
 
-    def remapAgg(fn: AggregateFunction): Option[Expression] = fn match {
+    def remapFn(fn: AggregateFunction): Option[Expression] = fn match {
       case Sum(a: AttributeReference, _) if ru.measures.contains(a.name) =>
         s(s"__sum_${a.name}").map(Sum(_).toAggregateExpression())
       case Min(a: AttributeReference) if ru.measures.contains(a.name) =>
         s(s"__min_${a.name}").map(Min(_).toAggregateExpression())
       case Max(a: AttributeReference) if ru.measures.contains(a.name) =>
         s(s"__max_${a.name}").map(Max(_).toAggregateExpression())
+      // a key value exists in the base iff its summary group row does,
+      // so key MIN/MAX read straight off the summary's key column
+      case Min(a: AttributeReference) if keySet.contains(a.name) =>
+        s(a.name).map(Min(_).toAggregateExpression())
+      case Max(a: AttributeReference) if keySet.contains(a.name) =>
+        s(a.name).map(Max(_).toAggregateExpression())
       // COUNT(1)/COUNT('x') are row counts; COUNT(NULL) is NOT (it
       // must return 0), so null literals never match
       case Count(Seq(l: Literal)) if l.value != null =>
@@ -151,15 +208,55 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           if ru.measures.contains(a.name) =>
         s(s"__cnt_${a.name}").map(c =>
           Coalesce(Seq(Sum(c).toAggregateExpression(), Literal(0L))))
+      // COUNT(key): non-null-key rows, re-weighted by group size (the
+      // null-key group's __cnt contributes zero, matching COUNT's
+      // null-skipping)
+      case Count(Seq(a: AttributeReference)) if keySet.contains(a.name) =>
+        for { k <- s(a.name); c <- s("__cnt") } yield
+          Coalesce(Seq(
+            Sum(If(IsNotNull(k), c, Literal(0L))).toAggregateExpression(),
+            Literal(0L)))
       case _ => None
     }
 
-    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+    def remapAgg(ae: AggregateExpression): Option[Expression] = ae match {
+      case AggregateExpression(fn, Complete, false, None, _) => remapFn(fn)
+      // COUNT(DISTINCT k…) over KEY columns only: the summary has one
+      // row per distinct key combination, so the distinct re-runs
+      // exactly over the (tiny) summary. Null keys form their own
+      // summary row and COUNT DISTINCT skips null tuples on both
+      // sides. Any non-key child (measure, expression) refuses —
+      // partial measure aggregates can never answer a distinct.
+      case AggregateExpression(Count(children), Complete, true, None, _)
+          if children.nonEmpty && children.forall {
+            case a: AttributeReference => keySet.contains(a.name)
+            case _ => false
+          } =>
+        val mapped = children.map {
+          case a: AttributeReference => s(a.name)
+        }
+        if (mapped.exists(_.isEmpty)) None
+        else Some(Count(mapped.map(_.get))
+          .toAggregateExpression(isDistinct = true))
+      case _ => None
+    }
+
+    val mapAttrOrBail: PartialFunction[Expression, Expression] = {
+      case a: AttributeReference if keySet.contains(a.name) =>
+        s(a.name).getOrElse(return None)
+    }
+    val newAggExprs: Seq[NamedExpression] = rAggExprs.map {
       case a: AttributeReference if keySet.contains(a.name) =>
         s(a.name) match {
           case Some(sa) => Alias(sa, a.name)(exprId = a.exprId)
           case None     => return None
         }
+      // aggregate-free grouping output (the Alias over f(key) that
+      // mirrors a grouping expression): remap its key references
+      case al @ Alias(child, name)
+          if keysOnly(child) &&
+            !child.exists(_.isInstanceOf[AggregateExpression]) =>
+        Alias(child.transform(mapAttrOrBail), name)(exprId = al.exprId)
       // bind the matched alias ITSELF (its exprId/dataType), never
       // re-find by name: duplicate output aliases are legal SQL
       // (SELECT sum(a) s, max(b) s) and a name lookup would hand the
@@ -176,28 +273,20 @@ object SummaryRewrite extends Rule[LogicalPlan] {
               (e: Expression) => c.withNewChildren(Seq(e)))
           case _ => return None
         }
-        aggExpr match {
-          case AggregateExpression(fn, Complete, false, None, _) =>
-            remapAgg(fn) match {
-              case Some(e) =>
-                val inner =
-                  if (e.dataType == aggExpr.dataType) e
-                  else Cast(e, aggExpr.dataType)
-                Alias(rebuild(inner), name)(exprId = al.exprId)
-              case None => return None
-            }
-          case _ => return None
+        remapAgg(aggExpr) match {
+          case Some(e) =>
+            val inner =
+              if (e.dataType == aggExpr.dataType) e
+              else Cast(e, aggExpr.dataType)
+            Alias(rebuild(inner), name)(exprId = al.exprId)
+          case None => return None
         }
       case _ => return None
     }
 
-    val newGroup = groupAttrs.map(a => s(a.name).getOrElse(return None))
-    val mapAttr: PartialFunction[Expression, Expression] = {
-      case a: AttributeReference if keySet.contains(a.name) &&
-          s(a.name).isDefined => s(a.name).get
-    }
+    val newGroup = rGroup.map(_.transform(mapAttrOrBail))
     val newChild = filters.foldRight(summary) { (cond, child) =>
-      Filter(cond.transform(mapAttr), child)
+      Filter(cond.transform(mapAttrOrBail), child)
     }
     Some(Aggregate(newGroup, newAggExprs, newChild))
   }
@@ -259,6 +348,9 @@ object SummaryCatalog {
       measures: Seq[String]): DataFrame = {
     require(keys.nonEmpty && measures.nonEmpty,
       "rollup needs at least one key and one measure")
+    require(keys.intersect(measures).isEmpty,
+      s"keys and measures must be disjoint, both contain: " +
+        keys.intersect(measures).mkString(", "))
     val aggs = count(lit(1)).as("__cnt") +: measures.flatMap(m => Seq(
       sum(col(m)).as(s"__sum_$m"), min(col(m)).as(s"__min_$m"),
       max(col(m)).as(s"__max_$m"), count(col(m)).as(s"__cnt_$m")))
@@ -314,6 +406,9 @@ object SummaryCatalog {
     * in every session carrying [[graft.functions.GraftExtensions]]. */
   def register(base: DataFrame, summary: DataFrame, keys: Seq[String],
       measures: Seq[String]): Unit = {
+    require(keys.intersect(measures).isEmpty,
+      s"keys and measures must be disjoint, both contain: " +
+        keys.intersect(measures).mkString(", "))
     val baseRels = fileRelations(base)
     // exactly ONE relation: the rule matches a single scan node, so a
     // union-of-reads base could never be answered anyway — reject it

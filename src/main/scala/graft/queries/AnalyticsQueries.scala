@@ -21,10 +21,36 @@ object AnalyticsQueries {
   private def money(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
-  /** q_summary_rewrite's once-per-(process, data dir) rollup build:
-    * the registered base path. */
+  /** q_summary_rewrite/q_summary_distinct's once-per-(process, data
+    * dir) rollup build: the registered base path. */
   private val summaryBuilt =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Materialize a decimal copy of lineitem as the registered rollup
+    * base (keys: returnflag/linestatus; measures: qty/price), build +
+    * register its summary, and return the base path. Idempotent per
+    * (process, data dir) — whichever summary-rewrite query runs first
+    * pays the build. */
+  private def summaryBase(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    summaryBuilt.getOrElseUpdate(d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rollup-q").toString
+      val bp = s"$root/base"
+      val sp = s"$root/summary"
+      Tables.lineitem(s, d).select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+        .write.mode("overwrite").parquet(bp)
+      val base = s.read.parquet(bp)
+      graft.plans.SummaryCatalog.buildSummary(base,
+          Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"))
+        .write.mode("overwrite").parquet(sp)
+      graft.plans.SummaryCatalog.register(base, s.read.parquet(sp),
+        Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"))
+      bp
+    })
 
   val all: Seq[QueryDef] = Seq(
 
@@ -352,27 +378,8 @@ object AnalyticsQueries {
     // fires plus every refusal case.
     QueryDef("q_summary_rewrite",
       (s, d) => {
-        val basePath = summaryBuilt.getOrElseUpdate(d, {
-          val root = java.nio.file.Files
-            .createTempDirectory("graft-rollup-q").toString
-          val bp = s"$root/base"
-          val sp = s"$root/summary"
-          Tables.lineitem(s, d).select(
-              col("l_returnflag"), col("l_linestatus"),
-              col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
-              col("l_extendedprice").cast(DecimalType(18, 2))
-                .as("price"))
-            .write.mode("overwrite").parquet(bp)
-          val base = s.read.parquet(bp)
-          graft.plans.SummaryCatalog.buildSummary(base,
-              Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"))
-            .write.mode("overwrite").parquet(sp)
-          graft.plans.SummaryCatalog.register(base, s.read.parquet(sp),
-            Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"))
-          bp
-        })
         // key-only filter + key-subset grouping: the rewritable shape
-        s.read.parquet(basePath)
+        s.read.parquet(summaryBase(s, d))
           .filter(col("l_linestatus") === "F")
           .groupBy("l_returnflag")
           .agg(sum("qty").as("sq"), min("qty").as("mq"),
@@ -392,6 +399,33 @@ object AnalyticsQueries {
              |CAST(COUNT(*) AS BIGINT) AS n
              |FROM lineitem WHERE l_linestatus = 'F'
              |GROUP BY 1""".stripMargin)),
+
+    // key-column aggregates through the same registered rollup —
+    // COUNT(DISTINCT key) is the one DISTINCT form a rollup CAN answer
+    // exactly (the summary holds every distinct key combination, so
+    // the distinct re-runs over the rollup's group list instead of the
+    // base). In any extensions session the plan scans the summary
+    // (SummaryRewriteSpec pins it); DuckDB aggregates the raw base —
+    // the hash match proves the distinct/min/max/count-key remaps are
+    // value-exact, not just plausible.
+    QueryDef("q_summary_distinct",
+      (s, d) => {
+        s.read.parquet(summaryBase(s, d))
+          .groupBy("l_returnflag")
+          .agg(countDistinct("l_linestatus").as("n_status"),
+            count(col("l_linestatus")).as("n_rows"),
+            max(col("l_linestatus")).as("max_status"),
+            min(col("l_linestatus")).as("min_status"),
+            sum("qty").cast("double").as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag,
+             |CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_status,
+             |CAST(COUNT(l_linestatus) AS BIGINT) AS n_rows,
+             |MAX(l_linestatus) AS max_status,
+             |MIN(l_linestatus) AS min_status,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS sum_qty
+             |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // set operations over two predicate-defined part sets (partial
     // overlap by construction, so both branches are non-trivial at any

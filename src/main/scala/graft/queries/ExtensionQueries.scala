@@ -243,6 +243,21 @@ object ExtensionQueries {
       * top-k to bound the output. */
     val graphTopk = 5
     def knnSql: String = searchSql("", graphTopk)
+    /** Cluster-balanced coverage sampling replay for
+      * q_diverse_sample: centrality = the same cosine fold against
+      * the ASSIGNED cell's trained centroid, rank per cell, cut at
+      * `quota`. */
+    def diverseSql(quota: Int): String =
+      s"""$trainChain,
+         |ctr AS (SELECT f.vec_id, f.cell,
+         |  ${LshSql.cosine("f.v", "c.c")} AS centrality
+         |  FROM fin f JOIN cent$iters c ON f.cell = c.cell),
+         |r AS (SELECT vec_id, cell, centrality,
+         |  row_number() OVER (PARTITION BY cell
+         |    ORDER BY centrality DESC, vec_id ASC) AS rank FROM ctr)
+         |SELECT vec_id AS id, CAST(cell AS INTEGER) AS cell,
+         |centrality, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= $quota""".stripMargin
   }
 
   /** SQL replay of Pq.train + Pq.adcTopK for the q_ann_pq oracle —
@@ -891,6 +906,19 @@ object ExtensionQueries {
         "embedding", ivfModelFor(s, d, IvfSql.k, IvfSql.iters),
         threshold = 0.35),
       Some(IvfSql.dedupSql(0.35))),
+
+    // cluster-balanced coverage sampling (prototype selection): the
+    // `quota` most-central vectors per trained IVF cell — SemDeDup's
+    // complement (select exemplars under a per-cluster budget instead
+    // of dropping near-dups). Exactly oracled: DuckDB replays the
+    // shared Lloyd chain, the SAME cosine fold as centrality, and the
+    // rank/tie-break — vectors never cross the Spark shuffle (the
+    // frame is cut to (id, cell, centrality) before the window).
+    QueryDef("q_diverse_sample",
+      (s, d) => graft.operators.Sampling.diverseSample(Tables.embeddings(s, d),
+        "vec_id", "embedding",
+        ivfModelFor(s, d, IvfSql.k, IvfSql.iters), quota = 10),
+      Some(IvfSql.diverseSql(10))),
 
     // --------------------------------------------------------- similarity
 

@@ -191,4 +191,47 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.dsirResample(docs, "id", "text", col("is_tgt"), k = 0)
     }
   }
+
+  test("diverseSample keeps the quota most-central vectors per cell, " +
+      "deterministically under repartitioning") {
+    // two tight clusters around orthogonal axes plus per-id jitter —
+    // centrality ordering within a cell is unambiguous
+    val vecs = (0L until 40L).map { i =>
+      val axis = if (i % 2 == 0) 0 else 1
+      val jitter = 0.01 * (i / 2 % 10)
+      val v = Array.tabulate(4)(d =>
+        (if (d == axis) 1.0 else 0.0) + (if (d == 3) jitter else 0.0))
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val model = graft.similarity.Ivf.train(vecs, "vec_id", "embedding",
+      k = 2, iters = 2)
+    val got = Sampling.diverseSample(vecs, "vec_id", "embedding",
+      model, quota = 3).collect()
+    // exactly quota rows per non-empty cell, ranks 1..quota
+    val byCell = got.groupBy(_.getInt(1))
+    assert(byCell.size == 2)
+    byCell.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
+    }
+    // brute-force reference: per assigned cell, top-3 by (cosine to
+    // own centroid desc, id asc) — recompute assignment + centrality
+    // through the SAME operator expressions on a single row each
+    val all = Sampling.diverseSample(vecs, "vec_id", "embedding",
+      model, quota = Int.MaxValue).collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getLong(0)))
+    val want = all.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(t => (-t._2, t._3)).take(3).map(t => (t._3, t._1)).toSeq
+    }.toSet
+    assert(got.map(r => (r.getLong(0), r.getInt(1))).toSet == want)
+    // partitioning invariance
+    val rep = Sampling.diverseSample(vecs.repartition(7), "vec_id",
+      "embedding", model, quota = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(rep == got.map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3))).toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.diverseSample(vecs, "vec_id", "embedding", model, 0)
+    }
+  }
 }

@@ -15,8 +15,11 @@ import graft.plans.SummaryCatalog
   *  - the rewrite FIRES (the optimized plan scans the summary parquet,
   *    not the base) and its results equal the un-rewritten aggregation
   *    bit-for-bit (schema included), across key subsets, key filters,
-  *    null measures, decimal sums, and duplicate output aliases;
-  *  - every refusal case refuses: AVG, COUNT(DISTINCT), COUNT(NULL),
+  *    null measures, null KEYS, decimal sums, duplicate output
+  *    aliases, and the key-column aggregates (COUNT DISTINCT over
+  *    keys, key MIN/MAX, COUNT(key));
+  *  - every refusal case refuses: AVG, COUNT(DISTINCT measure) and
+  *    mixed key/measure distincts, SUM(DISTINCT), COUNT(NULL),
   *    measure-column filters, non-registered tables, subset-path scans
   *    of a multi-path registration, and a STALE rollup (base appended
   *    after register).
@@ -48,12 +51,14 @@ class SummaryRewriteSpec extends AnyFunSuite {
   private lazy val basePath = s"$root/base"
   private lazy val sumPath = s"$root/summary"
 
-  /** 200 rows over 2 keys with null measures in the mix: m1 decimal
-    * (the order-independent sum), m2 long. */
+  /** 200 rows over 2 keys with null measures AND null k2 rows in the
+    * mix (null keys form their own rollup group — the key-aggregate
+    * rewrites must skip them exactly like COUNT/COUNT DISTINCT do):
+    * m1 decimal (the order-independent sum), m2 long. */
   private def seedBase(): Unit = {
     ext.range(200).select(
         concat(lit("k"), (col("id") % 3).cast("string")).as("k1"),
-        (col("id") % 5).cast("int").as("k2"),
+        when(col("id") % 13 =!= 0, (col("id") % 5).cast("int")).as("k2"),
         when(col("id") % 7 =!= 0,
           ((col("id") * 7 % 1000) / 4).cast("decimal(18,2)")).as("m1"),
         when(col("id") % 11 =!= 0, col("id") * 13 % 97).as("m2"))
@@ -157,8 +162,71 @@ class SummaryRewriteSpec extends AnyFunSuite {
     assertMatchesBase(df, q)
   }
 
-  test("refusals: AVG, COUNT(DISTINCT), COUNT(NULL), measure filter, " +
-      "unregistered table") {
+  test("KEY-column aggregates rewrite exactly: COUNT(DISTINCT key), " +
+      "MIN/MAX(key), COUNT(key) — null-key rows skipped on both sides") {
+    fixture()
+    // grouped distinct: the dashboard shape — distinct k2 per k1 from
+    // the summary's group list, never the base
+    def q1(b: DataFrame) = b.groupBy("k1").agg(
+      countDistinct("k2").as("dk"), min("k2").as("lo"),
+      max("k2").as("hi"), count("k2").as("nk"), count(lit(1)).as("n"))
+    val d1 = q1(ext.read.parquet(basePath))
+    assert(scansSummary(d1), d1.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(d1, q1)
+    // the seed really has null k2 rows: COUNT(k2) < COUNT(*) somewhere
+    // (columns: k1, dk, lo, hi, nk, n — n at 5, nk at 4)
+    assert(d1.collect().exists(r => r.getLong(5) > r.getLong(4)))
+    // global + multi-column distinct (null tuples skipped identically)
+    def q2(b: DataFrame) = b.agg(
+      countDistinct("k1", "k2").as("dk"), count(lit(1)).as("n"))
+    val d2 = q2(ext.read.parquet(basePath))
+    assert(scansSummary(d2), d2.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(d2, q2)
+    // mixed with measure partials + a key filter in one aggregate
+    def q3(b: DataFrame) = b.filter(col("k1") =!= "k1").groupBy("k2")
+      .agg(countDistinct("k1").as("dk"), sum("m1").as("s1"),
+        count("m2").as("n2"))
+    val d3 = q3(ext.read.parquet(basePath))
+    assert(scansSummary(d3), d3.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(d3, q3)
+  }
+
+  test("grouping by deterministic EXPRESSIONS of key columns rewrites " +
+      "(the GROUP BY month(day_key) dashboard shape)") {
+    fixture()
+    def q(b: DataFrame) = b.groupBy(
+        upper(col("k1")).as("uk"), (col("k2") % 2).as("k2m"))
+      .agg(sum("m1").as("s1"), countDistinct("k2").as("dk"),
+        count(lit(1)).as("n"))
+    val df = q(ext.read.parquet(basePath))
+    assert(scansSummary(df), df.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(df, q)
+    // key filter + expression grouping compose
+    def qf(b: DataFrame) = b.filter(col("k2") > 0)
+      .groupBy(substring(col("k1"), 2, 1).as("suffix"))
+      .agg(max("m2").as("x"))
+    val dff = qf(ext.read.parquet(basePath))
+    assert(scansSummary(dff), dff.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(dff, qf)
+    // alias bindings resolve through peeled Projects: a renamed
+    // measure still rewrites (sum("x") is sum(m1) in base terms)
+    def qa(b: DataFrame) = b.select(col("k1"), col("m1").as("x"))
+      .groupBy("k1").agg(sum("x").as("s"))
+    val da = qa(ext.read.parquet(basePath))
+    assert(scansSummary(da), da.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(da, qa)
+    // refusals: grouping over a measure, non-deterministic grouping
+    val gm = ext.read.parquet(basePath)
+      .groupBy((col("m2") % 2).as("g")).agg(count(lit(1)).as("n"))
+    assert(!scansSummary(gm), gm.queryExecution.optimizedPlan.toString)
+    val gr = ext.read.parquet(basePath)
+      .groupBy((rand(7) * 0 + col("k2")).as("g"))
+      .agg(count(lit(1)).as("n"))
+    assert(!scansSummary(gr), gr.queryExecution.optimizedPlan.toString)
+  }
+
+  test("refusals: AVG, COUNT(DISTINCT measure), COUNT(NULL), measure " +
+      "filter, unregistered table, SUM(DISTINCT measure)") {
     fixture()
     val base = ext.read.parquet(basePath)
     val avg1 = base.groupBy("k1").agg(avg("m1").as("a"))
@@ -166,6 +234,11 @@ class SummaryRewriteSpec extends AnyFunSuite {
       avg1.queryExecution.optimizedPlan.toString)
     val cd = base.groupBy("k1").agg(countDistinct("m2").as("d"))
     assert(!scansSummary(cd), cd.queryExecution.optimizedPlan.toString)
+    // distinct over a MIX of key and measure refuses too
+    val cdm = base.groupBy("k1").agg(countDistinct("k2", "m2").as("d"))
+    assert(!scansSummary(cdm), cdm.queryExecution.optimizedPlan.toString)
+    val sd = base.groupBy("k1").agg(sum_distinct(col("m2")).as("sd"))
+    assert(!scansSummary(sd), sd.queryExecution.optimizedPlan.toString)
     // COUNT(NULL) must be 0, never the row count — no rewrite
     val cn = base.groupBy("k1")
       .agg(count(lit(null)).as("c"), count(lit(1)).as("n"))
@@ -241,24 +314,27 @@ class SummaryRewriteSpec extends AnyFunSuite {
     SummaryCatalog.clear()
   }
 
-  test("q_summary_rewrite (the oracled registry entry) is ANSWERED " +
-      "from the rollup scan and equals the un-rewritten run") {
+  test("q_summary_rewrite + q_summary_distinct (the oracled registry " +
+      "entries) are ANSWERED from the rollup scan and equal the " +
+      "un-rewritten runs") {
     SummaryCatalog.clear()
-    val q = SparkEntry.queries("q_summary_rewrite")
-    val sf = "/root/testdata/sf0.001"
-    // extensions session: the rewrite must fire — plan-audit pin
-    val df = q(ext, sf)
-    val paths = scannedPaths(df)
-    assert(paths.exists(_.endsWith("/summary")),
-      s"q_summary_rewrite not answered from the rollup:\n" +
-        df.queryExecution.optimizedPlan)
-    assert(!paths.exists(_.endsWith("/base")),
-      df.queryExecution.optimizedPlan.toString)
-    // plain session (no extensions → no rewrite): bit-identical rows
-    val plain = q(SparkTestSession.spark, sf)
-    assert(df.schema == plain.schema)
-    assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq ==
-      plain.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq)
+    for (name <- Seq("q_summary_rewrite", "q_summary_distinct")) {
+      val q = SparkEntry.queries(name)
+      val sf = "/root/testdata/sf0.001"
+      // extensions session: the rewrite must fire — plan-audit pin
+      val df = q(ext, sf)
+      val paths = scannedPaths(df)
+      assert(paths.exists(_.endsWith("/summary")),
+        s"$name not answered from the rollup:\n" +
+          df.queryExecution.optimizedPlan)
+      assert(!paths.exists(_.endsWith("/base")),
+        df.queryExecution.optimizedPlan.toString)
+      // plain session (no extensions → no rewrite): bit-identical rows
+      val plain = q(SparkTestSession.spark, sf)
+      assert(df.schema == plain.schema, name)
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq ==
+        plain.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq, name)
+    }
   }
 
   test("combineSummaries(old, increment) equals buildSummary over the " +
@@ -341,5 +417,10 @@ class SummaryRewriteSpec extends AnyFunSuite {
         Seq("k1"), Seq("m1"))
     }
     assert(live.getMessage.contains("MATERIALIZED"))
+    // overlapping keys/measures would make rollup columns ambiguous
+    val overlap = intercept[IllegalArgumentException] {
+      SummaryCatalog.buildSummary(base, Seq("k1"), Seq("k1", "m1"))
+    }
+    assert(overlap.getMessage.contains("disjoint"))
   }
 }
