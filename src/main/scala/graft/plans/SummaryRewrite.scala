@@ -185,6 +185,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val sAttr: Map[String, Attribute] =
       summary.output.map(a => a.name -> a).toMap
     def s(name: String): Option[Attribute] = sAttr.get(name)
+    // key attribute → the summary's matching column; a key column
+    // missing from the summary aborts the whole rewrite (nonlocal
+    // return — registration validates this, so it cannot fire)
+    val mapAttrOrBail: PartialFunction[Expression, Expression] = {
+      case a: AttributeReference if keySet.contains(a.name) =>
+        s(a.name).getOrElse(return None)
+    }
 
     def remapFn(fn: AggregateFunction): Option[Expression] = fn match {
       case Sum(a: AttributeReference, _) if ru.measures.contains(a.name) =>
@@ -193,12 +200,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         s(s"__min_${a.name}").map(Min(_).toAggregateExpression())
       case Max(a: AttributeReference) if ru.measures.contains(a.name) =>
         s(s"__max_${a.name}").map(Max(_).toAggregateExpression())
-      // a key value exists in the base iff its summary group row does,
-      // so key MIN/MAX read straight off the summary's key column
-      case Min(a: AttributeReference) if keySet.contains(a.name) =>
-        s(a.name).map(Min(_).toAggregateExpression())
-      case Max(a: AttributeReference) if keySet.contains(a.name) =>
-        s(a.name).map(Max(_).toAggregateExpression())
+      // a key combination exists in the base iff its summary group row
+      // does, and duplicates never change a MIN/MAX — so MIN/MAX of
+      // any deterministic key EXPRESSION reads straight off the
+      // summary (MIN(k), MAX(substr(k, 1, 4)), …)
+      case Min(e) if keysOnly(e) =>
+        Some(Min(e.transform(mapAttrOrBail)).toAggregateExpression())
+      case Max(e) if keysOnly(e) =>
+        Some(Max(e.transform(mapAttrOrBail)).toAggregateExpression())
       // COUNT(1)/COUNT('x') are row counts; COUNT(NULL) is NOT (it
       // must return 0), so null literals never match
       case Count(Seq(l: Literal)) if l.value != null =>
@@ -208,43 +217,35 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           if ru.measures.contains(a.name) =>
         s(s"__cnt_${a.name}").map(c =>
           Coalesce(Seq(Sum(c).toAggregateExpression(), Literal(0L))))
-      // COUNT(key): non-null-key rows, re-weighted by group size (the
-      // null-key group's __cnt contributes zero, matching COUNT's
-      // null-skipping)
-      case Count(Seq(a: AttributeReference)) if keySet.contains(a.name) =>
-        for { k <- s(a.name); c <- s("__cnt") } yield
+      // COUNT(f(key)): rows where f(key) is non-null, re-weighted by
+      // group size (a group where f evaluates null — including the
+      // null-key group under null-strict f — contributes zero,
+      // matching COUNT's null-skipping)
+      case Count(Seq(e)) if keysOnly(e) =>
+        s("__cnt").map(c =>
           Coalesce(Seq(
-            Sum(If(IsNotNull(k), c, Literal(0L))).toAggregateExpression(),
-            Literal(0L)))
+            Sum(If(IsNotNull(e.transform(mapAttrOrBail)), c, Literal(0L)))
+              .toAggregateExpression(),
+            Literal(0L))))
       case _ => None
     }
 
     def remapAgg(ae: AggregateExpression): Option[Expression] = ae match {
       case AggregateExpression(fn, Complete, false, None, _) => remapFn(fn)
-      // COUNT(DISTINCT k…) over KEY columns only: the summary has one
-      // row per distinct key combination, so the distinct re-runs
-      // exactly over the (tiny) summary. Null keys form their own
-      // summary row and COUNT DISTINCT skips null tuples on both
-      // sides. Any non-key child (measure, expression) refuses —
-      // partial measure aggregates can never answer a distinct.
+      // COUNT(DISTINCT f(key)…) over KEY expressions only: the summary
+      // has one row per distinct key combination, so the distinct
+      // value set of any deterministic key derivation is identical
+      // over the (tiny) summary. Null keys form their own summary row
+      // and COUNT DISTINCT skips null tuples on both sides. Any child
+      // referencing a measure refuses — partial measure aggregates
+      // can never answer a distinct.
       case AggregateExpression(Count(children), Complete, true, None, _)
-          if children.nonEmpty && children.forall {
-            case a: AttributeReference => keySet.contains(a.name)
-            case _ => false
-          } =>
-        val mapped = children.map {
-          case a: AttributeReference => s(a.name)
-        }
-        if (mapped.exists(_.isEmpty)) None
-        else Some(Count(mapped.map(_.get))
+          if children.nonEmpty && children.forall(keysOnly) =>
+        Some(Count(children.map(_.transform(mapAttrOrBail)))
           .toAggregateExpression(isDistinct = true))
       case _ => None
     }
 
-    val mapAttrOrBail: PartialFunction[Expression, Expression] = {
-      case a: AttributeReference if keySet.contains(a.name) =>
-        s(a.name).getOrElse(return None)
-    }
     val newAggExprs: Seq[NamedExpression] = rAggExprs.map {
       case a: AttributeReference if keySet.contains(a.name) =>
         s(a.name) match {

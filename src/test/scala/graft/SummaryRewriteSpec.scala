@@ -189,6 +189,18 @@ class SummaryRewriteSpec extends AnyFunSuite {
     val d3 = q3(ext.read.parquet(basePath))
     assert(scansSummary(d3), d3.queryExecution.optimizedPlan.toString)
     assertMatchesBase(d3, q3)
+    // key EXPRESSIONS inside the aggregates: distinct/min/max/count of
+    // f(key) are all exact over the summary's group list (null-strict
+    // f of the null-key rows skipped identically on both sides)
+    def q4(b: DataFrame) = b.groupBy("k1").agg(
+      countDistinct(col("k2") % 3).as("dm"),
+      min(substring(col("k1"), 2, 1)).as("lo"),
+      max(col("k2") * 10).as("hi"),
+      count(col("k2") % 2).as("nf"),
+      sum("m2").as("s2"))
+    val d4 = q4(ext.read.parquet(basePath))
+    assert(scansSummary(d4), d4.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(d4, q4)
   }
 
   test("grouping by deterministic EXPRESSIONS of key columns rewrites " +
@@ -388,6 +400,59 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("missing rollup columns"))
     SummaryCatalog.clear()
+  }
+
+  test("PROPERTY: every generated aggregate shape equals the plain " +
+      "session bit-for-bit (rewritten or refused), and the generator " +
+      "does exercise the rewrite") {
+    fixture()
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import org.apache.spark.sql.Column
+    // aggregate pool mixing every rewrite path with every refusal path
+    val aggPool: Seq[Column] = Seq(
+      sum("m1"), sum("m2"), min("m1"), max("m2"), count(lit(1)),
+      count(col("m1")), min(col("k2")), max(substring(col("k1"), 2, 1)),
+      count(col("k2")), countDistinct(col("k2")),
+      countDistinct(col("k1"), col("k2")), countDistinct(col("k2") % 3),
+      avg(col("m1")),          // refusal: AVG
+      countDistinct(col("m2")), // refusal: distinct measure
+      sum_distinct(col("m2"))) // refusal: SUM(DISTINCT)
+    val groupPool: Seq[Seq[Column]] = Seq(
+      Seq.empty, Seq(col("k1")), Seq(col("k2")),
+      Seq(col("k1"), col("k2")), Seq(upper(col("k1"))),
+      Seq(col("k2") % 2), Seq(upper(col("k1")), col("k2") % 2))
+    val filterPool: Seq[Option[Column]] = Seq(
+      None, Some(col("k2") > 1), Some(col("k1") =!= "k0"),
+      Some(col("m2") > 50)) // refusal: measure filter
+    val gen = for {
+      g <- Gen.oneOf(groupPool)
+      f <- Gen.oneOf(filterPool)
+      n <- Gen.chooseNum(1, 4)
+      as <- Gen.pick(n, aggPool)
+    } yield (g, f, as.toSeq)
+    var fired = 0
+    var total = 0
+    val prop = Prop.forAll(gen) { case (g, f, as) =>
+      def build(b: DataFrame): DataFrame = {
+        val fb = f.fold(b)(b.filter)
+        val aggCols = as.zipWithIndex.map { case (c, i) => c.as(s"a$i") }
+        if (g.isEmpty) fb.agg(aggCols.head, aggCols.tail: _*)
+        else fb.groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+      val re = build(ext.read.parquet(basePath))
+      val pl = build(SparkTestSession.spark.read.parquet(basePath))
+      total += 1
+      if (scansSummary(re)) fired += 1
+      re.schema == pl.schema &&
+        re.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq ==
+          pl.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+    // the invariant is vacuous if no trial ever rewrote
+    assert(fired >= 5, s"rewrite fired only $fired/$total trials — " +
+      "generator no longer exercises the rewrite")
   }
 
   test("register refuses a union-of-scans base and a live-plan summary") {
