@@ -161,7 +161,8 @@ object ScaleStress {
     "bpe_train", "bpe_segment", "bm25", "chunk_sliding",
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
     "retention_cohorts", "minhash_incremental", "edit_join", "resample",
-    "pagerank", "triangles", "ivf_append", "image_near_dup",
+    "pagerank", "triangles", "ivf_append", "diverse_sample",
+    "image_near_dup",
     "set_sim_join", "containment_join", "shard_balance",
     "sliding_dedup", "sliding_incremental")
   /** dependent op → its producer: naming only the dependent used to
@@ -205,7 +206,7 @@ object ScaleStress {
     "sliding_incremental")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
-    "semantic_dedup", "ivf_append")
+    "semantic_dedup", "ivf_append", "diverse_sample")
   private val evtOps = Set("interval_join", "stream_drain", "stream_quota",
     "scd2_historize", "funnel", "retention_cohorts", "resample")
   private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
@@ -352,6 +353,25 @@ object ScaleStress {
               embs.filter(col("vec_id") % lit(nVecs / 100 max 1) === 0),
               "vec_id", "embedding", model, k = 10, nprobe = 2)
           }
+        }
+      }
+      // cluster-balanced coverage sampling in its claimed regime:
+      // k ≈ √n cells (so the per-cell window sort is balanced — ~√n
+      // rows across thousands of groups), trained OUTSIDE the timer
+      // on a 10% sample (the documented 100 TB practice; ivfpq's
+      // train-on-sample precedent). The timed claim is the
+      // selection itself: one narrow assignment + centrality map,
+      // then a window over (id, cell, centrality) SCALARS — wall
+      // must track rows, embeddings must not cross the shuffle.
+      if (opEnabled("diverse_sample")) {
+        println(s"-- x$m diverse_sample (training k=sqrt(n)) ...")
+        val kCells = math.max(16, math.sqrt(nVecs.toDouble).round.toInt)
+        val dsModel = Ivf.train(
+          embs.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          k = kCells, iters = 2)
+        rows += measureOp("diverse_sample", m, nVecs) {
+          graft.operators.Sampling.diverseSample(
+            embs, "vec_id", "embedding", dsModel, quota = 10)
         }
       }
       // product quantization at scale, the deployment split: TRAIN on
