@@ -261,6 +261,36 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq :+ col("shard"): _*)
   }
 
+  /** Weighted priority sampling (the deterministic form of
+    * Duffield–Lund–Thorup priority sampling): each row gets priority
+    * `w / u` where `u ∈ (0, 1]` derives from the portable content
+    * hash of the id, and the k highest priorities are the sample —
+    * so heavy rows are proportionally likelier to be kept, but
+    * membership is a pure function of the data (same corpus → same
+    * sample on any cluster, any partitioning, any engine; the classic
+    * scheme's fresh randomness is replaced by the id hash, the same
+    * trade every deterministic operator in this module makes).
+    * The importance-subsampling step of corpus curation: sample k
+    * documents ∝ quality/token weight, reproducibly.
+    *
+    * Scale shape: priority is a narrow map (hash + two IEEE
+    * divisions, codegen'd); the cut is TakeOrderedAndProject —
+    * per-partition top-k then a k-row driver merge, no global sort
+    * materializes. Determinism: h and w are integers < 2^53, each
+    * division is one correctly-rounded IEEE op, and ties break on id
+    * — DuckDB replaying the same two-step arithmetic reproduces the
+    * exact double and the exact cut. */
+  def weightedPrioritySample(df: DataFrame, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    // u in (0, 1]: (h+1)/1000000007 with h in [0, 1000000006]
+    val u = (contentHash(col(idCol)) + 1L).cast("double") /
+      lit(1000000007.0)
+    df.withColumn("priority", col(weightCol).cast("double") / u)
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Cluster-balanced coverage sampling (prototype selection): keep
     * the `quota` most-CENTRAL vectors of every trained IVF cell —
     * rank within a cell by cosine to the cell's own centroid

@@ -2066,6 +2066,30 @@ object ExtensionQueries {
              |SELECT fold, CAST(COUNT(*) AS BIGINT) AS n
              |FROM h GROUP BY 1""".stripMargin)),
 
+    // weighted priority sampling: keep the 200 highest-priority docs
+    // with priority = weight / u(id-hash) — importance subsampling
+    // ∝ document length, fully deterministic (integer hash + two IEEE
+    // divisions, replayed exactly; ties break on id so the cut is
+    // bit-stable). Plan is a narrow map + TakeOrderedAndProject.
+    QueryDef("q_weighted_sample",
+      (s, d) => graft.operators.Sampling
+        .weightedPrioritySample(
+          Tables.documents(s, d)
+            .select(col("doc_id"), length(col("text")).as("w")),
+          "doc_id", "w", k = 200),
+      Some("""WITH h AS (SELECT doc_id,
+             |  CAST(length(text) AS INTEGER) AS w,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+             |      ch -> CAST(ascii(ch) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS hh
+             |  FROM documents)
+             |SELECT doc_id, w,
+             |CAST(w AS DOUBLE) /
+             |  (CAST(hh + 1 AS DOUBLE) / 1000000007.0) AS priority
+             |FROM h ORDER BY priority DESC, doc_id ASC
+             |LIMIT 200""".stripMargin)),
+
     // exact per-stratum quota sampling (corpus balancing): within each
     // lang keep exactly ceil(0.2 × stratum size) rows, selection
     // ordered by the portable content hash — deterministic on any

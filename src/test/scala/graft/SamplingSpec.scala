@@ -192,6 +192,33 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedPrioritySample: exact brute-force cut, heavy rows " +
+      "favored, deterministic under repartitioning, top-k plan") {
+    val rows = (1L to 1000L).map(i => (i, if (i <= 100) 1000 else 1))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedPrioritySample(df, "id", "w", k = 50)
+    // brute-force reference with the operator's exact arithmetic
+    val hash = (id: Long) => id.toString.foldLeft(0L)(
+      (acc, ch) => (acc * 31 + ch.toInt) % 1000000007L)
+    val want = rows.map { case (id, w) =>
+      (id, w.toDouble / ((hash(id) + 1).toDouble / 1000000007.0))
+    }.sortBy { case (id, p) => (-p, id) }.take(50).map(_._1).toSet
+    assert(got.collect().map(_.getLong(0)).toSet == want)
+    // the 100 heavy rows (1000× weight) dominate a 50-row sample
+    assert(got.collect().map(_.getLong(0)).count(_ <= 100) >= 45)
+    // partition invariance (bit-stable priorities + id tie-break)
+    val rep = Sampling.weightedPrioritySample(df.repartition(7),
+      "id", "w", 50).collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rep.toSet ==
+      got.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet)
+    // no global sort materializes: per-partition top-k + k-row merge
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedPrioritySample(df, "id", "w", 0)
+    }
+  }
+
   test("diverseSample keeps the quota most-central vectors per cell, " +
       "deterministically under repartitioning") {
     // two tight clusters around orthogonal axes plus per-id jitter —
