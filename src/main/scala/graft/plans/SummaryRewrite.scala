@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{col, count, hll_sketch_agg,
+  hll_union_agg, lit, max, min, sum}
 import org.apache.spark.sql.types.LongType
 
 /** Materialized-rollup rewrite: answer aggregates over a huge base
@@ -68,9 +69,20 @@ import org.apache.spark.sql.types.LongType
   *   - `COUNT(k)`  → `COALESCE(SUM(IF(k IS NOT NULL, __cnt, 0)), 0)`
   *                   (non-null-key row count, re-weighted by group
   *                   size; the null-key group contributes zero)
+  * (each of the key forms accepts deterministic key EXPRESSIONS, not
+  * just bare columns), and approx-distinct over registered SKETCH
+  * measures:
+  *   - `hll_sketch_agg(m, lgK)` → `hll_union_agg(__hll_m)` — HLL
+  *                   register max commutes with grouping, so the
+  *                   union of per-group sketches estimates IDENTICALLY
+  *                   to a sketch built over the base (lgK must match
+  *                   the registration)
   * with every output re-aliased under its ORIGINAL exprId (parents
   * keep resolving) and cast back to the original result type (summing
   * decimal partials widens precision; the cast restores the contract).
+  * Scalar structure around aggregates (casts, arithmetic,
+  * hll_sketch_estimate, …) is preserved verbatim — it evaluates
+  * identically over the exact re-aggregates.
   *
   * Registration is per-path ([[SummaryCatalog.register]]): the rule
   * identifies the base scan by its file-source root paths (EXACT set
@@ -227,6 +239,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             Sum(If(IsNotNull(e.transform(mapAttrOrBail)), c, Literal(0L)))
               .toAggregateExpression(),
             Literal(0L))))
+      // approx-distinct via mergeable DataSketches partials: the HLL
+      // union of per-group sketches has the same register state as a
+      // sketch built directly over the base (register max commutes
+      // with grouping; sparse coupon lists union to the same set), so
+      // hll_sketch_estimate over the union returns the IDENTICAL
+      // estimate — the one "distinct over a measure" a rollup can
+      // serve. lgK must match the registered sketch exactly.
+      case HllSketchAgg(a: AttributeReference, lgk, _, _)
+          if ru.sketchMeasures.contains(a.name) && lgk.foldable &&
+            lgk.eval() == ru.lgK =>
+        s(s"__hll_${a.name}").map(c =>
+          HllUnionAgg(c, Literal(false)).toAggregateExpression())
       case _ => None
     }
 
@@ -246,41 +270,41 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+    // Remap a full output expression tree: every contained
+    // AggregateExpression goes through remapAgg (cast back to its
+    // original result type — summing a decimal partial widens; the
+    // cast restores the contract), every attribute OUTSIDE an
+    // aggregate must be a key column, scalar structure is preserved
+    // verbatim (Cast, arithmetic, hll_sketch_estimate, … evaluate
+    // identically over exact re-aggregates). Manual recursion, not
+    // transformDown: a transform would re-visit the freshly remapped
+    // aggregates and refuse its own output.
+    def remapTree(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression =>
+        remapAgg(ae).map(r =>
+          if (r.dataType == ae.dataType) r else Cast(r, ae.dataType))
+      case a: AttributeReference =>
+        if (keySet.contains(a.name)) s(a.name) else None
+      case other =>
+        val kids = other.children.map(remapTree)
+        if (kids.exists(_.isEmpty)) None
+        else if (kids.isEmpty) Some(other)
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
     val newAggExprs: Seq[NamedExpression] = rAggExprs.map {
       case a: AttributeReference if keySet.contains(a.name) =>
         s(a.name) match {
           case Some(sa) => Alias(sa, a.name)(exprId = a.exprId)
           case None     => return None
         }
-      // aggregate-free grouping output (the Alias over f(key) that
-      // mirrors a grouping expression): remap its key references
-      case al @ Alias(child, name)
-          if keysOnly(child) &&
-            !child.exists(_.isInstanceOf[AggregateExpression]) =>
-        Alias(child.transform(mapAttrOrBail), name)(exprId = al.exprId)
       // bind the matched alias ITSELF (its exprId/dataType), never
       // re-find by name: duplicate output aliases are legal SQL
       // (SELECT sum(a) s, max(b) s) and a name lookup would hand the
-      // second aggregate the first one's exprId and type. The alias
-      // may wrap the aggregate in one Cast — CollapseProject folds a
-      // downstream `.cast(...)` projection into the Aggregate before
-      // this rule runs — which is re-applied on top of the remap.
-      case al @ Alias(child, name) =>
-        val (aggExpr, rebuild) = child match {
-          case ae: AggregateExpression =>
-            (ae, identity[Expression] _)
-          case c: Cast if c.child.isInstanceOf[AggregateExpression] =>
-            (c.child.asInstanceOf[AggregateExpression],
-              (e: Expression) => c.withNewChildren(Seq(e)))
-          case _ => return None
-        }
-        remapAgg(aggExpr) match {
-          case Some(e) =>
-            val inner =
-              if (e.dataType == aggExpr.dataType) e
-              else Cast(e, aggExpr.dataType)
-            Alias(rebuild(inner), name)(exprId = al.exprId)
-          case None => return None
+      // second aggregate the first one's exprId and type.
+      case al @ Alias(child, name) if child.deterministic =>
+        remapTree(child) match {
+          case Some(r) => Alias(r, name)(exprId = al.exprId)
+          case None    => return None
         }
       case _ => return None
     }
@@ -299,12 +323,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 object SummaryCatalog {
 
   /** A registered rollup: the base table's root paths, its key and
-    * measure column names, the ANALYZED logical plan of the summary
-    * scan (a fresh instance is stamped per rewrite), and the base's
-    * file fingerprint at registration time (the staleness guard). */
+    * measure column names, the sketch-measure columns (HLL partials
+    * for approx-distinct, built at `lgK`), the ANALYZED logical plan
+    * of the summary scan (a fresh instance is stamped per rewrite),
+    * and the base's file fingerprint at registration time (the
+    * staleness guard). */
   final case class Rollup(basePaths: Set[String], keys: Seq[String],
       measures: Seq[String], summaryPlan: LogicalPlan,
-      baseFingerprint: Long)
+      baseFingerprint: Long, sketchMeasures: Seq[String] = Nil,
+      lgK: Int = 12)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[Set[String], Rollup]()
@@ -346,15 +373,19 @@ object SummaryCatalog {
     * this ONCE (write to parquet), then register the scan of the
     * materialized copy. */
   def buildSummary(base: DataFrame, keys: Seq[String],
-      measures: Seq[String]): DataFrame = {
+      measures: Seq[String], sketchMeasures: Seq[String] = Nil,
+      lgK: Int = 12): DataFrame = {
     require(keys.nonEmpty && measures.nonEmpty,
       "rollup needs at least one key and one measure")
-    require(keys.intersect(measures).isEmpty,
+    require(keys.intersect(measures ++ sketchMeasures).isEmpty,
       s"keys and measures must be disjoint, both contain: " +
-        keys.intersect(measures).mkString(", "))
-    val aggs = count(lit(1)).as("__cnt") +: measures.flatMap(m => Seq(
-      sum(col(m)).as(s"__sum_$m"), min(col(m)).as(s"__min_$m"),
-      max(col(m)).as(s"__max_$m"), count(col(m)).as(s"__cnt_$m")))
+        keys.intersect(measures ++ sketchMeasures).mkString(", "))
+    val aggs = count(lit(1)).as("__cnt") +:
+      (measures.flatMap(m => Seq(
+        sum(col(m)).as(s"__sum_$m"), min(col(m)).as(s"__min_$m"),
+        max(col(m)).as(s"__max_$m"), count(col(m)).as(s"__cnt_$m"))) ++
+        sketchMeasures.map(m =>
+          hll_sketch_agg(col(m), lgK).as(s"__hll_$m")))
     base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -377,9 +408,11 @@ object SummaryCatalog {
     * unchecked widening would drift the materialized schema and break
     * type equality with first-generation summaries). */
   def combineSummaries(oldSummary: DataFrame, increment: DataFrame,
-      keys: Seq[String], measures: Seq[String]): DataFrame = {
+      keys: Seq[String], measures: Seq[String],
+      sketchMeasures: Seq[String] = Nil): DataFrame = {
     val expected = keys ++ Seq("__cnt") ++ measures.flatMap(m =>
-      Seq(s"__sum_$m", s"__min_$m", s"__max_$m", s"__cnt_$m"))
+      Seq(s"__sum_$m", s"__min_$m", s"__max_$m", s"__cnt_$m")) ++
+      sketchMeasures.map(m => s"__hll_$m")
     Seq("old summary" -> oldSummary, "increment" -> increment)
       .foreach { case (which, df) =>
         val missing = expected.filterNot(df.columns.contains)
@@ -389,11 +422,15 @@ object SummaryCatalog {
     val schema = oldSummary.schema.map(f => f.name -> f.dataType).toMap
     def c(name: String, agg: org.apache.spark.sql.Column) =
       agg.cast(schema(name)).as(name)
-    val aggs = c("__cnt", sum(col("__cnt"))) +: measures.flatMap(m =>
+    val aggs = c("__cnt", sum(col("__cnt"))) +: (measures.flatMap(m =>
       Seq(c(s"__sum_$m", sum(col(s"__sum_$m"))),
         c(s"__min_$m", min(col(s"__min_$m"))),
         c(s"__max_$m", max(col(s"__max_$m"))),
-        c(s"__cnt_$m", sum(col(s"__cnt_$m")))))
+        c(s"__cnt_$m", sum(col(s"__cnt_$m"))))) ++
+      // HLL partials union losslessly (register max commutes), so a
+      // refreshed summary's estimates stay identical to a rebuild
+      sketchMeasures.map(m =>
+        c(s"__hll_$m", hll_union_agg(col(s"__hll_$m"), false))))
     oldSummary.select(expected.map(col): _*)
       .unionByName(increment.select(expected.map(col): _*))
       .groupBy(keys.map(col): _*)
@@ -406,10 +443,11 @@ object SummaryCatalog {
     * shape the rollup can answer are rewritten by [[SummaryRewrite]]
     * in every session carrying [[graft.functions.GraftExtensions]]. */
   def register(base: DataFrame, summary: DataFrame, keys: Seq[String],
-      measures: Seq[String]): Unit = {
-    require(keys.intersect(measures).isEmpty,
+      measures: Seq[String], sketchMeasures: Seq[String] = Nil,
+      lgK: Int = 12): Unit = {
+    require(keys.intersect(measures ++ sketchMeasures).isEmpty,
       s"keys and measures must be disjoint, both contain: " +
-        keys.intersect(measures).mkString(", "))
+        keys.intersect(measures ++ sketchMeasures).mkString(", "))
     val baseRels = fileRelations(base)
     // exactly ONE relation: the rule matches a single scan node, so a
     // union-of-reads base could never be answered anyway — reject it
@@ -433,13 +471,15 @@ object SummaryCatalog {
     val plan = summary.queryExecution.analyzed
     val out = plan.output.map(_.name).toSet
     val expected = keys ++ Seq("__cnt") ++ measures.flatMap(m =>
-      Seq(s"__sum_$m", s"__min_$m", s"__max_$m", s"__cnt_$m"))
+      Seq(s"__sum_$m", s"__min_$m", s"__max_$m", s"__cnt_$m")) ++
+      sketchMeasures.map(m => s"__hll_$m")
     val missing = expected.filterNot(out.contains)
     require(missing.isEmpty,
       s"summary is missing rollup columns: ${missing.mkString(", ")} " +
         "(build it with SummaryCatalog.buildSummary)")
     entries.put(basePaths,
-      Rollup(basePaths, keys, measures, plan, fingerprint(baseRel)))
+      Rollup(basePaths, keys, measures, plan, fingerprint(baseRel),
+        sketchMeasures, lgK))
   }
 
   def clear(): Unit = entries.clear()

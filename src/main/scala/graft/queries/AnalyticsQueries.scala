@@ -27,7 +27,8 @@ object AnalyticsQueries {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Materialize a decimal copy of lineitem as the registered rollup
-    * base (keys: returnflag/linestatus; measures: qty/price), build +
+    * base (keys: returnflag/linestatus; measures: qty/price; sketch
+    * measure: okey — HLL partials for approx-distinct orders), build +
     * register its summary, and return the base path. Idempotent per
     * (process, data dir) — whichever summary-rewrite query runs first
     * pays the build. */
@@ -41,14 +42,17 @@ object AnalyticsQueries {
       Tables.lineitem(s, d).select(
           col("l_returnflag"), col("l_linestatus"),
           col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
-          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
+          col("l_orderkey").cast("long").as("okey"))
         .write.mode("overwrite").parquet(bp)
       val base = s.read.parquet(bp)
       graft.plans.SummaryCatalog.buildSummary(base,
-          Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"))
+          Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"),
+          sketchMeasures = Seq("okey"))
         .write.mode("overwrite").parquet(sp)
       graft.plans.SummaryCatalog.register(base, s.read.parquet(sp),
-        Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"))
+        Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"),
+        sketchMeasures = Seq("okey"))
       bp
     })
 
@@ -425,6 +429,36 @@ object AnalyticsQueries {
              |MIN(l_linestatus) AS min_status,
              |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              |  AS sum_qty
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // approx-distinct from the rollup's mergeable HLL partials — the
+    // "distinct over a measure" a rollup CAN serve (approximately):
+    // hll_sketch_estimate(hll_sketch_agg(okey)) is rewritten to
+    // estimate(hll_union_agg(__hll_okey)) over the summary
+    // (SummaryRewriteSpec pins the plan AND that the union's estimate
+    // equals the direct sketch's exactly — register max commutes with
+    // grouping). The exact-distinct side deliberately refuses (it
+    // computes on the base), and DuckDB checks the exact counts plus
+    // the sketch's published error envelope as a boolean (the
+    // guarantee-hash pattern of q_heavy_hitters_approx): lgK=12 →
+    // ~1.6% relative standard error; 5% is > 3σ, and small groups sit
+    // in the sketch's exact coupon range anyway.
+    QueryDef("q_summary_sketch",
+      (s, d) => {
+        val base = s.read.parquet(summaryBase(s, d))
+        val est = base.groupBy(col("l_returnflag"))
+          .agg(hll_sketch_estimate(
+            hll_sketch_agg(col("okey"), 12)).as("est"))
+        val exact = base.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("okey")).as("nd"))
+        est.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("nd"),
+            (col("est") >= col("nd") * 0.95 &&
+              col("est") <= col("nd") * 1.05).as("est_within_5pct"))
+      },
+      Some("""SELECT l_returnflag,
+             |CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd,
+             |TRUE AS est_within_5pct
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // set operations over two predicate-defined part sets (partial

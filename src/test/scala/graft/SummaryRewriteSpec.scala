@@ -251,13 +251,19 @@ class SummaryRewriteSpec extends AnyFunSuite {
     assert(!scansSummary(cdm), cdm.queryExecution.optimizedPlan.toString)
     val sd = base.groupBy("k1").agg(sum_distinct(col("m2")).as("sd"))
     assert(!scansSummary(sd), sd.queryExecution.optimizedPlan.toString)
-    // COUNT(NULL) must be 0, never the row count — no rewrite
-    val cn = base.groupBy("k1")
+    // COUNT(NULL) must be 0, never the row count. (Upstream constant
+    // folding turns count(null) into a literal 0 alias before this
+    // rule runs, so the aggregate MAY legitimately rewrite — the
+    // remapFn guard `l.value != null` is belt-and-braces for plans
+    // where folding hasn't happened. Either way the VALUES must be
+    // exact.)
+    def qcn(b: DataFrame) = b.groupBy("k1")
       .agg(count(lit(null)).as("c"), count(lit(1)).as("n"))
-    assert(!scansSummary(cn), cn.queryExecution.optimizedPlan.toString)
+    val cn = qcn(base)
     val r = cn.collect() // columns: k1, c, n
     assert(r.forall(_.getLong(2) > 0L))
     assert(r.forall(_.getLong(1) == 0L))
+    assertMatchesBase(cn, qcn)
     // a filter on a measure column does not commute with the rollup
     val mf = base.filter(col("m2") > 50).groupBy("k1")
       .agg(sum("m1").as("s"))
@@ -399,6 +405,55 @@ class SummaryRewriteSpec extends AnyFunSuite {
         ext.range(1).select(lit("a").as("k1")), Seq("k1"), Seq("m1"))
     }
     assert(err.getMessage.contains("missing rollup columns"))
+    SummaryCatalog.clear()
+  }
+
+  test("HLL sketch measures: the union of rollup partials estimates " +
+      "IDENTICALLY to the direct sketch; lgK mismatch refuses") {
+    seedBase()
+    SummaryCatalog.clear()
+    val base = ext.read.parquet(basePath)
+    val hs = s"$root/hll-sum"
+    SummaryCatalog.buildSummary(base, Seq("k1"), Seq("m1"),
+        sketchMeasures = Seq("m2"), lgK = 12)
+      .write.mode("overwrite").parquet(hs)
+    SummaryCatalog.register(base, ext.read.parquet(hs), Seq("k1"),
+      Seq("m1"), sketchMeasures = Seq("m2"), lgK = 12)
+    def q(b: DataFrame) = b.groupBy("k1").agg(
+      hll_sketch_estimate(hll_sketch_agg(col("m2"), 12)).as("est"),
+      sum("m1").as("s1"))
+    val df = q(ext.read.parquet(basePath))
+    assert(scannedPaths(df).exists(_.contains("hll-sum")),
+      df.queryExecution.optimizedPlan.toString)
+    // estimate equality is EXACT: union of per-group sketches has the
+    // same register state as the direct build
+    assertMatchesBase(df, q)
+    // a different lgK cannot be served by these partials
+    def q13(b: DataFrame) = b.groupBy("k1").agg(
+      hll_sketch_estimate(hll_sketch_agg(col("m2"), 13)).as("est"))
+    val d13 = q13(ext.read.parquet(basePath))
+    assert(!scannedPaths(d13).exists(_.contains("hll-sum")),
+      d13.queryExecution.optimizedPlan.toString)
+    assertMatchesBase(d13, q13)
+    // refresh flow: combineSummaries unions the sketch partials and
+    // the refreshed summary estimates exactly like a full rebuild
+    val day2 = ext.range(5000, 5100).select(
+      concat(lit("k"), (col("id") % 4).cast("string")).as("k1"),
+      (col("id") % 5).cast("int").as("k2"),
+      ((col("id") * 3 % 700) / 4).cast("decimal(18,2)").as("m1"),
+      (col("id") * 11 % 89).as("m2"))
+    day2.write.mode("append").parquet(basePath)
+    val refreshed = SummaryCatalog.combineSummaries(
+      ext.read.parquet(hs),
+      SummaryCatalog.buildSummary(day2, Seq("k1"), Seq("m1"),
+        sketchMeasures = Seq("m2")),
+      Seq("k1"), Seq("m1"), sketchMeasures = Seq("m2"))
+    val full = SummaryCatalog.buildSummary(ext.read.parquet(basePath),
+      Seq("k1"), Seq("m1"), sketchMeasures = Seq("m2"))
+    val estOf = (df: DataFrame) => df.select(col("k1"),
+        hll_sketch_estimate(col("__hll_m2")).as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(estOf(refreshed) == estOf(full))
     SummaryCatalog.clear()
   }
 
