@@ -162,7 +162,7 @@ object ScaleStress {
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
     "retention_cohorts", "minhash_incremental", "edit_join", "resample",
     "pagerank", "triangles", "ivf_append", "diverse_sample",
-    "image_near_dup",
+    "summary_hit", "summary_miss", "image_near_dup",
     "set_sim_join", "containment_join", "shard_balance",
     "sliding_dedup", "sliding_incremental")
   /** dependent op → its producer: naming only the dependent used to
@@ -261,6 +261,10 @@ object ScaleStress {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory",
         sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
+      // the production deployment shape (Verify/Bench carry it too):
+      // the summary_hit op measures the rollup rewrite, which only
+      // exists in extensions-carrying sessions
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -373,6 +377,46 @@ object ScaleStress {
           graft.operators.Sampling.diverseSample(
             embs, "vec_id", "embedding", dsModel, quota = 10)
         }
+      }
+      // the rollup rewrite's measured payoff: the SAME dashboard
+      // aggregate (grouped sums/max/count + a distinct over a key),
+      // answered by a full base scan (catalog cleared) vs routed to
+      // the 50k-row summary (registered). Build + registration run
+      // OUTSIDE the timers — that is the operating model: one
+      // materialization, every dashboard refresh after it pays
+      // summary-scan cost, not a petabyte re-scan.
+      if (opEnabled("summary_hit") || opEnabled("summary_miss")) {
+        val nRows = 1000000L * m
+        val slices = (32 * m).max(32)
+        val rbPath = s"$workRoot/rollup_base_x$m"
+        val rsPath = s"$workRoot/rollup_sum_x$m"
+        spark.range(0, nRows, 1, slices).select(
+            concat(lit("g"), pmod(xxhash64(col("id")), lit(1000L))
+              .cast("string")).as("k1"),
+            pmod(xxhash64(col("id"), lit(1)), lit(50L)).cast("int")
+              .as("k2"),
+            (col("id") * 7 % 1000).as("m1"),
+            // bounded: the summary SUMs this partial — a full-range
+            // hash would overflow the ANSI long sum
+            pmod(xxhash64(col("id"), lit(2)), lit(1000000L)).as("m2"))
+          .write.mode("overwrite").parquet(rbPath)
+        val rb = spark.read.parquet(rbPath)
+        graft.plans.SummaryCatalog.buildSummary(rb, Seq("k1", "k2"),
+            Seq("m1", "m2"))
+          .write.mode("overwrite").parquet(rsPath)
+        def dash(b: org.apache.spark.sql.DataFrame) = b.groupBy("k1")
+          .agg(sum("m1").as("s1"), max("m2").as("x2"),
+            count(lit(1)).as("n"), countDistinct(col("k2")).as("dk"))
+        rows += measureOp("summary_miss", m, nRows) {
+          graft.plans.SummaryCatalog.clear()
+          dash(rb)
+        }
+        rows += measureOp("summary_hit", m, nRows) {
+          graft.plans.SummaryCatalog.register(rb,
+            spark.read.parquet(rsPath), Seq("k1", "k2"), Seq("m1", "m2"))
+          dash(spark.read.parquet(rbPath))
+        }
+        graft.plans.SummaryCatalog.clear()
       }
       // product quantization at scale, the deployment split: TRAIN on
       // the ×1 originals only (the r=0 replicas — a fixed-size sample,
