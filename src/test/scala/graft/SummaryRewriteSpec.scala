@@ -336,6 +336,24 @@ class SummaryRewriteSpec extends AnyFunSuite {
       "entries) are ANSWERED from the rollup scan and equal the " +
       "un-rewritten runs") {
     SummaryCatalog.clear()
+    // q_summary_sketch joins a rewritable estimate branch with a
+    // deliberately-refusing exact-distinct branch: its plan must scan
+    // BOTH the summary (estimate) and the base (exact), and the
+    // estimate must equal the plain session's direct sketch exactly
+    locally {
+      val q = SparkEntry.queries("q_summary_sketch")
+      val sf = "/root/testdata/sf0.001"
+      val df = q(ext, sf)
+      val paths = scannedPaths(df)
+      assert(paths.exists(_.endsWith("/summary")) &&
+        paths.exists(_.endsWith("/base")),
+        s"q_summary_sketch expected summary+base scans:\n" +
+          df.queryExecution.optimizedPlan)
+      val plain = q(SparkTestSession.spark, sf)
+      assert(df.schema == plain.schema)
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq ==
+        plain.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq)
+    }
     for (name <- Seq("q_summary_rewrite", "q_summary_distinct")) {
       val q = SparkEntry.queries(name)
       val sf = "/root/testdata/sf0.001"
