@@ -13,14 +13,34 @@ import json, math, sys, glob, os
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for p in glob.glob(f"{sf_dir}/*.parquet"):
-    name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+
+def fresh_connection():
+    """One connection per batch of queries. A single long-lived
+    connection accumulates mmap'd allocator blocks across the heavy
+    Lloyd-replay oracles (observed ~17k VMAs per IVF/PQ query); past
+    vm.max_map_count (65530 default) mmap fails and DuckDB dies with
+    'Out of Memory Error ... (bad allocation)' despite ~120 GB free.
+    Reconnecting releases the maps; capped threads bound the spike."""
+    c = duckdb.connect()
+    c.execute("SET threads=8")
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p)[:-len(".parquet")]
+        c.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    return c
+
+
+con = fresh_connection()
+done_since_reconnect = 0
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if done_since_reconnect >= 20:
+        con.close()
+        con = fresh_connection()
+        done_since_reconnect = 0
+    done_since_reconnect += 1
     res_dir = f"{out_dir}/{name}"
     if not os.path.isdir(res_dir):
         print(f"FAIL {name}: no spark result dir"); fails += 1; continue
