@@ -1897,6 +1897,88 @@ object ExtensionQueries {
            |LIMIT 10""".stripMargin
       }),
 
+    // two-stage retrieval (the modern retrieve-then-rerank shape):
+    // BM25 bounds 25 candidates, then ColBERT-style late interaction
+    // reranks them — maxsim over fastText-style char-trigram token
+    // vectors. Exactly oracled END TO END: DuckDB replays the BM25
+    // cut, the trigram hashing, the same cosine fold, and the
+    // floor-to-1e-15-units quantization (PageRank's discipline), so
+    // per-position max / final sum / ranking are exact integer ops on
+    // both engines. Scale shape: the token-pair stage is bounded by
+    // candidates × |query| × doc tokens, never the corpus.
+    QueryDef("q_maxsim_rerank",
+      (s, d) => Retrieval.maxSimRerank(Tables.documents(s, d),
+        "doc_id", "text", Seq("spark", "vector", "merge"),
+        candidates = 25, topK = 10),
+      Some {
+        val polyBuckets = (grams: String) =>
+          s"""list_transform($grams, t ->
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(t, ''),
+             |      ch -> CAST(ascii(ch) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) % 64
+             |    AS INTEGER))""".stripMargin
+        val hist = (bk: String) =>
+          s"""list_transform(generate_series(0, 63), b ->
+             |  CAST(len(list_filter($bk, x -> x = b)) AS DOUBLE))"""
+            .stripMargin
+        val grams = (tok: String) =>
+          s"""list_transform(
+             |  generate_series(1, length('<' || $tok || '>') - 2),
+             |  i -> substring('<' || $tok || '>', i, 3))""".stripMargin
+        s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks
+           |  FROM documents),
+           |base AS (SELECT doc_id, toks,
+           |  CAST(len(toks) AS BIGINT) AS dl FROM t),
+           |st AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM base),
+           |tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM base)
+           |  WHERE token IN ('spark', 'vector', 'merge')
+           |  GROUP BY 1, 2, 3),
+           |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT tf.doc_id, tf.token,
+           |  ln(1.0 + ((CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE))
+           |      + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+           |  * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+           |     (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+           |      (CAST(tf.dl AS DOUBLE) /
+           |       (CAST(st.tot AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+           |    AS s
+           |  FROM tf JOIN df USING (token) CROSS JOIN st),
+           |g AS (SELECT doc_id,
+           |  MAX(CASE WHEN token = 'spark' THEN s END) AS s_0,
+           |  MAX(CASE WHEN token = 'vector' THEN s END) AS s_1,
+           |  MAX(CASE WHEN token = 'merge' THEN s END) AS s_2
+           |  FROM sc GROUP BY 1),
+           |cand AS (SELECT doc_id FROM (SELECT doc_id,
+           |  CAST(CAST((COALESCE(s_0, 0.0) + COALESCE(s_1, 0.0))
+           |      + COALESCE(s_2, 0.0) AS DECIMAL(18,9)) AS DOUBLE)
+           |    AS bm25
+           |  FROM g ORDER BY bm25 DESC, doc_id ASC LIMIT 25)),
+           |dtok AS (SELECT base.doc_id,
+           |  unnest(list_distinct(toks)) AS tok
+           |  FROM base JOIN cand USING (doc_id)),
+           |dvec AS (SELECT doc_id,
+           |  ${hist(polyBuckets(grams("tok")))} AS dv FROM dtok),
+           |qv AS (SELECT * FROM (VALUES (0, 'spark'), (1, 'vector'),
+           |  (2, 'merge')) AS q(qpos, qt)),
+           |qvec AS (SELECT qpos,
+           |  ${hist(polyBuckets(grams("qt")))} AS v FROM qv),
+           |u AS (SELECT d.doc_id, q.qpos,
+           |  CAST(floor(${LshSql.cosine("d.dv", "q.v")} * 1e15)
+           |    AS BIGINT) AS u
+           |  FROM dvec d CROSS JOIN qvec q),
+           |mx AS (SELECT doc_id, qpos, MAX(u) AS mu
+           |  FROM u GROUP BY 1, 2),
+           |sm AS (SELECT doc_id, SUM(mu) AS su FROM mx GROUP BY 1),
+           |r AS (SELECT doc_id, CAST(su AS DOUBLE) / 1e15 AS maxsim
+           |  FROM sm ORDER BY su DESC, doc_id ASC LIMIT 10)
+           |SELECT doc_id, maxsim,
+           |CAST(row_number() OVER (ORDER BY maxsim DESC, doc_id ASC)
+           |  AS INTEGER) AS rank
+           |FROM r""".stripMargin
+      }),
+
     // rolling min-shingle fingerprint, portable base-31 polynomial
     // flavor — exactly reproducible in DuckDB (the xxhash64-based
     // rollingFingerprint stays library-only: faster, engine-specific)

@@ -163,4 +163,79 @@ object Retrieval {
           .as("n_chunk_tokens"),
         array_join(col("chunk"), " ").as("chunk_text"))
   }
+
+  /** Subword (fastText-style) token embedding: the [[hashEmbed]]
+    * histogram over the CHARACTER trigrams of `<token>` (boundary
+    * markers included, so every non-empty token has ≥ 1 gram and a
+    * non-zero vector). Morphologically close tokens share trigram
+    * mass, so cosine between these vectors is a graded subword
+    * similarity — deterministic in any engine, no model weights. */
+  def charGramVec(tok: Column, dim: Int = 64): Column = {
+    val padded = concat(lit("<"), tok, lit(">"))
+    val grams = transform(sequence(lit(1), length(padded) - 2),
+      i => padded.substr(i, lit(3)))
+    hashEmbed(grams, dim)
+  }
+
+  /** ColBERT-style late-interaction reranking over BM25 candidates —
+    * the modern two-stage retrieval shape: a cheap lexical retriever
+    * bounds the candidate set, then per-token vector scoring ranks it.
+    * maxsim(q, d) = Σ over query token positions of max over doc
+    * tokens of cos(v(q_i), v(d_j)), with [[charGramVec]] token
+    * vectors.
+    *
+    * Returns (doc_id, maxsim, rank) — the `topK` best candidates.
+    *
+    * Scale shape: the candidate set (≤ `candidates` rows of ids) is a
+    * broadcast; only candidate documents are tokenized for scoring, so
+    * the quadratic token-pair stage is bounded by candidates ×
+    * |query| × distinct-doc-tokens, never by the corpus. BM25 itself
+    * shuffles only query-term hits (see [[bm25]]).
+    *
+    * Determinism: each cosine quantizes by FLOOR to integer 1e-15
+    * units (the PageRank discipline — floor is the same function in
+    * every engine, unlike double→decimal casts which round HALF_UP in
+    * Spark but half-even in DuckDB); per-position max and the final
+    * sum are exact integer ops, the ranking sorts the integer, and
+    * ties break on doc_id — the rerank replays bit-identically in any
+    * engine. */
+  def maxSimRerank(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], candidates: Int = 25, topK: Int = 10,
+      dim: Int = 64): DataFrame = {
+    require(topK >= 1 && candidates >= topK,
+      s"need 1 <= topK <= candidates, got $topK/$candidates")
+    val cand = bm25(docs, idCol, textCol, queryTerms,
+      topK = candidates).select(col("doc_id"))
+    // distinct tokens per candidate doc (max over a multiset equals
+    // max over its support — duplicates add pairs, not information)
+    val dtok = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+          .as("tok"))
+      .join(broadcast(cand), "doc_id")
+      .select(col("doc_id"), charGramVec(col("tok"), dim).as("dv"))
+    // query token positions keep multiplicity: each position
+    // contributes its own best match
+    val qtok = queryTerms.zipWithIndex.map { case (t, i) =>
+      struct(lit(i).as("qpos"), lit(t).as("qt"))
+    }
+    val qvec = docs.sparkSession.range(1)
+      .select(explode(array(qtok: _*)).as("q"))
+      .select(col("q.qpos").as("qpos"),
+        charGramVec(col("q.qt"), dim).as("qv"))
+    val units = dtok.crossJoin(broadcast(qvec))
+      .select(col("doc_id"), col("qpos"),
+        floor(graft.functions.VectorFunctions.cosine_sim(
+          col("dv"), col("qv")) * lit(1e15)).cast("long").as("u"))
+    units.groupBy(col("doc_id"), col("qpos"))
+      .agg(max(col("u")).as("mu"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("mu")).as("su"))
+      .orderBy(col("su").desc, col("doc_id").asc)
+      .limit(topK)
+      .select(col("doc_id"),
+        (col("su").cast("double") / lit(1e15)).as("maxsim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("maxsim").desc, col("doc_id").asc)))
+  }
 }

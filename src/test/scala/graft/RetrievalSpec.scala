@@ -153,4 +153,76 @@ class RetrievalSpec extends AnyFunSuite {
     assert(tail.getString(3).startsWith("t31 ") &&
       tail.getString(3).endsWith(" t41"))
   }
+
+  test("charGramVec: subword similarity is graded — shared trigrams " +
+      "score between identical and disjoint tokens") {
+    def cos(a: String, b: String): Double = spark.range(1).select(
+      graft.functions.VectorFunctions.cosine_sim(
+        Retrieval.charGramVec(lit(a)), Retrieval.charGramVec(lit(b)))
+        .as("c")).head().getDouble(0)
+    assert(math.abs(cos("sparks", "sparks") - 1.0) < 1e-12)
+    // at dim=64 unrelated short tokens still collide into shared
+    // buckets (random sparse histograms have nonzero expected cosine),
+    // so assert the graded ORDER with a margin, not absolute smallness
+    val near = cos("sparks", "spark") // shares <sp, spa, par, ark
+    val far = cos("sparks", "merge")
+    assert(near > far + 0.2 && near > 0.7, s"near=$near far=$far")
+  }
+
+  test("maxSimRerank: brute-force maxsim agreement on the candidate " +
+      "set; ranks dense, score order deterministic") {
+    val corpus = Seq(
+      (1L, "spark vector merge pipeline"),   // all three query tokens
+      (2L, "spark vectors merged pipeline"), // 1 exact + 2 variants
+      (3L, "spark spark spark spark"),       // one exact token, high tf
+      (4L, "database index scan"),           // no exact term: NEVER a
+                                             // candidate (BM25 stage)
+      (5L, "vector vector store")
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "vector", "merge")
+    val got = Retrieval.maxSimRerank(corpus, "doc_id", "text", terms,
+      candidates = 5, topK = 5)
+    val rows = got.collect()
+    assert(rows.map(_.getInt(2)).toSeq == (1 to rows.length))
+    // two-stage semantics: a doc with zero exact query terms never
+    // reaches the reranker, however close its subwords
+    assert(!rows.map(_.getLong(0)).contains(4L))
+    // brute force with the operator's exact arithmetic
+    def vec(tok: String): Array[Double] = spark.range(1)
+      .select(Retrieval.charGramVec(lit(tok)).as("v"))
+      .head().getSeq[Double](0).toArray
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+        i += 1
+      }
+      // exactly the operator's formula: dot / sqrt(sx*sy)
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    // brute force over the CANDIDATE set (docs holding ≥1 exact term)
+    val want = Seq(
+      1L -> "spark vector merge pipeline",
+      2L -> "spark vectors merged pipeline",
+      3L -> "spark spark spark spark",
+      5L -> "vector vector store").map { case (id, text) =>
+      val dvs = text.split("\\s+").distinct.map(vec)
+      val su = terms.map(t => dvs.map(dv =>
+        math.floor(cosine(dv, vec(t)) * 1e15).toLong).max).sum
+      id -> su
+    }.sortBy { case (id, su) => (-su, id) }
+    assert(rows.map(_.getLong(0)).toSeq == want.map(_._1),
+      s"got ${rows.map(_.getLong(0)).toSeq} want ${want.map(_._1)}")
+    // the full-match doc wins; the variant doc (vectors/merged ≈
+    // vector/merge by subword mass) outranks the single-token docs —
+    // the point of late interaction over plain BM25
+    assert(rows.head.getLong(0) == 1L)
+    val pos = rows.map(_.getLong(0)).zipWithIndex.toMap
+    assert(pos(2L) < pos(3L) && pos(2L) < pos(5L))
+    intercept[IllegalArgumentException] {
+      Retrieval.maxSimRerank(corpus, "doc_id", "text", terms,
+        candidates = 2, topK = 5)
+    }
+  }
 }
