@@ -262,7 +262,8 @@ object Sampling {
   }
 
   /** Weighted priority sampling (the deterministic form of
-    * Duffield–Lund–Thorup priority sampling): each row gets priority
+    * Duffield/Lund/Thorup priority sampling, JACM'07, public
+    * literature): each row gets priority
     * `w / u` where `u ∈ (0, 1]` derives from the portable content
     * hash of the id, and the k highest priorities are the sample —
     * so heavy rows are proportionally likelier to be kept, but

@@ -177,9 +177,12 @@ object Retrieval {
     hashEmbed(grams, dim)
   }
 
-  /** ColBERT-style late-interaction reranking over BM25 candidates —
-    * the modern two-stage retrieval shape: a cheap lexical retriever
-    * bounds the candidate set, then per-token vector scoring ranks it.
+  /** Late-interaction reranking over BM25 candidates (the maxsim
+    * scoring shape of ColBERT, Khattab/Zaharia SIGIR'20, public
+    * literature; token vectors here are the hashed-subword histograms
+    * above, not model weights) — the modern two-stage retrieval
+    * pattern: a cheap lexical retriever bounds the candidate set,
+    * then per-token vector scoring ranks it.
     * maxsim(q, d) = Σ over query token positions of max over doc
     * tokens of cos(v(q_i), v(d_j)), with [[charGramVec]] token
     * vectors.

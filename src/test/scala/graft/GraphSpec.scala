@@ -103,6 +103,31 @@ class GraphSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("PROPERTY: triangleStats equals brute force on random graphs " +
+      "(dups, self-loops, hubs, direction noise included)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 18)              // node-id space
+      m <- Gen.chooseNum(1, 60)              // raw edge count
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)     // self-loops possible
+        b <- Gen.chooseNum(0L, n.toLong)     // dups/reverses likely
+      } yield (a, b))
+    } yield es
+    val prop = Prop.forAll(edgeGen) { es =>
+      val nonLoop = es.exists { case (a, b) => a != b }
+      // an all-loop sample normalizes to an empty graph on both sides
+      val got = Graph.triangleStats(es.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val want = localTriangles(es)
+      (!nonLoop || got.nonEmpty) && got == want
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
   test("triangleStats on a clique: every node closes all wedges") {
     val nodes = (1L to 6L)
     val es = for (a <- nodes; b <- nodes if a < b) yield (a, b)
