@@ -158,7 +158,8 @@ object ScaleStress {
     "bigram_commonness", "lang_rebalance", "chunk_dedup", "salted_join",
     "bucket_stats", "interval_join", "stream_drain", "stream_quota",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
-    "bpe_train", "bpe_segment", "bm25", "chunk_sliding",
+    "bpe_train", "bpe_segment", "bm25", "maxsim_rerank",
+    "chunk_sliding",
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
     "retention_cohorts", "minhash_incremental", "edit_join", "resample",
     "pagerank", "triangles", "ivf_append", "diverse_sample",
@@ -201,7 +202,8 @@ object ScaleStress {
     "connected_components", "simhash_pairs", "curation_chain",
     "pack_sequential", "bigram_commonness", "lang_rebalance",
     "chunk_dedup", "salted_join", "bucket_stats",
-    "bpe_train", "bpe_segment", "bm25", "chunk_sliding", "rag_search",
+    "bpe_train", "bpe_segment", "bm25", "maxsim_rerank",
+    "chunk_sliding", "rag_search",
     "minhash_incremental", "set_sim_join", "sliding_dedup",
     "sliding_incremental")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
@@ -686,6 +688,15 @@ object ScaleStress {
         graft.text.Retrieval.bm25(docs, "doc_id", "text",
           terms = Seq("spark", "vector", "merge"), topK = 25)
       }
+      // two-stage retrieval: the rerank's token-pair stage is bounded
+      // by candidates (25) x |query| x candidate-doc tokens — CONSTANT
+      // in m — so the op's wall must converge to the BM25 row above
+      // as m grows (the retriever is the only corpus-linear stage)
+      if (opEnabled("maxsim_rerank"))
+        rows += measureOp("maxsim_rerank", m, nDocs) {
+          graft.text.Retrieval.maxSimRerank(docs, "doc_id", "text",
+            Seq("spark", "vector", "merge"), candidates = 25, topK = 10)
+        }
       // sliding chunking: shuffle-free narrow generator — wall must
       // track rows with ZERO shuffle bytes at every scale
       if (opEnabled("chunk_sliding"))
