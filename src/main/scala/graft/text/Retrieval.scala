@@ -193,7 +193,9 @@ object Retrieval {
     * broadcast; only candidate documents are tokenized for scoring, so
     * the quadratic token-pair stage is bounded by candidates ×
     * |query| × distinct-doc-tokens, never by the corpus. BM25 itself
-    * shuffles only query-term hits (see [[bm25]]).
+    * shuffles only query-term hits (see [[bm25]]). The final rank
+    * window is global but runs AFTER the top-k cut — a ≤ `topK`-row
+    * stage at any corpus size, not a scale concern.
     *
     * Determinism: each cosine quantizes by FLOOR to integer 1e-15
     * units (the PageRank discipline — floor is the same function in
