@@ -156,7 +156,8 @@ object ScaleStress {
     "connected_components", "simhash_pairs", "embed_near_dup",
     "ivf_train", "ivf_topk", "curation_chain", "pack_sequential",
     "bigram_commonness", "lang_rebalance", "chunk_dedup", "salted_join",
-    "bucket_stats", "interval_join", "stream_drain", "stream_quota",
+    "bucket_stats", "interval_join", "join_cardinality",
+    "stream_drain", "stream_quota",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "bpe_train", "bpe_segment", "bm25", "maxsim_rerank",
     "chunk_sliding",
@@ -209,7 +210,8 @@ object ScaleStress {
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "semantic_dedup", "ivf_append", "diverse_sample")
-  private val evtOps = Set("interval_join", "stream_drain", "stream_quota",
+  private val evtOps = Set("interval_join", "join_cardinality",
+    "stream_drain", "stream_quota",
     "scd2_historize", "funnel", "retention_cohorts", "resample")
   private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
 
@@ -825,6 +827,17 @@ object ScaleStress {
           spark.read.parquet(evtsPath), "user_id", "ts", "event_id",
           maxGapUs = 2L * 3600 * 1000000)
       }
+      // join-cardinality pre-flight at scale: the self-join it
+      // predicts is event-quadratic PER USER (constant density ->
+      // linear total), but the PREDICTION costs two per-key count
+      // aggregations — shuffle = distinct users, wall must track rows
+      // with a far smaller constant than running any join
+      if (opEnabled("join_cardinality"))
+        rows += measureOp("join_cardinality", m, nEvts) {
+          graft.operators.Joins.joinCardinality(
+            spark.read.parquet(evtsPath), "user_id",
+            spark.read.parquet(evtsPath), "user_id")
+        }
       // edit-distance similarity join over templated ids — the
       // LOW-ENTROPY corpus (every string shares a prefix), i.e. the
       // hard case for segment blocking. After the LCP strip the
