@@ -1775,9 +1775,12 @@ object ExtensionQueries {
               |  AS chunk_text
               |FROM c""".stripMargin)),
 
-    // distributed BPE training: each merge round is one adjacent-pair
+    // distributed BPE training: each count pass is one adjacent-pair
     // count over the WEIGHTED DISTINCT-WORD table (Heaps-law small at
-    // any corpus size) + a 1-row argmax to the driver. The learned
+    // any corpus size), and up to maxBatch merges are learned per
+    // pass (prefix-batched with a strict-dominance truncation that
+    // keeps the result bit-identical to one-merge-per-pass — BpeSpec
+    // property-pins batched == sequential). The learned
     // table's values are iteration-dependent, so the hashed output
     // carries the trainer's GUARANTEES: the rank-1 merge must equal
     // DuckDB's exact argmax over initial pair counts (count DESC,

@@ -76,48 +76,151 @@ object Bpe {
     docs.select(explode(segment(col(textCol), model)).as("subword"))
       .groupBy("subword").agg(count(lit(1)).as("cnt"))
 
-  /** Learn up to `nMerges` merges from the corpus. Stops early when no
-    * adjacent pair occurs at least `minCount` times. Deterministic at
-    * any parallelism: the argmax tie-break is (count DESC, left ASC,
-    * right ASC) and pair counts are exact integers. */
-  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L): BpeModel = {
-    val spark = docs.sparkSession
-    val words0 = docs
+  /** The distinct-word symbol table: (syms: array of symbols, w: word
+    * frequency). The corpus-size-independent training representation. */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("w"))
       .select(chars(col("word")).as("syms"), col("w"))
-    var cur = words0
+
+  /** Adjacent-pair counts over the current symbol table, sorted by the
+    * BPE argmax order (count DESC, left ASC, right ASC), top `n`. */
+  private def topPairs(cur: DataFrame, n: Int): Array[(String, String,
+      Long)] =
+    // words collapsed to one symbol have no pairs — and would turn
+    // sequence(1, 0) into a DESCENDING range hitting index 0
+    cur.filter(size(col("syms")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
+        j => struct(element_at(col("syms"), j).as("l"),
+          element_at(col("syms"), j + 1).as("r")))).as("p"),
+        col("w"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("w")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+      .limit(n).collect()
+      .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+
+  /** Learn up to `nMerges` merges from the corpus. Stops early when no
+    * adjacent pair occurs at least `minCount` times. Deterministic at
+    * any parallelism: the argmax tie-break is (count DESC, left ASC,
+    * right ASC) and pair counts are exact integers.
+    *
+    * Runs [[learnMergesWithRounds]] with batching on: up to `maxBatch`
+    * merges are learned per count pass, with the batch chosen so the
+    * result is BIT-IDENTICAL to the one-merge-per-pass fold
+    * ([[learnMergesSequential]], which BpeSpec property-pins against
+    * this). At a 32k-merge production vocabulary this cuts the number
+    * of Spark jobs from 32k sequential shuffles to ~32k/maxBatch —
+    * the difference between a training run and a scheduler stall at
+    * 100 TB. */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L, maxBatch: Int = 32): BpeModel =
+    learnMergesWithRounds(docs, textCol, nMerges, minCount, maxBatch)._1
+
+  /** One merge per count pass — the executable spec [[learnMerges]]'s
+    * batched selection is property-tested against. */
+  def learnMergesSequential(docs: DataFrame, textCol: String,
+      nMerges: Int, minCount: Long = 2L): BpeModel =
+    learnMergesWithRounds(docs, textCol, nMerges, minCount, 1)._1
+
+  /** [[learnMerges]] plus the number of count passes (Spark job
+    * rounds) it took — the scale metric batching improves.
+    *
+    * Batched selection, exact-equivalence argument: one count pass
+    * yields the stale sorted candidate list c1, c2, … (count DESC,
+    * left ASC, right ASC). The batch is a PREFIX c1..ck of that list
+    * such that, by induction, c_i is precisely the argmax the
+    * sequential fold would compute after applying c1..c_{i-1}:
+    *
+    *  - Members are pairwise symbol-disjoint (no shared left/right/
+    *    merged string), so applying earlier members leaves each later
+    *    member's adjacency count — and merge positions — unchanged: a
+    *    merge rewrites [l,r]→[lr] and can neither create nor destroy
+    *    an adjacency of two symbols it doesn't mention.
+    *  - Every member's count is STRICTLY greater than the first
+    *    non-batched candidate's (the batch is truncated to enforce
+    *    it). Existing non-member pairs only lose occurrences, so they
+    *    stay below every member. Pairs created by a member (x,l_i·r_i)
+    *    are bounded by the stale count of an existing pair touching
+    *    that member ((x,l_i) etc.), which — being symbol-sharing —
+    *    is not a member and hence strictly below every member too.
+    *    Strictness matters: a created pair can TIE an existing count
+    *    and then win the lexicographic tie-break, so counts equal to
+    *    the stopper end the batch.
+    *  - A member with left == right (its own output can chain: "aaaa"
+    *    → [aa,aa] mints an (aa,aa) pair bounded only by the member's
+    *    own count) or whose merged string already exists as a corpus
+    *    symbol (pre-existing pairs over that symbol can GAIN
+    *    occurrences) closes the batch after itself; the hazards only
+    *    threaten later members. The existing-symbol test uses a
+    *    driver-side superset vocabulary (initial distinct symbols ∪
+    *    every merged string minted so far) — conservative, so always
+    *    safe, and costing zero extra jobs per round. */
+  def learnMergesWithRounds(docs: DataFrame, textCol: String,
+      nMerges: Int, minCount: Long = 2L, maxBatch: Int = 32)
+      : (BpeModel, Int) = {
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
+    var cur = wordTable(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = Vector.newBuilder[BpeMerge]
+    var rounds = 0
     try {
+      // conservative symbol-vocabulary superset (see scaladoc): one
+      // small job up front, then maintained on the driver
+      val vocab = scala.collection.mutable.HashSet.empty[String]
+      if (maxBatch > 1)
+        vocab ++= cur.select(explode(col("syms")).as("s")).distinct()
+          .collect().map(_.getString(0))
       var rank = 1
       var done = false
       while (rank <= nMerges && !done) {
-        // words collapsed to one symbol have no pairs — and would turn
-        // sequence(1, 0) into a DESCENDING range hitting index 0
-        val best = cur.filter(size(col("syms")) >= 2)
-          .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
-            j => struct(element_at(col("syms"), j).as("l"),
-              element_at(col("syms"), j + 1).as("r")))).as("p"),
-            col("w"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("w")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-          .limit(1).collect()
-        if (best.isEmpty || best.head.getLong(2) < minCount) done = true
+        val budget = math.min(maxBatch, nMerges - rank + 1)
+        // +1: the first non-batched candidate's count drives truncation
+        val top = topPairs(cur, budget + 1)
+        rounds += 1
+        val cands = top.filter(_._3 >= minCount)
+        if (cands.isEmpty) done = true
         else {
-          val (l, r, c) =
-            (best.head.getString(0), best.head.getString(1),
-              best.head.getLong(2))
-          merges += BpeMerge(rank, l, r, c)
-          // native single-merge pass (same greedy semantics as the
-          // composable applyMerge fold, which BpeSpec pins) — the fold
-          // copies the accumulator per character, this is one buffer
-          // pass per word
-          val next = cur
-            .select(graft.functions.BpeFunctions
-              .bpe_apply_merge(col("syms"), l, r).as("syms"), col("w"))
+          // greedy compatible prefix
+          val used = scala.collection.mutable.HashSet.empty[String]
+          val batch = scala.collection.mutable
+            .ArrayBuffer.empty[(String, String, Long)]
+          var stop = false
+          var i = 0
+          while (i < cands.length && !stop && batch.length < budget) {
+            val (l, r, _) = cands(i)
+            if (used(l) || used(r) || used(l + r)) stop = true
+            else {
+              batch += cands(i)
+              used += l; used += r; used += (l + r)
+              if (l == r || vocab(l + r)) stop = true
+            }
+            i += 1
+          }
+          // strict-dominance truncation: drop trailing members whose
+          // count ties the first candidate left out (counts are
+          // non-increasing, so checking the last member suffices);
+          // a single-member batch IS the sequential step — always safe
+          val nextCnt =
+            if (batch.length < top.length) top(batch.length)._3
+            else minCount - 1
+          var k = batch.length
+          while (k > 1 && batch(k - 1)._3 <= (
+              if (k < batch.length) batch(k)._3 else nextCnt)) k -= 1
+          val kept = batch.take(k)
+          kept.foreach { case (l, r, c) =>
+            merges += BpeMerge(rank, l, r, c)
+            vocab += (l + r)
+            rank += 1
+          }
+          // native merge passes chained in ONE job (same greedy
+          // semantics as the composable applyMerge fold, which BpeSpec
+          // pins) — the fold copies the accumulator per character,
+          // this is one buffer pass per word per merge
+          val applied = kept.foldLeft(col("syms")) { case (c, (l, r, _)) =>
+            graft.functions.BpeFunctions.bpe_apply_merge(c, l, r) }
+          val next = cur.select(applied.as("syms"), col("w"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // materialize the fold ONCE per round, then drop the parent
           // cache — without this each round re-evaluates every prior
@@ -125,10 +228,9 @@ object Bpe {
           next.count()
           cur.unpersist(false)
           cur = next
-          rank += 1
         }
       }
-      BpeModel(merges.result())
+      (BpeModel(merges.result()), rounds)
     } finally cur.unpersist(false)
   }
 }

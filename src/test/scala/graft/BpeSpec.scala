@@ -85,6 +85,62 @@ class BpeSpec extends AnyFunSuite {
     assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b })
   }
 
+  test("batched selection survives the tie-trap: a pair the batch " +
+      "creates ties an existing count and wins the lex tie-break") {
+    // counts: (a,z)=(z,z)=(m,m)=50. Sequential: (a,z) → the created
+    // (az,z) still counts 50 and "az" < "m" → (az,z) → (m,m). A
+    // naive batch from the stale list would take [(a,z),(m,m)] in
+    // round 1 — the strict-dominance truncation must prevent it.
+    val docs = Seq.fill(50)("azz mm").toDF("text")
+    val seqM = Bpe.learnMergesSequential(docs, "text", nMerges = 4)
+    assert(seqM.merges.map(m => (m.left, m.right)) ==
+      Seq(("a", "z"), ("az", "z"), ("m", "m")))
+    val (batM, rounds) =
+      Bpe.learnMergesWithRounds(docs, "text", nMerges = 4, maxBatch = 8)
+    assert(batM.merges == seqM.merges)
+    // round 2 batches [(az,z),(m,m)] together (strictly above the
+    // empty remainder), so batching still saves a pass
+    assert(rounds < 4)
+  }
+
+  test("batching cuts count passes ~maxBatch× on a wide corpus") {
+    // many disjoint high-frequency pairs with strictly distinct
+    // counts — the Zipfian shape batching exploits
+    val words = (0 until 12).flatMap { i =>
+      Seq.fill(100 - 5 * i)(s"${('a' + 2 * i).toChar}${('b' + 2 * i).toChar}")
+    }
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val seqM = Bpe.learnMergesSequential(docs, "text", nMerges = 12)
+    val (batM, rounds) =
+      Bpe.learnMergesWithRounds(docs, "text", nMerges = 12, maxBatch = 8)
+    assert(batM.merges == seqM.merges)
+    assert(seqM.merges.length == 12)
+    assert(rounds <= 3, s"expected <=3 count passes, took $rounds")
+  }
+
+  test("batched learnMerges equals the sequential reference on " +
+      "random small-alphabet corpora (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    // tiny alphabet + repeated words maximizes ties, interacting
+    // pairs, l==r chains, and same-string-different-split collisions
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val gen = Gen.choose(1, 14).flatMap(n => Gen.listOfN(n, wordGen))
+    val prop = forAll(gen) { ws =>
+      val freq = ws.groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+      val expected = refLearn(freq, 8)
+      val got = Bpe.learnMerges(Seq(ws.mkString(" ")).toDF("text"),
+        "text", nMerges = 8, minCount = 2L, maxBatch = 4)
+      got.merges.map(m => (m.left, m.right, m.count)) == expected
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("learnMerges stops when no pair reaches minCount") {
     val docs = Seq("ab cd ef").toDF("text") // every pair occurs once
     val got = Bpe.learnMerges(docs, "text", nMerges = 5, minCount = 2)
