@@ -130,12 +130,37 @@ object Snapshots {
     snap
   }
 
+  /** Delete-dir count past which [[deleteWhere]] and [[upsert]] fold
+    * the accumulated mask into a fresh base ([[compact]]) right after
+    * their commit. Merge-on-read read cost grows with every masked
+    * generation — one more scan+union on the delete side, and one
+    * more distinct key column means one more anti-join — so without a
+    * trigger nothing ever pays the rewrite and reads decay without
+    * bound (Iceberg ships the same heuristic as
+    * `rewrite_data_files`' delete-file thresholds). 8 delete dirs ≈
+    * the point where the mask bookkeeping rivals one base rewrite at
+    * typical batch cadence; override per call, `<= 0` disables. */
+  val DefaultAutoCompactDeleteDirs = 8
+
+  private def maybeAutoCompact(spark: SparkSession, root: String,
+      snap: Snapshot, threshold: Int): Unit =
+    if (threshold > 0 && snap.deleteDirs.size >= threshold) {
+      compact(spark, root); ()
+    }
+
   /** Row-level delete, merge-on-read: materializes the KEYS matching
     * `predicate` into a delete file; base parquet is untouched.
     * Readers of this and later versions anti-join the keys out.
-    * `keyCol` must identify rows uniquely (Iceberg equality delete). */
+    * `keyCol` must identify rows uniquely (Iceberg equality delete).
+    *
+    * Returns THIS delete's snapshot; when the accumulated delete-dir
+    * count reaches `autoCompactDeleteDirs` a [[compact]] snapshot is
+    * committed right after it (the returned version stays readable —
+    * compaction never rewrites history). */
   def deleteWhere(spark: SparkSession, root: String, keyCol: String,
-      predicate: org.apache.spark.sql.Column): Snapshot = {
+      predicate: org.apache.spark.sql.Column,
+      autoCompactDeleteDirs: Int = DefaultAutoCompactDeleteDirs)
+      : Snapshot = {
     val prev = latest(root)
     val v = prev.version + 1
     val dir = s"delete-$v"
@@ -145,6 +170,7 @@ object Snapshots {
     val snap = Snapshot(v, "delete", System.currentTimeMillis(),
       prev.dataDirs, prev.deleteDirs :+ dir)
     commit(root, snap)
+    maybeAutoCompact(spark, root, snap, autoCompactDeleteDirs)
     snap
   }
 
@@ -165,7 +191,9 @@ object Snapshots {
     * upstream ([[graft.dedup.Dedup.exactDedup]]) — checking here
     * would cost a full pass per commit. */
   def upsert(spark: SparkSession, root: String, df: DataFrame,
-      keyCol: String): Snapshot = {
+      keyCol: String,
+      autoCompactDeleteDirs: Int = DefaultAutoCompactDeleteDirs)
+      : Snapshot = {
     require(df.columns.contains(keyCol),
       s"upsert batch has no column '$keyCol' " +
         s"(columns: ${df.columns.mkString(", ")})")
@@ -181,6 +209,7 @@ object Snapshots {
     val snap = Snapshot(v, "upsert", System.currentTimeMillis(),
       prev.dataDirs :+ dataDir, prev.deleteDirs :+ delDir)
     commit(root, snap)
+    maybeAutoCompact(spark, root, snap, autoCompactDeleteDirs)
     snap
   }
 
@@ -292,6 +321,13 @@ object Snapshots {
   private def readSnapshot(spark: SparkSession, root: String,
       snap: Snapshot): DataFrame = {
     require(snap.dataDirs.nonEmpty, s"empty snapshot $snap")
+    // unmasked fast path (fresh tables, append-only histories, and
+    // everything after a compact): no sequencing marker, no per-dir
+    // unions — ONE multi-path scan, with mergeSchema playing
+    // unionByName(allowMissingColumns)'s add-column role
+    if (snap.deleteDirs.isEmpty)
+      return spark.read.option("mergeSchema", "true")
+        .parquet(snap.dataDirs.map(d => s"$root/$d"): _*)
     // Iceberg v2 sequencing: an equality-delete file applies ONLY to
     // data files committed before it (smaller sequence number) — a key
     // re-appended AFTER its delete must survive the older delete
@@ -311,29 +347,26 @@ object Snapshots {
           "reserved for merge-on-read sequencing")
       df.withColumn("__seq", lit(dirSeq(d)))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val delFrames = snap.deleteDirs.map { d =>
+      val df = spark.read.parquet(s"$root/$d")
+      (df.columns.head,
+        df.select(col(df.columns.head).as("__delkey"),
+          lit(dirSeq(d)).as("__dseq")))
+    }
+    // deleteWhere accepts a different key column per call — apply
+    // one anti-join per DISTINCT key column, each delete file
+    // joined on its own column (a single join keyed on the first
+    // file's column would treat later files' keys as values of
+    // that column and mask the wrong rows). Delete-key sides are
+    // small by construction — broadcast, so the mask never
+    // shuffles the base data however many key columns appear.
     val masked =
-      if (snap.deleteDirs.isEmpty) base
-      else {
-        val delFrames = snap.deleteDirs.map { d =>
-          val df = spark.read.parquet(s"$root/$d")
-          (df.columns.head,
-            df.select(col(df.columns.head).as("__delkey"),
-              lit(dirSeq(d)).as("__dseq")))
-        }
-        // deleteWhere accepts a different key column per call — apply
-        // one anti-join per DISTINCT key column, each delete file
-        // joined on its own column (a single join keyed on the first
-        // file's column would treat later files' keys as values of
-        // that column and mask the wrong rows). Delete-key sides are
-        // small by construction — broadcast, so the mask never
-        // shuffles the base data however many key columns appear.
-        delFrames.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(base) {
-          case (acc, (keyCol, frames)) =>
-            val dels = frames.map(_._2).reduce(_ unionByName _)
-            acc.join(broadcast(dels),
-              acc(keyCol) === dels("__delkey") &&
-                dels("__dseq") > acc("__seq"), "left_anti")
-        }
+      delFrames.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(base) {
+        case (acc, (keyCol, frames)) =>
+          val dels = frames.map(_._2).reduce(_ unionByName _)
+          acc.join(broadcast(dels),
+            acc(keyCol) === dels("__delkey") &&
+              dels("__dseq") > acc("__seq"), "left_anti")
       }
     masked.drop("__seq")
   }

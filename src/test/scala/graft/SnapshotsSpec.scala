@@ -84,6 +84,45 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readVersion(spark, root, 2).count() == 60)
   }
 
+  test("auto-compaction folds the mask once delete dirs hit the " +
+      "threshold; reads lose the anti-join chain") {
+    val root = freshRoot()
+    Snapshots.createOrReplace(table(1 to 100), root)
+    Snapshots.deleteWhere(spark, root, "id", col("id") === 1,
+      autoCompactDeleteDirs = 3)
+    val d2 = Snapshots.deleteWhere(spark, root, "id", col("id") === 2,
+      autoCompactDeleteDirs = 3)
+    // below the threshold: the mask rides the read
+    assert(Snapshots.log(root).last == d2)
+    val planBefore = Snapshots.read(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(planBefore.contains("LeftAnti"), planBefore)
+    // third delete crosses the threshold → a compact snapshot lands
+    // right after it; the returned snapshot is still the delete's
+    val d3 = Snapshots.deleteWhere(spark, root, "id", col("id") === 3,
+      autoCompactDeleteDirs = 3)
+    assert(d3.op == "delete" && d3.deleteDirs.size == 3)
+    val tip = Snapshots.log(root).last
+    assert(tip.op == "compact" && tip.deleteDirs.isEmpty &&
+      tip.dataDirs.size == 1)
+    // post-compaction read is ONE scan — no anti-join, no union
+    val planAfter = Snapshots.read(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(!planAfter.contains("Join") && !planAfter.contains("Union"),
+      planAfter)
+    assert(Snapshots.read(spark, root).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == (4L to 100L))
+    // the delete's own version still time-travels (history intact)
+    assert(Snapshots.readVersion(spark, root, d3.version).count() == 97)
+    // upsert triggers the same heuristic
+    val root2 = freshRoot()
+    Snapshots.createOrReplace(table(1 to 10), root2)
+    Snapshots.upsert(spark, root2, table(1 to 2), "id",
+      autoCompactDeleteDirs = 1)
+    assert(Snapshots.log(root2).last.op == "compact")
+    assert(Snapshots.read(spark, root2).count() == 10)
+  }
+
   test("appends may add columns; older rows surface them as nulls") {
     val root = freshRoot()
     Snapshots.createOrReplace(table(1 to 10), root)
