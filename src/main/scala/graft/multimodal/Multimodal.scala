@@ -18,13 +18,17 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled`), and video ([[decodeVideo]]: MP4/ISO-BMFF
   * box walk, pure JRE byte parsing) — no new dependency. Image RESIZE
   * is also real ([[resizeImage]]: ImageIO + bilinear Graphics2D,
-  * headless-safe), and so is video FRAME EXTRACTION for animated GIFs
-  * ([[gifFrames]]: multi-frame ImageIO decode with per-frame offset
-  * compositing — the one video container the plain JRE can decode).
-  * Only MP4 frame extraction and learned-feature embedding remain
-  * STUBBED with deterministic fakes (those genuinely need an
-  * ffmpeg/model runtime this container lacks): each is marked `STUB:`
-  * and would swap for real bindings behind the same signatures.
+  * headless-safe), and so is video FRAME EXTRACTION — for animated
+  * GIFs ([[gifFrames]]: multi-frame ImageIO decode with per-frame
+  * offset compositing) AND for MP4 ([[mp4FrameSlices]]: the
+  * stsz/stsc/stco sample-table walk a demuxer runs, yielding each
+  * frame's exact byte range with keyframes preferred — pure JRE, no
+  * ffmpeg). Only learned-feature embedding remains STUBBED with a
+  * deterministic fake (it genuinely needs a model runtime this
+  * container lacks): marked `STUB:`, swappable for real bindings
+  * behind the same signature. Decoding an MP4 frame slice to PIXELS
+  * would also need a codec — the demux boundary is where the pure-JRE
+  * guarantee ends.
   */
 object Multimodal {
 
@@ -110,14 +114,17 @@ object Multimodal {
     * None unless both `ftyp` and `moov` parse — random bytes are not a
     * video. Header-only: `mdat` (the actual media payload, ~all of the
     * file) is never touched, so per-row cost is O(moov bytes). */
-  private[graft] def parseMp4(bytes: Array[Byte]): Option[VideoMeta] = {
-    if (bytes == null || bytes.length < 16) return None
+  /** Shared ISO-BMFF byte-walk primitives — [[parseMp4]] (header
+    * metadata) and [[mp4SampleTable]] (frame extraction) walk the same
+    * box grammar. */
+  private final class BmffWalk(val bytes: Array[Byte]) {
     def u32(off: Int): Long =
       ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
         ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
     def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
-    def typ(off: Int): String = new String(bytes, off + 4, 4,
+    def tag(off: Int): String = new String(bytes, off, 4,
       java.nio.charset.StandardCharsets.ISO_8859_1)
+    def typ(off: Int): String = tag(off + 4)
     // children of byte range [from, to) as (type, payloadStart, boxEnd)
     def boxes(from: Int, to: Int): List[(String, Int, Int)] = {
       val out = List.newBuilder[(String, Int, Int)]
@@ -137,6 +144,15 @@ object Multimodal {
       }
       out.result()
     }
+    /** First child box of type `t` in [from, to) → (payloadStart, end). */
+    def find(from: Int, to: Int, t: String): Option[(Int, Int)] =
+      boxes(from, to).find(_._1 == t).map(b => (b._2, b._3))
+  }
+
+  private[graft] def parseMp4(bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes == null || bytes.length < 16) return None
+    val walk = new BmffWalk(bytes)
+    import walk.{boxes, u32, u64}
     try {
       val top = boxes(0, bytes.length)
       val brand = top.find(_._1 == "ftyp").collect {
@@ -185,12 +201,155 @@ object Multimodal {
   /** Real video container header decode — MP4/ISO-BMFF via
     * [[parseMp4]], no ffmpeg needed for (width, height, duration,
     * brand). Null or non-MP4 bytes → null, same degrade-to-filterable
-    * contract as [[decodeImage]]/[[decodeAudio]]. Frame extraction and
-    * learned embeddings stay stubbed below — those genuinely need a
-    * codec/model runtime. */
+    * contract as [[decodeImage]]/[[decodeAudio]]. Frame EXTRACTION is
+    * real too ([[mp4FrameSlices]] — the sample-table walk); only
+    * PIXEL decode of the extracted frames needs a codec runtime. */
   val decodeVideo: UserDefinedFunction = udf { bytes: Array[Byte] =>
     parseMp4(bytes)
   }
+
+  /** The video track's sample table: per-sample absolute byte offset
+    * and size, plus the sync-sample (keyframe) numbers when an `stss`
+    * box declares them (absent = every sample is sync, per ISO 14496-12). */
+  private[graft] final case class Mp4SampleTable(offsets: Array[Long],
+      sizes: Array[Long], syncs: Option[Array[Int]])
+
+  /** Pure-JRE MP4 sample-table walk (stsz/stsc/stco|co64/stss): maps
+    * every media sample of the video track to its absolute byte range
+    * in the file — no ffmpeg, exactly the walk a demuxer runs before
+    * any codec touches a byte. Track selection prefers the `mdia→hdlr`
+    * handler `vide`; a file with no handler boxes falls back to the
+    * first track carrying a sample table. Per ISO 14496-12: `stsz`
+    * gives sizes (fixed or per-sample), `stco`/`co64` gives chunk start
+    * offsets, `stsc` runs map chunks to samples-per-chunk (entry i
+    * applies from its first_chunk until entry i+1's), and samples pack
+    * back-to-back within a chunk. Malformed structure degrades to the
+    * well-formed prefix ([[BmffWalk.boxes]]' contract) or None — never
+    * a throw. Header-only cost: O(moov), `mdat` untouched. */
+  private[graft] def mp4SampleTable(bytes: Array[Byte])
+      : Option[Mp4SampleTable] = {
+    if (bytes == null || bytes.length < 16) return None
+    val walk = new BmffWalk(bytes)
+    import walk.{boxes, find, tag, u32, u64}
+    try {
+      val top = boxes(0, bytes.length)
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      // (stblPayloadStart, stblEnd, isVideoHandler) per track
+      val stbls = boxes(moov._2, moov._3).filter(_._1 == "trak")
+        .flatMap { case (_, tp, te) =>
+          for {
+            mdia <- find(tp, te, "mdia")
+            minf <- find(mdia._1, mdia._2, "minf")
+            stbl <- find(minf._1, minf._2, "stbl")
+          } yield {
+            val vide = find(mdia._1, mdia._2, "hdlr").exists {
+              case (hp, he) => he - hp >= 12 && tag(hp + 8) == "vide" }
+            (stbl._1, stbl._2, vide)
+          }
+        }
+      val (sp, se, _) = stbls.find(_._3).orElse(stbls.headOption)
+        .getOrElse(return None)
+      val inStbl = boxes(sp, se)
+      def box(t: String) = inStbl.find(_._1 == t)
+      val (zp, ze) = box("stsz").map(b => (b._2, b._3)).getOrElse(return None)
+      if (ze - zp < 12) return None
+      val fixedSize = u32(zp + 4)
+      val sampleCount = u32(zp + 8)
+      // malformed counts must not size allocations: a variable-size
+      // table must FIT its box; a fixed-size count is capped at one
+      // sample per file byte (any real table is far under)
+      if (sampleCount < 0 || sampleCount > bytes.length.toLong ||
+        (fixedSize == 0L && zp + 12 + 4 * sampleCount > ze)) return None
+      val n = sampleCount.toInt
+      val sizes = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        sizes(i) = if (fixedSize != 0L) fixedSize else u32(zp + 12 + 4 * i)
+        i += 1
+      }
+      val chunkOffs: Array[Long] = {
+        val stco = box("stco").map(b => (b._2, b._3, 4))
+          .orElse(box("co64").map(b => (b._2, b._3, 8)))
+          .getOrElse(return None)
+        val (cp, ce, w) = stco
+        if (ce - cp < 8) return None
+        val cnt = u32(cp + 4)
+        if (cnt < 0 || cp + 8 + w * cnt > ce) return None
+        Array.tabulate(cnt.toInt)(j =>
+          if (w == 4) u32(cp + 8 + 4 * j) else u64(cp + 8 + 8 * j))
+      }
+      // stsc runs: (firstChunk 1-based, samplesPerChunk)
+      val runs: Array[(Long, Long)] = {
+        val (scp, sce) = box("stsc").map(b => (b._2, b._3))
+          .getOrElse(return None)
+        if (sce - scp < 8) return None
+        val cnt = u32(scp + 4)
+        if (cnt < 0 || scp + 8 + 12 * cnt > sce) return None
+        Array.tabulate(cnt.toInt)(j =>
+          (u32(scp + 8 + 12 * j), u32(scp + 8 + 12 * j + 4)))
+      }
+      if (runs.isEmpty || chunkOffs.isEmpty) return None
+      val offsets = new Array[Long](n)
+      var si = 0
+      var ci = 0            // 0-based chunk index
+      var ri = 0            // current stsc run
+      while (si < n && ci < chunkOffs.length) {
+        while (ri + 1 < runs.length && runs(ri + 1)._1 <= ci + 1) ri += 1
+        var off = chunkOffs(ci)
+        var j = 0L
+        while (j < runs(ri)._2 && si < n) {
+          offsets(si) = off; off += sizes(si); si += 1; j += 1
+        }
+        ci += 1
+      }
+      // a table whose chunks run out early keeps its well-formed prefix
+      val m = si
+      val syncs = box("stss").map(b => (b._2, b._3)).flatMap {
+          case (yp, ye) =>
+        if (ye - yp < 8) None
+        else {
+          val cnt = u32(yp + 4)
+          if (cnt < 0 || yp + 8 + 4 * cnt > ye) None
+          else Some(Array.tabulate(cnt.toInt)(j =>
+            u32(yp + 8 + 4 * j).toInt))
+        }
+      }
+      if (m == 0) None
+      else Some(Mp4SampleTable(offsets.take(m), sizes.take(m), syncs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Up to `n` evenly-spaced frame byte slices from an MP4 — the real
+    * demux step (what ffmpeg's packet reader produces before a codec
+    * runs): each slice is one media sample's exact byte range per the
+    * sample table. Sync samples (keyframes) are preferred when `stss`
+    * declares them — they are the independently-decodable frames a
+    * downstream decoder wants. Samples whose declared range falls
+    * outside the file (truncated download, fragmented MP4 whose data
+    * lives elsewhere) are skipped; None when nothing valid remains. */
+  private[graft] def mp4FrameSlices(bytes: Array[Byte], n: Int)
+      : Option[IndexedSeq[Array[Byte]]] =
+    if (n <= 0) None
+    else mp4SampleTable(bytes).flatMap { st =>
+      val cand: IndexedSeq[Int] = st.syncs match {
+        case Some(ss) => ss.iterator.map(_ - 1)
+          .filter(i => i >= 0 && i < st.sizes.length).toIndexedSeq
+        case None => 0 until st.sizes.length
+      }
+      val valid = cand.filter { i =>
+        st.offsets(i) >= 0 && st.sizes(i) > 0 &&
+          st.offsets(i) + st.sizes(i) <= bytes.length
+      }
+      if (valid.isEmpty) None
+      else {
+        val m = math.min(n, valid.length)
+        Some((0 until m).map { i =>
+          val s = valid((i.toLong * valid.length / m).toInt)
+          java.util.Arrays.copyOfRange(bytes, st.offsets(s).toInt,
+            (st.offsets(s) + st.sizes(s)).toInt)
+        })
+      }
+    }
 
   /** Real image resize on the JRE: ImageIO decode → bilinear
     * Graphics2D scale so the longest side equals `maxDim` → PNG
@@ -431,30 +590,38 @@ object Multimodal {
 
   /** Frame sampling: REAL for animated (and single-frame) GIFs —
     * `n` evenly-spaced composited frames via [[gifFrames]], re-encoded
-    * as PNG. STUB for every other container: slices the byte stream
-    * into `n` equal chunks standing in for decoded frames (MP4 frame
-    * decode genuinely needs an ffmpeg-class codec runtime this
-    * environment doesn't ship). Both paths share the array-of-binary
-    * output shape downstream per-frame ops consume. */
+    * as PNG — and REAL for MP4 — `n` evenly-spaced sample byte ranges
+    * via [[mp4FrameSlices]]' stsz/stsc/stco walk, keyframes preferred
+    * (encoded access units, the demuxer's output; pixel decode of
+    * those needs a codec runtime). Every other container degrades to
+    * slicing the byte stream into `n` equal chunks standing in for
+    * frames. All paths share the array-of-binary output shape
+    * downstream per-frame ops consume. */
   val sampleFrames: UserDefinedFunction =
     udf { (bytes: Array[Byte], n: Int) =>
       gifFrames(bytes, n) match {
         case Some(frames) => frames.map(pngBytes)
-        case None =>
-          if (bytes == null || n <= 0) Seq.empty[Array[Byte]]
-          else {
-            val stride = math.max(1, bytes.length / n)
-            (0 until math.min(n, bytes.length)).map(i =>
-              bytes.slice(i * stride, math.min(bytes.length, (i + 1) * stride)))
-          }
+        case None => mp4FrameSlices(bytes, n) match {
+          case Some(slices) => slices
+          case None =>
+            if (bytes == null || n <= 0) Seq.empty[Array[Byte]]
+            else {
+              val stride = math.max(1, bytes.length / n)
+              (0 until math.min(n, bytes.length)).map(i =>
+                bytes.slice(i * stride,
+                  math.min(bytes.length, (i + 1) * stride)))
+            }
+        }
       }
     }
 
   /** Feature extraction over batches. Runs as `mapPartitions` so a real
     * implementation amortizes model/codec setup once per partition (the
     * Scala analog of a Pandas-UDF batch loop). Partitioning is
-    * preserved — no shuffle. STUB: the "embedding" is a deterministic
-    * 8-float hash fold of the bytes. */
+    * preserved — no shuffle. Images/audio/GIF/MP4 all get REAL
+    * decoded features; only unrecognizable bytes take the
+    * deterministic 8-float hash fold (STUB standing in for a learned
+    * embedding model). */
   def extractFeatures(spark: SparkSession,
       media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -462,19 +629,20 @@ object Multimodal {
       // mapPartitions so a model-based implementation can hoist its
       // setup here once per partition (the JRE codecs used below are
       // stateless and need none). Images and WAV/AIFF/AU audio get
-      // REAL content features (pixel statistics / PCM energy), video
-      // gets REAL per-frame features when the container is a GIF
-      // (frame-averaged pixel statistics over evenly-spaced composited
-      // frames), with a magic-byte screen keeping non-media bytes off
-      // the decoder; everything else falls back to the deterministic
-      // byte-hash embedding (STUB: MP4 frame decode and learned
-      // embeddings need codec/model runtimes).
+      // REAL content features (pixel statistics / PCM energy); video
+      // gets REAL per-frame pixel features for GIF containers and
+      // REAL container/sample-table features (fps, bitrate proxy,
+      // keyframe density) for MP4, with a magic-byte screen keeping
+      // non-media bytes off the decoder; everything else falls back
+      // to the deterministic byte-hash embedding (STUB: learned
+      // embeddings need a model runtime).
       it.map { m =>
         val bytes = Option(m.bytes).getOrElse(Array.empty[Byte])
         val feat = m.kind match {
           case "image" => imageFeatures(bytes)
           case "audio" => audioFeatures(bytes)
           case "video" => videoFrameFeatures(bytes)
+            .orElse(mp4Features(bytes))
           case _ => None
         }
         MediaFeatures(m.media_id, m.kind, bytes.length,
@@ -536,8 +704,8 @@ object Multimodal {
     * [[gifFrames]]), averaged element-wise — the static-vs-animated /
     * brightness / degenerate-aspect gates of a video-curation
     * pipeline, from actual pixels. Non-GIF containers → None (the
-    * caller falls back to the STUB hash embedding: MP4 frame decode
-    * needs a real codec runtime). */
+    * caller tries [[mp4Features]], then the hash-embedding
+    * fallback). */
   private[graft] def videoFrameFeatures(bytes: Array[Byte],
       frames: Int = 4): Option[Array[Float]] =
     gifFrames(bytes, frames).flatMap { imgs =>
@@ -553,6 +721,33 @@ object Multimodal {
         while (i < acc.length) { acc(i) /= feats.size; i += 1 }
         Some(acc)
       }
+    }
+
+  /** Real MP4 features from the container header + sample table (no
+    * pixel decode needed): aspect ratio, normalized log-area, duration
+    * (s), frames-per-second, normalized log mean-frame-bytes (the
+    * bitrate proxy), keyframe ratio, normalized log frame count — the
+    * resolution / fps / bitrate / keyframe-density gates a
+    * video-curation pipeline filters on before any codec runs. */
+  private[graft] def mp4Features(bytes: Array[Byte]): Option[Array[Float]] =
+    parseMp4(bytes).map { meta =>
+      val st = mp4SampleTable(bytes)
+      val n = st.map(_.sizes.length).getOrElse(0)
+      val meanSize =
+        if (n > 0) st.get.sizes.sum.toDouble / n else 0.0
+      // no stss box = every sample is a sync sample (ISO 14496-12)
+      val syncRatio =
+        if (n == 0) 0.0
+        else st.get.syncs.map(_.length.toDouble / n).getOrElse(1.0)
+      val dur = meta.duration_s.getOrElse(0.0)
+      val area = (for (w <- meta.width; h <- meta.height)
+        yield w.toDouble * h).getOrElse(0.0)
+      val aspect = (for (w <- meta.width; h <- meta.height; if h > 0)
+        yield w.toDouble / h).getOrElse(0.0)
+      Array(aspect.toFloat, (math.log1p(area) / 20.0).toFloat,
+        dur.toFloat, (if (dur > 0) n / dur else 0.0).toFloat,
+        (math.log1p(meanSize) / 20.0).toFloat, syncRatio.toFloat,
+        (math.log1p(n.toDouble) / 20.0).toFloat, 0f)
     }
 
   /** Real audio features from decoded PCM (WAV/AIFF/AU): RMS energy,
@@ -632,9 +827,9 @@ object Multimodal {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** STUB fallback: deterministic byte-hash embedding for media kinds
-    * whose real features need codec/model runtimes (MP4 video; learned
-    * embeddings). */
+  /** STUB fallback: deterministic byte-hash embedding for bytes no
+    * real decode path claims (a learned-embedding model runtime would
+    * slot in behind this signature). */
   private[graft] def hashEmbedding(bytes: Array[Byte]): Array[Float] = {
     val feat = new Array[Float](8)
     var h = 0xcbf29ce484222325L

@@ -2521,6 +2521,41 @@ object ExtensionQueries {
            |FROM h a JOIN h b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.hash, b.hash)) <= 4""".stripMargin
       }),
+
+    // REAL MP4 demux at corpus scale: one deterministic synthetic MP4
+    // per document (k = 2 + id%5 samples, sample i sized
+    // 10 + (id*7 + i*13)%50, full stsz/stsc/stco table), frames
+    // extracted by the pure-JRE sample-table walk
+    // (Multimodal.mp4FrameSlices via the sampleFrames UDF). The
+    // oracle replays the SIZE ARITHMETIC only — if the walk maps any
+    // chunk/sample wrong, slice lengths (and the per-doc sum) drift.
+    // Exact byte-range contents are pinned in MultimodalSpec.
+    QueryDef("q_video_frames",
+      (s, d) => {
+        val gen = udf { id: Long => syntheticMp4(id) }
+        // repartition ids first: same O(bytes) work-spreading shape as
+        // q_image_near_dup (the scan is 1-2 splits at this SF)
+        Tables.documents(s, d).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id").as("media_id"),
+            Multimodal.sampleFrames(gen(col("doc_id")), lit(8))
+              .as("frames"))
+          .select(col("media_id"),
+            size(col("frames")).as("n_frames"),
+            expr("aggregate(transform(frames, x -> CAST(length(x) AS " +
+              "BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)")
+              .as("sum_frame_bytes"),
+            length(element_at(col("frames"), 1)).as("first_frame_bytes"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 2 + doc_id % 5 AS k
+             |  FROM documents),
+             |f AS (SELECT doc_id, k, unnest(range(k)) AS i FROM d)
+             |SELECT doc_id AS media_id,
+             |CAST(k AS INTEGER) AS n_frames,
+             |CAST(SUM(10 + (doc_id * 7 + i * 13) % 50) AS BIGINT)
+             |  AS sum_frame_bytes,
+             |CAST(10 + (doc_id * 7) % 50 AS INTEGER) AS first_frame_bytes
+             |FROM f GROUP BY doc_id, k""".stripMargin)),
   )
 
   /** Deterministic 9×8 grayscale PNG for doc `id` — the perceptual-
@@ -2551,5 +2586,56 @@ object ExtensionQueries {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic single-chunk MP4 for doc `id` — the frame-demux
+    * oracle corpus (q_video_frames). k = 2 + id%5 samples, sample i
+    * sized 10 + (id·7 + i·13)%50 and filled with byte (id+i)%251,
+    * laid back-to-back in mdat behind a real ftyp/moov/stbl
+    * (stsz/stsc/stco) header, hdlr=vide. The oracle recomputes the
+    * size arithmetic; the sample-table walk must recover exactly
+    * those byte ranges. */
+  private[graft] def syntheticMp4(id: Long): Array[Byte] = {
+    def u32be(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(typ.getBytes("ISO-8859-1"))
+      bb.put(payload)
+      bb.array()
+    }
+    def full(typ: String, p: Array[Byte]) =
+      box(typ, new Array[Byte](4) ++ p)
+    val k = (2 + id % 5).toInt
+    val samples = (0 until k).map { i =>
+      Array.fill[Byte]((10 + (id * 7 + i * 13) % 50).toInt)(
+        ((id + i) % 251).toByte)
+    }
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++
+      u32be(0x200) ++ "isomiso2".getBytes("ISO-8859-1"))
+    val mvhd = box("mvhd", new Array[Byte](4) ++ u32be(0) ++ u32be(0) ++
+      u32be(1000) ++ u32be(2000) ++ new Array[Byte](80))
+    val tkhd = box("tkhd", new Array[Byte](4) ++ u32be(0) ++ u32be(0) ++
+      u32be(1) ++ u32be(0) ++ u32be(2000) ++
+      new Array[Byte](8 + 2 + 2 + 2 + 2 + 36) ++
+      u32be(320L << 16) ++ u32be(240L << 16))
+    val hdlr = full("hdlr",
+      u32be(0) ++ "vide".getBytes("ISO-8859-1") ++ new Array[Byte](12))
+    val stsz = full("stsz", u32be(0) ++ u32be(k.toLong) ++
+      samples.toArray.flatMap(s => u32be(s.length.toLong)))
+    val stsc = full("stsc",
+      u32be(1) ++ u32be(1) ++ u32be(k.toLong) ++ u32be(1))
+    def moovWith(mdatStart: Int) = {
+      val stco = full("stco", u32be(1) ++ u32be(mdatStart.toLong))
+      val stbl = box("stbl", stsz ++ stsc ++ stco)
+      box("moov", mvhd ++ box("trak",
+        tkhd ++ box("mdia", hdlr ++ box("minf", stbl))))
+    }
+    // stco is an ABSOLUTE offset; moov length doesn't depend on its
+    // value, so probe with 0 then rebuild
+    val mdatStart = ftyp.length + moovWith(0).length + 8
+    ftyp ++ moovWith(mdatStart) ++
+      box("mdat", samples.toArray.flatten)
   }
 }

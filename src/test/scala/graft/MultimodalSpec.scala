@@ -203,12 +203,57 @@ class MultimodalSpec extends AnyFunSuite {
     bb.put(payload)
     bb.array()
   }
-  private def tkhdTrak(w: Int, h: Int, duration: Int): Array[Byte] =
-    mp4Box("trak", mp4Box("tkhd",
+  private def tkhdBox(w: Int, h: Int, duration: Int): Array[Byte] =
+    mp4Box("tkhd",
       new Array[Byte](4) ++ u32be(0) ++ u32be(0) ++ u32be(1) ++
         u32be(0) ++ u32be(duration) ++
         new Array[Byte](8 + 2 + 2 + 2 + 2 + 36) ++
-        u32be(w.toLong << 16) ++ u32be(h.toLong << 16)))
+        u32be(w.toLong << 16) ++ u32be(h.toLong << 16))
+  private def tkhdTrak(w: Int, h: Int, duration: Int): Array[Byte] =
+    mp4Box("trak", tkhdBox(w, h, duration))
+
+  /** A playable-shaped MP4 with a real sample table: `samples` laid
+    * back-to-back in mdat, `stscEntries` (firstChunk 1-based,
+    * samplesPerChunk) mapping chunks to samples, chunk c starting at
+    * sample index `chunkFirstSample(c)`, optional stss sync list
+    * (1-based sample numbers). */
+  private def mp4WithSamples(samples: Seq[Array[Byte]],
+      stscEntries: Seq[(Int, Int)], chunkFirstSample: Seq[Int],
+      stss: Option[Seq[Int]], timescale: Int = 1000,
+      duration: Int = 2500): Array[Byte] = {
+    def full(t: String, p: Array[Byte]) =
+      mp4Box(t, new Array[Byte](4) ++ p)
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ u32be(0x200) ++
+        "isomiso2".getBytes("ISO-8859-1"))
+    val mvhd = mp4Box("mvhd", new Array[Byte](4) ++ u32be(0) ++
+      u32be(0) ++ u32be(timescale) ++ u32be(duration) ++
+      new Array[Byte](80))
+    val hdlr = full("hdlr",
+      u32be(0) ++ "vide".getBytes("ISO-8859-1") ++ new Array[Byte](12))
+    val stsz = full("stsz", u32be(0) ++ u32be(samples.length) ++
+      samples.flatMap(s => u32be(s.length)))
+    val stsc = full("stsc", u32be(stscEntries.length) ++
+      stscEntries.flatMap { case (f, n) =>
+        u32be(f) ++ u32be(n) ++ u32be(1) })
+    val stssBox = stss.map(ss => full("stss",
+      u32be(ss.length) ++ ss.flatMap(s => u32be(s))))
+      .getOrElse(Array.empty[Byte])
+    def moovWith(mdatStart: Int) = {
+      val stco = full("stco", u32be(chunkFirstSample.length) ++
+        chunkFirstSample.flatMap { fs =>
+          u32be(mdatStart + samples.take(fs).map(_.length).sum) })
+      val stbl = mp4Box("stbl", stsz ++ stsc ++ stco ++ stssBox)
+      val trak = mp4Box("trak", tkhdBox(640, 360, duration) ++
+        mp4Box("mdia", hdlr ++ mp4Box("minf", stbl)))
+      mp4Box("moov", mvhd ++ trak)
+    }
+    // stco holds ABSOLUTE file offsets; the moov length is offset-value
+    // independent, so probe with 0 then rebuild with the real start
+    val mdatStart = ftyp.length + moovWith(0).length + 8
+    ftyp ++ moovWith(mdatStart) ++
+      mp4Box("mdat", samples.flatten.toArray)
+  }
   private def mp4Bytes(w: Int, h: Int, timescale: Int, duration: Int,
       audioTrackFirst: Boolean = false): Array[Byte] = {
     val ftyp = mp4Box("ftyp",
@@ -248,6 +293,51 @@ class MultimodalSpec extends AnyFunSuite {
     // truncated header (cut mid-moov) parses to None, no exception
     val cut = mp4Bytes(640, 360, 1000, 5500).take(40)
     assert(Multimodal.parseMp4(cut).isEmpty)
+  }
+
+  test("mp4 frame extraction walks stsz/stsc/stco to exact byte " +
+      "ranges; stss keyframes preferred; truncation degrades") {
+    val samples = Seq(5, 7, 9, 11, 13).zipWithIndex.map {
+      case (sz, i) => Array.fill[Byte](sz)(((i + 1) * 3).toByte) }
+    // stsc: chunks 1-2 carry 2 samples each, chunk 3+ carries 1 →
+    // chunk sample groups [0,1], [2,3], [4]
+    val bytes = mp4WithSamples(samples, Seq((1, 2), (3, 1)),
+      chunkFirstSample = Seq(0, 2, 4), stss = None)
+    val st = Multimodal.mp4SampleTable(bytes).get
+    assert(st.sizes.toSeq == Seq(5L, 7L, 9L, 11L, 13L))
+    // offsets pack back-to-back across the chunk layout
+    assert(st.offsets.toSeq ==
+      Seq(0L, 5L, 12L, 21L, 32L).map(_ + st.offsets(0)))
+    // every frame slice returns its exact mdat byte range
+    val all = Multimodal.mp4FrameSlices(bytes, 10).get
+    assert(all.length == 5)
+    assert(all.zipWithIndex.forall { case (f, i) =>
+      f.sameElements(samples(i)) })
+    // even spacing: 2 of 5 → samples 0 and 2
+    val two = Multimodal.mp4FrameSlices(bytes, 2).get
+    assert(two(0).sameElements(samples(0)) &&
+      two(1).sameElements(samples(2)))
+    // stss declares keyframes → only sync samples (1 and 4, 1-based)
+    val withSync = mp4WithSamples(samples, Seq((1, 2), (3, 1)),
+      Seq(0, 2, 4), stss = Some(Seq(1, 4)))
+    val kf = Multimodal.mp4FrameSlices(withSync, 4).get
+    assert(kf.length == 2 && kf(0).sameElements(samples(0)) &&
+      kf(1).sameElements(samples(3)))
+    // truncated mid-mdat: out-of-range samples are skipped, the
+    // well-formed prefix survives — never a throw
+    val cut = bytes.take(bytes.length - 13)
+    assert(Multimodal.mp4FrameSlices(cut, 10).get.length == 4)
+    assert(Multimodal.mp4FrameSlices(
+      "not a video".getBytes("UTF-8"), 3).isEmpty)
+    // the sampleFrames UDF routes MP4 bytes through the demux path
+    val viaUdf = Seq((1L, bytes)).toDF("id", "bytes")
+      .select(Multimodal.sampleFrames($"bytes", lit(3)).as("f"))
+      .as[Seq[Array[Byte]]].head()
+    assert(viaUdf.length == 3 && viaUdf.head.sameElements(samples(0)))
+    // container features: fps = 5 frames / 2.5 s, keyframe ratio
+    val feats = Multimodal.mp4Features(bytes).get
+    assert(feats(2) == 2.5f && feats(3) == 2.0f && feats(5) == 1.0f)
+    assert(Multimodal.mp4Features(withSync).get(5) == 0.4f)
   }
 
   test("decode/resize/frame-sample keep the pipeline contracts") {
