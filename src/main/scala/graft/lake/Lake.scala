@@ -291,6 +291,26 @@ object Lake {
   def materializeView(df: DataFrame, viewName: String): Unit =
     df.createOrReplaceTempView(viewName)
 
+  /** Register lake files as a PERSISTENT catalog table at an external
+    * LOCATION — the literal `CREATE EXTERNAL TABLE … LOCATION` shape
+    * (Redshift Spectrum, reference serving/redshift.tf:9-21): the
+    * catalog records only metadata, queries scan the files in place
+    * (query-without-load), and dropping the table never deletes data
+    * (Spark marks any explicit-LOCATION table EXTERNAL). Registration
+    * is idempotent create-or-replace — re-pointing a name at a new
+    * path is a metadata-only operation, exactly how a Spectrum DDL
+    * migration works. The schema comes from the files (parquet/orc
+    * self-describe); partition columns in the path layout are
+    * discovered by the file index as usual. */
+  def registerExternalTable(spark: SparkSession, table: String,
+      location: String, format: String = "parquet"): Unit = {
+    require(format.matches("[a-zA-Z0-9]+"), s"bad format: $format")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"CREATE TABLE $table USING $format " +
+      s"LOCATION '${location.replace("'", "''")}'")
+    ()
+  }
+
   /** Compute table (and optionally column) statistics so Catalyst's
     * cost-based decisions — auto-broadcast thresholds, CBO join
     * reordering, AQE's initial estimates — work from measured sizes

@@ -502,6 +502,23 @@ object ParityQueries {
         .agg(count(lit(1)).as("n")),
       Some("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem")),
 
+    // S6, literal Spectrum shape — a PERSISTENT external-LOCATION
+    // catalog table (CREATE TABLE … USING parquet LOCATION): the
+    // catalog records metadata only, the query scans the lake files
+    // in place through the registered name, filters still push down
+    // to the parquet scan (LakeSpec pins EXTERNAL table type and
+    // drop-keeps-data)
+    QueryDef("q_external_table",
+      (s, d) => {
+        graft.lake.Lake.registerExternalTable(s, "ext_nation_q",
+          s"$d/nation.parquet")
+        s.table("ext_nation_q")
+          .filter(col("n_regionkey") < 3)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |WHERE n_regionkey < 3""".stripMargin)),
+
     // Incremental aggregate maintenance end-to-end: two window-split
     // refreshes of the crash-safe staged-swap table must equal one
     // from-scratch aggregation over everything — decimal sums make the

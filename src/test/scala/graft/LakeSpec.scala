@@ -179,11 +179,25 @@ class LakeSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("external").toString
     Seq((1L, "a"), (2L, "b")).toDF("k", "v")
       .write.mode("overwrite").parquet(dir)
-    spark.sql(s"CREATE TABLE ext_songs USING parquet LOCATION '$dir'")
+    Lake.registerExternalTable(spark, "ext_songs", dir)
     assert(spark.table("ext_songs").count() == 2)
+    // the catalog marks an explicit-LOCATION table EXTERNAL — the
+    // property that makes drop metadata-only
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst
+        .TableIdentifier("ext_songs"))
+      .tableType.name == "EXTERNAL")
+    // registration is create-or-replace: re-pointing the name at a new
+    // location is metadata-only and picks up the new files
+    val dir2 = Files.createTempDirectory("external2").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir2)
+    Lake.registerExternalTable(spark, "ext_songs", dir2)
+    assert(spark.table("ext_songs").count() == 3)
     // external: dropping the table must not delete the data
     spark.sql("DROP TABLE ext_songs")
     assert(spark.read.parquet(dir).count() == 2)
+    assert(spark.read.parquet(dir2).count() == 3)
   }
 
   test("landing CSV write with header round-trips") {
