@@ -79,12 +79,15 @@ object Dedup {
     finally currentScope.set(prior)
   }
 
-  private def trackPersist(df: DataFrame): DataFrame = {
+  private def trackPersist(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
     currentScope.get() match {
       case Some(h) => h.track(df)
       case None => synchronized { persistedDfs += df }
     }
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.persist(level)
   }
 
   /** Unpersist every UNSCOPED intermediate this module cached
@@ -126,9 +129,16 @@ object Dedup {
     * eager count, AQE submits every consumer's map stage concurrently
     * and each recomputes the partition while racing to populate the
     * cache (block "already exists" churn) — one materialization up
-    * front means every consumer reads warm cache. */
-  private[graft] def persistEager(df: DataFrame): DataFrame = {
-    val p = trackPersist(df)
+    * front means every consumer reads warm cache. The storage level is
+    * caller-chosen so edge-scale frames (graph.Graph.triangleStats)
+    * can ride DISK_ONLY through the SAME tracked registry —
+    * [[releaseCaches]]/[[scoped]] then free them like every other
+    * multi-consumer intermediate. */
+  private[graft] def persistEager(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    val p = trackPersist(df, level)
     p.count()
     p
   }
@@ -404,8 +414,11 @@ object Dedup {
       idCol: String, textCol: String): (DataFrame, SpanIndex) = {
     val k = index.windowWords
     val base = spanTokenize(batch, idCol, textCol)
-    val overlap = batch.select(col(idCol))
-      .join(index.ids, col(idCol) === index.ids("id"), "left_semi")
+    // alias the batch id before the guard join: when the caller's id
+    // column is itself named "id", col("id") would be AMBIGUOUS
+    // between the batch side and index.ids("id")
+    val overlap = batch.select(col(idCol).as("__batch_id"))
+      .join(index.ids, col("__batch_id") === index.ids("id"), "left_semi")
       .limit(1).collect()
     require(overlap.isEmpty,
       s"batch ids already present in the span index (e.g. ${overlap

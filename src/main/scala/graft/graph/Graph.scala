@@ -117,12 +117,14 @@ object Graph {
     // exactly when they need it most (the ×100 harness run OOM'd
     // there). Disk blocks cost one serialized write each and leave
     // the whole pool to the joins; node-scale frames (deg) stay on
-    // the normal in-memory materialize policy.
-    def diskEager(df: DataFrame): DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      p.count()
-      p
-    }
+    // the normal in-memory materialize policy. Routed through Dedup's
+    // TRACKED persist registry so releaseCaches()/scoped frees the
+    // disk blocks between queries like every other multi-consumer
+    // intermediate — a raw persist here would accumulate across a
+    // long-lived session with no release path.
+    def diskEager(df: DataFrame): DataFrame =
+      graft.dedup.Dedup.persistEager(df,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // canonical undirected edges: a < b, self-loops dropped, distinct
     val und = diskEager(
       edges.select(

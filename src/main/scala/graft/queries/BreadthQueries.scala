@@ -300,17 +300,26 @@ object BreadthQueries {
       (s, d) => graft.operators.Joins.joinCardinality(
         Tables.lineitem(s, d), "l_partkey",
         Tables.lineitem(s, d), "l_partkey"),
+      // shape-stable oracle: the key-product aggregate sits in its own
+      // CTE with COALESCE and CROSS JOINs the totals — mirroring the
+      // operator, which always returns exactly ONE row (join_rows=0
+      // when no keys match; a GROUP BY t.n would return ZERO rows on
+      // an empty key intersection and mismatch)
       Some("""WITH cl AS (SELECT l_partkey AS k,
              |  CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
              |  WHERE l_partkey IS NOT NULL GROUP BY 1),
-             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
-             |SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS join_rows,
-             |t.n AS left_rows, t.n AS right_rows,
-             |CAST(COUNT(*) AS BIGINT) AS matching_keys,
-             |CAST(MAX(a.c * b.c) AS BIGINT) AS max_key_product,
-             |CAST(SUM(a.c * b.c) * 1000 // GREATEST(t.n, t.n, 1)
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+             |j AS (SELECT
+             |  CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS join_rows,
+             |  CAST(COUNT(*) AS BIGINT) AS matching_keys,
+             |  CAST(COALESCE(MAX(a.c * b.c), 0) AS BIGINT)
+             |    AS max_key_product
+             |  FROM cl a JOIN cl b USING (k))
+             |SELECT j.join_rows, t.n AS left_rows, t.n AS right_rows,
+             |j.matching_keys, j.max_key_product,
+             |CAST(j.join_rows * 1000 // GREATEST(t.n, 1)
              |  AS BIGINT) AS blowup_x1000
-             |FROM cl a JOIN cl b USING (k), t GROUP BY t.n""".stripMargin)),
+             |FROM j CROSS JOIN t""".stripMargin)),
 
     QueryDef("q_bloom_join",
       (s, d) => {

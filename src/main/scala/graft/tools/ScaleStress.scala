@@ -415,9 +415,12 @@ object ScaleStress {
           graft.plans.SummaryCatalog.clear()
           dash(rb)
         }
+        // registration (which fingerprints the file listing) runs
+        // OUTSIDE the timer — summary_hit measures only the rewritten
+        // dashboard read
+        graft.plans.SummaryCatalog.register(rb,
+          spark.read.parquet(rsPath), Seq("k1", "k2"), Seq("m1", "m2"))
         rows += measureOp("summary_hit", m, nRows) {
-          graft.plans.SummaryCatalog.register(rb,
-            spark.read.parquet(rsPath), Seq("k1", "k2"), Seq("m1", "m2"))
           dash(spark.read.parquet(rbPath))
         }
         graft.plans.SummaryCatalog.clear()

@@ -144,6 +144,15 @@ class DedupSpec extends AnyFunSuite {
       idx.union(Dedup.buildSpanIndex(corpus, "doc_id", "text",
         windowWords = 5))
     }
+    // an id column literally named "id" must not collide with the
+    // index's internal ids("id") in the re-ingest guard join
+    val idxNamedId = Dedup.buildSpanIndex(
+      corpus.withColumnRenamed("doc_id", "id"), "id", "text",
+      windowWords = 4)
+    val (cleanedId, _) = Dedup.slidingSpanDedupIncremental(idxNamedId,
+      batch.withColumnRenamed("doc_id", "id"), "id", "text")
+    assert(cleanedId.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == full)
   }
 
   test("segmentDedup removes repeated lines, keeps originals in order") {
