@@ -40,10 +40,11 @@ import org.apache.spark.sql.functions._
   *
   * Strings shorter than `maxDist + 1` (post-strip) can't be pigeonholed
   * into non-empty segments; they pair through their DISTINCT VALUES
-  * (a value-level cross join bounded by the number of distinct strings
-  * of length ≤ 2·maxDist, i.e. alphabet-bounded, not corpus-bounded)
-  * against values within `maxDist` of their length, then expand back
-  * to id pairs — output-bound, like any join on duplicated keys.
+  * (bounded by the number of distinct strings of length ≤ 2·maxDist,
+  * i.e. alphabet-bounded, not corpus-bounded) via a length-band
+  * EQUI-join — `levenshtein ≥ |len diff|`, so each short value probes
+  * only values within ±maxDist of its length — then expand back to id
+  * pairs, output-bound, like any join on duplicated keys.
   *
   * Choosing the threshold: the probe fan-out `(k+1)(2k+1)²` is 27
   * lookups per string at k=1, 75 at k=2, 189 at k=3 — and shorter
@@ -177,19 +178,30 @@ object EditJoin {
     val strs = withLen.select(col("__id"), col("__s"))
 
     // short strings (len < n): pair through distinct values. Both
-    // value tables are alphabet-bounded (lengths < n and < n+k); the
-    // symmetrized value-level cross join keeps mixed short-vs-near
-    // pairs reachable in either id order, and the min-length guard
-    // keeps this path disjoint from the long path (which only ever
-    // pairs two len >= n strings), so no global dedup is needed.
+    // value tables are alphabet-bounded (lengths < n and < n+k), and
+    // the min-length guard keeps this path disjoint from the long path
+    // (which only ever pairs two len >= n strings), so no global dedup
+    // is needed. Candidates come from a length-band EQUI-join, not a
+    // cross join: levenshtein(a,b) >= |len(a)-len(b)|, so only pairs
+    // within ±k of each other's length can qualify — each short value
+    // explodes its 2k+1 band lengths and equi-joins the other table's
+    // length column, pruning most pairs before any levenshtein runs
+    // (a short-string-heavy corpus otherwise pays the full product).
+    // Symmetrizing by swapping the banded pairs keeps mixed
+    // short-vs-near pairs reachable in either id order.
     val shortVals = withLen.filter(col("__l") < n)
       .select(col("__s"), col("__l")).distinct()
     val nearVals = withLen.filter(col("__l") < n + k)
       .select(col("__s"), col("__l")).distinct()
-    val valPairs = shortVals.as("va")
-      .crossJoin(nearVals.as("vb"))
-      .union(nearVals.as("va").crossJoin(shortVals.as("vb")))
+    val banded = shortVals
+      .select(col("__s"),
+        explode(sequence(greatest(col("__l") - k, lit(0)),
+          col("__l") + k)).as("__lb"))
+      .as("va")
+      .join(nearVals.as("vb"), col("va.__lb") === col("vb.__l"))
       .select(col("va.__s").as("__sa"), col("vb.__s").as("__sb"))
+    val valPairs = banded
+      .union(banded.select(col("__sb").as("__sa"), col("__sa").as("__sb")))
       .distinct()
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
       .filter(col("dist") <= k)
