@@ -63,6 +63,25 @@ object Bench {
     }
     val calibPre = calibrate()
 
+    // per-SEGMENT micro-probes: the pre/post pair proved round-9/10
+    // artifacts contended but can't say WHEN — a contention window in
+    // the middle of the run inflates 40 queries and both endpoint
+    // probes read idle. Every 20 queries (each pass) one quarter-size
+    // spinN probe records the machine's state next to the queries it
+    // timed; a reader discounts a "regression" whose neighboring
+    // probes are inflated (rule documented in SCALING.md). ~0.1 s per
+    // probe on an idle host — noise against a 100+ s pass.
+    val segProbes = scala.collection.mutable.ArrayBuffer.empty[String]
+    def microProbe(phase: String, at: Int): Unit = {
+      val iters = 50000000L
+      val t = System.nanoTime()
+      val threads = (1 to cpus.toInt).map(_ =>
+        new Thread(() => { sink.addAndGet(spin(iters)); () }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val s = (System.nanoTime() - t) / 1e9
+      segProbes += f"""{"phase":"$phase","at":$at,"spinN":$s%.3f}"""
+    }
+
     // optional comma-separated filter: bench only the named queries
     // (targeted same-session A/B runs; full slate when unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -89,7 +108,10 @@ object Bench {
     // comparable under either lens. It doubles as the per-query codegen
     // warmup for the median pass below (Janino caches generated classes
     // per JVM), replacing the old separate sf0.001 sweep.
-    val cold = slate.map { case (name, fn) => name -> timed(fn) }
+    val cold = slate.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 20 == 0) microProbe("cold", i)
+      name -> timed(fn)
+    }.toMap
 
     // settle the JVM between the cold pass and the timed warm pass:
     // drop leftover cached blocks and let the old-gen collect, so warm
@@ -108,13 +130,14 @@ object Bench {
     // less-contended run, which is the signal the artifact wants
     val runsPerQuery =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = slate.map { case (name, fn) =>
+    val results = slate.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 20 == 0) microProbe("warm", i)
       val samples = (1 to runsPerQuery).map(_ => timed(fn))
       val times = samples.map(_._1).sorted
       val median = times((times.size - 1) / 2)
       val err = (cold(name)._2.toSeq ++ samples.flatMap(_._2)).headOption
       name -> (median, times.last - times.head, err)
-    }
+    }.toMap
     def fmt(sel: ((Double, Double, Option[String])) => Double) = results
       .map { case (k, v) => "\"" + k + "\":" + sel(v) }
       .mkString("{", ",", "}")
@@ -131,13 +154,22 @@ object Bench {
     val coldTotal = cold.values.map(_._1).sum
     val errCount = results.values.count(_._3.isDefined)
     val calibPost = calibrate()
+    val calibSeg = segProbes.mkString("[", ",", "]")
+    // self-defense summary: a run is flagged contended when its own
+    // probes disagree — the most-inflated segment probe sits >1.5×
+    // above the least-contended one (an idle run's probes are flat)
+    val segVals = segProbes.flatMap { s =>
+      """"spinN":([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+    }
+    val contended =
+      segVals.nonEmpty && segVals.max > 1.5 * segVals.min
     // The driver stores only the TAIL of stdout (last ~2000 chars), so
     // the big per-query maps go FIRST and the headline numbers LAST —
     // round 5's artifact lost its warm total to exactly this
     // truncation. A final compact totals-only line survives any tail
     // window on its own.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs_per_query":$runsPerQuery,"queries":$qs,"spread":$spreads,"cold":$colds,"value":$total,"cold_total":$coldTotal,"err":$errs,"calib_pre":$calibPre,"calib_post":$calibPost}""")
-    println(s"""{"metric":"totals","warm":$total,"cold":$coldTotal,"err_count":$errCount,"n_queries":${results.size},"sf":"$sfDir","calib_pre":$calibPre,"calib_post":$calibPost}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs_per_query":$runsPerQuery,"queries":$qs,"spread":$spreads,"cold":$colds,"value":$total,"cold_total":$coldTotal,"err":$errs,"calib_pre":$calibPre,"calib_post":$calibPost,"calib_seg":$calibSeg}""")
+    println(s"""{"metric":"totals","warm":$total,"cold":$coldTotal,"err_count":$errCount,"n_queries":${results.size},"sf":"$sfDir","calib_pre":$calibPre,"calib_post":$calibPost,"contended":$contended}""")
     spark.stop()
   }
 }
