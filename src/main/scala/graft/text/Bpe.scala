@@ -76,13 +76,13 @@ object Bpe {
     docs.select(explode(segment(col(textCol), model)).as("subword"))
       .groupBy("subword").agg(count(lit(1)).as("cnt"))
 
-  /** The distinct-word symbol table: (syms: array of symbols, w: word
-    * frequency). The corpus-size-independent training representation. */
+  /** The weighted distinct-word table (word, w) — the corpus-size-
+    * independent training representation a production pipeline
+    * persists between runs. */
   private def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("w"))
-      .select(chars(col("word")).as("syms"), col("w"))
 
   /** Adjacent-pair counts over the current symbol table, sorted by the
     * BPE argmax order (count DESC, left ASC, right ASC), top `n`. */
@@ -127,44 +127,76 @@ object Bpe {
   /** [[learnMerges]] plus the number of count passes (Spark job
     * rounds) it took — the scale metric batching improves.
     *
-    * Batched selection, exact-equivalence argument: one count pass
+    * Batched selection, exact-equivalence argument. One count pass
     * yields the stale sorted candidate list c1, c2, … (count DESC,
     * left ASC, right ASC). The batch is a PREFIX c1..ck of that list
     * such that, by induction, c_i is precisely the argmax the
-    * sequential fold would compute after applying c1..c_{i-1}:
+    * sequential fold would compute after applying c1..c_{i-1}. The
+    * key fact: applying merge (a,b) changes the count (and merge
+    * positions) of an existing pair (x,y) ONLY when y == a (the pair
+    * runs INTO a consumed `a`) or x == b (it runs OUT of a consumed
+    * `b`) — a pair that merely shares a symbol elsewhere, like (o,r)
+    * under (e,r), is bit-for-bit invariant: the `r` in an `o,r`
+    * adjacency is never preceded by `e`, and merges never delete
+    * symbols, so no adjacency appears or disappears. Hence:
     *
-    *  - Members are pairwise symbol-disjoint (no shared left/right/
-    *    merged string), so applying earlier members leaves each later
-    *    member's adjacency count — and merge positions — unchanged: a
-    *    merge rewrites [l,r]→[lr] and can neither create nor destroy
-    *    an adjacency of two symbols it doesn't mention.
-    *  - Every member's count is STRICTLY greater than the first
-    *    non-batched candidate's (the batch is truncated to enforce
-    *    it). Existing non-member pairs only lose occurrences, so they
-    *    stay below every member. Pairs created by a member (x,l_i·r_i)
-    *    are bounded by the stale count of an existing pair touching
-    *    that member ((x,l_i) etc.), which — being symbol-sharing —
-    *    is not a member and hence strictly below every member too.
-    *    Strictness matters: a created pair can TIE an existing count
-    *    and then win the lexicographic tie-break, so counts equal to
-    *    the stopper end the batch.
-    *  - A member with left == right (its own output can chain: "aaaa"
-    *    → [aa,aa] mints an (aa,aa) pair bounded only by the member's
-    *    own count) or whose merged string already exists as a corpus
-    *    symbol (pre-existing pairs over that symbol can GAIN
-    *    occurrences) closes the batch after itself; the hazards only
-    *    threaten later members. The existing-symbol test uses a
-    *    driver-side superset vocabulary (initial distinct symbols ∪
-    *    every merged string minted so far) — conservative, so always
-    *    safe, and costing zero extra jobs per round. */
+    *  - A candidate (x,y) joins the batch only if for every earlier
+    *    member (a,b): y != a and x != b — its count and positions are
+    *    then exactly what the sequential fold would see. Members MAY
+    *    share symbols in the other positions ((e,r) then (o,r)
+    *    batches), which is what makes batches deep on natural text.
+    *  - Pairs a member (a,b) CREATES involve its minted symbol and
+    *    are bounded by the stale count of some pair shaped (·,a) or
+    *    (b,·) (each (x,ab) occurrence was a stale x,a,b; recursively,
+    *    created-of-created pairs bottom out in the same shapes). The
+    *    scan ACCUMULATES that bound — the max stale count over
+    *    collected (·,a)/(b,·) pairs plus the last-collected count as
+    *    the ceiling for uncollected ones — and admits a later member
+    *    only with count STRICTLY above it, so nothing minted can tie
+    *    a member and win the lexicographic tie-break. A left==right
+    *    member bounds itself ((a,a) is its own (·,a) pair), closing
+    *    the batch behind it — "aaaa" → [aa,aa] mints (aa,aa) pairs
+    *    bounded only by the member's own count.
+    *  - The scan STOPS at the first candidate that fails either test
+    *    (never skips): any pair preceding an admitted member in stale
+    *    order is either a member or the stopper, so nothing unknown
+    *    can outrank a member at its selection step.
+    *  - A member whose minted string already exists as a corpus
+    *    symbol closes the batch after itself (pre-existing pairs over
+    *    that symbol could GAIN occurrences, breaking the
+    *    decrease-only argument for later members). The existing-
+    *    symbol test uses a driver-side superset vocabulary (initial
+    *    distinct symbols ∪ every string minted so far) — conservative,
+    *    so always safe, and costing zero extra jobs per round. */
   def learnMergesWithRounds(docs: DataFrame, textCol: String,
       nMerges: Int, minCount: Long = 2L, maxBatch: Int = 32)
-      : (BpeModel, Int) = {
+      : (BpeModel, Int) =
+    learnMergesFromWordCounts(wordTable(docs, textCol), nMerges,
+      minCount, maxBatch)
+
+  /** Train directly from a weighted distinct-word table (`word`
+    * string, `w` long) — the entry a production pipeline uses when
+    * word counts are already materialized (they usually are: token
+    * accounting builds the same table). Same batched selection and
+    * guarantees as [[learnMergesWithRounds]]. */
+  def learnMergesFromWordCounts(words: DataFrame, nMerges: Int,
+      minCount: Long = 2L, maxBatch: Int = 32): (BpeModel, Int) = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
-    var cur = wordTable(docs, textCol)
+    var cur = words
+      .select(chars(col("word")).as("syms"), col("w").cast("long").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = Vector.newBuilder[BpeMerge]
     var rounds = 0
+    // lineage truncation: each round's plan nests the previous round's
+    // (persist caches DATA, not the logical plan), so a large-vocab
+    // run grows an O(rounds)-deep tree whose per-action plan STRING
+    // alone OOMs the driver around a few hundred rounds (the standard
+    // iterative-algorithm failure; GraphX/ALS checkpoint for the same
+    // reason). Every few rounds the frame is locally checkpointed —
+    // the plan restarts from a LogicalRDD and driver cost stays O(1)
+    // per round.
+    var sinceTrunc = 0
+    val truncEvery = 8
     try {
       // conservative symbol-vocabulary superset (see scaladoc): one
       // small job up front, then maintained on the driver
@@ -176,39 +208,46 @@ object Bpe {
       var done = false
       while (rank <= nMerges && !done) {
         val budget = math.min(maxBatch, nMerges - rank + 1)
-        // +1: the first non-batched candidate's count drives truncation
-        val top = topPairs(cur, budget + 1)
+        // collect well past the budget: the deeper the list, the lower
+        // the ceiling assumed for UNCOLLECTED pairs in the created-
+        // pair hazard bound, and the deeper exact batches can go
+        val collectN = math.max(budget + 1, 256)
+        val top = topPairs(cur, collectN)
         rounds += 1
         val cands = top.filter(_._3 >= minCount)
         if (cands.isEmpty) done = true
         else {
-          // greedy compatible prefix
-          val used = scala.collection.mutable.HashSet.empty[String]
+          // greedy exact-prefix selection (see scaladoc)
+          val memberA = scala.collection.mutable.ArrayBuffer.empty[String]
+          val memberB = scala.collection.mutable.ArrayBuffer.empty[String]
           val batch = scala.collection.mutable
             .ArrayBuffer.empty[(String, String, Long)]
+          // ceiling for pairs below the collected window (none if the
+          // whole table fit)
+          val uncollected =
+            if (top.length >= collectN) top.last._3 else minCount - 1
+          var hazard = 0L
           var stop = false
           var i = 0
           while (i < cands.length && !stop && batch.length < budget) {
-            val (l, r, _) = cands(i)
-            if (used(l) || used(r) || used(l + r)) stop = true
+            val (x, y, c) = cands(i)
+            if (memberA.contains(y) || memberB.contains(x)) stop = true
+            else if (batch.nonEmpty && c <= hazard) stop = true
             else {
               batch += cands(i)
-              used += l; used += r; used += (l + r)
-              if (l == r || vocab(l + r)) stop = true
+              memberA += x; memberB += y
+              // created-pair bounds for THIS member: stale (·,x) and
+              // (y,·) counts — (x,x)/(y,y) self-pairs included, which
+              // is what closes the batch behind a left==right member
+              var h = uncollected
+              top.foreach { case (qx, qy, qc) =>
+                if (qy == x || qx == y) h = math.max(h, qc) }
+              hazard = math.max(hazard, h)
+              if (vocab(x + y)) stop = true
             }
             i += 1
           }
-          // strict-dominance truncation: drop trailing members whose
-          // count ties the first candidate left out (counts are
-          // non-increasing, so checking the last member suffices);
-          // a single-member batch IS the sequential step — always safe
-          val nextCnt =
-            if (batch.length < top.length) top(batch.length)._3
-            else minCount - 1
-          var k = batch.length
-          while (k > 1 && batch(k - 1)._3 <= (
-              if (k < batch.length) batch(k)._3 else nextCnt)) k -= 1
-          val kept = batch.take(k)
+          val kept = batch
           kept.foreach { case (l, r, c) =>
             merges += BpeMerge(rank, l, r, c)
             vocab += (l + r)
@@ -228,6 +267,13 @@ object Bpe {
           next.count()
           cur.unpersist(false)
           cur = next
+          sinceTrunc += 1
+          if (sinceTrunc >= truncEvery) {
+            val t = cur.localCheckpoint(true)
+            cur.unpersist(false)
+            cur = t
+            sinceTrunc = 0
+          }
         }
       }
       (BpeModel(merges.result()), rounds)

@@ -136,7 +136,7 @@ class BpeSpec extends AnyFunSuite {
       got.merges.map(m => (m.left, m.right, m.count)) == expected
     }
     val res = org.scalacheck.Test.check(
-      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(12),
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20),
       prop)
     assert(res.passed, res.status.toString)
   }
