@@ -76,6 +76,36 @@ class EditJoinSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("short-value path is a length-band equi-join, not a cartesian " +
+      "product") {
+    val df = (1L to 60L).map(i =>
+      i -> s"${('a' + (i % 13)).toChar}${('a' + (i % 7)).toChar}")
+      .toDF("id", "s")
+    val plan = EditJoin.selfJoin(df, "id", "s", 2,
+        stripCommonPrefix = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // correctness on the same corpus: equals brute force
+    val got = EditJoin.selfJoin(df, "id", "s", 2,
+        stripCommonPrefix = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val strs = (1L to 60L).map(i =>
+      i -> s"${('a' + (i % 13)).toChar}${('a' + (i % 7)).toChar}").toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      a <- 1L to 60L; b <- (a + 1) to 60L
+      dd = lev(strs(a), strs(b)) if dd <= 2
+    } yield (a, b, dd)).toSet
+    assert(got == expected)
+  }
+
   test("LCP strip counts code points — supplementary-plane prefixes survive") {
     // U+1D11E (musical G clef) is ONE code point but TWO UTF-16 chars;
     // a char-unit LCP count would over-strip and corrupt distances
