@@ -155,14 +155,21 @@ object Bench {
     val errCount = results.values.count(_._3.isDefined)
     val calibPost = calibrate()
     val calibSeg = segProbes.mkString("[", ",", "]")
-    // self-defense summary: a run is flagged contended when its own
-    // probes disagree — the most-inflated segment probe sits >1.5×
-    // above the least-contended one (an idle run's probes are flat)
+    // self-defense summary: flagged contended when a SUSTAINED window
+    // shows in the run's own probes — at least two segment probes more
+    // than 2× the run's median probe. A single spiked probe is
+    // scheduler jitter (a 0.1 s micro-probe on 32 threads has real
+    // variance; the first full run false-positived on exactly that);
+    // uniformly-inflated runs show no internal disagreement at all and
+    // are caught by reading calib_pre/calib_post against the idle
+    // machine constants documented in SCALING.md.
     val segVals = segProbes.flatMap { s =>
       """"spinN":([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
     }
-    val contended =
-      segVals.nonEmpty && segVals.max > 1.5 * segVals.min
+    val contended = segVals.nonEmpty && {
+      val med = segVals.sorted.apply(segVals.size / 2)
+      segVals.count(_ > 2 * med) >= 2
+    }
     // The driver stores only the TAIL of stdout (last ~2000 chars), so
     // the big per-query maps go FIRST and the headline numbers LAST —
     // round 5's artifact lost its warm total to exactly this
