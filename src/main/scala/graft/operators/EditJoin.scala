@@ -216,4 +216,139 @@ object EditJoin {
     longPairs.union(shortPairs)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
+
+  /** Cross-TABLE edit-distance join — the entity-resolution lookup
+    * (match scraped titles/names against a canonical catalog within
+    * `maxDist` edits): every pair `(left_id, right_id, dist)` with
+    * `levenshtein(leftStr, rightStr) <= maxDist`, EXACTLY, by the same
+    * PassJoin segment pigeonholing as [[selfJoin]] — canonical
+    * segments built on the LEFT, shifted-substring probes on the
+    * RIGHT (the pigeonhole argument is one-directional: any right
+    * string within k edits of a left string contains one of the
+    * left's k+1 segments verbatim within ±k of its position, so one
+    * build/probe orientation covers every pair). The common-prefix
+    * strip uses the LCP across BOTH sides (distance preservation
+    * needs the same prefix removed from each). Strings too short to
+    * pigeonhole pair through distinct values with the length-band
+    * equi-join, in both orientations (either side may be the short
+    * one); the min-length guard keeps the paths disjoint. */
+  def join(left: DataFrame, leftIdCol: String, leftStrCol: String,
+      right: DataFrame, rightIdCol: String, rightStrCol: String,
+      maxDist: Int, stripCommonPrefix: Boolean = true): DataFrame = {
+    require(maxDist >= 1,
+      "maxDist must be >= 1 — for exact matching use a plain equi-join")
+    val k = maxDist
+    val n = k + 1
+
+    val l0 = left.select(col(leftIdCol).cast("long").as("__id"),
+      col(leftStrCol).as("__s")).filter(col("__s").isNotNull)
+    val r0 = right.select(col(rightIdCol).cast("long").as("__id"),
+      col(rightStrCol).as("__s")).filter(col("__s").isNotNull)
+
+    val (lBase, rBase) = if (stripCommonPrefix) {
+      val row = l0.select(col("__s")).unionAll(r0.select(col("__s")))
+        .agg(min("__s"), max("__s")).head()
+      val lcpLen =
+        if (row.isNullAt(0)) 0
+        else {
+          val (a, b) = (row.getString(0).codePoints().toArray,
+            row.getString(1).codePoints().toArray)
+          a.zip(b).takeWhile(t => t._1 == t._2).length
+        }
+      if (lcpLen == 0) (l0, r0)
+      else {
+        def strip(df: DataFrame) = df.select(col("__id"),
+          substring(col("__s"), lcpLen + 1, Int.MaxValue).as("__s"))
+        (strip(l0), strip(r0))
+      }
+    } else (l0, r0)
+
+    val lLen = lBase.select(col("__id"), col("__s"),
+      length(col("__s")).as("__l"))
+    val rLen = rBase.select(col("__id"), col("__s"),
+      length(col("__s")).as("__l"))
+    val lLong = lLen.filter(col("__l") >= n)
+    val rLong = rLen.filter(col("__l") >= n)
+
+    def st(i: String, l: String) = s"(($i * $l + ${n - 1}) div $n)"
+    def segLen(i: String, l: String) =
+      s"(${st(s"($i + 1)", l)} - ${st(i, l)})"
+
+    val segArr =
+      s"""transform(sequence(0, $k), i ->
+         |  substring(__s, ${st("i", "__l")} + 1, ${segLen("i", "__l")}))"""
+        .stripMargin
+    val build = lLong.select(col("__id"), col("__l"), col("__s"),
+      posexplode(expr(segArr))).toDF("__id", "__l", "__sa", "__i", "__seg")
+
+    val lenFilter = {
+      val ls = lLong.select(col("__l")).distinct().limit(65)
+        .collect().map(_.getInt(0))
+      if (ls.length <= 64 && ls.nonEmpty)
+        s"filter(sequence(greatest(__l - $k, $n), __l + $k), " +
+          s"l1 -> l1 IN (${ls.sorted.mkString(",")}))"
+      else s"sequence(greatest(__l - $k, $n), __l + $k)"
+    }
+    val probeArr =
+      s"""flatten(flatten(transform(sequence(0, $k), i ->
+         |  transform($lenFilter, l1 ->
+         |    filter(transform(sequence(${st("i", "l1")} + 1 - $k,
+         |                              ${st("i", "l1")} + 1 + $k), q ->
+         |      CASE WHEN q >= 1
+         |             AND q + ${segLen("i", "l1")} - 1 <= __l
+         |           THEN named_struct('i', i, 'l1', l1,
+         |             'seg', substring(__s, q, ${segLen("i", "l1")}))
+         |      END), x -> x IS NOT NULL)))))""".stripMargin
+    val probe = rLong
+      .select(col("__id"), col("__s").as("__sb"),
+        explode(array_distinct(expr(probeArr))).as("__p"))
+      .select(col("__id"), col("__sb"), col("__p.i").as("__i"),
+        col("__p.l1").as("__l1"), col("__p.seg").as("__seg"))
+
+    val longPairs = build.as("ba")
+      .join(probe.as("pb"),
+        col("ba.__i") === col("pb.__i") &&
+          col("ba.__l") === col("pb.__l1") &&
+          col("ba.__seg") === col("pb.__seg"))
+      .select(col("ba.__id").as("left_id"), col("pb.__id").as("right_id"),
+        levenshtein(col("__sa"), col("__sb"), k).as("dist"))
+      .filter(col("dist") >= 0)
+      .distinct()
+
+    // value paths: either side may be too short to pigeonhole. Band
+    // equi-join as in selfJoin; orientation is fixed by which table a
+    // value came from, so no symmetrizing swap — run both directions.
+    def vals(df: DataFrame, maxLenExcl: Int) =
+      df.filter(col("__l") < maxLenExcl)
+        .select(col("__s"), col("__l")).distinct()
+    def banded(short: DataFrame, near: DataFrame) = short
+      .select(col("__s"),
+        explode(sequence(greatest(col("__l") - k, lit(0)),
+          col("__l") + k)).as("__lb"))
+      .as("va")
+      .join(near.as("vb"), col("va.__lb") === col("vb.__l"))
+      .select(col("va.__s").as("__shorts"), col("vb.__s").as("__nears"))
+    val p1 = banded(vals(lLen, n), vals(rLen, n + k))
+      .select(col("__shorts").as("__ls"), col("__nears").as("__rs"))
+    val p2 = banded(vals(rLen, n), vals(lLen, n + k))
+      .select(col("__nears").as("__ls"), col("__shorts").as("__rs"))
+    val valPairs = p1.union(p2).distinct()
+      .withColumn("dist", levenshtein(col("__ls"), col("__rs")))
+      .filter(col("dist") <= k)
+    val shortPairs = valPairs
+      .join(lLen.select(col("__id"), col("__s")).as("ia"),
+        col("__ls") === col("ia.__s"))
+      .join(rLen.select(col("__id"), col("__s")).as("ib"),
+        col("__rs") === col("ib.__s"))
+      .select(col("ia.__id").as("left_id"), col("ib.__id").as("right_id"),
+        col("dist"))
+      .distinct()
+
+    // long path needs BOTH sides >= n; value paths cover either side
+    // < n (a pair with one side >= n+k and the other < n is > k edits
+    // by length alone) — disjoint, so plain union
+    longPairs.union(shortPairs)
+      .select(col("left_id"), col("right_id"),
+        col("dist").cast("int").as("dist"))
+  }
 }

@@ -2116,6 +2116,32 @@ object ExtensionQueries {
              |ON a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)),
 
+    // cross-TABLE fuzzy lookup (EditJoin.join): match customer names
+    // against a derived "canonical catalog" (names with the final
+    // character dropped — every catalog entry sits 1 edit from its
+    // source and, via the shared digit tails, from a handful of
+    // neighbors). PassJoin build on the left, shifted-substring probes
+    // on the right, LCP strip across BOTH sides; the oracle is the
+    // exact all-pairs levenshtein join replayed in DuckDB.
+    QueryDef("q_edit_join_lookup",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val catalog = cust.select(
+          (col("c_custkey") + 1000000L).as("cat_id"),
+          expr("substring(c_name, 1, length(c_name) - 1)").as("cat_name"))
+        graft.operators.EditJoin.join(cust, "c_custkey", "c_name",
+          catalog, "cat_id", "cat_name", maxDist = 1)
+      },
+      Some("""WITH cat AS (SELECT CAST(c_custkey + 1000000 AS BIGINT)
+             |  AS cat_id,
+             |  substring(c_name, 1, length(c_name) - 1) AS cat_name
+             |  FROM customer)
+             |SELECT CAST(a.c_custkey AS BIGINT) AS left_id,
+             |cat.cat_id AS right_id,
+             |CAST(levenshtein(a.c_name, cat.cat_name) AS INTEGER) AS dist
+             |FROM customer a JOIN cat
+             |ON levenshtein(a.c_name, cat.cat_name) <= 1""".stripMargin)),
+
     // deterministic train/eval split: membership is a pure function of
     // the row id (polynomial hash), so the split survives reruns,
     // repartitions, and engine changes — reproduced exactly in DuckDB

@@ -117,6 +117,64 @@ class EditJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 1)))
   }
 
+  test("cross-table join equals brute force, incl. short strings and " +
+      "a shared prefix") {
+    val leftRaw = Seq(1L -> "id:alpha", 2L -> "id:alphb", 3L -> "id:x",
+      4L -> "id:", 5L -> "id:beta", 6L -> "id:gamma7")
+    val rightRaw = Seq(10L -> "id:alpha", 11L -> "id:alphaz",
+      12L -> "id:y", 13L -> "id:be", 14L -> "id:gamma77", 15L -> "id:xx")
+    val got = EditJoin.join(leftRaw.toDF("lid", "ls"), "lid", "ls",
+        rightRaw.toDF("rid", "rs"), "rid", "rs", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (li, ls) <- leftRaw; (ri, rs) <- rightRaw
+      d = lev(ls, rs) if d <= 2
+    } yield (li, ri, d)).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("cross-table join equals brute force on random corpora " +
+      "(property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val word = Gen.choose(0, 5).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf("a", "b", "é")).map(_.mkString))
+    val tbl = Gen.choose(1, 10).flatMap(m => Gen.listOfN(m, word))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val prop = forAll(tbl, tbl, Gen.choose(1, 2)) { (ls, rs, k) =>
+      val lt = ls.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val rt = rs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = EditJoin.join(lt.toDF("i", "s"), "i", "s",
+          rt.toDF("i", "s"), "i", "s", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val exp = (for {
+        (li, a) <- lt; (ri, b) <- rt
+        d = lev(a, b) if d <= k
+      } yield (li, ri, d)).toSet
+      got == exp
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("maxDist=0 is rejected with a pointer to exact dedup") {
     val err = intercept[IllegalArgumentException] {
       EditJoin.selfJoin(Seq(1L -> "a").toDF("id", "s"), "id", "s", 0)
