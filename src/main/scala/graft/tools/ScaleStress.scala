@@ -866,6 +866,22 @@ object ScaleStress {
               format_string("user-%08d", col("id")).as("name")),
             "id", "name", maxDist = 2)
         }
+        // cross-table lookup: n scraped ids against an n/2-row
+        // canonical catalog whose entries drop the last character —
+        // every catalog row matches its source + digit-tail
+        // neighbors, so output tracks rows linearly and the wall must
+        // too (same one-sided PassJoin shuffle as the self-join,
+        // minus the symmetrization)
+        rows += measureOp("edit_join_lookup", m, n) {
+          graft.operators.EditJoin.join(
+            spark.range(n).select(col("id"),
+              format_string("user-%08d", col("id")).as("name")),
+            "id", "name",
+            spark.range(n / 2).select(col("id"),
+              expr("substring(format_string('user-%08d', id), 1, 12)")
+                .as("name")),
+            "id", "name", maxDist = 1)
+        }
       }
       // perceptual image dedup: n synthetic 9×8 PNGs — groups of 4
       // near-identical images over SCRAMBLED (hash-mixed) pixels, so
