@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Edit-distance similarity self-join — the entity-resolution /
@@ -27,8 +27,23 @@ import org.apache.spark.sql.functions._
   * `(maxDist+1)·(2·maxDist+1)²` (deduplicated) — constant fan-out;
   * rows carry `(id, segIdx, len, segment, string)` into the candidate
   * shuffle so verification runs as a join residual (banded 3-arg
-  * levenshtein) and only verified scalar pairs reach the final
-  * distinct. Low-entropy segments (templated corpora —
+  * levenshtein) and verified pairs stream straight to the output:
+  * there is NO output-sized dedup exchange. Two facts make that safe:
+  * (a) the pigeonhole argument holds in BOTH directions (each string
+  * of a qualifying pair contains a verbatim segment of the other), so
+  * the self-join keeps only the `buildId < probeId` orientation and
+  * every unordered pair is generated from exactly one side; (b) a pair
+  * reachable through several matching segments is emitted only for
+  * the FIRST (lowest-index) matching segment — the candidate-dedup
+  * residual re-derives, per candidate, whether any earlier segment of
+  * the build string also occurs inside the probe string's allowed
+  * window (the exact condition under which the earlier-index candidate
+  * exists) and drops the row if so. That residual is O(k²·segLen)
+  * character comparisons per candidate — far cheaper than the
+  * output-sized sort+exchange a `distinct()` would cost (measured:
+  * the k=2 ×10 matrix row spilled 41 GB through its distinct before
+  * this dedup and 0 after; SCALING.md edit_join_k2).
+  * Low-entropy segments (templated corpora —
   * every id sharing a `"Customer#"`-style prefix) are the known hot
   * spot: the shared prefix makes one bucket hold everything. The
   * `stripCommonPrefix` stage removes exactly that: unit-cost
@@ -49,14 +64,36 @@ import org.apache.spark.sql.functions._
   * Choosing the threshold: the probe fan-out `(k+1)(2k+1)²` is 27
   * lookups per string at k=1, 75 at k=2, 189 at k=3 — and shorter
   * segments (len/(k+1)) lose entropy, so candidate sets fatten on both
-  * axes (measured: SCALING.md's edit_join vs edit_join_k2 rows).
-  * PassJoin is the right tool for small fixed k (typo-level dedup,
-  * k ≤ 2 on ids/titles); past that, or for LONG strings where a
-  * character-budget threshold stops being meaningful, switch to
-  * MinHash/n-gram Jaccard candidates ([[graft.dedup.Dedup]]) and treat
-  * edit distance as the verifier, not the generator.
+  * axes (measured: SCALING.md's edit_join vs edit_join_k2 rows). With
+  * the candidate dedup the operator is exactly OUTPUT-linear in
+  * shuffle rows — the remaining cost driver is the answer set itself:
+  * a threshold that admits thousands of neighbors per string (k ≥ 2
+  * on short templated keys, say) pays for the pairs it asks for, the
+  * floor for ANY exact algorithm. When the result need not be exact,
+  * or the strings are long documents where a character budget stops
+  * meaning "near-duplicate", MinHash/n-gram Jaccard candidates
+  * ([[graft.dedup.Dedup]]) with edit distance as the verifier trade
+  * exactness for a tunable candidate budget.
+  *
+  * Row semantics: duplicate `(id, string)` input rows are collapsed
+  * before candidate generation (one input-sized dedup, never
+  * output-sized), so the result is a SET of `(id_a, id_b, dist)`
+  * rows when ids are unique per row; an id carrying several distinct
+  * strings emits one row per qualifying string pair.
   */
 object EditJoin {
+
+  /** The first-matching-segment candidate-dedup residual: this
+    * candidate row, found via segment `__i`, survives iff `__i` is
+    * the FIRST segment of `__sa` that occurs in `__sb` within its
+    * allowed window — one compact native-expression call
+    * ([[graft.functions.FirstSegMatch]]; an equivalent unrolled
+    * substring-comparison predicate blew the join stage's generated
+    * method past the JIT bytecode limit and de-optimized the whole
+    * join to interpreted bytecode, 3.8× slower end-to-end). */
+  private def firstSegFilter(k: Int): Column =
+    col("__i") === graft.functions.FirstSegMatch
+      .first_seg_match(col("__sa"), col("__sb"), k)
 
   /** All unordered pairs within `maxDist` edits: `(id_a, id_b, dist)`
     * with `id_a < id_b`, `dist` the exact Levenshtein distance. Null
@@ -71,6 +108,7 @@ object EditJoin {
 
     val base0 = df.select(col(idCol).cast("long").as("__id"),
       col(strCol).as("__s")).filter(col("__s").isNotNull)
+      .dropDuplicates("__id", "__s") // set contract: input-sized, not output-sized
 
     // corpus-global LCP via min/max: every string shares LCP(min, max)
     // (strings sort lexicographically, so anything between the two
@@ -157,23 +195,40 @@ object EditJoin {
       .select(col("__id"), col("__sb"), col("__p.i").as("__i"),
         col("__p.l1").as("__l1"), col("__p.seg").as("__seg"))
 
-    // candidate equi-join on (segIdx, length, segment) with the
-    // verification as a residual: the 3-arg levenshtein returns -1
-    // past the threshold, so the filter and the dist column are one
-    // computation. A pair found through several matching segments
-    // re-verifies redundantly (cheap, O(len·k)) but reaches the final
-    // distinct only as an already-verified scalar row.
+    // candidate equi-join on (segIdx, length, segment), ONE orientation
+    // only (buildId < probeId — the pigeonhole holds both ways, so the
+    // lower-id side always serves as build), with verification as a
+    // residual: the 3-arg levenshtein returns -1 past the threshold, so
+    // the filter and the dist column are one computation. The
+    // first-match residual below makes the pair stream DUPLICATE-FREE
+    // without any output-sized distinct: a candidate at segment index
+    // i survives only if NO earlier segment j < i of the build string
+    // also occurs in the probe string within its ±k window — exactly
+    // the condition under which the j-index candidate exists (the
+    // probe side emits every windowed substring, array_distinct only
+    // collapses identical (i,l1,seg) keys), so per pair exactly the
+    // lowest matching index survives.
     val longPairs = build.as("ba")
       .join(probe.as("pb"),
         col("ba.__i") === col("pb.__i") &&
           col("ba.__l") === col("pb.__l1") &&
-          col("ba.__seg") === col("pb.__seg") &&
-          col("ba.__id") =!= col("pb.__id"))
-      .select(least(col("ba.__id"), col("pb.__id")).as("id_a"),
-        greatest(col("ba.__id"), col("pb.__id")).as("id_b"),
+          col("ba.__seg") === col("pb.__seg"))
+      .select(col("ba.__id").as("id_a"), col("pb.__id").as("id_b"),
+        col("ba.__i").as("__i"), col("__sa"), col("__sb"),
         levenshtein(col("__sa"), col("__sb"), k).as("dist"))
-      .filter(col("dist") >= 0)
-      .distinct()
+      // ORDER MATTERS — Catalyst pushes these conjuncts into the join
+      // residual in THIS order, and And short-circuits: the id
+      // inequality (one long compare) first halves the orientation-
+      // doubled stream before any string work; the banded levenshtein
+      // (sub-µs, early-exit) then prunes the equi-key matches —
+      // low-entropy corpora produce orders of magnitude more of them
+      // than true pairs — and only survivors (≤ (k+1)× output) pay
+      // the first-match residual's substring probes. (Putting the id
+      // inequality in the join condition instead lands it AFTER the
+      // pushed conjuncts — measured 2× slower on the k=2 fixture.)
+      .filter(col("id_a") < col("id_b") &&
+        col("dist") >= 0 && firstSegFilter(k))
+      .select(col("id_a"), col("id_b"), col("dist"))
 
     val strs = withLen.select(col("__id"), col("__s"))
 
@@ -205,13 +260,19 @@ object EditJoin {
       .distinct()
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
       .filter(col("dist") <= k)
+    // internal names through the distinct so a plan reader (and
+    // EditJoinSpec's pin) can assert NO aggregate ever keys on the
+    // OUTPUT pair columns — the short path's dedup is value-table
+    // sized, alphabet-bounded, never output-bound
     val shortPairs = valPairs
       .join(strs.as("ia"), col("__sa") === col("ia.__s"))
       .join(strs.as("ib"), col("__sb") === col("ib.__s"))
       .filter(col("ia.__id") < col("ib.__id"))
-      .select(col("ia.__id").as("id_a"), col("ib.__id").as("id_b"),
+      .select(col("ia.__id").as("__ida"), col("ib.__id").as("__idb"),
         col("dist"))
       .distinct() // (v,v) value pairs reach both cross-join branches
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        col("dist"))
 
     longPairs.union(shortPairs)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
@@ -242,8 +303,10 @@ object EditJoin {
 
     val l0 = left.select(col(leftIdCol).cast("long").as("__id"),
       col(leftStrCol).as("__s")).filter(col("__s").isNotNull)
+      .dropDuplicates("__id", "__s")
     val r0 = right.select(col(rightIdCol).cast("long").as("__id"),
       col(rightStrCol).as("__s")).filter(col("__s").isNotNull)
+      .dropDuplicates("__id", "__s")
 
     val (lBase, rBase) = if (stripCommonPrefix) {
       val row = l0.select(col("__s")).unionAll(r0.select(col("__s")))
@@ -305,15 +368,20 @@ object EditJoin {
       .select(col("__id"), col("__sb"), col("__p.i").as("__i"),
         col("__p.l1").as("__l1"), col("__p.seg").as("__seg"))
 
+    // first-match candidate dedup, as in selfJoin: emit each
+    // (left, right) pair only for the lowest matching segment index —
+    // no output-sized distinct
     val longPairs = build.as("ba")
       .join(probe.as("pb"),
         col("ba.__i") === col("pb.__i") &&
           col("ba.__l") === col("pb.__l1") &&
           col("ba.__seg") === col("pb.__seg"))
       .select(col("ba.__id").as("left_id"), col("pb.__id").as("right_id"),
+        col("ba.__i").as("__i"), col("__sa"), col("__sb"),
         levenshtein(col("__sa"), col("__sb"), k).as("dist"))
-      .filter(col("dist") >= 0)
-      .distinct()
+      // banded levenshtein FIRST, residual on survivors (see selfJoin)
+      .filter(col("dist") >= 0 && firstSegFilter(k))
+      .select(col("left_id"), col("right_id"), col("dist"))
 
     // value paths: either side may be too short to pigeonhole. Band
     // equi-join as in selfJoin; orientation is fixed by which table a
@@ -340,9 +408,11 @@ object EditJoin {
         col("__ls") === col("ia.__s"))
       .join(rLen.select(col("__id"), col("__s")).as("ib"),
         col("__rs") === col("ib.__s"))
-      .select(col("ia.__id").as("left_id"), col("ib.__id").as("right_id"),
+      .select(col("ia.__id").as("__ida"), col("ib.__id").as("__idb"),
         col("dist"))
       .distinct()
+      .select(col("__ida").as("left_id"), col("__idb").as("right_id"),
+        col("dist"))
 
     // long path needs BOTH sides >= n; value paths cover either side
     // < n (a pair with one side >= n+k and the other < n is > k edits

@@ -856,10 +856,12 @@ object ScaleStress {
             "id", "name", maxDist = 1)
         }
         // k=2: probe fan-out is (k+1)(2k+1)² = 75 segment lookups per
-        // string vs 27 at k=1 — measured so the matrix SHOWS where
-        // PassJoin's constant stops being cheap and a MinHash-style
-        // candidate filter wins (distance thresholds past ~2 on short
-        // strings admit most of the corpus anyway)
+        // string vs 27 at k=1, and on 8-digit templated ids the
+        // threshold admits ~2.3k true neighbors per string — the
+        // OUTPUT-bound regime. Measured to show the first-match
+        // candidate dedup holds there: shuffle rows stay ≈ input
+        // fan-out (no output-sized distinct exchange, r11's 41 GB
+        // ×10 spill source), wall tracks the verified-pair count.
         rows += measureOp("edit_join_k2", m, n) {
           graft.operators.EditJoin.selfJoin(
             spark.range(n).select(col("id"),

@@ -175,6 +175,64 @@ class EditJoinSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("long path emits each pair exactly once — no output-sized " +
+      "distinct in the plan (k=2)") {
+    // ids i and i+10 carry IDENTICAL strings (dist 0: every segment
+    // matches — the max-redundancy case the first-match residual must
+    // collapse); neighbors differ in one digit (dist 1..2)
+    val df = (1L to 40L).map(i => i -> f"key-${i % 10}%03d-suffix")
+      .toDF("id", "s")
+    val res = EditJoin.selfJoin(df, "id", "s", 2)
+    val plan = res.queryExecution.executedPlan.toString
+    // the candidate pipeline never aggregates on the OUTPUT pair
+    // columns — dedup is the join residual, not a sort/shuffle
+    assert(!plan.contains("keys=[id_a"), plan)
+    val rows = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows.size == rows.toSet.size, "duplicate pair rows emitted")
+    assert(rows.toSet == brute2(df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq, 2))
+  }
+
+  test("cross-table long path is distinct-free too") {
+    val lt = (1L to 20L).map(i => i -> f"key-${i % 7}%03d-suffix")
+    val rt = (1L to 20L).map(i => (i + 100L) -> f"key-${i % 7}%03d-suffiy")
+    val res = EditJoin.join(lt.toDF("id", "s"), "id", "s",
+      rt.toDF("id", "s"), "id", "s", maxDist = 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("keys=[left_id"), plan)
+    val rows = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows.size == rows.toSet.size, "duplicate pair rows emitted")
+  }
+
+  test("duplicate (id, string) input rows collapse to one pair row") {
+    val df = Seq(1L -> "abcdef", 1L -> "abcdef", 2L -> "abcdeg",
+      2L -> "abcdeg").toDF("id", "s")
+    val rows = EditJoin
+      .selfJoin(df, "id", "s", 1, stripCommonPrefix = false).collect()
+    assert(rows.length == 1)
+    assert((rows(0).getLong(0), rows(0).getLong(1), rows(0).getInt(2)) ==
+      ((1L, 2L, 1)))
+  }
+
+  /** brute force over an explicit corpus at threshold k */
+  private def brute2(corpus: Seq[(Long, String)], k: Int)
+      : Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (ia, a) <- corpus; (ib, b) <- corpus if ia < ib
+      d = lev(a, b) if d <= k
+    } yield (ia, ib, d)).toSet
+  }
+
   test("maxDist=0 is rejected with a pointer to exact dedup") {
     val err = intercept[IllegalArgumentException] {
       EditJoin.selfJoin(Seq(1L -> "a").toDF("id", "s"), "id", "s", 0)
