@@ -23,12 +23,16 @@ import org.apache.spark.sql.types._
   * offset compositing) AND for MP4 ([[mp4FrameSlices]]: the
   * stsz/stsc/stco sample-table walk a demuxer runs, yielding each
   * frame's exact byte range with keyframes preferred — pure JRE, no
-  * ffmpeg). Only learned-feature embedding remains STUBBED with a
-  * deterministic fake (it genuinely needs a model runtime this
-  * container lacks): marked `STUB:`, swappable for real bindings
-  * behind the same signature. Decoding an MP4 frame slice to PIXELS
-  * would also need a codec — the demux boundary is where the pure-JRE
-  * guarantee ends.
+  * ffmpeg). Motion-JPEG MP4s (`stsd` fourcc `jpeg`/`mjpa`/`mjpb`)
+  * go one step further: each sample is a self-contained JPEG, so
+  * [[mp4DecodedFrames]] yields real video PIXELS too. For
+  * inter-frame codecs (avc1/hevc) the demux boundary is where the
+  * pure-JRE guarantee ends — pixel decode there needs a codec
+  * runtime. Bytes no decode path claims fall back to a DETERMINISTIC
+  * HASH EMBEDDING ([[hashEmbedding]]) — a documented extension point:
+  * a learned-embedding model runtime slots in behind the same
+  * signature (this container ships none), and the hash fold keeps
+  * the fallback filterable and reproducible rather than null.
   */
 object Multimodal {
 
@@ -210,9 +214,13 @@ object Multimodal {
 
   /** The video track's sample table: per-sample absolute byte offset
     * and size, plus the sync-sample (keyframe) numbers when an `stss`
-    * box declares them (absent = every sample is sync, per ISO 14496-12). */
+    * box declares them (absent = every sample is sync, per ISO
+    * 14496-12), plus the first `stsd` sample-entry fourcc (the codec —
+    * `jpeg`/`mjpa` samples are per-frame JPEG images the JRE can
+    * pixel-decode; `avc1`&c. need an external codec runtime). */
   private[graft] final case class Mp4SampleTable(offsets: Array[Long],
-      sizes: Array[Long], syncs: Option[Array[Int]])
+      sizes: Array[Long], syncs: Option[Array[Int]],
+      codec: Option[String])
 
   /** Pure-JRE MP4 sample-table walk (stsz/stsc/stco|co64/stss): maps
     * every media sample of the video track to its absolute byte range
@@ -314,8 +322,15 @@ object Multimodal {
             u32(yp + 8 + 4 * j).toInt))
         }
       }
+      // stsd: full box, entry_count at +4, first entry = size(4) +
+      // fourcc(4) — the codec tag; absent/truncated → None
+      val codec = box("stsd").flatMap { b =>
+        val (dp, de) = (b._2, b._3)
+        if (de - dp >= 16) Some(tag(dp + 12)) else None
+      }
       if (m == 0) None
-      else Some(Mp4SampleTable(offsets.take(m), sizes.take(m), syncs))
+      else Some(Mp4SampleTable(offsets.take(m), sizes.take(m), syncs,
+        codec))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -336,9 +351,15 @@ object Multimodal {
           .filter(i => i >= 0 && i < st.sizes.length).toIndexedSeq
         case None => 0 until st.sizes.length
       }
+      // overflow-safe range check: a malformed co64 can declare an
+      // offset near Long.MaxValue, so `offset + size` may wrap
+      // negative and sneak past a naive `<= length` — compare the
+      // SIZE against the remaining room instead (never throw on
+      // corrupt bytes; skip the sample)
       val valid = cand.filter { i =>
         st.offsets(i) >= 0 && st.sizes(i) > 0 &&
-          st.offsets(i) + st.sizes(i) <= bytes.length
+          st.offsets(i) <= bytes.length &&
+          st.sizes(i) <= bytes.length - st.offsets(i)
       }
       if (valid.isEmpty) None
       else {
@@ -349,6 +370,29 @@ object Multimodal {
             (st.offsets(s) + st.sizes(s)).toInt)
         })
       }
+    }
+
+  /** JPEG-in-MP4 pixel decode (fourcc `jpeg`/`mjpa`/`mjpb` — the
+    * Motion-JPEG family): each media sample IS a self-contained JPEG
+    * image, so the JRE decodes REAL video frame pixels with no
+    * external codec runtime. Up to `n` evenly-spaced decoded frames
+    * (keyframes preferred via the sample-table walk); None when the
+    * codec isn't JPEG-family or nothing decodes — degrade-to-
+    * filterable, the caller falls back to container-level features. */
+  private[graft] def mp4DecodedFrames(bytes: Array[Byte], n: Int)
+      : Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    mp4SampleTable(bytes) match {
+      case Some(st) if st.codec.exists(c =>
+          c == "jpeg" || c == "mjpa" || c == "mjpb") =>
+        mp4FrameSlices(bytes, n).flatMap { slices =>
+          val imgs = slices.flatMap { s =>
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(s)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+          if (imgs.isEmpty) None else Some(imgs)
+        }
+      case _ => None
     }
 
   /** Real image resize on the JRE: ImageIO decode → bilinear
@@ -615,13 +659,28 @@ object Multimodal {
       }
     }
 
+  /** Per-frame DECODED pixel stats for Motion-JPEG MP4s: `(width,
+    * height, mean luminance 0..255)` per sampled frame — the
+    * per-frame resolution/brightness gates a video-curation pipeline
+    * filters on, computed from REAL decoded pixels (the samples are
+    * JPEGs; no codec runtime involved). Non-MJPEG or undecodable
+    * bytes → empty array, the degrade-to-filterable contract. */
+  val videoFrameStats: UserDefinedFunction =
+    udf { (bytes: Array[Byte], n: Int) =>
+      mp4DecodedFrames(bytes, n).toSeq.flatten.map { img =>
+        val lum = imageFeaturesOf(img)
+          .map(f => f(3).toDouble * 255.0).getOrElse(0.0)
+        (img.getWidth, img.getHeight, lum)
+      }
+    }
+
   /** Feature extraction over batches. Runs as `mapPartitions` so a real
     * implementation amortizes model/codec setup once per partition (the
     * Scala analog of a Pandas-UDF batch loop). Partitioning is
     * preserved — no shuffle. Images/audio/GIF/MP4 all get REAL
     * decoded features; only unrecognizable bytes take the
-    * deterministic 8-float hash fold (STUB standing in for a learned
-    * embedding model). */
+    * deterministic 8-float hash fold ([[hashEmbedding]] — the
+    * documented learned-model extension point). */
   def extractFeatures(spark: SparkSession,
       media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -630,18 +689,20 @@ object Multimodal {
       // setup here once per partition (the JRE codecs used below are
       // stateless and need none). Images and WAV/AIFF/AU audio get
       // REAL content features (pixel statistics / PCM energy); video
-      // gets REAL per-frame pixel features for GIF containers and
-      // REAL container/sample-table features (fps, bitrate proxy,
-      // keyframe density) for MP4, with a magic-byte screen keeping
-      // non-media bytes off the decoder; everything else falls back
-      // to the deterministic byte-hash embedding (STUB: learned
-      // embeddings need a model runtime).
+      // gets REAL per-frame pixel features for GIF and Motion-JPEG
+      // MP4 containers and REAL container/sample-table features (fps,
+      // bitrate proxy, keyframe density) for other MP4s, with a
+      // magic-byte screen keeping non-media bytes off the decoder;
+      // everything else falls back to the deterministic byte-hash
+      // embedding — the documented extension point a learned-
+      // embedding model runtime slots in behind.
       it.map { m =>
         val bytes = Option(m.bytes).getOrElse(Array.empty[Byte])
         val feat = m.kind match {
           case "image" => imageFeatures(bytes)
           case "audio" => audioFeatures(bytes)
           case "video" => videoFrameFeatures(bytes)
+            .orElse(mjpegFrameFeatures(bytes))
             .orElse(mp4Features(bytes))
           case _ => None
         }
@@ -708,19 +769,32 @@ object Multimodal {
     * fallback). */
   private[graft] def videoFrameFeatures(bytes: Array[Byte],
       frames: Int = 4): Option[Array[Float]] =
-    gifFrames(bytes, frames).flatMap { imgs =>
-      val feats = imgs.flatMap(imageFeaturesOf)
-      if (feats.isEmpty) None
-      else {
-        val acc = new Array[Float](8)
-        feats.foreach { f =>
-          var i = 0
-          while (i < acc.length) { acc(i) += f(i); i += 1 }
-        }
+    gifFrames(bytes, frames).flatMap(imgs =>
+      meanFrameFeatures(imgs.flatMap(imageFeaturesOf)))
+
+  /** Real video PIXEL features for Motion-JPEG MP4s: the same
+    * per-frame [[imageFeaturesOf]] average as the GIF path, over
+    * frames decoded by [[mp4DecodedFrames]] — no codec runtime
+    * needed, the samples are JPEGs. Non-MJPEG MP4s → None (the caller
+    * falls back to [[mp4Features]]' container/sample-table gates). */
+  private[graft] def mjpegFrameFeatures(bytes: Array[Byte],
+      frames: Int = 4): Option[Array[Float]] =
+    mp4DecodedFrames(bytes, frames).flatMap(imgs =>
+      meanFrameFeatures(imgs.flatMap(imageFeaturesOf)))
+
+  /** Element-wise mean over per-frame feature vectors. */
+  private def meanFrameFeatures(feats: Seq[Array[Float]])
+      : Option[Array[Float]] =
+    if (feats.isEmpty) None
+    else {
+      val acc = new Array[Float](8)
+      feats.foreach { f =>
         var i = 0
-        while (i < acc.length) { acc(i) /= feats.size; i += 1 }
-        Some(acc)
+        while (i < acc.length) { acc(i) += f(i); i += 1 }
       }
+      var i = 0
+      while (i < acc.length) { acc(i) /= feats.size; i += 1 }
+      Some(acc)
     }
 
   /** Real MP4 features from the container header + sample table (no
@@ -827,9 +901,14 @@ object Multimodal {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** STUB fallback: deterministic byte-hash embedding for bytes no
-    * real decode path claims (a learned-embedding model runtime would
-    * slot in behind this signature). */
+  /** Hash-embedding fallback for bytes no real decode path claims: a
+    * deterministic 8-float xorshift fold — filterable, reproducible,
+    * and engine-independent, which is what a curation pipeline needs
+    * from its "unknown bytes" lane. This signature is the documented
+    * EXTENSION POINT for a learned-embedding model runtime (ONNX/JNI
+    * bindings slot in behind it unchanged); this container ships no
+    * model runtime, deliberately — see SCALING.md's multimodal
+    * disclosure. */
   private[graft] def hashEmbedding(bytes: Array[Byte]): Array[Float] = {
     val feat = new Array[Float](8)
     var h = 0xcbf29ce484222325L

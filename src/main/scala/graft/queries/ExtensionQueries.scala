@@ -2142,6 +2142,21 @@ object ExtensionQueries {
              |FROM customer a JOIN cat
              |ON levenshtein(a.c_name, cat.cat_name) <= 1""".stripMargin)),
 
+    // k=2 edit join — the threshold where candidate redundancy bites
+    // (a pair can match on any of 3 segments in either orientation):
+    // exercises the one-orientation + first-matching-segment candidate
+    // dedup that replaced the output-sized distinct. Supplier names
+    // share the templated "Supplier#000..." prefix, so the LCP strip
+    // and the low-entropy digit tails are both on the hot path.
+    QueryDef("q_edit_join_k2",
+      (s, d) => graft.operators.EditJoin
+        .selfJoin(Tables.supplier(s, d), "s_suppkey", "s_name", maxDist = 2),
+      Some("""SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+             |CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+             |FROM supplier a JOIN supplier b
+             |ON a.s_suppkey < b.s_suppkey
+             |WHERE levenshtein(a.s_name, b.s_name) <= 2""".stripMargin)),
+
     // deterministic train/eval split: membership is a pure function of
     // the row id (polynomial hash), so the split survives reruns,
     // repartitions, and engine changes — reproduced exactly in DuckDB
@@ -2582,6 +2597,36 @@ object ExtensionQueries {
              |  AS sum_frame_bytes,
              |CAST(10 + (doc_id * 7) % 50 AS INTEGER) AS first_frame_bytes
              |FROM f GROUP BY doc_id, k""".stripMargin)),
+
+    // Motion-JPEG pixel decode (Multimodal.mp4DecodedFrames → real
+    // video frame PIXELS on the pure JRE): per-frame decoded width/
+    // height and the mean-luminance bucket of a known solid tone.
+    // JPEG's DC quantization keeps a solid gray within ±2, so
+    // floor(mean/32) is exact arithmetic the oracle replays without
+    // touching a decoder. 10% of docs: O(frames) JPEG encode+decode
+    // per row is the fixture's cost, not the operator's.
+    QueryDef("q_video_pixels",
+      (s, d) => {
+        val gen = udf { id: Long => syntheticMjpegMp4(id) }
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") % 10 === 0)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id").as("media_id"),
+            posexplode(Multimodal.videoFrameStats(gen(col("doc_id")),
+              lit(8))))
+          .toDF("media_id", "frame_idx", "f")
+          .select(col("media_id"), col("frame_idx"),
+            col("f._1").as("width"), col("f._2").as("height"),
+            floor(col("f._3") / 32).cast("int").as("lum_bucket"))
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS k
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |f AS (SELECT doc_id, k, unnest(range(k)) AS i FROM d)
+             |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+             |CAST(16 + 8 * (doc_id % 4) AS INT) AS width,
+             |CAST(16 + 8 * ((doc_id + 1) % 3) AS INT) AS height,
+             |CAST((doc_id + i) % 6 AS INT) AS lum_bucket
+             |FROM f""".stripMargin)),
   )
 
   /** Deterministic 9×8 grayscale PNG for doc `id` — the perceptual-
@@ -2622,6 +2667,48 @@ object ExtensionQueries {
     * size arithmetic; the sample-table walk must recover exactly
     * those byte ranges. */
   private[graft] def syntheticMp4(id: Long): Array[Byte] = {
+    val k = (2 + id % 5).toInt
+    val samples = (0 until k).map { i =>
+      Array.fill[Byte]((10 + (id * 7 + i * 13) % 50).toInt)(
+        ((id + i) % 251).toByte)
+    }
+    mp4Around(samples, codec = None)
+  }
+
+  /** Minimal MOTION-JPEG MP4 for doc `id` — the pixel-decode oracle
+    * corpus (q_video_pixels): k = 2 + id%3 frames, frame i a SOLID
+    * (16 + 8·(id%4)) × (16 + 8·((id+1)%3)) JPEG of gray
+    * 16 + 32·((id+i)%6), `stsd` fourcc `jpeg`. JPEG's DC quantization
+    * keeps a solid tone within ±2 of its value, so
+    * floor(decoded_mean/32) recovers (id+i)%6 EXACTLY — the oracle
+    * replays that arithmetic without decoding anything. */
+  private[graft] def syntheticMjpegMp4(id: Long): Array[Byte] = {
+    val w = (16 + 8 * (id % 4)).toInt
+    val h = (16 + 8 * ((id + 1) % 3)).toInt
+    val k = (2 + id % 3).toInt
+    val samples = (0 until k).map { i =>
+      val g = (16 + 32 * ((id + i) % 6)).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      try {
+        gr.setColor(new java.awt.Color(g, g, g))
+        gr.fillRect(0, 0, w, h)
+      } finally gr.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    mp4Around(samples, codec = Some("jpeg"))
+  }
+
+  /** Wrap `samples` in a structurally-valid single-track MP4
+    * (ftyp/moov/trak/mdia/minf/stbl + mdat, hdlr=vide, stsz/stsc/stco
+    * sample table, optional `stsd` sample entry carrying the codec
+    * fourcc) — the shared fixture builder for the demux and
+    * pixel-decode oracles. */
+  private def mp4Around(samples: Seq[Array[Byte]],
+      codec: Option[String]): Array[Byte] = {
     def u32be(v: Long): Array[Byte] =
       java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
@@ -2633,11 +2720,7 @@ object ExtensionQueries {
     }
     def full(typ: String, p: Array[Byte]) =
       box(typ, new Array[Byte](4) ++ p)
-    val k = (2 + id % 5).toInt
-    val samples = (0 until k).map { i =>
-      Array.fill[Byte]((10 + (id * 7 + i * 13) % 50).toInt)(
-        ((id + i) % 251).toByte)
-    }
+    val k = samples.length
     val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++
       u32be(0x200) ++ "isomiso2".getBytes("ISO-8859-1"))
     val mvhd = box("mvhd", new Array[Byte](4) ++ u32be(0) ++ u32be(0) ++
@@ -2648,13 +2731,19 @@ object ExtensionQueries {
       u32be(320L << 16) ++ u32be(240L << 16))
     val hdlr = full("hdlr",
       u32be(0) ++ "vide".getBytes("ISO-8859-1") ++ new Array[Byte](12))
+    // a standard 86-byte video sample entry: size + fourcc + zeroed
+    // description fields (the walk reads only the fourcc; real
+    // players tolerate zeroed fields for MJPEG)
+    val stsd = codec.map(c => full("stsd", u32be(1) ++ u32be(86) ++
+      c.getBytes("ISO-8859-1") ++ new Array[Byte](78)))
+      .getOrElse(Array.empty[Byte])
     val stsz = full("stsz", u32be(0) ++ u32be(k.toLong) ++
       samples.toArray.flatMap(s => u32be(s.length.toLong)))
     val stsc = full("stsc",
       u32be(1) ++ u32be(1) ++ u32be(k.toLong) ++ u32be(1))
     def moovWith(mdatStart: Int) = {
       val stco = full("stco", u32be(1) ++ u32be(mdatStart.toLong))
-      val stbl = box("stbl", stsz ++ stsc ++ stco)
+      val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
       box("moov", mvhd ++ box("trak",
         tkhd ++ box("mdia", hdlr ++ box("minf", stbl))))
     }

@@ -340,6 +340,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.mp4Features(withSync).get(5) == 0.4f)
   }
 
+  test("Motion-JPEG MP4 frames decode to REAL pixels (stsd jpeg)") {
+    val id = 7L
+    val bytes = graft.queries.ExtensionQueries.syntheticMjpegMp4(id)
+    // the sample-table walk surfaces the stsd codec fourcc
+    assert(Multimodal.mp4SampleTable(bytes).get.codec.contains("jpeg"))
+    val frames = Multimodal.mp4DecodedFrames(bytes, 8).get
+    val k = (2 + id % 3).toInt
+    assert(frames.length == k)
+    // frame-exact dimensions come from the DECODED pixels
+    val w = (16 + 8 * (id % 4)).toInt
+    val h = (16 + 8 * ((id + 1) % 3)).toInt
+    assert(frames.forall(f => f.getWidth == w && f.getHeight == h))
+    // decoded mean luminance within ±2 of each frame's encoded solid
+    // tone — pixel decode, not container metadata
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val g = (16 + 32 * ((id + i) % 6)).toInt
+      val lum = Multimodal.imageFeaturesOf(f).get(3) * 255.0
+      assert(math.abs(lum - g) <= 2.0, s"frame $i lum $lum vs $g")
+    }
+    // the video feature path serves pixel features for MJPEG: the
+    // aspect slot comes from decoded frames, not tkhd metadata
+    val feat = Multimodal.mjpegFrameFeatures(bytes).get
+    assert(math.abs(feat(5) - w.toFloat / h) < 1e-6)
+    // non-MJPEG sample tables refuse pixel decode (fall back to
+    // container features), and a corrupted mdat degrades, never throws
+    assert(Multimodal.mp4DecodedFrames(
+      graft.queries.ExtensionQueries.syntheticMp4(id), 4).isEmpty)
+    val corrupt = bytes.clone()
+    val mdatAt = bytes.length - samplesLen(bytes, k)
+    java.util.Arrays.fill(corrupt, mdatAt, bytes.length, 0.toByte)
+    assert(Multimodal.mp4DecodedFrames(corrupt, 4).isEmpty)
+  }
+
+  /** total sample bytes of an MJPEG fixture (= mdat payload size). */
+  private def samplesLen(bytes: Array[Byte], k: Int): Int =
+    Multimodal.mp4SampleTable(bytes).get.sizes.map(_.toInt).sum
+
   test("decode/resize/frame-sample keep the pipeline contracts") {
     val decoded = Multimodal.withDecodedMeta(media.toDF())
     val img = decoded.filter($"kind" === "image").select($"decoded")
