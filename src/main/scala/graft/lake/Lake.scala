@@ -299,15 +299,34 @@ object Lake {
     * (Spark marks any explicit-LOCATION table EXTERNAL). Registration
     * is idempotent create-or-replace — re-pointing a name at a new
     * path is a metadata-only operation, exactly how a Spectrum DDL
-    * migration works. The schema comes from the files (parquet/orc
-    * self-describe); partition columns in the path layout are
-    * discovered by the file index as usual. */
+    * migration works — and therefore refuses to replace a MANAGED
+    * table of the same name (dropping one deletes its data, which
+    * would silently break the "drop never deletes" contract; migrate
+    * or rename the managed table explicitly instead). The schema
+    * comes from the files (parquet/orc self-describe); partition
+    * columns in the path layout are discovered by the file index as
+    * usual. Identifiers are schema-validated before interpolation
+    * (Spark has no parameterized DDL), and locations containing a
+    * single quote are rejected rather than escaped — Spark SQL string
+    * literals are backslash-escaped, not doubled-quote-escaped, so no
+    * portable in-literal escape exists. */
   def registerExternalTable(spark: SparkSession, table: String,
       location: String, format: String = "parquet"): Unit = {
     require(format.matches("[a-zA-Z0-9]+"), s"bad format: $format")
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"CREATE TABLE $table USING $format " +
-      s"LOCATION '${location.replace("'", "''")}'")
+    require(table.matches("[a-zA-Z0-9_]+(\\.[a-zA-Z0-9_]+)?"),
+      s"bad table identifier: $table")
+    require(!location.contains("'"),
+      s"location must not contain single quotes: $location")
+    if (spark.catalog.tableExists(table)) {
+      val kind = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+        .filter(col("col_name") === "Type")
+        .collect().headOption.map(_.getString(1)).getOrElse("")
+      require(!kind.equalsIgnoreCase("MANAGED"),
+        s"refusing to replace MANAGED table $table: dropping it would " +
+          "delete its data; drop or rename it explicitly first")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+    spark.sql(s"CREATE TABLE $table USING $format LOCATION '$location'")
     ()
   }
 

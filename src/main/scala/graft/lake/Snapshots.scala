@@ -322,12 +322,17 @@ object Snapshots {
       snap: Snapshot): DataFrame = {
     require(snap.dataDirs.nonEmpty, s"empty snapshot $snap")
     // unmasked fast path (fresh tables, append-only histories, and
-    // everything after a compact): no sequencing marker, no per-dir
-    // unions — ONE multi-path scan, with mergeSchema playing
-    // unionByName(allowMissingColumns)'s add-column role
+    // everything after a compact): no sequencing marker, no delete
+    // mask — the same per-dir unionByName(allowMissingColumns)
+    // composition as the masked path (NOT a multi-path mergeSchema
+    // scan: parquet footer-merge refuses the int→long type widening
+    // that union's implicit coercion accepts, and its column order
+    // follows footer-merge order rather than deterministic dataDirs
+    // order). Unions are narrow — a single-dir snapshot is literally
+    // one scan, a multi-dir history is one stage of parallel scans.
     if (snap.deleteDirs.isEmpty)
-      return spark.read.option("mergeSchema", "true")
-        .parquet(snap.dataDirs.map(d => s"$root/$d"): _*)
+      return snap.dataDirs.map(d => spark.read.parquet(s"$root/$d"))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     // Iceberg v2 sequencing: an equality-delete file applies ONLY to
     // data files committed before it (smaller sequence number) — a key
     // re-appended AFTER its delete must survive the older delete

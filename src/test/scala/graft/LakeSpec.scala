@@ -200,6 +200,36 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir2).count() == 3)
   }
 
+  test("registerExternalTable refuses to replace a MANAGED table and " +
+      "rejects unsafe identifiers/locations") {
+    val dir = Files.createTempDirectory("external3").toString
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    // a pre-existing MANAGED table: replacing it would DELETE its data
+    // on drop — the register must refuse, not silently destroy
+    spark.sql("DROP TABLE IF EXISTS ext_managed_clash")
+    Seq((9L, "z")).toDF("k", "v")
+      .write.format("parquet").saveAsTable("ext_managed_clash")
+    val err = intercept[IllegalArgumentException] {
+      Lake.registerExternalTable(spark, "ext_managed_clash", dir)
+    }
+    assert(err.getMessage.contains("MANAGED"))
+    // the managed table and its data survived the refusal
+    assert(spark.table("ext_managed_clash").count() == 1)
+    spark.sql("DROP TABLE ext_managed_clash")
+    // injection-shaped identifiers and quoted locations fail fast
+    intercept[IllegalArgumentException] {
+      Lake.registerExternalTable(spark, "t; DROP TABLE x", dir)
+    }
+    intercept[IllegalArgumentException] {
+      Lake.registerExternalTable(spark, "ext_ok", "/tmp/o'brien")
+    }
+    // replacing an EXTERNAL table stays allowed (metadata-only)
+    Lake.registerExternalTable(spark, "ext_replace_ok", dir)
+    Lake.registerExternalTable(spark, "ext_replace_ok", dir)
+    assert(spark.table("ext_replace_ok").count() == 1)
+    spark.sql("DROP TABLE ext_replace_ok")
+  }
+
   test("landing CSV write with header round-trips") {
     val base = Files.createTempDirectory("landing-csv").toString
     val df = Seq(("a", "1"), ("b", "2")).toDF("k", "n")

@@ -134,6 +134,24 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(cur.filter(col("score") === 30).count() == 1)
   }
 
+  test("append-only reads coerce numeric type evolution and keep " +
+      "dataDirs column order (unmasked fast path)") {
+    // int in the base dir, long in the append: parquet footer-merge
+    // (mergeSchema) refuses this widening; the per-dir unionByName
+    // composition must coerce it like the masked path always did
+    val root = freshRoot()
+    Snapshots.createOrReplace(
+      Seq((1, "a"), (2, "b")).toDF("id", "payload"), root)
+    Snapshots.append(
+      Seq((3L, "c")).toDF("id", "payload")
+        .select(col("payload"), col("id")), root) // reordered columns too
+    val cur = Snapshots.read(spark, root)
+    // column order follows the FIRST data dir, not footer-merge order
+    assert(cur.columns.toSeq == Seq("id", "payload"))
+    assert(cur.schema("id").dataType.typeName == "long")
+    assert(cur.select(sum(col("id"))).head().getLong(0) == 6L)
+  }
+
   test("merge-on-read broadcasts the delete mask, never shuffles the base") {
     val root = freshRoot()
     Snapshots.createOrReplace(table(1 to 1000), root)
