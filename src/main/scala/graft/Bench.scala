@@ -67,10 +67,15 @@ object Bench {
     // artifacts contended but can't say WHEN — a contention window in
     // the middle of the run inflates 40 queries and both endpoint
     // probes read idle. Every 20 queries (each pass) one quarter-size
-    // spinN probe records the machine's state next to the queries it
-    // timed; a reader discounts a "regression" whose neighboring
-    // probes are inflated (rule documented in SCALING.md). ~0.1 s per
-    // probe on an idle host — noise against a 100+ s pass.
+    // spinN probe AND one quarter-size shuffle probe record the
+    // machine's state next to the queries they timed; a reader
+    // discounts a "regression" whose neighboring probes are inflated
+    // (rule documented in SCALING.md). The shuffle probe exists
+    // because CPU spin alone missed the round-11 window: memory-
+    // bandwidth / scheduler contention inflated shuffle-bound queries
+    // 3× while spinN stayed flat — only the endpoint shuffle calib
+    // caught it, too coarse to localize. ~0.15 s per probe pair on an
+    // idle host — noise against a 100+ s pass.
     val segProbes = scala.collection.mutable.ArrayBuffer.empty[String]
     def microProbe(phase: String, at: Int): Unit = {
       val iters = 50000000L
@@ -79,7 +84,12 @@ object Bench {
         new Thread(() => { sink.addAndGet(spin(iters)); () }))
       threads.foreach(_.start()); threads.foreach(_.join())
       val s = (System.nanoTime() - t) / 1e9
-      segProbes += f"""{"phase":"$phase","at":$at,"spinN":$s%.3f}"""
+      val t2 = System.nanoTime()
+      spark.range(250000).selectExpr("id % 97 AS k", "id AS v")
+        .groupBy("k").sum("v").collect()
+      val sh = (System.nanoTime() - t2) / 1e9
+      segProbes +=
+        f"""{"phase":"$phase","at":$at,"spinN":$s%.3f,"shuffle":$sh%.3f}"""
     }
 
     // optional comma-separated filter: bench only the named queries
@@ -156,20 +166,29 @@ object Bench {
     val calibPost = calibrate()
     val calibSeg = segProbes.mkString("[", ",", "]")
     // self-defense summary: flagged contended when a SUSTAINED window
-    // shows in the run's own probes — at least two segment probes more
-    // than 2× the run's median probe. A single spiked probe is
-    // scheduler jitter (a 0.1 s micro-probe on 32 threads has real
-    // variance; the first full run false-positived on exactly that);
-    // uniformly-inflated runs show no internal disagreement at all and
-    // are caught by reading calib_pre/calib_post against the idle
-    // machine constants documented in SCALING.md.
-    val segVals = segProbes.flatMap { s =>
-      """"spinN":([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
-    }
-    val contended = segVals.nonEmpty && {
-      val med = segVals.sorted.apply(segVals.size / 2)
-      segVals.count(_ > 2 * med) >= 2
-    }
+    // shows in the run's own probes — at least two segment probes of
+    // the SAME series more than 2× that series' run median (plus an
+    // absolute floor so sub-0.1 s shuffle jitter can't trip it). A
+    // single spiked probe is scheduler jitter (a 0.1 s micro-probe on
+    // 32 threads has real variance; the first full run false-positived
+    // on exactly that). BOTH series feed the rule: spinN catches
+    // CPU-stealing neighbors, shuffle catches the memory-bandwidth /
+    // scheduler contention that left spinN flat in round 11 while
+    // shuffle-bound queries ran 3× inflated. Uniformly-inflated runs
+    // show no internal disagreement at all and are caught by reading
+    // calib_pre/calib_post against the idle machine constants
+    // documented in SCALING.md.
+    def series(key: String): scala.collection.Seq[Double] =
+      segProbes.flatMap { s =>
+        ("\"" + key + "\":([0-9.]+)").r
+          .findFirstMatchIn(s).map(_.group(1).toDouble)
+      }
+    def sustained(vals: scala.collection.Seq[Double]): Boolean =
+      vals.nonEmpty && {
+        val med = vals.sorted.apply(vals.size / 2)
+        vals.count(v => v > 2 * med && v > med + 0.1) >= 2
+      }
+    val contended = sustained(series("spinN")) || sustained(series("shuffle"))
     // The driver stores only the TAIL of stdout (last ~2000 chars), so
     // the big per-query maps go FIRST and the headline numbers LAST —
     // round 5's artifact lost its warm total to exactly this

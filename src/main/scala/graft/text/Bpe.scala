@@ -206,12 +206,23 @@ object Bpe {
           .collect().map(_.getString(0))
       var rank = 1
       var done = false
+      // ADAPTIVE candidate depth: deeper lists lower the ceiling
+      // assumed for UNCOLLECTED pairs in the created-pair hazard
+      // bound, letting exact batches go deeper — but a fixed deep
+      // collect makes every pass pay a deep TakeOrdered heap + driver
+      // merge even when the hazard stops batches after 1-2 members
+      // (saturating corpora: measured 31.5 s batched vs 22.1 s
+      // sequential at 89 merges with a fixed 256). Track how much of
+      // the list each scan actually CONSUMES (EMA), collect 2× that;
+      // a scan that ran out of list without a stop signal doubles the
+      // estimate instead — the list, not the hazard, was binding.
+      // Exactness is depth-independent (the hazard ceiling adapts to
+      // whatever was collected; BpeSpec property-pins == sequential).
+      var depthEst = 32.0
       while (rank <= nMerges && !done) {
         val budget = math.min(maxBatch, nMerges - rank + 1)
-        // collect well past the budget: the deeper the list, the lower
-        // the ceiling assumed for UNCOLLECTED pairs in the created-
-        // pair hazard bound, and the deeper exact batches can go
-        val collectN = math.max(budget + 1, 256)
+        val collectN =
+          math.max(budget + 1, math.min(256, (2 * depthEst).ceil.toInt))
         val top = topPairs(cur, collectN)
         rounds += 1
         val cands = top.filter(_._3 >= minCount)
@@ -247,6 +258,10 @@ object Bpe {
             }
             i += 1
           }
+          val listBound = !stop && i >= cands.length &&
+            batch.length < budget && top.length >= collectN
+          depthEst = 0.7 * depthEst +
+            0.3 * (if (listBound) collectN * 2.0 else (i + 1).toDouble)
           val kept = batch
           kept.foreach { case (l, r, c) =>
             merges += BpeMerge(rank, l, r, c)
