@@ -218,11 +218,17 @@ object Bpe {
       // estimate instead — the list, not the hazard, was binding.
       // Exactness is depth-independent (the hazard ceiling adapts to
       // whatever was collected; BpeSpec property-pins == sequential).
-      var depthEst = 32.0
+      // NO budget-sized floor: on saturating corpora the hazard stops
+      // batches after 1-2 members and a maxBatch-deep collect every
+      // pass is pure overhead (measured 20.1 vs 17.5 s sequential with
+      // a budget+1 floor at 89 merges) — when the hazard WOULD allow
+      // deeper batches the scan drains its list, trips listBound, and
+      // the estimate doubles within a few rounds.
+      var depthEst = 16.0
       while (rank <= nMerges && !done) {
         val budget = math.min(maxBatch, nMerges - rank + 1)
         val collectN =
-          math.max(budget + 1, math.min(256, (2 * depthEst).ceil.toInt))
+          math.max(2, math.min(256, (2 * depthEst).ceil.toInt))
         val top = topPairs(cur, collectN)
         rounds += 1
         val cands = top.filter(_._3 >= minCount)
@@ -239,12 +245,19 @@ object Bpe {
             if (top.length >= collectN) top.last._3 else minCount - 1
           var hazard = 0L
           var stop = false
+          // stopped by the TRUNCATION CEILING (hazard == uncollected,
+          // no observed stale pair above it): a deeper list would have
+          // lowered the ceiling — that is a list-bound stop, not a
+          // corpus-structure stop, and must grow the collect depth
+          var ceilingStop = false
           var i = 0
           while (i < cands.length && !stop && batch.length < budget) {
             val (x, y, c) = cands(i)
             if (memberA.contains(y) || memberB.contains(x)) stop = true
-            else if (batch.nonEmpty && c <= hazard) stop = true
-            else {
+            else if (batch.nonEmpty && c <= hazard) {
+              stop = true
+              ceilingStop = hazard == uncollected && top.length >= collectN
+            } else {
               batch += cands(i)
               memberA += x; memberB += y
               // created-pair bounds for THIS member: stale (·,x) and
@@ -258,8 +271,8 @@ object Bpe {
             }
             i += 1
           }
-          val listBound = !stop && i >= cands.length &&
-            batch.length < budget && top.length >= collectN
+          val listBound = ceilingStop || (!stop && i >= cands.length &&
+            batch.length < budget && top.length >= collectN)
           depthEst = 0.7 * depthEst +
             0.3 * (if (listBound) collectN * 2.0 else (i + 1).toDouble)
           val kept = batch

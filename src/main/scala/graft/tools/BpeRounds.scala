@@ -53,6 +53,16 @@ object BpeRounds {
           .groupBy("word").agg(count(lit(1)).as("w"))
       }
     words.persist().count()
+    // warm the JVM on a tiny slice through BOTH code paths (codegen
+    // compilation, shuffle machinery, localCheckpoint setup) so the
+    // first timed run isn't charged one-time setup: on the 20 s doc
+    // corpus the comparison flipped SIGN purely on run order before
+    // this — the batched run went first and absorbed ~3-5 s of cold
+    // JVM that sequential then never paid
+    graft.text.Bpe.learnMergesFromWordCounts(
+      words.limit(50), 10, maxBatch = maxBatch)
+    graft.text.Bpe.learnMergesFromWordCounts(
+      words.limit(50), 10, maxBatch = 1)
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
       val r = f

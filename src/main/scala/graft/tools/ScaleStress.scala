@@ -847,8 +847,14 @@ object ScaleStress {
       // remainder's digit entropy grows with the corpus, so candidate
       // count — hence wall and shuffle — must track rows roughly
       // linearly, never quadratically.
-      if (opEnabled("edit_join")) {
+      // the group key `edit_join` enables all three; the per-op keys
+      // (edit_join_k1/_k2/_lookup) let a ×100 run take k=1 alone —
+      // k=2 at ×100 is output-bound at ~15.8B true pairs and measures
+      // the answer set, not the operator
+      if (opEnabled("edit_join") || opEnabled("edit_join_k1") ||
+          opEnabled("edit_join_k2") || opEnabled("edit_join_lookup")) {
         val n = 30000L * m
+        if (opEnabled("edit_join") || opEnabled("edit_join_k1"))
         rows += measureOp("edit_join", m, n) {
           graft.operators.EditJoin.selfJoin(
             spark.range(n).select(col("id"),
@@ -862,6 +868,7 @@ object ScaleStress {
         // candidate dedup holds there: shuffle rows stay ≈ input
         // fan-out (no output-sized distinct exchange, r11's 41 GB
         // ×10 spill source), wall tracks the verified-pair count.
+        if (opEnabled("edit_join") || opEnabled("edit_join_k2"))
         rows += measureOp("edit_join_k2", m, n) {
           graft.operators.EditJoin.selfJoin(
             spark.range(n).select(col("id"),
@@ -874,6 +881,7 @@ object ScaleStress {
         // neighbors, so output tracks rows linearly and the wall must
         // too (same one-sided PassJoin shuffle as the self-join,
         // minus the symmetrization)
+        if (opEnabled("edit_join") || opEnabled("edit_join_lookup"))
         rows += measureOp("edit_join_lookup", m, n) {
           graft.operators.EditJoin.join(
             spark.range(n).select(col("id"),
