@@ -162,7 +162,8 @@ object ScaleStress {
     "bpe_train", "bpe_segment", "bm25", "maxsim_rerank",
     "chunk_sliding",
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
-    "retention_cohorts", "minhash_incremental", "edit_join", "resample",
+    "retention_cohorts", "minhash_incremental", "edit_join",
+    "edit_join_k1", "edit_join_k2", "edit_join_lookup", "resample",
     "pagerank", "triangles", "ivf_append", "diverse_sample",
     "summary_hit", "summary_miss", "image_near_dup",
     "set_sim_join", "containment_join", "shard_balance",
