@@ -156,7 +156,7 @@ class EditJoinSpec extends AnyFunSuite {
           d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       d(a.length)(b.length)
     }
-    val prop = forAll(tbl, tbl, Gen.choose(1, 2)) { (ls, rs, k) =>
+    val prop = forAll(tbl, tbl, Gen.choose(1, 3)) { (ls, rs, k) =>
       val lt = ls.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       val rt = rs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       val got = EditJoin.join(lt.toDF("i", "s"), "i", "s",
@@ -231,6 +231,40 @@ class EditJoinSpec extends AnyFunSuite {
       (ia, a) <- corpus; (ib, b) <- corpus if ia < ib
       d = lev(a, b) if d <= k
     } yield (ia, ib, d)).toSet
+  }
+
+  test("FirstSegMatch kernel equals a reference implementation " +
+      "(property, incl. multi-byte code points)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import org.apache.spark.unsafe.types.UTF8String
+    // reference: smallest i whose ceil-first segment of `sa` occurs in
+    // `sb` within ±k of its canonical 1-based position (code points)
+    def ref(sa: String, sb: String, k: Int): Int = {
+      val a = sa.codePoints().toArray
+      val b = sb.codePoints().toArray
+      val n = k + 1
+      (0 to k).find { i =>
+        val st = (i * a.length + k) / n
+        val len = ((i + 1) * a.length + k) / n - st
+        len > 0 && (st + 1 - k to st + 1 + k).exists { q =>
+          q >= 1 && q + len - 1 <= b.length &&
+            b.slice(q - 1, q - 1 + len).sameElements(a.slice(st, st + len))
+        }
+      }.getOrElse(-1)
+    }
+    val word = Gen.choose(0, 9).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf("a", "b", "é", "𝄞"))
+        .map(_.mkString))
+    val prop = forAll(word, word, Gen.choose(1, 3)) { (sa, sb, k) =>
+      graft.functions.FirstSegMatch.firstMatch(
+        UTF8String.fromString(sa), UTF8String.fromString(sb), k) ==
+        ref(sa, sb, k)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200),
+      prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("maxDist=0 is rejected with a pointer to exact dedup") {

@@ -16,6 +16,23 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
 
+  test("edit joins: no cartesian, no output-keyed aggregate, and the " +
+      "pair dedup is a join residual (k=1 and k=2)") {
+    Seq("q_edit_join", "q_edit_join_k2", "q_edit_join_lookup")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+        // the candidate pipeline streams verified pairs: nothing ever
+        // aggregates or sorts on the output pair columns (that was
+        // r11's 41 GB spill at k=2 ×10)
+        assert(!p.contains("keys=[id_a") && !p.contains("keys=[left_id"),
+          s"$q:\n$p")
+        // the first-match dedup rides the plan as the native
+        // expression, not an exchange
+        assert(p.contains("first_seg_match"), s"$q:\n$p")
+      }
+  }
+
   test("semi/anti joins broadcast the filtered order keys") {
     val p = plan("q_semi_anti_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("LeftSemi") ||
