@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Edit-distance similarity self-join — the entity-resolution /
@@ -69,7 +69,13 @@ import org.apache.spark.sql.functions._
   * shuffle rows — the remaining cost driver is the answer set itself:
   * a threshold that admits thousands of neighbors per string (k ≥ 2
   * on short templated keys, say) pays for the pairs it asks for, the
-  * floor for ANY exact algorithm. When the result need not be exact,
+  * floor for ANY exact algorithm. THAT cliff is measurable BEFORE the
+  * join runs: [[estimatePairs]] predicts the candidate-join row count
+  * exactly (the joinCardinality pattern over the candidate keys —
+  * near-flat cost, no candidate join executed), and the `maxPairs`
+  * parameter on [[selfJoin]]/[[join]] turns it into a pre-flight
+  * guard that refuses loudly instead of buying a 10⁸-row answer
+  * silently. When the result need not be exact,
   * or the strings are long documents where a character budget stops
   * meaning "near-duplicate", MinHash/n-gram Jaccard candidates
   * ([[graft.dedup.Dedup]]) with edit distance as the verifier trade
@@ -79,7 +85,10 @@ import org.apache.spark.sql.functions._
   * before candidate generation (one input-sized dedup, never
   * output-sized), so the result is a SET of `(id_a, id_b, dist)`
   * rows when ids are unique per row; an id carrying several distinct
-  * strings emits one row per qualifying string pair.
+  * strings emits one row per qualifying string pair (a MULTISET per
+  * id pair — callers needing one row per id pair dedup the output
+  * themselves, paying the output-sized exchange this operator
+  * deliberately avoids).
   */
 object EditJoin {
 
@@ -95,84 +104,92 @@ object EditJoin {
     col("__i") === graft.functions.FirstSegMatch
       .first_seg_match(col("__sa"), col("__sb"), k)
 
-  /** All unordered pairs within `maxDist` edits: `(id_a, id_b, dist)`
-    * with `id_a < id_b`, `dist` the exact Levenshtein distance. Null
-    * strings never match (join semantics). */
-  def selfJoin(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, stripCommonPrefix: Boolean = true): DataFrame = {
-    require(maxDist >= 1,
-      "maxDist must be >= 1 — for exact string equality use " +
-        "Dedup.exact (one hash aggregation, no candidate stage)")
-    val k = maxDist
-    val n = k + 1 // segments per string
+  // ---------- shared candidate-generation plumbing ----------
+  // One construction site for the PassJoin frames: selfJoin, join,
+  // and estimatePairs MUST see byte-identical candidate plans, or the
+  // pre-flight would predict a different join than the one that runs.
 
-    val base0 = df.select(col(idCol).cast("long").as("__id"),
-      col(strCol).as("__s")).filter(col("__s").isNotNull)
-      .dropDuplicates("__id", "__s") // set contract: input-sized, not output-sized
+  /** ceil-first segment starts: st(i) = ceil(i*L/n) puts the LONGER
+    * (higher-entropy) segments first — on digit-suffix corpora the
+    * short trailing segment is the low-entropy one, and shorter
+    * segments mean smaller candidate buckets when they do collide. */
+  private def st(i: String, l: String, n: Int) =
+    s"(($i * $l + ${n - 1}) div $n)"
+  private def segLenE(i: String, l: String, n: Int) =
+    s"(${st(s"($i + 1)", l, n)} - ${st(i, l, n)})"
 
-    // corpus-global LCP via min/max: every string shares LCP(min, max)
-    // (strings sort lexicographically, so anything between the two
-    // extremes starts with their common prefix). Two strings reach the
-    // driver — bounded like the IVF centroid pulls. (Construction
-    // therefore runs small driver jobs, like bloomPrune's filter
-    // build — the literals must exist before the plan does.) The LCP
-    // is counted in CODE POINTS, not UTF-16 units: Spark's substring
-    // (and levenshtein) walk code points, so a char-unit count would
-    // split supplementary-plane characters and corrupt distances.
-    val base = if (stripCommonPrefix) {
-      val r = base0.agg(min("__s"), max("__s")).head()
-      val lcpLen =
-        if (r.isNullAt(0)) 0
-        else {
-          val (a, b) = (r.getString(0).codePoints().toArray,
-            r.getString(1).codePoints().toArray)
-          a.zip(b).takeWhile(t => t._1 == t._2).length
-        }
-      if (lcpLen == 0) base0
-      else base0.select(col("__id"),
-        substring(col("__s"), lcpLen + 1, Int.MaxValue).as("__s"))
-    } else base0
+  /** Canonical `(__id, __s)` prep: long-cast id, null-filter, and the
+    * set contract's input-sized dedup (never output-sized). */
+  private def prep(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+      .dropDuplicates("__id", "__s")
 
-    val withLen = base.select(col("__id"), col("__s"),
-      length(col("__s")).as("__l"))
-    val longSide = withLen.filter(col("__l") >= n)
+  /** Strip the corpus-global longest common prefix across ALL given
+    * frames (distance preservation needs the same prefix removed from
+    * each side). LCP via min/max: every string shares LCP(min, max)
+    * (strings sort lexicographically, so anything between the two
+    * extremes starts with their common prefix). Two strings reach the
+    * driver — bounded like the IVF centroid pulls. (Construction
+    * therefore runs small driver jobs, like bloomPrune's filter
+    * build — the literals must exist before the plan does.) The LCP
+    * is counted in CODE POINTS, not UTF-16 units: Spark's substring
+    * (and levenshtein) walk code points, so a char-unit count would
+    * split supplementary-plane characters and corrupt distances. */
+  private def stripLcp(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    val r = dfs.map(_.select(col("__s"))).reduce(_ unionAll _)
+      .agg(min("__s"), max("__s")).head()
+    val lcpLen =
+      if (r.isNullAt(0)) 0
+      else {
+        val (a, b) = (r.getString(0).codePoints().toArray,
+          r.getString(1).codePoints().toArray)
+        a.zip(b).takeWhile(t => t._1 == t._2).length
+      }
+    if (lcpLen == 0) dfs
+    else dfs.map(_.select(col("__id"),
+      substring(col("__s"), lcpLen + 1, Int.MaxValue).as("__s")))
+  }
 
-    // ceil-first segment starts: st(i) = ceil(i*L/n) puts the LONGER
-    // (higher-entropy) segments first — on digit-suffix corpora the
-    // short trailing segment is the low-entropy one, and shorter
-    // segments mean smaller candidate buckets when they do collide.
-    def st(i: String, l: String) = s"(($i * $l + ${n - 1}) div $n)"
-    def segLen(i: String, l: String) =
-      s"(${st(s"($i + 1)", l)} - ${st(i, l)})"
+  private def withLenOf(df: DataFrame): DataFrame =
+    df.select(col("__id"), col("__s"), length(col("__s")).as("__l"))
 
-    // build: the k+1 canonical segments of each string. The row
-    // carries the (post-strip) string itself: verification runs as a
-    // RESIDUAL on the candidate join — the banded levenshtein (3-arg,
-    // O(len·k) with early exit) — so no unverified pair ever reaches
-    // an exchange and no verification rejoin exists. The string
-    // widens the shuffle row by ~n× over the segment alone (bounded),
-    // which buys removing the candidate-distinct shuffle entirely —
-    // the right trade for entity-resolution-length strings; corpora
-    // of long documents want MinHash, not edit distance.
+  /** Build side: the k+1 canonical segments of each string —
+    * `(__id, __l, __sa, __i, __seg)`. The row carries the (post-strip)
+    * string itself: verification runs as a RESIDUAL on the candidate
+    * join — the banded levenshtein (3-arg, O(len·k) with early exit) —
+    * so no unverified pair ever reaches an exchange and no
+    * verification rejoin exists. The string widens the shuffle row by
+    * ~n× over the segment alone (bounded), which buys removing the
+    * candidate-distinct shuffle entirely — the right trade for
+    * entity-resolution-length strings; corpora of long documents want
+    * MinHash, not edit distance. */
+  private def buildFrame(longSide: DataFrame, k: Int): DataFrame = {
+    val n = k + 1
     val segArr =
       s"""transform(sequence(0, $k), i ->
-         |  substring(__s, ${st("i", "__l")} + 1, ${segLen("i", "__l")}))"""
+         |  substring(__s, ${st("i", "__l", n)} + 1, ${segLenE("i", "__l", n)}))"""
         .stripMargin
-    val build = longSide.select(col("__id"), col("__l"), col("__s"),
+    longSide.select(col("__id"), col("__l"), col("__s"),
       posexplode(expr(segArr))).toDF("__id", "__l", "__sa", "__i", "__seg")
+  }
 
-    // probe: for each segment index and each assumed build length
-    // l1 ∈ [L-k, L+k] (capped below at n — the build side has no
-    // shorter strings), every substring whose start sits within ±k of
-    // the canonical position. Invalid windows null out and filter away;
-    // array_distinct collapses windows that repeat the same key.
-    // Assumed lengths that exist on NO build string can never match —
-    // when the corpus has few distinct lengths (one tiny distinct agg,
-    // pulled only if it fits 64 values — fixed-format corpora
-    // typically have exactly one), they embed as an IN-list and prune
-    // probe fan-out by ~(2k+1)× before the shuffle.
+  /** Probe side: for each segment index and each assumed build length
+    * l1 ∈ [L-k, L+k] (capped below at n — the build side has no
+    * shorter strings), every substring whose start sits within ±k of
+    * the canonical position — `(__id, __sb, __i, __l1, __seg)`.
+    * Invalid windows null out and filter away; array_distinct
+    * collapses windows that repeat the same key. Assumed lengths that
+    * exist on NO build string can never match — when the build corpus
+    * has few distinct lengths (one tiny distinct agg, pulled only if
+    * it fits 64 values — fixed-format corpora typically have exactly
+    * one), they embed as an IN-list and prune probe fan-out by
+    * ~(2k+1)× before the shuffle. */
+  private def probeFrame(probeSide: DataFrame, buildLens: DataFrame,
+      k: Int): DataFrame = {
+    val n = k + 1
     val lenFilter = {
-      val ls = longSide.select(col("__l")).distinct().limit(65)
+      val ls = buildLens.select(col("__l")).distinct().limit(65)
         .collect().map(_.getInt(0))
       if (ls.length <= 64 && ls.nonEmpty)
         s"filter(sequence(greatest(__l - $k, $n), __l + $k), " +
@@ -182,18 +199,141 @@ object EditJoin {
     val probeArr =
       s"""flatten(flatten(transform(sequence(0, $k), i ->
          |  transform($lenFilter, l1 ->
-         |    filter(transform(sequence(${st("i", "l1")} + 1 - $k,
-         |                              ${st("i", "l1")} + 1 + $k), q ->
+         |    filter(transform(sequence(${st("i", "l1", n)} + 1 - $k,
+         |                              ${st("i", "l1", n)} + 1 + $k), q ->
          |      CASE WHEN q >= 1
-         |             AND q + ${segLen("i", "l1")} - 1 <= __l
+         |             AND q + ${segLenE("i", "l1", n)} - 1 <= __l
          |           THEN named_struct('i', i, 'l1', l1,
-         |             'seg', substring(__s, q, ${segLen("i", "l1")}))
+         |             'seg', substring(__s, q, ${segLenE("i", "l1", n)}))
          |      END), x -> x IS NOT NULL)))))""".stripMargin
-    val probe = longSide
+    probeSide
       .select(col("__id"), col("__s").as("__sb"),
         explode(array_distinct(expr(probeArr))).as("__p"))
       .select(col("__id"), col("__sb"), col("__p.i").as("__i"),
         col("__p.l1").as("__l1"), col("__p.seg").as("__seg"))
+  }
+
+  /** EXACT candidate-join cardinality from per-key counts (the
+    * [[graft.operators.Joins.joinCardinality]] pattern on the
+    * candidate keys): Σ over matching `(segIdx, length, segment)`
+    * buckets of cBuild·cProbe — computed WITHOUT running the
+    * candidate join, from two map-side-combined aggregations plus a
+    * distinct-key-sized join. */
+  private def candidateCardinality(build: DataFrame,
+      probe: DataFrame): DataFrame = {
+    val cb = build.groupBy(col("__i"), col("__l"), col("__seg"))
+      .agg(count(lit(1)).as("__cb"))
+    val cp = probe.groupBy(col("__i"), col("__l1").as("__l"), col("__seg"))
+      .agg(count(lit(1)).as("__cp"))
+    cb.join(cp, Seq("__i", "__l", "__seg"))
+      .agg(coalesce(sum(col("__cb") * col("__cp")), lit(0L))
+          .as("candidate_pairs"),
+        count(lit(1)).as("matching_keys"),
+        coalesce(max(col("__cb") * col("__cp")), lit(0L))
+          .as("max_key_product"))
+  }
+
+  private def enforceMaxPairs(op: String, estimate: DataFrame,
+      maxPairs: Option[Long]): Unit = maxPairs.foreach { cap =>
+    val r: Row = estimate.head()
+    val cand = r.getLong(0)
+    require(cand <= cap,
+      s"EditJoin.$op pre-flight: estimated $cand candidate pairs " +
+        s"(max single-bucket product ${r.getLong(2)} over " +
+        s"${r.getLong(1)} matching keys) exceeds maxPairs=$cap. " +
+        "The answer set itself is this large — a low-entropy string " +
+        "column at this maxDist. Lower maxDist, raise maxPairs, or " +
+        "use MinHash/n-gram candidates with an edit-distance " +
+        "verifier (graft.dedup.Dedup) for a tunable candidate budget.")
+  }
+
+  /** Answer-set pre-flight for [[selfJoin]]: the EXACT number of
+    * candidate rows the PassJoin equi-join would produce at this
+    * `maxDist` — the operator's true cost driver (verification,
+    * first-match residual, and output are all bounded by it) —
+    * WITHOUT running the join. One row:
+    * `(candidate_pairs, matching_keys, max_key_product)`;
+    * `max_key_product` names the skew (one templated bucket holding
+    * everything reads as max ≈ total). Cost: the build/probe
+    * explodes feed two map-side-combined per-key counts (shuffle =
+    * distinct candidate keys, not candidate rows) and a distinct-key
+    * join — near-flat in the answer size, linear in input rows (the
+    * same shape as `Joins.joinCardinality`, measured near-flat at 20M
+    * rows, SCALING.md join_cardinality).
+    *
+    * Reading the number: candidates count BOTH orientations of each
+    * qualifying pair plus every string's self-matches and the
+    * equi-key collisions the banded verifier later rejects — an upper
+    * bound ≥ 2·|pairs| + (k+1)·|rows|, and on templated corpora a
+    * small constant factor above the true answer set (spec-pinned on
+    * the SCALING.md edit_join fixture family). A 10⁸-plus estimate
+    * means the ANSWER is answer-set-sized: no exact algorithm runs it
+    * meaningfully faster. Scope: prices the LONG (pigeonhole) path —
+    * the one that cliffs; strings shorter than maxDist+1 post-strip
+    * pair through the alphabet-bounded value path, whose cost is
+    * bounded by the distinct short values, not the corpus. */
+  def estimatePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, stripCommonPrefix: Boolean = true): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val k = maxDist
+    val base0 = prep(df, idCol, strCol)
+    val base = if (stripCommonPrefix) stripLcp(Seq(base0)).head else base0
+    val longSide = withLenOf(base).filter(col("__l") >= k + 1)
+    candidateCardinality(buildFrame(longSide, k),
+      probeFrame(longSide, longSide, k))
+  }
+
+  /** Cross-table variant of [[estimatePairs]] — the pre-flight for
+    * [[join]] (build = left canonical segments, probe = right
+    * windowed substrings, exactly the frames the join would shuffle). */
+  def estimatePairs(left: DataFrame, leftIdCol: String, leftStrCol: String,
+      right: DataFrame, rightIdCol: String, rightStrCol: String,
+      maxDist: Int, stripCommonPrefix: Boolean): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val k = maxDist
+    val l0 = prep(left, leftIdCol, leftStrCol)
+    val r0 = prep(right, rightIdCol, rightStrCol)
+    val (lBase, rBase) = if (stripCommonPrefix) {
+      val s = stripLcp(Seq(l0, r0)); (s(0), s(1))
+    } else (l0, r0)
+    val lLong = withLenOf(lBase).filter(col("__l") >= k + 1)
+    val rLong = withLenOf(rBase).filter(col("__l") >= k + 1)
+    candidateCardinality(buildFrame(lLong, k), probeFrame(rLong, lLong, k))
+  }
+
+  /** All unordered pairs within `maxDist` edits: `(id_a, id_b, dist)`
+    * with `id_a < id_b`, `dist` the exact Levenshtein distance. Null
+    * strings never match (join semantics).
+    *
+    * `maxPairs`: optional answer-set guard — when set, the
+    * [[estimatePairs]] pre-flight runs first (a small aggregate job)
+    * and the call REFUSES (IllegalArgumentException carrying the
+    * estimate) if the predicted candidate count exceeds it, so
+    * maxDist=2 on a templated short-string column fails loud instead
+    * of 283-seconds-later. None (the default) skips the pre-flight
+    * entirely — zero overhead. */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, stripCommonPrefix: Boolean = true,
+      maxPairs: Option[Long] = None): DataFrame = {
+    require(maxDist >= 1,
+      "maxDist must be >= 1 — for exact string equality use " +
+        "Dedup.exact (one hash aggregation, no candidate stage)")
+    val k = maxDist
+    val n = k + 1 // segments per string
+
+    val base0 = prep(df, idCol, strCol)
+    val base = if (stripCommonPrefix) stripLcp(Seq(base0)).head else base0
+
+    val withLen = withLenOf(base)
+    val longSide = withLen.filter(col("__l") >= n)
+
+    enforceMaxPairs("selfJoin",
+      candidateCardinality(buildFrame(longSide, k),
+        probeFrame(longSide, longSide, k)),
+      maxPairs)
+
+    val build = buildFrame(longSide, k)
+    val probe = probeFrame(longSide, longSide, k)
 
     // candidate equi-join on (segIdx, length, segment), ONE orientation
     // only (buildId < probeId — the pigeonhole holds both ways, so the
@@ -292,81 +432,40 @@ object EditJoin {
     * needs the same prefix removed from each). Strings too short to
     * pigeonhole pair through distinct values with the length-band
     * equi-join, in both orientations (either side may be the short
-    * one); the min-length guard keeps the paths disjoint. */
+    * one); the min-length guard keeps the paths disjoint.
+    *
+    * `maxPairs`: optional answer-set guard, as on [[selfJoin]] —
+    * refuses (with the [[estimatePairs]] prediction) rather than run
+    * a join whose candidate count exceeds it; None skips the
+    * pre-flight. */
   def join(left: DataFrame, leftIdCol: String, leftStrCol: String,
       right: DataFrame, rightIdCol: String, rightStrCol: String,
-      maxDist: Int, stripCommonPrefix: Boolean = true): DataFrame = {
+      maxDist: Int, stripCommonPrefix: Boolean = true,
+      maxPairs: Option[Long] = None): DataFrame = {
     require(maxDist >= 1,
       "maxDist must be >= 1 — for exact matching use a plain equi-join")
     val k = maxDist
     val n = k + 1
 
-    val l0 = left.select(col(leftIdCol).cast("long").as("__id"),
-      col(leftStrCol).as("__s")).filter(col("__s").isNotNull)
-      .dropDuplicates("__id", "__s")
-    val r0 = right.select(col(rightIdCol).cast("long").as("__id"),
-      col(rightStrCol).as("__s")).filter(col("__s").isNotNull)
-      .dropDuplicates("__id", "__s")
+    val l0 = prep(left, leftIdCol, leftStrCol)
+    val r0 = prep(right, rightIdCol, rightStrCol)
 
     val (lBase, rBase) = if (stripCommonPrefix) {
-      val row = l0.select(col("__s")).unionAll(r0.select(col("__s")))
-        .agg(min("__s"), max("__s")).head()
-      val lcpLen =
-        if (row.isNullAt(0)) 0
-        else {
-          val (a, b) = (row.getString(0).codePoints().toArray,
-            row.getString(1).codePoints().toArray)
-          a.zip(b).takeWhile(t => t._1 == t._2).length
-        }
-      if (lcpLen == 0) (l0, r0)
-      else {
-        def strip(df: DataFrame) = df.select(col("__id"),
-          substring(col("__s"), lcpLen + 1, Int.MaxValue).as("__s"))
-        (strip(l0), strip(r0))
-      }
+      val s = stripLcp(Seq(l0, r0)); (s(0), s(1))
     } else (l0, r0)
 
-    val lLen = lBase.select(col("__id"), col("__s"),
-      length(col("__s")).as("__l"))
-    val rLen = rBase.select(col("__id"), col("__s"),
-      length(col("__s")).as("__l"))
+    val lLen = withLenOf(lBase)
+    val rLen = withLenOf(rBase)
     val lLong = lLen.filter(col("__l") >= n)
     val rLong = rLen.filter(col("__l") >= n)
 
-    def st(i: String, l: String) = s"(($i * $l + ${n - 1}) div $n)"
-    def segLen(i: String, l: String) =
-      s"(${st(s"($i + 1)", l)} - ${st(i, l)})"
+    enforceMaxPairs("join",
+      candidateCardinality(buildFrame(lLong, k),
+        probeFrame(rLong, lLong, k)),
+      maxPairs)
 
-    val segArr =
-      s"""transform(sequence(0, $k), i ->
-         |  substring(__s, ${st("i", "__l")} + 1, ${segLen("i", "__l")}))"""
-        .stripMargin
-    val build = lLong.select(col("__id"), col("__l"), col("__s"),
-      posexplode(expr(segArr))).toDF("__id", "__l", "__sa", "__i", "__seg")
-
-    val lenFilter = {
-      val ls = lLong.select(col("__l")).distinct().limit(65)
-        .collect().map(_.getInt(0))
-      if (ls.length <= 64 && ls.nonEmpty)
-        s"filter(sequence(greatest(__l - $k, $n), __l + $k), " +
-          s"l1 -> l1 IN (${ls.sorted.mkString(",")}))"
-      else s"sequence(greatest(__l - $k, $n), __l + $k)"
-    }
-    val probeArr =
-      s"""flatten(flatten(transform(sequence(0, $k), i ->
-         |  transform($lenFilter, l1 ->
-         |    filter(transform(sequence(${st("i", "l1")} + 1 - $k,
-         |                              ${st("i", "l1")} + 1 + $k), q ->
-         |      CASE WHEN q >= 1
-         |             AND q + ${segLen("i", "l1")} - 1 <= __l
-         |           THEN named_struct('i', i, 'l1', l1,
-         |             'seg', substring(__s, q, ${segLen("i", "l1")}))
-         |      END), x -> x IS NOT NULL)))))""".stripMargin
-    val probe = rLong
-      .select(col("__id"), col("__s").as("__sb"),
-        explode(array_distinct(expr(probeArr))).as("__p"))
-      .select(col("__id"), col("__sb"), col("__p.i").as("__i"),
-        col("__p.l1").as("__l1"), col("__p.seg").as("__seg"))
+    val build = buildFrame(lLong, k)
+    val probe = probeFrame(rLong, lLong, k)
 
     // first-match candidate dedup, as in selfJoin: emit each
     // (left, right) pair only for the lowest matching segment index —

@@ -163,7 +163,8 @@ object ScaleStress {
     "chunk_sliding",
     "semantic_dedup", "scd2_historize", "rag_search", "funnel",
     "retention_cohorts", "minhash_incremental", "edit_join",
-    "edit_join_k1", "edit_join_k2", "edit_join_lookup", "resample",
+    "edit_join_k1", "edit_join_k2", "edit_join_lookup",
+    "edit_join_preflight", "resample",
     "pagerank", "triangles", "ivf_append", "diverse_sample",
     "summary_hit", "summary_miss", "image_near_dup",
     "set_sim_join", "containment_join", "shard_balance",
@@ -853,8 +854,20 @@ object ScaleStress {
       // k=2 at ×100 is output-bound at ~15.8B true pairs and measures
       // the answer set, not the operator
       if (opEnabled("edit_join") || opEnabled("edit_join_k1") ||
-          opEnabled("edit_join_k2") || opEnabled("edit_join_lookup")) {
+          opEnabled("edit_join_k2") || opEnabled("edit_join_lookup") ||
+          opEnabled("edit_join_preflight")) {
         val n = 30000L * m
+        // the answer-set pre-flight at the CLIFF threshold (k=2): two
+        // map-side-combined per-key counts + a distinct-key join —
+        // wall must stay near-flat (input-linear scan, key-sized
+        // shuffle) while the k=2 join it prices is output-bound
+        if (opEnabled("edit_join") || opEnabled("edit_join_preflight"))
+        rows += measureOp("edit_join_preflight", m, n) {
+          graft.operators.EditJoin.estimatePairs(
+            spark.range(n).select(col("id"),
+              format_string("user-%08d", col("id")).as("name")),
+            "id", "name", maxDist = 2)
+        }
         if (opEnabled("edit_join") || opEnabled("edit_join_k1"))
         rows += measureOp("edit_join", m, n) {
           graft.operators.EditJoin.selfJoin(

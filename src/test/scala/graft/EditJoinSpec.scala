@@ -267,6 +267,78 @@ class EditJoinSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("estimatePairs pins the k=2 answer-set cliff on the " +
+      "SCALING.md edit_join fixture family (shrunk)") {
+    // the ×10 matrix fixture (30000·m templated user-%08d ids) shrunk
+    // to test scale; at ×10, k=2 the measured answer is 157,903,308
+    // true pairs — the cliff the pre-flight must price BEFORE running
+    val n = 3000L
+    val df = spark.range(n).select(col("id"),
+      format_string("user-%08d", col("id")).as("name"))
+    val actual = EditJoin.selfJoin(df, "id", "name", maxDist = 2).count()
+    val est = EditJoin.estimatePairs(df, "id", "name", maxDist = 2).head()
+    val cand = est.getLong(0)
+    info(s"actual pairs=$actual estimated candidates=$cand " +
+      s"keys=${est.getLong(1)} maxKeyProduct=${est.getLong(2)}")
+    // candidates bound the answer from above: both orientations of
+    // every true pair plus self-matches and verifier-rejected
+    // equi-key collisions — never below 2·pairs + (k+1)·rows ...
+    assert(cand >= 2 * actual + 3 * n)
+    // ... and within a small constant factor of the answer set on the
+    // templated family (the estimate must PRICE the cliff, not just
+    // upper-bound it into uselessness)
+    assert(cand <= 40 * actual, s"estimate $cand vs $actual pairs")
+  }
+
+  test("estimatePairs tracks the answer set across k, not just corpus " +
+      "size — k=1 estimate is far below k=2 on the same corpus") {
+    val df = spark.range(3000L).select(col("id"),
+      format_string("user-%08d", col("id")).as("name"))
+    val e1 = EditJoin.estimatePairs(df, "id", "name", 1).head().getLong(0)
+    val e2 = EditJoin.estimatePairs(df, "id", "name", 2).head().getLong(0)
+    info(s"k=1 est=$e1  k=2 est=$e2")
+    assert(e2 > 4 * e1, s"k=2 ($e2) should dwarf k=1 ($e1)")
+  }
+
+  test("maxPairs guard: refuses loudly above the cap, transparent " +
+      "below it (selfJoin and cross-table join)") {
+    val df = spark.range(500L).select(col("id"),
+      format_string("user-%08d", col("id")).as("name"))
+    val err = intercept[IllegalArgumentException] {
+      EditJoin.selfJoin(df, "id", "name", maxDist = 2,
+        stripCommonPrefix = true, maxPairs = Some(100L))
+    }
+    assert(err.getMessage.contains("maxPairs=100") &&
+      err.getMessage.contains("estimated"), err.getMessage)
+    // under the cap: result identical to the unguarded run
+    val free = EditJoin.selfJoin(df, "id", "name", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val guarded = EditJoin.selfJoin(df, "id", "name", 1,
+        stripCommonPrefix = true, maxPairs = Some(Long.MaxValue))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(guarded == free && free.nonEmpty)
+
+    // NB the guard prices the LONG-path candidate join (the cliff);
+    // k=1 keeps the catalog remainders long enough to pigeonhole —
+    // at k=2 this fixture's post-strip catalog strings fall entirely
+    // into the alphabet-bounded short-value path and the long-path
+    // estimate is legitimately 0
+    val cat = spark.range(250L).select(col("id"),
+      expr("substring(format_string('user-%08d', id), 1, 12)").as("name"))
+    val err2 = intercept[IllegalArgumentException] {
+      EditJoin.join(df, "id", "name", cat, "id", "name", maxDist = 1,
+        stripCommonPrefix = true, maxPairs = Some(10L))
+    }
+    assert(err2.getMessage.contains("maxPairs=10"), err2.getMessage)
+    val est = EditJoin.estimatePairs(df, "id", "name",
+      cat, "id", "name", 1, stripCommonPrefix = true).head().getLong(0)
+    val lookupPairs = EditJoin.join(df, "id", "name",
+      cat, "id", "name", 1, stripCommonPrefix = true,
+      maxPairs = Some(est)).count() // estimate itself is a valid cap
+    assert(lookupPairs > 0)
+    assert(est >= lookupPairs, s"est $est < actual $lookupPairs")
+  }
+
   test("maxDist=0 is rejected with a pointer to exact dedup") {
     val err = intercept[IllegalArgumentException] {
       EditJoin.selfJoin(Seq(1L -> "a").toDF("id", "s"), "id", "s", 0)
