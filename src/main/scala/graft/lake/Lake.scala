@@ -299,10 +299,11 @@ object Lake {
     * (Spark marks any explicit-LOCATION table EXTERNAL). Registration
     * is idempotent create-or-replace — re-pointing a name at a new
     * path is a metadata-only operation, exactly how a Spectrum DDL
-    * migration works — and therefore refuses to replace a MANAGED
-    * table of the same name (dropping one deletes its data, which
-    * would silently break the "drop never deletes" contract; migrate
-    * or rename the managed table explicitly instead). The schema
+    * migration works — and therefore only ever replaces an EXTERNAL
+    * table: a MANAGED one refuses (dropping it deletes its data,
+    * silently breaking the "drop never deletes" contract), and so do
+    * views and anything else the name may resolve to (fail closed;
+    * migrate or rename explicitly instead). The schema
     * comes from the files (parquet/orc self-describe); partition
     * columns in the path layout are discovered by the file index as
     * usual. Identifiers are schema-validated before interpolation
@@ -321,9 +322,16 @@ object Lake {
       val kind = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
         .filter(col("col_name") === "Type")
         .collect().headOption.map(_.getString(1)).getOrElse("")
-      require(!kind.equalsIgnoreCase("MANAGED"),
-        s"refusing to replace MANAGED table $table: dropping it would " +
-          "delete its data; drop or rename it explicitly first")
+      // only an EXTERNAL table is re-pointable: a MANAGED table's
+      // DROP deletes its data, a VIEW (or a same-name temp view,
+      // which reports no Type row) would hit DROP TABLE with a
+      // confusing resolution — an allowlist fails closed on every
+      // kind this DDL wasn't written for
+      require(kind.equalsIgnoreCase("EXTERNAL"),
+        s"refusing to replace $table (catalog type " +
+          s"'${if (kind.isEmpty) "view/unknown" else kind}'): only " +
+          "EXTERNAL tables are re-pointable; drop or rename it " +
+          "explicitly first")
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
     spark.sql(s"CREATE TABLE $table USING $format LOCATION '$location'")

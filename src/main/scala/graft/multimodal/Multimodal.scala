@@ -344,8 +344,16 @@ object Multimodal {
     * lives elsewhere) are skipped; None when nothing valid remains. */
   private[graft] def mp4FrameSlices(bytes: Array[Byte], n: Int)
       : Option[IndexedSeq[Array[Byte]]] =
+    mp4SampleTable(bytes).flatMap(st => mp4FrameSlices(bytes, n, st))
+
+  /** Overload threading an ALREADY-PARSED sample table so callers
+    * that parsed the moov once ([[mp4DecodedFrames]],
+    * [[extractFeatures]]' video arm) don't walk the same header
+    * again per row. */
+  private[graft] def mp4FrameSlices(bytes: Array[Byte], n: Int,
+      st: Mp4SampleTable): Option[IndexedSeq[Array[Byte]]] =
     if (n <= 0) None
-    else mp4SampleTable(bytes).flatMap { st =>
+    else {
       val cand: IndexedSeq[Int] = st.syncs match {
         case Some(ss) => ss.iterator.map(_ - 1)
           .filter(i => i >= 0 && i < st.sizes.length).toIndexedSeq
@@ -381,10 +389,17 @@ object Multimodal {
     * filterable, the caller falls back to container-level features. */
   private[graft] def mp4DecodedFrames(bytes: Array[Byte], n: Int)
       : Option[IndexedSeq[java.awt.image.BufferedImage]] =
-    mp4SampleTable(bytes) match {
+    mp4DecodedFrames(bytes, n, mp4SampleTable(bytes))
+
+  /** Overload over an already-parsed sample table — one moov walk per
+    * row no matter how many stages consume it. */
+  private[graft] def mp4DecodedFrames(bytes: Array[Byte], n: Int,
+      table: Option[Mp4SampleTable])
+      : Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    table match {
       case Some(st) if st.codec.exists(c =>
           c == "jpeg" || c == "mjpa" || c == "mjpb") =>
-        mp4FrameSlices(bytes, n).flatMap { slices =>
+        mp4FrameSlices(bytes, n, st).flatMap { slices =>
           val imgs = slices.flatMap { s =>
             try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(s)))
@@ -701,9 +716,13 @@ object Multimodal {
         val feat = m.kind match {
           case "image" => imageFeatures(bytes)
           case "audio" => audioFeatures(bytes)
-          case "video" => videoFrameFeatures(bytes)
-            .orElse(mjpegFrameFeatures(bytes))
-            .orElse(mp4Features(bytes))
+          case "video" => videoFrameFeatures(bytes).orElse {
+            // parse the moov ONCE; both MP4 stages share the table
+            // (the GIF path above never reaches here for MP4 bytes)
+            val st = mp4SampleTable(bytes)
+            mjpegFrameFeatures(bytes, 4, st)
+              .orElse(mp4Features(bytes, st))
+          }
           case _ => None
         }
         MediaFeatures(m.media_id, m.kind, bytes.length,
@@ -779,7 +798,11 @@ object Multimodal {
     * falls back to [[mp4Features]]' container/sample-table gates). */
   private[graft] def mjpegFrameFeatures(bytes: Array[Byte],
       frames: Int = 4): Option[Array[Float]] =
-    mp4DecodedFrames(bytes, frames).flatMap(imgs =>
+    mjpegFrameFeatures(bytes, frames, mp4SampleTable(bytes))
+
+  private[graft] def mjpegFrameFeatures(bytes: Array[Byte], frames: Int,
+      table: Option[Mp4SampleTable]): Option[Array[Float]] =
+    mp4DecodedFrames(bytes, frames, table).flatMap(imgs =>
       meanFrameFeatures(imgs.flatMap(imageFeaturesOf)))
 
   /** Element-wise mean over per-frame feature vectors. */
@@ -804,8 +827,11 @@ object Multimodal {
     * resolution / fps / bitrate / keyframe-density gates a
     * video-curation pipeline filters on before any codec runs. */
   private[graft] def mp4Features(bytes: Array[Byte]): Option[Array[Float]] =
+    mp4Features(bytes, mp4SampleTable(bytes))
+
+  private[graft] def mp4Features(bytes: Array[Byte],
+      st: Option[Mp4SampleTable]): Option[Array[Float]] =
     parseMp4(bytes).map { meta =>
-      val st = mp4SampleTable(bytes)
       val n = st.map(_.sizes.length).getOrElse(0)
       val meanSize =
         if (n > 0) st.get.sizes.sum.toDouble / n else 0.0

@@ -271,8 +271,15 @@ object Bpe {
             }
             i += 1
           }
+          // exhaustion counts as list-bound only when the collected
+          // list was truly drained (cands.length == top.length): if
+          // the minCount filter truncated cands, everything below the
+          // collected window is ALSO below minCount (top is sorted by
+          // count), so a deeper collect cannot yield more eligible
+          // candidates and doubling depth would chase nothing
           val listBound = ceilingStop || (!stop && i >= cands.length &&
-            batch.length < budget && top.length >= collectN)
+            batch.length < budget && top.length >= collectN &&
+            cands.length == top.length)
           depthEst = 0.7 * depthEst +
             0.3 * (if (listBound) collectN * 2.0 else (i + 1).toDouble)
           val kept = batch

@@ -228,6 +228,25 @@ class LakeSpec extends AnyFunSuite {
     Lake.registerExternalTable(spark, "ext_replace_ok", dir)
     assert(spark.table("ext_replace_ok").count() == 1)
     spark.sql("DROP TABLE ext_replace_ok")
+    // the guard is an ALLOWLIST (only EXTERNAL is re-pointable): a
+    // persistent VIEW of the same name refuses instead of falling
+    // through to a confusing DROP TABLE resolution ...
+    spark.sql("DROP VIEW IF EXISTS ext_view_clash")
+    spark.sql("CREATE VIEW ext_view_clash AS SELECT 1 AS one")
+    val errView = intercept[IllegalArgumentException] {
+      Lake.registerExternalTable(spark, "ext_view_clash", dir)
+    }
+    assert(errView.getMessage.contains("only EXTERNAL"), errView.getMessage)
+    assert(spark.table("ext_view_clash").count() == 1)
+    spark.sql("DROP VIEW ext_view_clash")
+    // ... and so does a same-name TEMP view (tableExists sees it but
+    // DESCRIBE EXTENDED reports no Type row — the empty-kind case)
+    Seq((1L, "t")).toDF("k", "v").createOrReplaceTempView("ext_temp_clash")
+    val errTemp = intercept[IllegalArgumentException] {
+      Lake.registerExternalTable(spark, "ext_temp_clash", dir)
+    }
+    assert(errTemp.getMessage.contains("only EXTERNAL"), errTemp.getMessage)
+    spark.catalog.dropTempView("ext_temp_clash")
   }
 
   test("landing CSV write with header round-trips") {
