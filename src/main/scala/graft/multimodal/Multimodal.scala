@@ -28,11 +28,15 @@ import org.apache.spark.sql.types._
   * [[mp4DecodedFrames]] yields real video PIXELS too. For
   * inter-frame codecs (avc1/hevc) the demux boundary is where the
   * pure-JRE guarantee ends — pixel decode there needs a codec
-  * runtime. Bytes no decode path claims fall back to a DETERMINISTIC
-  * HASH EMBEDDING ([[hashEmbedding]]) — a documented extension point:
-  * a learned-embedding model runtime slots in behind the same
-  * signature (this container ships none), and the hash fold keeps
-  * the fallback filterable and reproducible rather than null.
+  * runtime. Bytes no decode path claims fall back to the pluggable
+  * [[ByteEmbedder]] lane — default: the DETERMINISTIC HASH EMBEDDING
+  * ([[hashEmbedding]]), which keeps the fallback filterable and
+  * reproducible rather than null. A learned-embedding model runtime
+  * slots in as another ByteEmbedder without touching callers; the
+  * seam is exercised with real learned weights by
+  * [[ByteEmbedders.trainLinear]] (a logistic head over deterministic
+  * byte statistics, trained by the engine's own gradient loop — this
+  * container ships no external model runtime).
   */
 object Multimodal {
 
@@ -697,7 +701,17 @@ object Multimodal {
     * deterministic 8-float hash fold ([[hashEmbedding]] — the
     * documented learned-model extension point). */
   def extractFeatures(spark: SparkSession,
-      media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+      media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+    extractFeatures(spark, media, HashByteEmbedder)
+
+  /** As above, with the unknown-bytes lane supplied by the caller —
+    * the [[ByteEmbedder]] seam: a learned-model runtime (or the
+    * in-repo [[ByteEmbedders.trainLinear]] linear head) replaces the
+    * hash fold without any other call site changing. The embedder is
+    * Serializable and ships with the closure, like broadcast
+    * centroids. */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRecord],
+      embedder: ByteEmbedder): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
       // mapPartitions so a model-based implementation can hoist its
@@ -726,7 +740,7 @@ object Multimodal {
           case _ => None
         }
         MediaFeatures(m.media_id, m.kind, bytes.length,
-          feat.getOrElse(hashEmbedding(bytes)))
+          feat.getOrElse(embedder.embed(bytes)))
       }
     }
   }
@@ -930,10 +944,11 @@ object Multimodal {
   /** Hash-embedding fallback for bytes no real decode path claims: a
     * deterministic 8-float xorshift fold — filterable, reproducible,
     * and engine-independent, which is what a curation pipeline needs
-    * from its "unknown bytes" lane. This signature is the documented
-    * EXTENSION POINT for a learned-embedding model runtime (ONNX/JNI
-    * bindings slot in behind it unchanged); this container ships no
-    * model runtime, deliberately — see SCALING.md's multimodal
+    * from its "unknown bytes" lane. The EXTENSION POINT is the
+    * [[ByteEmbedder]] trait this implements ([[HashByteEmbedder]]):
+    * ONNX/JNI bindings slot in behind it unchanged, and
+    * [[ByteEmbedders.trainLinear]] demonstrates the swap with real
+    * in-repo learned weights — see SCALING.md's multimodal
     * disclosure. */
   private[graft] def hashEmbedding(bytes: Array[Byte]): Array[Float] = {
     val feat = new Array[Float](8)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{ByteEmbedders, Multimodal}
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -56,6 +56,41 @@ class MultimodalSpec extends AnyFunSuite {
     val plan = Multimodal.extractFeatures(spark, media)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("ByteEmbedder seam: a LEARNED linear head trained in-repo slots " +
+      "behind extractFeatures without touching claimed decode paths") {
+    // labeled corpus: ASCII text vs seeded pseudo-random binary — the
+    // separation any bytes-only "is this text-like?" head must learn
+    def textBytes(i: Int): Array[Byte] =
+      (s"the quick brown fox $i jumps over the lazy dog, " * 8)
+        .getBytes("UTF-8")
+    def binBytes(i: Int): Array[Byte] = {
+      val r = new scala.util.Random(i * 7919L + 13)
+      val b = new Array[Byte](400); r.nextBytes(b); b
+    }
+    val labeled = ((0 until 40).map(i => (textBytes(i), 1)) ++
+      (0 until 40).map(i => (binBytes(i), 0))).toDF("bytes", "label")
+    val learned = ByteEmbedders.trainLinear(spark, labeled)
+    // real learned weights separate HELD-OUT samples
+    val pText = learned.embed(textBytes(999))(0)
+    val pBin = learned.embed(binBytes(999))(0)
+    assert(pText > 0.7 && pBin < 0.3, s"pText=$pText pBin=$pBin")
+
+    // seam swap: default run = hash lane; learned run = learned lane —
+    // ONLY on the unclaimed row (media_id 3: non-container "video"
+    // bytes); the decoded image row is identical under both embedders
+    val base = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    val swapped = Multimodal.extractFeatures(spark, media, learned)
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    val vidBytes = ("frame" * 50).getBytes("UTF-8")
+    assert(base(3L) == Multimodal.hashEmbedding(vidBytes).toSeq)
+    assert(swapped(3L) == learned.embed(vidBytes).toSeq)
+    assert(swapped(3L) != base(3L))
+    assert(swapped(1L) == base(1L), "decoded image path must not change")
+    // shape contract holds across lanes
+    assert(swapped.values.forall(_.size == 8))
   }
 
   test("image and audio features are REAL content statistics") {
