@@ -2157,6 +2157,71 @@ object ExtensionQueries {
              |ON a.s_suppkey < b.s_suppkey
              |WHERE levenshtein(a.s_name, b.s_name) <= 2""".stripMargin)),
 
+    // answer-set pre-flight for the edit join (EditJoin.estimatePairs,
+    // k=1 on the same customer-name corpus as q_edit_join): the EXACT
+    // candidate-join cardinality from per-key counts, WITHOUT running
+    // the join — the number the maxPairs guard gates on. The oracle
+    // replays the whole construction in SQL: code-point LCP strip via
+    // min/max, ceil-first canonical segments (build), ±k shifted
+    // substrings per banded assumed length (probe, DISTINCT per id =
+    // array_distinct), then Σ/count/max over per-key count products.
+    // DuckDB's generate_series takes no lateral column bounds, so the
+    // length band is the relative form l1 = len + d2 (identical set)
+    // and the LCP scan is bounded at 512 chars (names are far
+    // shorter); the Spark-side length IN-list prune is invisible to
+    // the result (non-build lengths match zero build keys).
+    QueryDef("q_edit_join_preflight",
+      (s, d) => graft.operators.EditJoin
+        .estimatePairs(Tables.customer(s, d), "c_custkey", "c_name",
+          maxDist = 1),
+      Some("""WITH base AS (
+             |  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id,
+             |    c_name AS s
+             |  FROM customer WHERE c_name IS NOT NULL),
+             |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM base),
+             |lcp AS (SELECT COALESCE(MAX(i), 0) AS l
+             |  FROM generate_series(1, 512) t(i)
+             |  WHERE i <= (SELECT least(len(mn), len(mx)) FROM mm)
+             |    AND (SELECT substr(mn, 1, CAST(i AS INTEGER)) FROM mm)
+             |      = (SELECT substr(mx, 1, CAST(i AS INTEGER)) FROM mm)),
+             |lng AS (
+             |  SELECT id, s, len(s) AS ln FROM (
+             |    SELECT id,
+             |      substr(s, CAST((SELECT l FROM lcp) AS INTEGER) + 1)
+             |        AS s
+             |    FROM base) st
+             |  WHERE len(s) >= 2),
+             |build AS (
+             |  SELECT i, ln AS l,
+             |    substr(s, CAST((i*ln + 1)//2 AS INTEGER) + 1,
+             |      CAST(((i+1)*ln + 1)//2 - (i*ln + 1)//2 AS INTEGER))
+             |      AS seg
+             |  FROM lng, generate_series(0, 1) g(i)),
+             |probe AS (
+             |  SELECT DISTINCT id, i, l1,
+             |    substr(s, CAST(q AS INTEGER), CAST(segl AS INTEGER))
+             |      AS seg
+             |  FROM (
+             |    SELECT id, s, ln, i, ln + d2 AS l1,
+             |      ((i*(ln + d2) + 1)//2) + 1 + d AS q,
+             |      (((i+1)*(ln + d2) + 1)//2) - ((i*(ln + d2) + 1)//2)
+             |        AS segl
+             |    FROM lng,
+             |      generate_series(0, 1) g(i),
+             |      generate_series(-1, 1) w(d),
+             |      generate_series(-1, 1) b(d2)) sub
+             |  WHERE l1 >= 2 AND q >= 1 AND q + segl - 1 <= ln),
+             |cb AS (SELECT i, l, seg, COUNT(*) AS c
+             |  FROM build GROUP BY 1, 2, 3),
+             |cp AS (SELECT i, l1 AS l, seg, COUNT(*) AS c
+             |  FROM probe GROUP BY 1, 2, 3)
+             |SELECT CAST(COALESCE(SUM(cb.c * cp.c), 0) AS BIGINT)
+             |    AS candidate_pairs,
+             |  CAST(COUNT(*) AS BIGINT) AS matching_keys,
+             |  CAST(COALESCE(MAX(cb.c * cp.c), 0) AS BIGINT)
+             |    AS max_key_product
+             |FROM cb JOIN cp USING (i, l, seg)""".stripMargin)),
+
     // deterministic train/eval split: membership is a pure function of
     // the row id (polynomial hash), so the split survives reruns,
     // repartitions, and engine changes — reproduced exactly in DuckDB
