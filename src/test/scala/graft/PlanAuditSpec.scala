@@ -33,6 +33,19 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("edit-join pre-flight never materializes candidates: per-key " +
+      "counts map-side combine, join is key-sized, no verifier") {
+    val p = plan("q_edit_join_preflight")
+    assert(!p.contains("CartesianProduct"), p)
+    // the two count aggregates map-side combine (shuffle = distinct
+    // candidate keys, not candidate rows)
+    assert(p.contains("partial_count"), p)
+    assert("keys=\\[__i".r.findAllIn(p).length >= 2, p)
+    // the estimate PRICES the candidate join without running it:
+    // no banded levenshtein, no first-match residual in this plan
+    assert(!p.contains("levenshtein") && !p.contains("first_seg_match"), p)
+  }
+
   test("semi/anti joins broadcast the filtered order keys") {
     val p = plan("q_semi_anti_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("LeftSemi") ||
