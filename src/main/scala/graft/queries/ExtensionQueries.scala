@@ -137,8 +137,10 @@ object ExtensionQueries {
 
   /** SQL replay of Ivf.train + Ivf.ivfTopK for the q_ann_ivf oracle.
     * Training is bit-replayable because the Spark side quantizes each
-    * element to DECIMAL(18,9) before the mean's sum (exact decimal
-    * arithmetic — no accumulation-order drift) and divides as doubles;
+    * element onto the 1e-9 integer grid (floor(x·1e9+0.5) — the same
+    * IEEE ops in every engine; a DECIMAL cast would leave half-edge
+    * rounding engine-defined) before an exact long sum (no
+    * accumulation-order drift) and divides as doubles in fixed order;
     * every cosine is written as the same left-associated fold the
     * codegen expression executes (reusing [[LshSql.cosine]]), and all
     * argmax tie-breaks mirror array_max's lexicographic struct order
@@ -166,8 +168,8 @@ object ExtensionQueries {
       * cells inheriting `prev`'s centroid. */
     def update(asn: String, prev: String, out: String): String =
       s"""${out}_m AS MATERIALIZED (SELECT cell, i AS d,
-         |  CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE)
-         |    / CAST(COUNT(*) AS DOUBLE) AS m
+         |  CAST(SUM(CAST(floor(v[i] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 1e9 / CAST(COUNT(*) AS DOUBLE) AS m
          |  FROM $asn, generate_series(1, $dim) t(i) GROUP BY cell, i),
          |${out}_l AS MATERIALIZED (SELECT cell, list(m ORDER BY d) AS c
          |  FROM ${out}_m GROUP BY cell),
@@ -263,13 +265,17 @@ object ExtensionQueries {
   /** SQL replay of Pq.train + Pq.adcTopK for the q_ann_pq oracle —
     * the same determinism contract as [[IvfSql]]: seeds are the first
     * ksub vectors in id order (sliced per subspace), mean updates are
-    * decimal-exact, every squared-L2 fold is the same left-associated
-    * `0.0 + t1 + …` the Spark expressions execute, argmin ties break
-    * on the lower cell, and ADC sums per-subspace distances as
-    * DECIMAL(18,9) — bit-identical adc_dist on both engines. All `m`
-    * subspace k-means run in ONE generic CTE chain with the subspace
-    * id as a data column, mirroring the Spark side's single-job-per-
-    * iteration shape. */
+    * integer-grid exact (floor(x·1e9+0.5) + long sums — see
+    * IvfSql: raw float elements DO hit decimal half-edges, where a
+    * DECIMAL cast's rounding is engine-defined), every squared-L2
+    * fold is the same left-associated `0.0 + t1 + …` the Spark
+    * expressions execute, argmin ties break on the lower cell, and
+    * ADC sums per-subspace distances as DECIMAL(18,9) — safe there:
+    * the distances are ~100-bit-expansion dyadics that cannot
+    * terminate on the scale-9 half-edge — bit-identical adc_dist on
+    * both engines. All `m` subspace k-means run in ONE generic CTE
+    * chain with the subspace id as a data column, mirroring the Spark
+    * side's single-job-per-iteration shape. */
   private object PqSql {
     val m = 8; val ksub = 16; val iters = 2; val topk = 10
     val dsub = LshSql.dim / m
@@ -293,8 +299,8 @@ object ExtensionQueries {
          |  FROM ${out}_s WHERE rn = 1)""".stripMargin
     def update(asn: String, prev: String, out: String): String =
       s"""${out}_m AS MATERIALIZED (SELECT sub, cell, i AS d,
-         |  CAST(SUM(CAST(sv[i] AS DECIMAL(18,9))) AS DOUBLE)
-         |    / CAST(COUNT(*) AS DOUBLE) AS x
+         |  CAST(SUM(CAST(floor(sv[i] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 1e9 / CAST(COUNT(*) AS DOUBLE) AS x
          |  FROM $asn, generate_series(1, $dsub) t(i)
          |  GROUP BY sub, cell, i),
          |${out}_l AS MATERIALIZED (SELECT sub, cell,

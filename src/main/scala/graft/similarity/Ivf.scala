@@ -81,16 +81,22 @@ object Ivf {
       .getField("cell")
 
   /** Train centroids with Lloyd iterations (cosine assignment, mean
-    * update). FULLY deterministic — partition-order-independent: the
-    * mean update quantizes each element to DECIMAL(18,9) before
-    * summing, so the per-cell sum is exact decimal arithmetic
+    * update). FULLY deterministic — partition-order-independent AND
+    * engine-independent: the mean update quantizes each element onto
+    * the 1e-9 integer grid with floor(x·1e9 + 0.5) — pure IEEE
+    * mul/add/floor, identical everywhere — then sums exact longs
     * (associative and commutative — no float accumulation-order
-    * drift), and only the final sum/count division happens in doubles.
-    * The 1e-9 quantization is noise relative to encoder outputs and
-    * buys bit-identical centroids on any cluster, any partitioning,
-    * any engine (the q_ann_ivf DuckDB oracle replays this exact
-    * recipe). Seeded by the first k vectors in id order. On a 100 TB
-    * corpus you'd train on a sample — pass one in. */
+    * drift); only the final unscale/count divisions happen in
+    * doubles, in a fixed order. (A double→DECIMAL cast is NOT
+    * engine-independent: its half-edge rounding mode is the engine's
+    * choice — Spark HALF_UP, DuckDB HALF_EVEN — and dyadic floats DO
+    * land exactly on scale-9 half-edges; the sf0.1 oracle pass caught
+    * exactly that, SCALING.md round-13 adjudication.) The 1e-9
+    * quantization is noise relative to encoder outputs and buys
+    * bit-identical centroids on any cluster, any partitioning, any
+    * engine (the q_ann_ivf DuckDB oracle replays this exact recipe).
+    * Seeded by the first k vectors in id order. On a 100 TB corpus
+    * you'd train on a sample — pass one in. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3): IvfModel = {
     // persisted: every Lloyd iteration (and the seed read) scans the
@@ -107,12 +113,20 @@ object Ivf {
           .withColumn("cell", assignCell(col("v"), model))
           .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
           .groupBy("cell", "dim")
-          // exact decimal sum (unscaled value stays far below 2^53 for
-          // unit-norm-ish embeddings, so the decimal→double conversion
-          // is one correctly-rounded division in every engine), then
-          // one IEEE double division by the count
-          .agg((sum(col("x").cast(org.apache.spark.sql.types
-              .DecimalType(18, 9))).cast("double")
+          // TIE-FREE integer-grid quantization, then an exact long
+          // sum: floor(x·1e9 + 0.5) is the same IEEE mul/add/floor on
+          // every engine — unlike a double→DECIMAL cast, whose
+          // half-edge ROUNDING MODE is engine-defined (Spark rounds
+          // HALF_UP, DuckDB HALF_EVEN: a dyadic float like
+          // 0.1494140625 sits EXACTLY on the scale-9 half-edge and
+          // the sf0.1 oracle pass caught the two engines disagreeing
+          // by one grid unit — SCALING.md round-13 adjudication).
+          // The long sum is exact and order-free; the final
+          // double-cast + two divisions are the same fixed-order IEEE
+          // ops everywhere. Envelope: |x|·1e9 per element, < 2^63 per
+          // (cell,dim) sum — same 18-digit headroom the decimal had.
+          .agg((sum(floor(col("x") * lit(1e9) + lit(0.5)))
+            .cast("double") / lit(1e9)
             / count(lit(1)).cast("double")).as("m"))
           .collect()
         val byCell = means.groupBy(_.getInt(0))

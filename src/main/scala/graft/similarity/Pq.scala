@@ -134,7 +134,11 @@ object Pq {
           .select(col("sub"), col("cell"),
             posexplode(col("sv")).as(Seq("d", "x")))
           .groupBy("sub", "cell", "d")
-          .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double")
+          // tie-free integer-grid mean (see Ivf.train: a double→
+          // DECIMAL cast leaves half-edge rounding to the engine;
+          // floor(x·1e9 + 0.5) is the same IEEE ops everywhere)
+          .agg((sum(floor(col("x") * lit(1e9) + lit(0.5)))
+            .cast("double") / lit(1e9)
             / count(lit(1)).cast("double")).as("mean"))
           .collect()
         val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
