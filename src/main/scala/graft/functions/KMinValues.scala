@@ -1,0 +1,123 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, GraftSqlShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** k-minimum-values (KMV) distinct-count sketch (Bar-Yossef et al.
+  * 2002): keep the k smallest DISTINCT hash values seen; if fewer than
+  * k were ever held the sketch saw the whole value set and the count
+  * is exact, otherwise estimate |set| ≈ (k−1) · 2^domainBits / h_k
+  * where h_k is the k-th smallest hash.
+  *
+  * Why this exists next to `hll_sketch_agg`/`approx_count_distinct`:
+  * KMV over a FIXED hash is a pure function of the value SET —
+  * independent of row order, partitioning, merge order, and engine —
+  * so the ESTIMATE ITSELF is hash-comparable across engines
+  * (`(k−1)·2^b div h_k` in integer arithmetic replays anywhere),
+  * where HLL's register layout is implementation-defined and can only
+  * be envelope-checked. The price is accuracy per byte (stderr ≈
+  * 1/√(k−2)); the win is bit-reproducible cardinality columns in
+  * parity pipelines and tests.
+  *
+  * Scale shape: O(k) state per group (a bounded tree — a degenerate
+  * billion-row group costs the same 8·k bytes as a healthy one),
+  * map-side partial aggregation, merges are set-unions capped at k.
+  *
+  * Input contract: `child` is a uniform hash in [0, 2^domainBits) —
+  * see [[KmvFunctions.kmv_hash48]] for the portable md5-prefix form.
+  * Null inputs are skipped. Empty groups estimate 0.
+  */
+case class KMinValues(child: Expression, k: Int, domainBits: Int = 48,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+  require(k >= 2, s"k must be >= 2, got $k")
+  require(domainBits >= 1 && domainBits <= 56,
+    s"domainBits must be in [1,56], got $domainBits")
+  require((k - 1).toLong <= (Long.MaxValue >> domainBits),
+    s"(k-1)*2^$domainBits overflows Long")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long],
+      v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last()) { if (buf.add(v)) { buf.pollLast(); () } }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) insert(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toLong
+    else ((k - 1).toLong << domainBits) / buf.last()
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KMinValues =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KMinValues =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_distinct"
+}
+
+object KmvFunctions {
+
+  /** KMV distinct estimate of `e` (already a uniform hash in
+    * [0, 2^domainBits)) with a k-value sketch. */
+  def kmv_distinct(e: Column, k: Int, domainBits: Int = 48): Column =
+    GraftSqlShims.column(
+      KMinValues(GraftSqlShims.expression(e), k, domainBits)
+        .toAggregateExpression())
+
+  /** Portable 48-bit uniform hash: the numeric value of the first 12
+    * hex digits of md5 over the value's STRING form — replayable in
+    * any engine with an md5 and a hex-string→integer cast (DuckDB:
+    * `CAST(concat('0x', substr(md5(x), 1, 12)) AS BIGINT)`, which
+    * likewise hashes the varchar's UTF-8 bytes). The string hop also
+    * keeps ANSI mode happy for numeric inputs (BIGINT→BINARY casts
+    * are rejected). Feed this to [[kmv_distinct]] with the default
+    * domainBits = 48. */
+  def kmv_hash48(e: Column): Column =
+    conv(substring(md5(e.cast("string").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+}

@@ -1,8 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.functions.KmvFunctions
 import graft.operators.{Sampling, SetJoin}
+import graft.text.Boilerplate
 import graft.util.Tables
 
 /** Round-9 curation operators: exact set-similarity joins (the
@@ -87,6 +90,132 @@ object CurationQueries {
              |  FROM c, tot)
              |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
              |FROM h JOIN wt USING (b) GROUP BY doc_id
-             |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin))
+             |ORDER BY score DESC, doc_id ASC LIMIT 100""".stripMargin)),
+
+    // Gopher line-repetition filters (Rae et al. 2021 §A1.1): per-doc
+    // duplicate-line and duplicate-line-character fractions. The
+    // fixture corpus has no newlines, so ' the ' stands in as the line
+    // delimiter; planted repeats (doc_id%3 / %7, the q_text_redact_pii
+    // doctoring pattern) make the duplicate paths non-trivial. All
+    // fractions are single divisions of exact integer counts.
+    QueryDef("q_dup_line_stats",
+      (s, d) => Boilerplate.duplicateSegmentStats(
+        Tables.documents(s, d).withColumn("text", doctored),
+        "doc_id", "text", " the "),
+      Some(s"""WITH d AS (SELECT doc_id, $segListSql AS l FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(l) AS BIGINT) AS n_lines,
+             |  CAST(len(list_distinct(l)) AS BIGINT) AS distinct_lines,
+             |  CAST(len(l) - len(list_distinct(l)) AS DOUBLE)
+             |    / CAST(len(l) AS DOUBLE) AS dup_line_frac,
+             |  CAST(CAST(list_sum(list_transform(l, x -> length(x)))
+             |        AS BIGINT) -
+             |      CAST(list_sum(list_transform(list_distinct(l),
+             |        x -> length(x))) AS BIGINT) AS DOUBLE)
+             |    / CAST(list_sum(list_transform(l, x -> length(x)))
+             |        AS DOUBLE) AS dup_char_frac
+             |FROM d WHERE len(l) > 0""".stripMargin)),
+
+    // C4-style corpus-frequent-line removal (Raffel et al. 2020 §2.2):
+    // a line occurring verbatim in >= 10 distinct documents is
+    // boilerplate and stripped everywhere. One shuffle to count line
+    // document-frequency, then a broadcast join of the small frequent
+    // set back against the line table. clean_text (order-preserving
+    // rejoin) is spec-covered; the oracle hashes the integer counts +
+    // single-division fraction.
+    QueryDef("q_boilerplate_strip",
+      (s, d) => Boilerplate.stripBoilerplate(
+        Tables.documents(s, d).withColumn("text", doctored),
+        "doc_id", "text", " the ", minDocs = 10)
+        .select(col("doc_id"), col("n_segs"), col("boiler_segs"),
+          col("total_chars"), col("boiler_chars"),
+          col("boiler_char_frac")),
+      Some(s"""WITH d AS (SELECT doc_id, $segListSql AS l FROM documents),
+             |s AS (SELECT doc_id, unnest(l) AS seg FROM d),
+             |f AS (SELECT seg FROM (
+             |    SELECT seg, count(DISTINCT doc_id) AS df
+             |    FROM s GROUP BY 1) WHERE df >= 10)
+             |SELECT s.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_segs,
+             |  CAST(count(f.seg) AS BIGINT) AS boiler_segs,
+             |  CAST(sum(length(s.seg)) AS BIGINT) AS total_chars,
+             |  CAST(coalesce(sum(length(s.seg))
+             |    FILTER (WHERE f.seg IS NOT NULL), 0) AS BIGINT)
+             |    AS boiler_chars,
+             |  CAST(coalesce(sum(length(s.seg))
+             |      FILTER (WHERE f.seg IS NOT NULL), 0) AS DOUBLE)
+             |    / CAST(sum(length(s.seg)) AS DOUBLE)
+             |    AS boiler_char_frac
+             |FROM s LEFT JOIN f ON s.seg = f.seg
+             |GROUP BY s.doc_id""".stripMargin)),
+
+    // character-distribution diversity: Simpson/Gini impurity of the
+    // per-doc char histogram — the deterministic (transcendental-free)
+    // cousin of character entropy, a gibberish/low-diversity signal.
+    QueryDef("q_char_diversity",
+      (s, d) => Boilerplate.charDiversity(
+        Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, ''))
+             |    AS c FROM documents WHERE length(text) > 0),
+             |cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+             |  FROM ch GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(sum(n) AS BIGINT) AS n_chars,
+             |  CAST(count(*) AS BIGINT) AS distinct_chars,
+             |  1.0 - CAST(sum(n * n) AS DOUBLE)
+             |    / CAST(sum(n) * sum(n) AS DOUBLE) AS char_gini
+             |FROM cc GROUP BY doc_id""".stripMargin)),
+
+    // KMV distinct sketch per source: unlike HLL (register layout is
+    // engine-defined, envelope-checked in q_summary_sketch), the KMV
+    // estimate over a fixed md5-prefix hash is a pure function of the
+    // value set — (k-1)*2^48 div h_k replays bit-identically in
+    // DuckDB, so the ESTIMATE itself sits under the hash gate. k=16
+    // keeps the estimate path live even at sf0.01 (25 docs/source).
+    QueryDef("q_kmv_distinct",
+      (s, d) => {
+        val h = KmvFunctions.kmv_hash48(col("text"))
+        Tables.documents(s, d).groupBy(col("source")).agg(
+          countDistinct(h).as("exact_distinct"),
+          KmvFunctions.kmv_distinct(h, k = 16).as("kmv_estimate"))
+      },
+      Some("""WITH h AS (SELECT source,
+             |    CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)
+             |      AS hv FROM documents),
+             |d AS (SELECT DISTINCT source, hv FROM h),
+             |r AS (SELECT source, hv,
+             |    row_number() OVER (PARTITION BY source ORDER BY hv)
+             |      AS rn,
+             |    count(*) OVER (PARTITION BY source) AS nd FROM d)
+             |SELECT source, CAST(nd AS BIGINT) AS exact_distinct,
+             |  CAST(CASE WHEN nd >= 16
+             |    THEN (CAST(15 AS BIGINT) * 281474976710656) // hv
+             |    ELSE nd END AS BIGINT) AS kmv_estimate
+             |FROM r
+             |WHERE rn = CASE WHEN nd >= 16 THEN 16 ELSE nd END""".stripMargin))
   )
+
+  /** Fixture doctoring for the line-level queries: the corpus has no
+    * newlines and no real boilerplate, so plant deterministic repeat
+    * lines (delimited by the stand-in ' the ') on doc_id residues —
+    * the same planted-signal pattern q_text_redact_pii uses. */
+  private def doctored: Column =
+    concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(" the all rights reserved"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit(" the all rights reserved the subscribe today"))
+        .otherwise(lit("")))
+
+  /** DuckDB twin of [[doctored]] piped through
+    * [[graft.text.Boilerplate.segments]] (trim + drop empties). */
+  private def segListSql: String =
+    """list_filter(list_transform(string_split(
+      |    text ||
+      |    (CASE WHEN doc_id % 3 = 0
+      |      THEN ' the all rights reserved' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 7 = 0
+      |      THEN ' the all rights reserved the subscribe today'
+      |      ELSE '' END),
+      |    ' the '), x -> trim(x)), x -> x <> '')""".stripMargin
 }

@@ -168,6 +168,7 @@ object ScaleStress {
     "pagerank", "triangles", "ivf_append", "diverse_sample",
     "summary_hit", "summary_miss", "image_near_dup",
     "set_sim_join", "containment_join", "shard_balance",
+    "boilerplate_strip", "kmv_distinct",
     "sliding_dedup", "sliding_incremental")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
@@ -208,7 +209,7 @@ object ScaleStress {
     "bpe_train", "bpe_segment", "bm25", "maxsim_rerank",
     "chunk_sliding", "rag_search",
     "minhash_incremental", "set_sim_join", "sliding_dedup",
-    "sliding_incremental")
+    "sliding_incremental", "boilerplate_strip", "kmv_distinct")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "semantic_dedup", "ivf_append", "diverse_sample")
@@ -511,6 +512,20 @@ object ScaleStress {
       }
       if (opEnabled("bigram_commonness")) rows += measureOp("bigram_commonness", m, nDocs) {
         TextAnalysis.bigramCommonness(docs)
+      }
+      // corpus-frequent-line removal: the clone army plants verbatim
+      // repeat "lines" (the shared boilerplate text), so the frequent
+      // set is non-empty and the broadcast-back join has real work.
+      // minDocs scales with m to keep the frequent-set selectivity
+      // comparable across multipliers.
+      if (opEnabled("boilerplate_strip")) rows += measureOp("boilerplate_strip", m, nDocs) {
+        graft.text.Boilerplate.stripBoilerplate(docs, "doc_id", "text",
+          " the ", minDocs = 10 * m)
+      }
+      if (opEnabled("kmv_distinct")) rows += measureOp("kmv_distinct", m, nDocs) {
+        import graft.functions.KmvFunctions._
+        docs.groupBy(col("lang")).agg(
+          kmv_distinct(kmv_hash48(col("text")), 1024).as("est"))
       }
       if (opEnabled("lang_rebalance")) rows += measureOp("lang_rebalance", m, nDocs) {
         val quota = docs.groupBy(col("lang"))

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.KmvFunctions.{kmv_distinct, kmv_hash48}
+
+class KMinValuesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("under-filled sketch is exact regardless of duplication") {
+    val df = (1 to 1000).map(i => ("g", (i % 7).toLong))
+      .toDF("g", "v").repartition(9)
+    val est = df.groupBy("g")
+      .agg(kmv_distinct(kmv_hash48(col("v")), k = 16).as("e"))
+      .head.getLong(1)
+    assert(est == 7L) // 7 distinct < k → sketch holds them all
+  }
+
+  test("estimate equals the closed form over the k-th smallest hash") {
+    val n = 500
+    val df = (1 to n).map(i => ("g", s"value-$i")).toDF("g", "v")
+      .repartition(11) // force partial sketches + merges + spill codec
+    val k = 32
+    val est = df.groupBy("g")
+      .agg(kmv_distinct(kmv_hash48(col("v")), k).as("e"))
+      .head.getLong(1)
+    // replay the definition with plain Scala md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = (1 to n).map { i =>
+      val hex = md.digest(s"value-$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }.distinct.sorted
+    val expected = ((k - 1).toLong << 48) / hashes(k - 1)
+    assert(est == expected)
+    // and the estimate is in the right ballpark (stderr ~ 1/sqrt(k-2))
+    assert(est > n / 2 && est < n * 2, s"estimate $est vs true $n")
+  }
+
+  test("order/partitioning independence: same set, same estimate") {
+    val vals = (1 to 300).map(i => s"doc-$i")
+    val a = vals.map(("g", _)).toDF("g", "v").repartition(3)
+    val b = scala.util.Random.shuffle(vals).map(("g", _))
+      .toDF("g", "v").repartition(17)
+    def run(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(kmv_distinct(kmv_hash48(col("v")), 24).as("e"))
+      .head.getLong(1)
+    assert(run(a) == run(b))
+  }
+
+  test("nulls are skipped; estimate stays bounded state") {
+    val df = Seq(("g", Some("x")), ("g", None), ("g", Some("y")))
+      .toDF("g", "v")
+    val est = df.groupBy("g")
+      .agg(kmv_distinct(kmv_hash48(col("v")), 8).as("e"))
+      .head.getLong(1)
+    assert(est == 2L)
+  }
+
+  test("per-group isolation under a grouped aggregate") {
+    val df = (1 to 400).map(i => (s"g${i % 4}", s"t-$i"))
+      .toDF("g", "v").repartition(7)
+    val out = df.groupBy("g")
+      .agg(countDistinct(col("v")).as("nd"),
+        kmv_distinct(kmv_hash48(col("v")), 16).as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 4)
+    out.foreach { case (g, nd, e) =>
+      assert(nd == 100L)
+      assert(e > 40L && e < 250L, s"group $g estimate $e for nd=$nd")
+    }
+  }
+}

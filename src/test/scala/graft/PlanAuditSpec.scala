@@ -721,4 +721,44 @@ class PlanAuditSpec extends AnyFunSuite {
     // left join all hash/merge on node keys
     assert(p.contains("Join"), p)
   }
+
+  test("boilerplate strip: frequent-line set broadcasts back against " +
+      "the line table; line stats and char diversity stay narrow") {
+    val p = plan("q_boilerplate_strip")
+    // the df>=minDocs set is small by construction — it must come
+    // back as a broadcast, never a second full shuffle of the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // df count map-side combines on the line key
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+    // the per-doc passes are pure narrow maps
+    Seq("q_dup_line_stats", "q_char_diversity").foreach { q =>
+      val np = plan(q)
+      assert(!np.contains("Exchange"), s"$q must not shuffle:\n$np")
+      assert(!np.contains("BatchEvalPython") && !np.contains("ScalaUDF"),
+        s"$q must stay codegen:\n$np")
+    }
+  }
+
+  test("KMV sketch aggregates map-side: partial kmv_distinct under " +
+      "one exchange on the group key") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.KmvFunctions._
+    // the sketch alone: one exchange, partial sketches before it —
+    // a billion-row group ships k longs, not its rows
+    val alone = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("source"))
+      .agg(kmv_distinct(kmv_hash48(col("text")), 16).as("e"))
+      .queryExecution.executedPlan.toString
+    assert(alone.contains("partial_kmv_distinct"), alone)
+    assert(alone.contains("ObjectHashAggregate"), alone)
+    assert("Exchange hashpartitioning".r.findAllIn(alone).length == 1,
+      alone)
+    // the slate query adds countDistinct as the accuracy comparison
+    // column — its distinct-expand owns a second exchange keyed on
+    // (group, hash); the sketch still partials map-side
+    val p = plan("q_kmv_distinct")
+    assert(p.contains("partial_kmv_distinct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+  }
 }
