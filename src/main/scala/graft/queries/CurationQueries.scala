@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.KmvFunctions
 import graft.operators.{Sampling, SetJoin}
-import graft.text.Boilerplate
+import graft.text.{Boilerplate, TextAnalysis}
 import graft.util.Tables
 
 /** Round-9 curation operators: exact set-similarity joins (the
@@ -192,7 +192,64 @@ object CurationQueries {
              |    THEN (CAST(15 AS BIGINT) * 281474976710656) // hv
              |    ELSE nd END AS BIGINT) AS kmv_estimate
              |FROM r
-             |WHERE rn = CASE WHEN nd >= 16 THEN 16 ELSE nd END""".stripMargin))
+             |WHERE rn = CASE WHEN nd >= 16 THEN 16 ELSE nd END""".stripMargin)),
+
+    // the remaining Gopher §A1.1 repetition rule: fraction of chars
+    // in occurrences of the document's most frequent word bigram.
+    // Ties break (count, then lexicographically greatest gram) so the
+    // winner is deterministic in any engine; the fraction is one
+    // division of exact integers.
+    QueryDef("q_top_ngram_frac",
+      (s, d) => TextAnalysis.topNgramStats(Tables.documents(s, d),
+        "doc_id", "text", n = 2),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(length(trim(text)) AS BIGINT) AS tl,
+             |    string_split_regex(lower(trim(text)), '\s+') AS w
+             |  FROM documents WHERE len(trim(text)) > 0),
+             |b AS (SELECT doc_id, tl,
+             |    unnest([w[i] || ' ' || w[i+1]
+             |      for i in range(1, len(w))]) AS bg
+             |  FROM t WHERE len(w) >= 2),
+             |c AS (SELECT doc_id, tl, bg,
+             |    CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3),
+             |r AS (SELECT doc_id, tl, bg, c, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY c DESC, bg DESC) AS rn
+             |  FROM c)
+             |SELECT doc_id, bg AS top_ngram, c AS top_count,
+             |  CAST(c * length(bg) AS DOUBLE) / CAST(tl AS DOUBLE)
+             |    AS top_char_frac
+             |FROM r WHERE rn = 1""".stripMargin)),
+
+    // n-gram coverage of a held-out slice against the rest of the
+    // corpus: the SOFT contamination score (fraction of a doc's
+    // distinct 3-grams seen in the reference) complementing the hard
+    // overlap flag of q_decontaminate. Split on doc_id % 10 — the
+    // fixture's deterministic train/test axis.
+    QueryDef("q_ngram_coverage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.ngramCoverage(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", n = 3)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(lower(trim(text)), '\s+') AS w
+             |  FROM documents),
+             |s AS (SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |     for i in range(1, len(w) - 1)]) AS sh
+             |  FROM t),
+             |te AS (SELECT doc_id, unnest(sh) AS g FROM s
+             |  WHERE doc_id % 10 = 0),
+             |tr AS (SELECT DISTINCT unnest(sh) AS g FROM s
+             |  WHERE doc_id % 10 <> 0)
+             |SELECT te.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(count(tr.g) AS BIGINT) AS covered_grams,
+             |  CAST(count(tr.g) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    AS coverage
+             |FROM te LEFT JOIN tr ON te.g = tr.g
+             |GROUP BY te.doc_id""".stripMargin))
   )
 
   /** Fixture doctoring for the line-level queries: the corpus has no

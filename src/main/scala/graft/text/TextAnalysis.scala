@@ -208,6 +208,73 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** Per-document most-frequent word n-gram (the remaining Gopher
+    * §A1.1 repetition rule: "fraction of characters in the most
+    * frequent n-gram"): returns (doc_id, top_ngram, top_count,
+    * top_char_frac) where top_char_frac = top_count · |top_ngram| /
+    * |trim(text)| — the standard occurrence-count approximation of
+    * covered characters (overlaps uncounted). Ties break to the
+    * lexicographically greatest n-gram, so the winner is a pure
+    * function of the document in any engine (Spark's struct max and
+    * `ORDER BY cnt DESC, gram DESC` agree on ASCII). Documents with
+    * fewer than n tokens are dropped. Narrow per-row map,
+    * O(distinctGrams × grams) with natural-text bounds. */
+  def topNgramStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val words = tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(0), size(words) - n),
+      i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    docs
+      .filter(size(tokens(col(textCol))) >= n)
+      .select(col(idCol).as("doc_id"),
+        length(trim(col(textCol))).cast("long").as("text_len"),
+        grams.as("grams"))
+      .withColumn("best", array_max(transform(
+        array_distinct(col("grams")),
+        g => struct(
+          size(filter(col("grams"), x => x === g)).cast("long").as("c"),
+          g.as("g")))))
+      .select(
+        col("doc_id"),
+        col("best.g").as("top_ngram"),
+        col("best.c").as("top_count"),
+        ((col("best.c") * length(col("best.g"))).cast("double") /
+          col("text_len").cast("double")).as("top_char_frac"))
+  }
+
+  /** Per-document n-gram coverage against a reference corpus: the
+    * fraction of the document's DISTINCT word n-grams that occur
+    * anywhere in `reference` — the soft contamination/novelty score
+    * complementing the hard overlap flag of
+    * [[graft.dedup.Dedup.decontaminate]] (a doc can pass a ≥k-span
+    * decontamination gate yet still be 90% assembled from reference
+    * phrases; this measures that). Exact integer counts, one division.
+    *
+    * Scale shape: the reference's distinct-gram build map-side
+    * combines on the gram key; the probe is a shuffled-hash equi-join
+    * on grams (hinted — the gram tables are fat and sorting them is
+    * the only spill risk), then one per-doc count aggregation. At
+    * 100 TB both sides shuffle once, keyed on grams; nothing is
+    * collected. */
+  def ngramCoverage(docs: org.apache.spark.sql.DataFrame,
+      reference: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sh = graft.dedup.Dedup.shingles(col(textCol), n)
+    val docGrams = docs.select(col(idCol).as("doc_id"),
+        explode(sh).as("g"))
+    val refGrams = reference.select(explode(sh).as("g")).distinct()
+      .withColumn("hit", lit(true))
+    docGrams.join(refGrams.hint("shuffle_hash"), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("covered_grams"))
+      .withColumn("coverage",
+        col("covered_grams").cast("double") /
+          col("n_grams").cast("double"))
+  }
+
   /** PII redaction: mask emails and phone-number-shaped digit runs —
     * the standard scrub before text enters a training corpus. Pure
     * regexp_replace chain (codegen'd, narrow); patterns deliberately

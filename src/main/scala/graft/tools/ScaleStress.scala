@@ -168,7 +168,7 @@ object ScaleStress {
     "pagerank", "triangles", "ivf_append", "diverse_sample",
     "summary_hit", "summary_miss", "image_near_dup",
     "set_sim_join", "containment_join", "shard_balance",
-    "boilerplate_strip", "kmv_distinct",
+    "boilerplate_strip", "kmv_distinct", "ngram_coverage",
     "sliding_dedup", "sliding_incremental")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
@@ -209,7 +209,8 @@ object ScaleStress {
     "bpe_train", "bpe_segment", "bm25", "maxsim_rerank",
     "chunk_sliding", "rag_search",
     "minhash_incremental", "set_sim_join", "sliding_dedup",
-    "sliding_incremental", "boilerplate_strip", "kmv_distinct")
+    "sliding_incremental", "boilerplate_strip", "kmv_distinct",
+    "ngram_coverage")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "semantic_dedup", "ivf_append", "diverse_sample")
@@ -526,6 +527,16 @@ object ScaleStress {
         import graft.functions.KmvFunctions._
         docs.groupBy(col("lang")).agg(
           kmv_distinct(kmv_hash48(col("text")), 1024).as("est"))
+      }
+      // soft-contamination score of the held-out tenth against the
+      // rest: both gram tables shuffle once on the gram key, the
+      // probe is a hinted hash join (sort-merge on the fat gram side
+      // is the documented spill risk, see bigram_commonness)
+      if (opEnabled("ngram_coverage")) rows += measureOp("ngram_coverage", m, nDocs) {
+        TextAnalysis.ngramCoverage(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", n = 3)
       }
       if (opEnabled("lang_rebalance")) rows += measureOp("lang_rebalance", m, nDocs) {
         val quota = docs.groupBy(col("lang"))

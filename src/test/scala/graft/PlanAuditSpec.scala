@@ -761,4 +761,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_kmv_distinct"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
+
+  test("ngram coverage: hash join on the gram key (sorting the fat " +
+      "gram table was the one spill the text matrices ever saw); " +
+      "top-ngram stats stay narrow") {
+    val p = plan("q_ngram_coverage")
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"gram probe must hash-join, not sort-merge:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val np = plan("q_top_ngram_frac")
+    assert(!np.contains("Exchange"), s"q_top_ngram_frac must not shuffle:\n$np")
+    assert(!np.contains("ScalaUDF"), np)
+  }
 }

@@ -139,4 +139,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       s"UDF leaked into text-analysis plan:\n$plan")
   }
+
+  test("topNgramStats: most frequent bigram, deterministic tie-break") {
+    val docs = Seq(
+      (1L, "a b a b a b"),     // "a b" ×3 beats "b a" ×2
+      (2L, "x y y x"),         // all bigrams ×1 → tie → greatest: "y y"
+      (3L, "solo"),            // < 2 tokens → dropped
+      (4L, "one two one two")  // "one two" ×2, len 14 chars
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgramStats(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L) == (("a b", 3L, 9.0 / 11.0)))
+    assert(out(2L) == (("y y", 1L, 3.0 / 7.0)))
+    assert(out(4L) == (("one two", 2L, 14.0 / 15.0)))
+    // narrow map: no exchange
+    val plan = TextAnalysis.topNgramStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("ngramCoverage: exact fraction of reference-seen 3-grams") {
+    val reference = Seq(
+      (10L, "the quick brown fox jumps"),
+      (11L, "pack my box with five dozen jugs")
+    ).toDF("doc_id", "text")
+    val docs = Seq(
+      // grams: "the quick brown"(hit) "quick brown fox"(hit)
+      //        "brown fox sleeps"(miss)
+      (1L, "the quick brown fox sleeps"),
+      (2L, "entirely novel text here"),       // 2 grams, 0 hits
+      (3L, "to short")                        // < 3 tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramCoverage(docs, reference, "doc_id",
+      "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+  }
+
+  test("ngramCoverage counts distinct grams once despite repeats") {
+    val reference = Seq((10L, "a b c")).toDF("doc_id", "text")
+    // "a b c a b c": distinct 3-grams = {a b c, b c a, c a b} — the
+    // repeated "a b c" window must not double-count
+    val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramCoverage(docs, reference, "doc_id",
+      "text", n = 3).head
+    assert((r.getLong(1), r.getLong(2)) == ((3L, 1L)))
+  }
 }
