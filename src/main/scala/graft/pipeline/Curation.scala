@@ -11,10 +11,12 @@ import graft.operators.Sampling
 import graft.text.TextAnalysis
 
 /** End-to-end training-data curation as a [[Pipeline]] DAG — the
-  * north-star operators (quality scoring, PII redaction, exact + near
-  * dedup, benchmark decontamination, deterministic splitting) wired
-  * through the same runner that executes the reference's ETL DAGs,
-  * with a blocking DQ gate before the final split.
+  * north-star operators (quality scoring, PII redaction, opt-in
+  * line-level cleanup (C4 frequent-line strip + Gopher duplicate-line
+  * gate), exact + near dedup, benchmark decontamination,
+  * deterministic splitting) wired through the same runner that
+  * executes the reference's ETL DAGs, with a blocking DQ gate before
+  * the final split.
   *
   * Stages hand off through parquet staging dirs (the lake pattern —
   * each stage is independently rerunnable and inspectable; at 100 TB
@@ -41,7 +43,13 @@ object Curation {
       minQuality: Double = 0.3,
       nearDupThreshold: Double = 0.5,
       trainPct: Int = 90,
-      keepPolicy: KeepPolicy = KeepMinId)
+      keepPolicy: KeepPolicy = KeepMinId,
+      // opt-in line-level filters (the C4/Gopher cleanup pass between
+      // quality scoring and dedup); None/None keeps the stage out of
+      // the DAG entirely
+      boilerplateMinDocs: Option[Int] = None, // strip corpus-frequent lines
+      maxDupLineFrac: Option[Double] = None,  // drop line-repetitive docs
+      lineDelim: String = "\n")
 
   /** Incremental corpus ingestion: append to `table` only documents
     * whose content fingerprint has NEVER been seen — not in the
@@ -115,17 +123,52 @@ object Curation {
       df.write.mode("overwrite").parquet(stagePath(s)); StageOk
     }
 
+    // line-level cleanup (C4 frequent-line strip, then the Gopher
+    // duplicate-line gate on the STRIPPED text — removed boilerplate
+    // must not count toward a document's own repetition) slots in
+    // between quality scoring and dedup when configured; dedup then
+    // reads whichever stage is last
+    val lineFiltersEnabled =
+      cfg.boilerplateMinDocs.isDefined || cfg.maxDupLineFrac.isDefined
+    val dedupInput = if (lineFiltersEnabled) "line_filters" else "clean"
+
+    val lineStage = Stage("line_filters", Seq("clean")) { _ =>
+      var df = read("clean")
+      cfg.boilerplateMinDocs.foreach { minDocs =>
+        // left join + coalesce: docs with zero segments (no stats row)
+        // keep their original text; a doc that was ALL boilerplate
+        // keeps an empty text and collapses in exact dedup
+        val stripped = graft.text.Boilerplate.stripBoilerplate(
+          df, "doc_id", "text", cfg.lineDelim, minDocs,
+          rejoinWith = cfg.lineDelim)
+          .select(col("doc_id"), col("clean_text"))
+        df = df.join(stripped, Seq("doc_id"), "left")
+          .withColumn("text", coalesce(col("clean_text"), col("text")))
+          .drop("clean_text")
+      }
+      cfg.maxDupLineFrac.foreach { maxFrac =>
+        val stats = graft.text.Boilerplate.duplicateSegmentStats(
+          df, "doc_id", "text", cfg.lineDelim)
+          .select(col("doc_id"), col("dup_line_frac"))
+        df = df.join(stats, Seq("doc_id"), "left")
+          .filter(coalesce(col("dup_line_frac"), lit(0.0)) <= maxFrac)
+          .drop("dup_line_frac")
+      }
+      write(df, "line_filters")
+    }
+
     val stages = Seq(
       Stage("clean")(_ => write(
         spark.read.parquet(cfg.inPath)
           .withColumn("text", TextAnalysis.redactPii(col("text")))
           .filter(TextAnalysis.qualityScore(col("text")) >= cfg.minQuality),
-        "clean")),
-      Stage("exact_dedup", Seq("clean"))(_ => write(
-        Dedup.exactDedup(read("clean")
+        "clean"))) ++
+      (if (lineFiltersEnabled) Seq(lineStage) else Seq.empty) ++ Seq(
+      Stage("exact_dedup", Seq(dedupInput))(_ => write(
+        Dedup.exactDedup(read(dedupInput)
           .withColumn("fp", TextAnalysis.contentFingerprint(col("text"))),
           "doc_id", Seq("fp"))
-          .join(read("clean"), Seq("doc_id"))
+          .join(read(dedupInput), Seq("doc_id"))
           .drop("fp"),
         "exact_dedup")),
       Stage("near_dedup", Seq("exact_dedup")) { _ =>

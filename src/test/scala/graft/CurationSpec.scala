@@ -100,6 +100,50 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter($"doc_id" < 5).count() == 0)
   }
 
+  test("line filters stage: boilerplate stripped, repetitive docs " +
+      "dropped, and the stage stays out of the DAG by default") {
+    val work = Files.createTempDirectory("curation_lines").toString
+    val boiler = "the quick brown fox is a common phrase for testing"
+    def doc(i: Long, lines: String*) = (i, lines.mkString("\n"))
+    // 12 docs carry the same boilerplate line; doc 100 is 80%
+    // duplicate lines (beyond the 0.5 gate); bodies are unique prose
+    val rows = (1L to 12L).map(i =>
+      doc(i, boiler, s"unique body text number $i with the usual words",
+        s"and a second line of its own for document $i")) ++ Seq(
+      doc(100L, Seq.fill(8)("the same line is repeated again here") :+
+        "one single distinct line of text to end": _*),
+      doc(101L, "a fully unique document with the plain text body",
+        "nothing is repeated in the whole of this one"))
+    val in = s"$work/in"; val bench = s"$work/bench"
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(in)
+    Seq((999L, "benchmark doc of unrelated words entirely elsewhere"))
+      .toDF("doc_id", "text").write.parquet(bench)
+    val cfg = Curation.Config(in, bench, s"$work/stages",
+      boilerplateMinDocs = Some(10), maxDupLineFrac = Some(0.5))
+    val res = Curation.pipeline(spark, cfg).run(window)
+    assert(res.succeeded, res.reports.filterNot(
+      _.outcome.isSuccess).mkString("; "))
+    val filtered = spark.read.parquet(s"${cfg.workDir}/line_filters")
+    val texts = filtered.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // the df>=10 line is gone from every survivor, bodies intact
+    assert(!texts.values.exists(_.contains(boiler)))
+    assert(texts(1L).contains("unique body text number 1"))
+    // the 80%-duplicate-line doc fell to the Gopher gate
+    assert(!texts.contains(100L))
+    assert(texts.contains(101L))
+    // default config: no line_filters stage, texts pass through
+    val cfgOff = Curation.Config(in, bench, s"$work/stages_off")
+    assert(Curation.pipeline(spark, cfgOff).run(window).succeeded)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$work/stages_off/line_filters")))
+    val cleanOff = spark.read.parquet(s"$work/stages_off/exact_dedup")
+    assert(cleanOff.filter($"text".contains(boiler)).count() > 0)
+  }
+
   test("KeepBest policy keeps the highest-quality doc of each cluster") {
     val work = Files.createTempDirectory("curation-best").toString
     val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
