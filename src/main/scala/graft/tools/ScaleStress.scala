@@ -514,14 +514,17 @@ object ScaleStress {
       if (opEnabled("bigram_commonness")) rows += measureOp("bigram_commonness", m, nDocs) {
         TextAnalysis.bigramCommonness(docs)
       }
-      // corpus-frequent-line removal: the clone army plants verbatim
-      // repeat "lines" (the shared boilerplate text), so the frequent
-      // set is non-empty and the broadcast-back join has real work.
-      // minDocs scales with m to keep the frequent-set selectivity
-      // comparable across multipliers.
+      // corpus-frequent-line removal. minDocs stays CONSTANT across
+      // multipliers: segment document-frequency grows with corpus
+      // size, so a fixed threshold keeps the frequent set non-empty
+      // and GROWING (measured 30 → 52 → 8,048 segments at ×1/×10/
+      // ×100) — the first attempt scaled minDocs with m and silently
+      // measured an empty-frequent-set join at ×10+ (replica families
+      // are size m, so no segment's df ever reaches 10·m across
+      // families). Still broadcast-tiny at every multiplier.
       if (opEnabled("boilerplate_strip")) rows += measureOp("boilerplate_strip", m, nDocs) {
         graft.text.Boilerplate.stripBoilerplate(docs, "doc_id", "text",
-          " the ", minDocs = 10 * m)
+          " the ", minDocs = 10)
       }
       if (opEnabled("kmv_distinct")) rows += measureOp("kmv_distinct", m, nDocs) {
         import graft.functions.KmvFunctions._

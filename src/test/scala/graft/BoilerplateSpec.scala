@@ -91,6 +91,72 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(segs == Seq("a", "b|c", "d")) // '.' is NOT any-char
   }
 
+  test("duplicateSegmentStats matches a plain-Scala reference (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val lineGen = Gen.oneOf("alpha", "beta b", "gamma ray", " ", "",
+      "alpha", "delta x y") // dup-heavy vocab, blanks included
+    val docGen = Gen.listOfN(8, Gen.listOf(lineGen).map(_.mkString("\n")))
+    val prop = forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Boilerplate
+        .duplicateSegmentStats(docs, "doc_id", "text", "\n")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      val want = texts.zipWithIndex.flatMap { case (t, i) =>
+        val segs = t.split(java.util.regex.Pattern.quote("\n"), -1)
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        if (segs.isEmpty) None
+        else {
+          val u = segs.distinct
+          val (c, uc) = (segs.map(_.length.toLong).sum,
+            u.map(_.length.toLong).sum)
+          Some(i.toLong -> ((segs.length.toLong, u.length.toLong,
+            (segs.length - u.length).toDouble / segs.length,
+            (c - uc).toDouble / c)))
+        }
+      }.toMap
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("topNgramStats matches a plain-Scala reference (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val wordGen = Gen.oneOf("a", "b", "cc", "dd")
+    val docGen = Gen.listOfN(6,
+      Gen.listOf(wordGen).map(_.mkString(" ")))
+    val prop = forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.text.TextAnalysis
+        .topNgramStats(docs, "doc_id", "text", n = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+      val want = texts.zipWithIndex.flatMap { case (t, i) =>
+        val w = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (w.length < 2) None
+        else {
+          val grams = w.sliding(2).map(_.mkString(" ")).toSeq
+          val counts = grams.groupBy(identity).view.mapValues(_.length)
+          // max count, tie → lexicographically greatest gram
+          val (g, c) = counts.toSeq.maxBy { case (g, c) => (c, g) }
+          Some(i.toLong -> ((g, c.toLong,
+            c.toDouble * g.length / t.trim.length)))
+        }
+      }.toMap
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("charDiversity: exact Gini on known histograms") {
     val docs = Seq(
       (1L, "aaaa"),     // one symbol → gini 0

@@ -59,6 +59,38 @@ class KMinValuesSpec extends AnyFunSuite {
     assert(est == 2L)
   }
 
+  test("estimate matches the closed-form replay on random value sets " +
+      "(property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash48(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    val k = 8
+    val prop = forAll(Gen.listOf(Gen.chooseNum(0, 500))) { xs =>
+      val vals = xs.map(i => s"item-$i")
+      val df = ("g" +: vals).drop(1).map(("g", _)).toDF("g", "v")
+        .repartition(5)
+      val got =
+        if (vals.isEmpty) -1L
+        else df.groupBy("g")
+          .agg(kmv_distinct(kmv_hash48(col("v")), k).as("e"))
+          .head.getLong(1)
+      val hs = vals.map(hash48).distinct.sorted
+      val want =
+        if (vals.isEmpty) -1L
+        else if (hs.length < k) hs.length.toLong
+        else ((k - 1).toLong << 48) / hs(k - 1)
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("per-group isolation under a grouped aggregate") {
     val df = (1 to 400).map(i => (s"g${i % 4}", s"t-$i"))
       .toDF("g", "v").repartition(7)
