@@ -100,6 +100,88 @@ case class KMinValues(child: Expression, k: Int, domainBits: Int = 48,
   override def prettyName: String = "kmv_distinct"
 }
 
+/** kmv_sketch(e, k): the sketch ITSELF — the k smallest distinct hash
+  * values as a sorted ascending array — instead of the collapsed
+  * estimate. This is the mergeable form: sketches of arbitrary
+  * partitions combine by "union then keep k smallest"
+  * ([[KmvFunctions.kmv_union]], pure array built-ins), and two
+  * sketches over a SHARED hash function support set algebra — the
+  * classic KMV Jaccard estimator |K(A∪B) ∩ A ∩ B| / |K(A∪B)|
+  * ([[KmvFunctions.kmv_jaccard]]). Everything downstream of the
+  * aggregate is deterministic integer/array arithmetic, so estimates
+  * composed from stored sketches replay bit-identically in any
+  * engine — sketch columns can be persisted per partition/day and
+  * algebra'd later without touching the corpus again (the property
+  * that matters at 100 TB: never re-scan to answer a new
+  * cardinality/overlap question). Same O(k) bounded state and input
+  * contract as [[KMinValues]]. */
+case class KMinValuesSketch(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long],
+      v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last()) { if (buf.add(v)) { buf.pollLast(); () } }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) insert(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KMinValuesSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KMinValuesSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_sketch"
+}
+
 object KmvFunctions {
 
   /** KMV distinct estimate of `e` (already a uniform hash in
@@ -108,6 +190,40 @@ object KmvFunctions {
     GraftSqlShims.column(
       KMinValues(GraftSqlShims.expression(e), k, domainBits)
         .toAggregateExpression())
+
+  /** The k smallest distinct hashes as a sorted array — the mergeable
+    * sketch form (see [[KMinValuesSketch]]). */
+  def kmv_sketch(e: Column, k: Int): Column =
+    GraftSqlShims.column(
+      KMinValuesSketch(GraftSqlShims.expression(e), k)
+        .toAggregateExpression())
+
+  /** Union of two KMV sketches over the SAME hash: the k smallest of
+    * the combined value set. Pure array built-ins — composable on
+    * stored sketch columns without touching the corpus. */
+  def kmv_union(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Distinct-count estimate read off a sketch array (the same
+    * closed form [[KMinValues]] evaluates internally): exact size
+    * while under-filled, else (k−1)·2^domainBits div h_k —
+    * INTEGER division (a double round-trip could be off by an ulp
+    * and break cross-engine hash equality). */
+  def kmv_estimate(sketch: Column, k: Int, domainBits: Int = 48): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(GraftSqlShims.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          GraftSqlShims.expression(lit((k - 1).toLong << domainBits)),
+          GraftSqlShims.expression(element_at(sketch, k)))))
+
+  /** KMV Jaccard estimator between two sketches over the same hash:
+    * |K(A∪B) ∩ A ∩ B| / |K(A∪B)| (Beyer et al. 2007). One integer
+    * division — bit-reproducible anywhere the sketches are. */
+  def kmv_jaccard(a: Column, b: Column, k: Int): Column = {
+    val ku = kmv_union(a, b, k)
+    size(array_intersect(array_intersect(ku, a), b)).cast("double") /
+      size(ku).cast("double")
+  }
 
   /** Portable 48-bit uniform hash: the numeric value of the first 12
     * hex digits of md5 over the value's STRING form — replayable in

@@ -249,7 +249,82 @@ object CurationQueries {
              |  CAST(count(tr.g) AS DOUBLE) / CAST(count(*) AS DOUBLE)
              |    AS coverage
              |FROM te LEFT JOIN tr ON te.g = tr.g
-             |GROUP BY te.doc_id""".stripMargin))
+             |GROUP BY te.doc_id""".stripMargin)),
+
+    // KMV set algebra: Jaccard overlap between two OVERLAPPING corpus
+    // slices (doc_id%3!=0 vs doc_id%2=0, true J ~ 0.4) estimated
+    // purely from two stored k=16 sketches — union/intersect/estimate
+    // are array built-ins over the sketches (kmv_union/kmv_jaccard/
+    // kmv_estimate), never re-touching the corpus. Both the estimate
+    // and the exact hash-set Jaccard are integer-exact + one division,
+    // so DuckDB replays them bit-identically.
+    QueryDef("q_kmv_jaccard",
+      (s, d) => {
+        import graft.functions.KmvFunctions._
+        val base = Tables.documents(s, d)
+          .withColumn("hv", kmv_hash48(col("text")))
+        val ska = base.filter(col("doc_id") % 3 =!= 0)
+          .groupBy(col("lang")).agg(kmv_sketch(col("hv"), 16).as("sa"))
+        val skb = base.filter(col("doc_id") % 2 === 0)
+          .groupBy(col("lang")).agg(kmv_sketch(col("hv"), 16).as("sb"))
+        val est = ska.join(skb, Seq("lang")).select(col("lang"),
+          kmv_jaccard(col("sa"), col("sb"), 16).as("kmv_jaccard_est"),
+          kmv_estimate(kmv_union(col("sa"), col("sb"), 16), 16)
+            .as("kmv_union_est"))
+        val flags = base.groupBy(col("lang"), col("hv")).agg(
+          max(when(col("doc_id") % 3 =!= 0, 1).otherwise(0)).as("ea"),
+          max(when(col("doc_id") % 2 === 0, 1).otherwise(0)).as("eb"))
+          .filter(col("ea") + col("eb") > 0)
+        val exact = flags.groupBy(col("lang")).agg(
+          sum((col("ea") * col("eb")).cast("long")).as("inter"),
+          count(lit(1)).as("uni"))
+          .select(col("lang"), col("uni").as("exact_union"),
+            (col("inter").cast("double") / col("uni").cast("double"))
+              .as("exact_jaccard"))
+        est.join(exact, Seq("lang")).select(col("lang"),
+          col("exact_union"), col("exact_jaccard"),
+          col("kmv_union_est"), col("kmv_jaccard_est"))
+      },
+      Some("""WITH h AS (SELECT lang, doc_id,
+             |    CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)
+             |      AS hv FROM documents),
+             |ra AS (SELECT lang, hv, row_number() OVER (
+             |    PARTITION BY lang ORDER BY hv) AS rn
+             |  FROM (SELECT DISTINCT lang, hv FROM h
+             |        WHERE doc_id % 3 <> 0)),
+             |rb AS (SELECT lang, hv, row_number() OVER (
+             |    PARTITION BY lang ORDER BY hv) AS rn
+             |  FROM (SELECT DISTINCT lang, hv FROM h
+             |        WHERE doc_id % 2 = 0)),
+             |sa AS (SELECT lang, list_sort(list(hv)) AS s FROM ra
+             |  WHERE rn <= 16 GROUP BY lang),
+             |sb AS (SELECT lang, list_sort(list(hv)) AS s FROM rb
+             |  WHERE rn <= 16 GROUP BY lang),
+             |uni AS (SELECT sa.lang, sa.s AS a, sb.s AS b,
+             |    list_slice(list_sort(list_distinct(sa.s || sb.s)),
+             |      1, 16) AS ku
+             |  FROM sa JOIN sb ON sa.lang = sb.lang),
+             |est AS (SELECT lang,
+             |    CAST(len(list_intersect(list_intersect(ku, a), b))
+             |        AS DOUBLE) / CAST(len(ku) AS DOUBLE)
+             |      AS kmv_jaccard_est,
+             |    CAST(CASE WHEN len(ku) < 16 THEN len(ku)
+             |      ELSE (CAST(15 AS BIGINT) * 281474976710656) // ku[16]
+             |      END AS BIGINT) AS kmv_union_est
+             |  FROM uni),
+             |p AS (SELECT lang, hv,
+             |    max(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS ea,
+             |    max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS eb
+             |  FROM h GROUP BY 1, 2),
+             |ex AS (SELECT lang,
+             |    CAST(SUM(ea * eb) AS BIGINT) AS inter,
+             |    CAST(COUNT(*) AS BIGINT) AS uni_n
+             |  FROM p WHERE ea + eb > 0 GROUP BY 1)
+             |SELECT est.lang, ex.uni_n AS exact_union,
+             |  CAST(ex.inter AS DOUBLE) / CAST(ex.uni_n AS DOUBLE)
+             |    AS exact_jaccard,
+             |  est.kmv_union_est, est.kmv_jaccard_est
+             |FROM est JOIN ex ON est.lang = ex.lang""".stripMargin))
   )
 
   /** Fixture doctoring for the line-level queries: the corpus has no

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.KmvFunctions.{kmv_distinct, kmv_hash48}
+import graft.functions.KmvFunctions.{kmv_distinct, kmv_estimate, kmv_hash48, kmv_jaccard, kmv_sketch, kmv_union}
 
 class KMinValuesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -89,6 +89,63 @@ class KMinValuesSpec extends AnyFunSuite {
     val res = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("kmv_sketch returns the k smallest distinct hashes, sorted; " +
+      "kmv_estimate over it equals kmv_distinct") {
+    val df = (1 to 300).map(i => ("g", s"v-${i % 120}"))
+      .toDF("g", "v").repartition(9)
+    val row = df.groupBy("g").agg(
+      kmv_sketch(kmv_hash48(col("v")), 16).as("s"),
+      kmv_distinct(kmv_hash48(col("v")), 16).as("e")).head
+    val sketch = row.getSeq[Long](1)
+    assert(sketch.length == 16)
+    assert(sketch == sketch.sorted && sketch.distinct == sketch)
+    // the array IS the k smallest of the true hash set
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = (0 until 120).map { i =>
+      val hex = md.digest(s"v-$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }.distinct.sorted.take(16)
+    assert(sketch == hs)
+    // reading the estimate off the stored sketch = the direct UDAF
+    val est = df.groupBy("g")
+      .agg(kmv_sketch(kmv_hash48(col("v")), 16).as("s"))
+      .select(kmv_estimate(col("s"), 16).as("e")).head.getLong(0)
+    assert(est == row.getLong(2))
+  }
+
+  test("sketch algebra is EXACT while everything fits under k") {
+    // |A u B| = 9 < k = 16: the union sketch holds the whole union,
+    // so Jaccard and union estimates are exact, not approximate
+    val a = (1 to 6).map(i => ("a", s"x-$i")) // x-1..x-6
+    val b = (4 to 9).map(i => ("b", s"x-$i")) // x-4..x-9, overlap 3
+    val df = (a ++ b).toDF("g", "v").repartition(4)
+    val sk = df.groupBy("g")
+      .agg(kmv_sketch(kmv_hash48(col("v")), 16).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val two = Seq((sk("a").toArray, sk("b").toArray)).toDF("sa", "sb")
+    val row = two.select(
+      kmv_jaccard(col("sa"), col("sb"), 16).as("j"),
+      kmv_estimate(kmv_union(col("sa"), col("sb"), 16), 16).as("u"))
+      .head
+    assert(row.getDouble(0) == 3.0 / 9.0)
+    assert(row.getLong(1) == 9L)
+  }
+
+  test("kmv_jaccard lands near the true overlap on filled sketches") {
+    val k = 64
+    val a = (1 to 400).map(i => ("a", s"doc-$i"))
+    val b = (201 to 600).map(i => ("b", s"doc-$i")) // true J = 200/600
+    val df = (a ++ b).toDF("g", "v").repartition(7)
+    val sk = df.groupBy("g")
+      .agg(kmv_sketch(kmv_hash48(col("v")), k).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val j = Seq((sk("a").toArray, sk("b").toArray)).toDF("sa", "sb")
+      .select(kmv_jaccard(col("sa"), col("sb"), k)).head.getDouble(0)
+    val trueJ = 200.0 / 600.0
+    assert(math.abs(j - trueJ) < 0.2, s"estimate $j vs true $trueJ")
   }
 
   test("per-group isolation under a grouped aggregate") {
