@@ -90,6 +90,44 @@ object Sampling {
     * pre-aggregate per-partition counts and rank in two phases. Exact
     * single-pass quotas for balanced strata; approximate for whales —
     * that is the honest 100 TB trade. */
+  /** Temperature-based group sampling (the mT5/XLM-R α-sampling
+    * mixture rule): draw `n_g ∝ c_g^α` documents per group, so
+    * low-resource languages are UP-weighted relative to proportional
+    * sampling (α = 1 is proportional, α → 0 is uniform; 0.5 is the
+    * common pretraining default and the only α this implementation
+    * accepts cross-engine-exactly — c^0.5 is IEEE `sqrt`, a
+    * CORRECTLY-ROUNDED operation everywhere, where `pow` is not).
+    * The allocation is integer-exact: each weight quantizes to
+    * micro-units `q_g = floor(sqrt(c_g)·10⁶)` (sqrt, ×, floor — all
+    * correctly rounded), then `n_g = min(c_g, (total·q_g) div Σq)`,
+    * so the same counts give the same allocation in any engine at
+    * any parallelism. Selection within a group is by portable
+    * content-hash rank, ties by id.
+    *
+    * Scale shape: one tiny count aggregate broadcast back, one rank
+    * window per group partition — identical to
+    * [[stratifiedSample]]'s shape (same whale-stratum caveat). */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      total: Long): DataFrame = {
+    require(total > 0, s"total must be > 0, got $total")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__q",
+        floor(sqrt(col("__c").cast("double")) * 1e6).cast("long"))
+    val tot = counts.agg(sum(col("__q")).as("__sq"))
+    val alloc = counts.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        least(col("__c"),
+          expr(s"($total * __q) div __sq")).as("__n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(contentHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(alloc), Seq(groupCol))
+      .filter(col("__rn") <= col("__n"))
+      .drop("__rn", "__n")
+  }
+
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
       frac: Double): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0)

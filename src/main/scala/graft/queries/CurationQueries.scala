@@ -324,7 +324,36 @@ object CurationQueries {
              |  CAST(ex.inter AS DOUBLE) / CAST(ex.uni_n AS DOUBLE)
              |    AS exact_jaccard,
              |  est.kmv_union_est, est.kmv_jaccard_est
-             |FROM est JOIN ex ON est.lang = ex.lang""".stripMargin))
+             |FROM est JOIN ex ON est.lang = ex.lang""".stripMargin)),
+
+    // temperature (α = 0.5) language sampling — the mT5/XLM-R mixture
+    // rule upweighting low-resource languages: n_l ∝ sqrt(c_l),
+    // allocation integer-quantized (sqrt/×/floor are all IEEE
+    // correctly-rounded, so the micro-unit weights replay exactly),
+    // selection by portable content-hash rank.
+    QueryDef("q_temperature_sample",
+      (s, d) => graft.operators.Sampling.temperatureSample(
+        Tables.documents(s, d), "lang", "doc_id", total = 200L)
+        .select(col("doc_id"), col("lang")),
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+             |  FROM documents GROUP BY 1),
+             |q AS (SELECT lang, c,
+             |    CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000.0)
+             |      AS BIGINT) AS qi FROM c),
+             |a AS (SELECT lang, least(c,
+             |    (200 * qi) // (SELECT CAST(SUM(qi) AS BIGINT) FROM q))
+             |    AS n_l FROM q),
+             |h AS (SELECT doc_id, lang,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+             |      ch -> CAST(ascii(ch) AS BIGINT))),
+             |    (acc, x) -> (acc * 31 + x) % 1000000007) AS hh
+             |  FROM documents),
+             |r AS (SELECT doc_id, lang, row_number() OVER (
+             |    PARTITION BY lang ORDER BY hh ASC, doc_id ASC) AS rn
+             |  FROM h)
+             |SELECT r.doc_id, r.lang FROM r JOIN a USING (lang)
+             |WHERE rn <= n_l""".stripMargin))
   )
 
   /** Fixture doctoring for the line-level queries: the corpus has no

@@ -261,4 +261,36 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.diverseSample(vecs, "vec_id", "embedding", model, 0)
     }
   }
+
+  test("temperatureSample: sqrt allocation upweights the tail, caps " +
+      "at group size, replays the integer closed form") {
+    // 900 "en", 100 "sw", 4 "yi" docs
+    val docs = ((1 to 900).map(i => (i.toLong, "en")) ++
+      (1001 to 1100).map(i => (i.toLong, "sw")) ++
+      (2001 to 2004).map(i => (i.toLong, "yi")))
+      .toDF("doc_id", "lang").repartition(7)
+    val total = 100L
+    val out = Sampling.temperatureSample(docs, "lang", "doc_id", total)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replay the documented closed form
+    val counts = Map("en" -> 900L, "sw" -> 100L, "yi" -> 4L)
+    val qi = counts.view.mapValues(c =>
+      math.floor(math.sqrt(c.toDouble) * 1e6).toLong).toMap
+    val sq = qi.values.sum
+    val want = counts.map { case (g, c) =>
+      g -> math.min(c, total * qi(g) / sq) }
+    assert(out == want, s"got $out want $want")
+    // α = 0.5 beats proportional for the low-resource groups
+    assert(want("sw") > 100 * 100 / 1004,
+      "sqrt sampling must upweight sw vs proportional")
+    assert(want("yi") <= 4L) // capped at group size
+    // deterministic under repartitioning
+    val out2 = Sampling
+      .temperatureSample(docs.repartition(3), "lang", "doc_id", total)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out1 = Sampling.temperatureSample(docs, "lang", "doc_id", total)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out1 == out2)
+  }
 }
