@@ -457,17 +457,26 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles of lowercased text (distinct). Empty/short
-    * text → empty array. Pure Catalyst higher-order functions: stays in
-    * codegen. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Word n-gram occurrence windows of lowercased text — EVERY
+    * window, with repeats, in document order. [[shingles]] is the
+    * distinct set of exactly these; per-document repetition metrics
+    * (TextAnalysis.topNgramStats) count the raw occurrences. One
+    * definition of the gram/tokenization contract — the dedup,
+    * coverage, and repetition paths cannot drift apart. */
+  def shingleOccurrences(text: Column, n: Int = 3): Column = {
     val words = when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(text)), "\\s+"))
     when(size(words) < n, array().cast("array<string>")).otherwise(
-      array_distinct(transform(
+      transform(
         sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n))))))
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
+
+  /** Word n-gram shingles of lowercased text (distinct). Empty/short
+    * text → empty array. Pure Catalyst higher-order functions: stays in
+    * codegen. */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(shingleOccurrences(text, n))
 
   /** Shingles pre-hashed to 64-bit: words are hashed once over their
     * UTF8 bytes and each n-gram window folds word hashes into one long

@@ -4,11 +4,75 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftSqlShims}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Shared buffer protocol of the two KMV aggregates: a bounded
+  * TreeSet of the k smallest DISTINCT hash values, with a common
+  * spill wire format (count + longs) that both forms share — one
+  * place to change insert/merge/serialization semantics, zero
+  * divergence risk between the estimate and sketch forms. */
+trait KmvAggregateBase
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+  def k: Int
+  def prettyName: String
+
+  // the child is unresolved at construction — type-check at analysis
+  // (the HeavyHittersSketch pattern: a non-BIGINT hash column must
+  // fail analysis, not ClassCastException inside a running stage)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a BIGINT hash input, " +
+        s"got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  protected final def insert(buf: java.util.TreeSet[java.lang.Long],
+      v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last()) { if (buf.add(v)) { buf.pollLast(); () } }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) insert(b1, it.next())
+    b1
+  }
+
+  // spill format: count + ascending longs
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+}
 
 /** k-minimum-values (KMV) distinct-count sketch (Bar-Yossef et al.
   * 2002): keep the k smallest DISTINCT hash values seen; if fewer than
@@ -36,60 +100,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 case class KMinValues(child: Expression, k: Int, domainBits: Int = 48,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-    with UnaryLike[Expression] {
-  require(k >= 2, s"k must be >= 2, got $k")
-  require(domainBits >= 1 && domainBits <= 56,
-    s"domainBits must be in [1,56], got $domainBits")
-  require((k - 1).toLong <= (Long.MaxValue >> domainBits),
-    s"(k-1)*2^$domainBits overflows Long")
+    extends KmvAggregateBase {
+  KmvFunctions.validateParams(k, domainBits)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
-
-  private def insert(buf: java.util.TreeSet[java.lang.Long],
-      v: Long): Unit = {
-    if (buf.size < k) { buf.add(v); () }
-    else if (v < buf.last()) { if (buf.add(v)) { buf.pollLast(); () } }
-  }
-
-  override def update(buf: java.util.TreeSet[java.lang.Long],
-      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
-    val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[Long])
-    buf
-  }
-
-  override def merge(b1: java.util.TreeSet[java.lang.Long],
-      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = b2.iterator()
-    while (it.hasNext) insert(b1, it.next())
-    b1
-  }
-
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
     if (buf.size < k) buf.size.toLong
     else ((k - 1).toLong << domainBits) / buf.last()
-
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
-    buf
-  }
 
   override def withNewMutableAggBufferOffset(offset: Int): KMinValues =
     copy(mutableAggBufferOffset = offset)
@@ -117,60 +136,19 @@ case class KMinValues(child: Expression, k: Int, domainBits: Int = 48,
   * contract as [[KMinValues]]. */
 case class KMinValuesSketch(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
-    with UnaryLike[Expression] {
+    extends KmvAggregateBase {
   require(k >= 2, s"k must be >= 2, got $k")
 
   override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
-
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
-
-  private def insert(buf: java.util.TreeSet[java.lang.Long],
-      v: Long): Unit = {
-    if (buf.size < k) { buf.add(v); () }
-    else if (v < buf.last()) { if (buf.add(v)) { buf.pollLast(); () } }
-  }
-
-  override def update(buf: java.util.TreeSet[java.lang.Long],
-      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
-    val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[Long])
-    buf
-  }
-
-  override def merge(b1: java.util.TreeSet[java.lang.Long],
-      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = b2.iterator()
-    while (it.hasNext) insert(b1, it.next())
-    b1
-  }
 
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
     val arr = new Array[Any](buf.size)
     val it = buf.iterator()
     var i = 0
     while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
-  }
-
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
-    buf
+    new GenericArrayData(arr)
   }
 
   override def withNewMutableAggBufferOffset(offset: Int): KMinValuesSketch =
@@ -183,6 +161,18 @@ case class KMinValuesSketch(child: Expression, k: Int,
 }
 
 object KmvFunctions {
+
+  /** Shared parameter validation: every path that evaluates the
+    * closed form (k−1)·2^domainBits — aggregate or stored-sketch —
+    * must reject parameters whose shift overflows Long, or the
+    * "estimate" silently goes negative. */
+  private[functions] def validateParams(k: Int, domainBits: Int): Unit = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(domainBits >= 1 && domainBits <= 56,
+      s"domainBits must be in [1,56], got $domainBits")
+    require((k - 1).toLong <= (Long.MaxValue >> domainBits),
+      s"(k-1)*2^$domainBits overflows Long")
+  }
 
   /** KMV distinct estimate of `e` (already a uniform hash in
     * [0, 2^domainBits)) with a k-value sketch. */
@@ -201,20 +191,26 @@ object KmvFunctions {
   /** Union of two KMV sketches over the SAME hash: the k smallest of
     * the combined value set. Pure array built-ins — composable on
     * stored sketch columns without touching the corpus. */
-  def kmv_union(a: Column, b: Column, k: Int): Column =
+  def kmv_union(a: Column, b: Column, k: Int): Column = {
+    require(k >= 2, s"k must be >= 2, got $k")
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
+  }
 
   /** Distinct-count estimate read off a sketch array (the same
     * closed form [[KMinValues]] evaluates internally): exact size
     * while under-filled, else (k−1)·2^domainBits div h_k —
     * INTEGER division (a double round-trip could be off by an ulp
-    * and break cross-engine hash equality). */
-  def kmv_estimate(sketch: Column, k: Int, domainBits: Int = 48): Column =
+    * and break cross-engine hash equality). Same parameter guards as
+    * the aggregate: an overflowing (k−1)<<domainBits must fail fast
+    * here too, not return negative estimates. */
+  def kmv_estimate(sketch: Column, k: Int, domainBits: Int = 48): Column = {
+    validateParams(k, domainBits)
     when(size(sketch) < k, size(sketch).cast("long"))
       .otherwise(GraftSqlShims.column(
         org.apache.spark.sql.catalyst.expressions.IntegralDivide(
           GraftSqlShims.expression(lit((k - 1).toLong << domainBits)),
           GraftSqlShims.expression(element_at(sketch, k)))))
+  }
 
   /** KMV Jaccard estimator between two sketches over the same hash:
     * |K(A∪B) ∩ A ∩ B| / |K(A∪B)| (Beyer et al. 2007). One integer

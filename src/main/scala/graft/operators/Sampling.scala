@@ -116,16 +116,27 @@ object Sampling {
       .withColumn("__q",
         floor(sqrt(col("__c").cast("double")) * 1e6).cast("long"))
     val tot = counts.agg(sum(col("__q")).as("__sq"))
+    // allocation in DECIMAL(38,0): total·q_g overflows BIGINT once
+    // total and a group's micro-unit weight are both large (2e9 docs
+    // requested × a 2.5e10-doc group ⇒ ~3e20), and a wrapped-negative
+    // product would silently empty every big group; 38 digits hold
+    // any realistic product exactly and `div` stays integral
     val alloc = counts.crossJoin(broadcast(tot))
-      .select(col(groupCol),
+      .select(col(groupCol).as("__g"),
         least(col("__c"),
-          expr(s"($total * __q) div __sq")).as("__n"))
+          expr(s"(CAST($total AS DECIMAL(38,0)) * __q) div __sq"))
+          .cast("long").as("__n"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(contentHash(col(idCol)).asc, col(idCol).asc)
+    // null-safe join: a NULL group key is a legitimate stratum (the
+    // undetected-language slice) — it must receive its allocation
+    // like any other group, not silently vanish while its weight
+    // still sits in the Σq denominator (stratifiedSample samples the
+    // NULL stratum too; the two must agree)
     df.withColumn("__rn", row_number().over(w))
-      .join(broadcast(alloc), Seq(groupCol))
+      .join(broadcast(alloc), col(groupCol) <=> col("__g"))
       .filter(col("__rn") <= col("__n"))
-      .drop("__rn", "__n")
+      .drop("__rn", "__n", "__g")
   }
 
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,

@@ -145,6 +145,12 @@ object Curation {
         df = df.join(stripped, Seq("doc_id"), "left")
           .withColumn("text", coalesce(col("clean_text"), col("text")))
           .drop("clean_text")
+        // the dup-line gate below feeds the SAME stripped frame into
+        // a second corpus-wide pass — without materialization the
+        // whole strip subplan (explode → df count → join → re-agg)
+        // executes once per consumer
+        if (cfg.maxDupLineFrac.isDefined)
+          df = graft.util.Checkpointing.materialize(df)
       }
       cfg.maxDupLineFrac.foreach { maxFrac =>
         val stats = graft.text.Boilerplate.duplicateSegmentStats(

@@ -221,12 +221,11 @@ object TextAnalysis {
     * O(distinctGrams × grams) with natural-text bounds. */
   def topNgramStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
-    val words = tokens(col(textCol))
-    val grams = transform(
-      sequence(lit(0), size(words) - n),
-      i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    // the one gram/tokenization contract, shared with the dedup and
+    // coverage paths (shingles == array_distinct of these windows)
+    val grams = graft.dedup.Dedup.shingleOccurrences(col(textCol), n)
     docs
-      .filter(size(tokens(col(textCol))) >= n)
+      .filter(size(grams) > 0)
       .select(col(idCol).as("doc_id"),
         length(trim(col(textCol))).cast("long").as("text_len"),
         grams.as("grams"))

@@ -148,6 +148,26 @@ class KMinValuesSpec extends AnyFunSuite {
     assert(math.abs(j - trueJ) < 0.2, s"estimate $j vs true $trueJ")
   }
 
+  test("non-BIGINT input fails analysis, not mid-stage; overflowing " +
+      "parameters fail fast on every path") {
+    val df = Seq(("g", 1)).toDF("g", "v") // IntegerType input
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(kmv_distinct(col("v"), 8).as("e")).collect()
+    }
+    assert(ex.getMessage.contains("BIGINT"), ex.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(kmv_sketch(col("v"), 8).as("s")).collect()
+    }
+    // (k-1) << domainBits overflow: aggregate and stored-sketch read
+    // paths must both refuse (a silent wrap returns negative counts)
+    intercept[IllegalArgumentException] {
+      kmv_distinct(col("v"), k = 100000, domainBits = 48)
+    }
+    intercept[IllegalArgumentException] {
+      kmv_estimate(col("v"), k = 100000, domainBits = 48)
+    }
+  }
+
   test("per-group isolation under a grouped aggregate") {
     val df = (1 to 400).map(i => (s"g${i % 4}", s"t-$i"))
       .toDF("g", "v").repartition(7)

@@ -293,4 +293,18 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out1 == out2)
   }
+
+  test("temperatureSample: NULL group is a real stratum and draws " +
+      "its allocation") {
+    val docs = ((1 to 64).map(i => (i.toLong, "en")) ++
+      (101 to 136).map(i => (i.toLong, null.asInstanceOf[String])))
+      .toDF("doc_id", "lang").repartition(5)
+    val out = Sampling.temperatureSample(docs, "lang", "doc_id", 50L)
+      .groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // closed form: q_en = floor(8*1e6), q_null = floor(6*1e6)
+    assert(out(Some("en")) == 50L * 8000000L / 14000000L)
+    assert(out(None) == 50L * 6000000L / 14000000L,
+      s"null stratum must be sampled, got $out")
+  }
 }
