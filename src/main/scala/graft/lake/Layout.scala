@@ -73,4 +73,57 @@ object Layout {
     df.repartition(numFiles).write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath).count()
   }
+
+  // ---------------------------------------------- file-stats skipping
+
+  /** File-level column-statistics manifest — the Delta/Iceberg
+    * data-skipping analog for a plain parquet directory: one scan
+    * computes per-file min/max/row-count for the named columns
+    * (`input_file_name()` as the group key, so stats aggregate
+    * map-side within each file's own scan tasks). Persist the result
+    * next to the data; it is O(files), not O(rows), and answers
+    * "which files can contain col ∈ [lo, hi]" without touching the
+    * table again. Pairs with [[zOrderBy]]: clustered files have tight
+    * bounding boxes, so the manifest prunes hard on every clustered
+    * dimension. */
+  def collectFileStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("rows")
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The files whose [min, max] interval for `c` intersects
+    * [lo, hi] — a manifest filter, never a data scan. Files whose
+    * stats are NULL (every row null in `c`) are excluded: a range
+    * predicate cannot match a null value. The returned list is
+    * bounded by the files that MATCH, which is exactly the set the
+    * caller is about to read anyway. */
+  def candidateFiles(manifest: DataFrame, c: String,
+      lo: Column, hi: Column): Seq[String] =
+    manifest
+      .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Data-skipping read: consult the manifest, read ONLY the files
+    * that can contain `c ∈ [lo, hi]`, and re-apply the exact
+    * predicate (file granularity is an over-approximation; the
+    * residual filter restores exact semantics — same contract as
+    * parquet row-group skipping). An empty candidate set returns an
+    * empty frame with the manifest-independent schema. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      manifest: DataFrame, c: String, lo: Column,
+      hi: Column): DataFrame = {
+    val files = candidateFiles(manifest, c, lo, hi)
+    val base =
+      if (files.isEmpty)
+        spark.read.schema(spark.read.parquet(path).schema)
+          .parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(c) >= lo && col(c) <= hi)
+  }
 }

@@ -896,6 +896,37 @@ object BreadthQueries {
            |FROM part""".stripMargin
       }),
 
+    // file-stats data skipping (the Delta/Iceberg manifest analog):
+    // write lineitem range-clustered on ship date into 8 files,
+    // collect the per-file min/max manifest in one scan, answer a
+    // one-quarter band via prunedRead — manifest-selected files plus
+    // the exact residual filter. The oracle is the plain band
+    // aggregate: skipping is an optimization, never a semantics
+    // change. LayoutSpec pins that the manifest actually prunes
+    // (candidate files ≪ total) and that edge bands return empty.
+    QueryDef("q_file_skip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-skip-q").toString
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            col("l_shipdate").cast("date").as("sd"), col("l_quantity"))
+          .repartitionByRange(8, col("sd"))
+          .write.mode("overwrite").parquet(dir)
+        val manifest = Layout.collectFileStats(s, dir, Seq("sd"))
+        Layout.prunedRead(s, dir, manifest, "sd",
+            lit("1994-01-01").cast("date"), lit("1994-03-31").cast("date"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast("double").as("qty"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |  AS qty
+             |FROM lineitem
+             |WHERE CAST(l_shipdate AS DATE)
+             |  BETWEEN DATE '1994-01-01' AND DATE '1994-03-31'""".stripMargin)),
+
     // date-function battery (P3/P8 extended): arithmetic, truncation,
     // calendar parts — DuckDB dayofweek is 0=Sunday vs Spark 1=Sunday,
     // aligned with +1 in the oracle

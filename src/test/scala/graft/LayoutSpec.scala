@@ -77,4 +77,42 @@ class LayoutSpec extends AnyFunSuite {
       .count(_.getName.endsWith(".parquet"))
     assert(outFiles == 2)
   }
+
+  test("file-stats manifest prunes range-clustered files; pruned " +
+      "read equals the full-scan filter; edge cases behave") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-skip").toString
+    (1 to 1000).map(i => (i.toLong, i % 100))
+      .toDF("v", "payload")
+      .repartitionByRange(10, col("v"))
+      .write.mode("overwrite").parquet(dir)
+    val manifest = Layout.collectFileStats(spark, dir, Seq("v"))
+    assert(manifest.count() == 10)
+    // a narrow band hits a small fraction of the 10 range files
+    val cands = Layout.candidateFiles(manifest, "v",
+      lit(150L), lit(250L))
+    assert(cands.nonEmpty && cands.size <= 3,
+      s"range band must prune to <=3 of 10 files, got ${cands.size}")
+    // exactness: pruned read == full-scan filter
+    val pruned = Layout.prunedRead(spark, dir, manifest, "v",
+      lit(150L), lit(250L)).select("v").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(pruned == (150L to 250L))
+    // out-of-range band: zero candidates, empty frame, schema intact
+    val empty = Layout.prunedRead(spark, dir, manifest, "v",
+      lit(5000L), lit(6000L))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("v", "payload"))
+    // an all-null stats column never matches a range
+    val nulldir = java.nio.file.Files
+      .createTempDirectory("graft-skip-null").toString
+    Seq[(java.lang.Long, Int)]((null, 1), (null, 2)).toDF("v", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(nulldir)
+    val nullman = Layout.collectFileStats(spark, nulldir, Seq("v"))
+    assert(Layout.candidateFiles(nullman, "v",
+      lit(0L), lit(100L)).isEmpty)
+  }
 }
