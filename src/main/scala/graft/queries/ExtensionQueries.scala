@@ -43,6 +43,10 @@ object ExtensionQueries {
   private val streamDedupOuts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q_stream_kmv drain outputs, same discipline. */
+  private val streamKmvOuts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Row shape streamed through the q_stream_quota cap (the typed
     * arbitrary-state API needs a product encoder). */
   final case class QuotaRow(event_id: Long, user_id: Long)
@@ -1274,6 +1278,56 @@ object ExtensionQueries {
       },
       Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
              |FROM events GROUP BY 1""".stripMargin)),
+
+    // streaming KMV cardinality: the documents stream REDELIVERED
+    // (self-union, the at-least-once shape) through a complete-mode
+    // kmv_distinct aggregation. Because the KMV sketch is a pure
+    // function of the value SET — order-, merge-, and duplication-
+    // independent — the drained streaming state equals the batch
+    // closed form EXACTLY, so a streaming aggregation sits under the
+    // hash gate (most streaming aggs can only be envelope-checked).
+    // The sketch buffer round-trips the state store between
+    // microbatches (multi-batch spec in StreamingSpec).
+    QueryDef("q_stream_kmv",
+      (s, d) => {
+        val out = streamKmvOuts.getOrElseUpdate(d, {
+          import org.apache.spark.sql.types._
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-stream-kmv").toString
+          def src = s.readStream
+            .option("pathGlobFilter", "documents.parquet")
+            .schema(StructType(Seq(
+              StructField("doc_id", LongType),
+              StructField("text", StringType),
+              StructField("lang", StringType),
+              StructField("source", StringType),
+              StructField("n_chars", LongType))))
+            .parquet(d)
+            .select(col("source"), col("text"))
+          val agg = src.unionByName(src).groupBy(col("source")).agg(
+            graft.functions.KmvFunctions.kmv_distinct(
+              graft.functions.KmvFunctions.kmv_hash48(col("text")), 16)
+              .as("kmv_estimate"))
+          graft.streaming.StreamingIngest.drainCompleteToParquet(
+            agg, s, s"$root/out")
+          s"$root/out"
+        })
+        s.read.parquet(out)
+      },
+      Some("""WITH h AS (SELECT source,
+             |    CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)
+             |      AS hv FROM documents),
+             |d AS (SELECT DISTINCT source, hv FROM h),
+             |r AS (SELECT source, hv,
+             |    row_number() OVER (PARTITION BY source ORDER BY hv)
+             |      AS rn,
+             |    count(*) OVER (PARTITION BY source) AS nd FROM d)
+             |SELECT source,
+             |  CAST(CASE WHEN nd >= 16
+             |    THEN (CAST(15 AS BIGINT) * 281474976710656) // hv
+             |    ELSE nd END AS BIGINT) AS kmv_estimate
+             |FROM r
+             |WHERE rn = CASE WHEN nd >= 16 THEN 16 ELSE nd END""".stripMargin)),
 
     // ------------------------------------------------------ text analysis
 

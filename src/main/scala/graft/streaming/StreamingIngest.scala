@@ -171,6 +171,29 @@ object StreamingIngest {
     * dates; set maxFilesPerTrigger accordingly. The partition column
     * must exist on the stream (added at read time, as the reference's
     * transform jobs do). */
+  /** Drain a COMPLETE-mode streaming aggregation with AvailableNow
+    * and persist its final state to parquet. Memory sink, because the
+    * file sinks accept only append mode; the temp view is dropped
+    * after the copy. For aggregates whose value is order- and
+    * merge-independent (counts, decimal sums, KMV sketches) the
+    * drained state equals the batch result EXACTLY — the streaming
+    * path becomes oracle-checkable, not just smoke-testable. The
+    * aggregation state (including custom TypedImperativeAggregate
+    * buffers) round-trips the state store between microbatches, so a
+    * multi-file source exercises serialize/deserialize for real. */
+  def drainCompleteToParquet(agg: DataFrame, spark: SparkSession,
+      outPath: String): Unit = {
+    val name = "graft_complete_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).write.mode("overwrite").parquet(outPath)
+    spark.catalog.dropTempView(name)
+    ()
+  }
+
   def sinkToSilver(df: DataFrame, spark: SparkSession, table: String,
       checkpoint: String, partitionCol: String = "ingest_on"): Unit = {
     // Runtime guard for the one-partition-one-batch contract: if a

@@ -762,6 +762,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
 
+  test("temperature sampling: rank window + broadcast allocation, " +
+      "no second corpus shuffle") {
+    val p = plan("q_temperature_sample")
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-group allocation must broadcast, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // corpus shuffles once for the rank window; the count aggregate
+    // feeding the allocation is its own small exchange
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.contains("Window"), p)
+  }
+
   test("ngram coverage: hash join on the gram key (sorting the fat " +
       "gram table was the one spill the text matrices ever saw); " +
       "top-ngram stats stay narrow") {

@@ -412,4 +412,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1.exists(s => s.events == 3 && s.total_value == 6.0),
       s"expected closed 3-event session, got ${u1.toSeq}")
   }
+
+  test("KMV sketch state survives the state store across microbatches " +
+      "and drains to the exact batch value") {
+    import graft.functions.KmvFunctions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-kmv-stream").toString
+    // 4 separate files + maxFilesPerTrigger=1 → 4 microbatches: the
+    // TypedImperativeAggregate buffer must serialize through the
+    // state store between every pair of batches
+    val rows = (1 to 200).map(i => (s"g${i % 2}", s"val-$i"))
+    rows.grouped(50).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("g", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/in/part$i")
+    }
+    val src = spark.readStream
+      .schema("g STRING, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$root/in")
+    val agg = src.groupBy($"g")
+      .agg(kmv_distinct(kmv_hash48($"v"), 8).as("e"))
+    graft.streaming.StreamingIngest.drainCompleteToParquet(
+      agg, spark, s"$root/out")
+    val streamed = spark.read.parquet(s"$root/out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = rows.toDF("g", "v").groupBy($"g")
+      .agg(kmv_distinct(kmv_hash48($"v"), 8).as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"streamed $streamed must equal batch $batch exactly")
+    assert(streamed.keySet == Set("g0", "g1"))
+  }
 }
