@@ -462,14 +462,30 @@ object Dedup {
     * distinct set of exactly these; per-document repetition metrics
     * (TextAnalysis.topNgramStats) count the raw occurrences. One
     * definition of the gram/tokenization contract — the dedup,
-    * coverage, and repetition paths cannot drift apart. */
+    * coverage, and repetition paths cannot drift apart.
+    *
+    * The word array is BOUND as a lambda variable (the one-element
+    * transform wrapper) before the window lambda references it:
+    * Catalyst does no common-subexpression elimination inside
+    * higher-order-function lambdas, so referencing the split
+    * expression directly in the per-window lambda re-tokenizes the
+    * whole document for EVERY window — O(tokens²), measured 22.8 s
+    * vs 0.35 s over 500 × 2000-token docs (SCALING.md). element_at
+    * per gram word instead of slice avoids a per-window sub-array
+    * copy (the remaining 8×). Short fixture docs never noticed;
+    * real pretraining documents are exactly the long ones. */
   def shingleOccurrences(text: Column, n: Int = 3): Column = {
-    val words = when(length(trim(text)) === 0, array().cast("array<string>"))
+    val wordsExpr = when(length(trim(text)) === 0,
+      array().cast("array<string>"))
       .otherwise(split(lower(trim(text)), "\\s+"))
-    when(size(words) < n, array().cast("array<string>")).otherwise(
-      transform(
-        sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    element_at(
+      transform(array(wordsExpr), words =>
+        when(size(words) < n, array().cast("array<string>")).otherwise(
+          transform(
+            sequence(lit(0), size(words) - n),
+            i => concat_ws(" ", array((0 until n).map(j =>
+              element_at(words, i + j + 1)): _*))))),
+      1)
   }
 
   /** Word n-gram shingles of lowercased text (distinct). Empty/short

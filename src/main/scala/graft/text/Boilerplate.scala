@@ -124,20 +124,39 @@ object Boilerplate {
   def charDiversity(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val chars = split(col(textCol), "")
-    val uniq = array_distinct(chars)
-    val sumSq = aggregate(uniq, lit(0L), (acc, c) =>
-      acc + {
-        val n = size(filter(chars, x => x === c)).cast("long")
-        n * n
-      })
+    // sort + run-length fold, O(len log len): the per-distinct
+    // filter-count form is O(distinct × len) AND re-splits the text
+    // once per distinct character (no CSE inside HOF lambdas — the
+    // same trap Dedup.shingleOccurrences documents). Equal chars are
+    // adjacent after the sort; one pass accumulates Σrun² and the
+    // distinct count, closing the final run in the finish lambda.
+    val zero = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(0L).as("sumsq"), lit(0L).as("nd"))
+    val folded = aggregate(array_sort(chars), zero,
+      (st, c) => {
+        val same = st.getField("prev") === c
+        struct(c.as("prev"),
+          when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, st.getField("sumsq"))
+            .otherwise(st.getField("sumsq") +
+              st.getField("run") * st.getField("run")).as("sumsq"),
+          when(same, st.getField("nd"))
+            .otherwise(st.getField("nd") + 1L).as("nd"))
+      },
+      st => struct(
+        (st.getField("sumsq") +
+          st.getField("run") * st.getField("run")).as("sumsq"),
+        st.getField("nd").as("nd")))
     val n = size(chars).cast("long")
     docs
       .filter(length(col(textCol)) > 0)
+      .withColumn("__h", folded)
       .select(
         col(idCol).as("doc_id"),
         n.as("n_chars"),
-        size(uniq).cast("long").as("distinct_chars"),
-        (lit(1.0) - sumSq.cast("double") / (n * n).cast("double"))
-          .as("char_gini"))
+        col("__h.nd").as("distinct_chars"),
+        (lit(1.0) - col("__h.sumsq").cast("double") /
+          (n * n).cast("double")).as("char_gini"))
   }
 }

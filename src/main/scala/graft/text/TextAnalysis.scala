@@ -224,21 +224,38 @@ object TextAnalysis {
     // the one gram/tokenization contract, shared with the dedup and
     // coverage paths (shingles == array_distinct of these windows)
     val grams = graft.dedup.Dedup.shingleOccurrences(col(textCol), n)
+    // sort + run-length fold: O(g log g) per document. The obvious
+    // count-per-distinct form (filter-count inside a transform over
+    // array_distinct) is O(distinct × g) — quadratic on real
+    // multi-thousand-token documents where most grams are unique,
+    // which is exactly the corpus this filter exists for. Equal grams
+    // are adjacent after the sort, so one pass tracks the current run
+    // and the best-so-far; `>=` on the update means the LAST gram to
+    // reach the max run wins — the lexicographically greatest, the
+    // documented tie-break.
+    val zero = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(0L).as("bestC"), lit(null).cast("string").as("bestG"))
+    val folded = aggregate(array_sort(col("grams")), zero, (st, g) => {
+      val run = when(st.getField("prev") === g,
+        st.getField("run") + 1L).otherwise(lit(1L))
+      struct(g.as("prev"), run.as("run"),
+        when(run >= st.getField("bestC"), run)
+          .otherwise(st.getField("bestC")).as("bestC"),
+        when(run >= st.getField("bestC"), g)
+          .otherwise(st.getField("bestG")).as("bestG"))
+    })
     docs
       .filter(size(grams) > 0)
       .select(col(idCol).as("doc_id"),
         length(trim(col(textCol))).cast("long").as("text_len"),
         grams.as("grams"))
-      .withColumn("best", array_max(transform(
-        array_distinct(col("grams")),
-        g => struct(
-          size(filter(col("grams"), x => x === g)).cast("long").as("c"),
-          g.as("g")))))
+      .withColumn("best", folded)
       .select(
         col("doc_id"),
-        col("best.g").as("top_ngram"),
-        col("best.c").as("top_count"),
-        ((col("best.c") * length(col("best.g"))).cast("double") /
+        col("best.bestG").as("top_ngram"),
+        col("best.bestC").as("top_count"),
+        ((col("best.bestC") * length(col("best.bestG"))).cast("double") /
           col("text_len").cast("double")).as("top_char_frac"))
   }
 
