@@ -171,9 +171,15 @@ object Retrieval {
     * mass, so cosine between these vectors is a graded subword
     * similarity — deterministic in any engine, no model weights. */
   def charGramVec(tok: Column, dim: Int = 64): Column = {
-    val padded = concat(lit("<"), tok, lit(">"))
-    val grams = transform(sequence(lit(1), length(padded) - 2),
-      i => padded.substr(i, lit(3)))
+    // bind the padded token once — referencing the concat inside the
+    // per-gram lambda re-concatenates per trigram (the HOF-lambda
+    // no-CSE trap, Dedup.shingleOccurrences); tokens are short so the
+    // constant is small, but the shape should not be quadratic
+    val grams = element_at(
+      transform(array(concat(lit("<"), tok, lit(">"))), padded =>
+        transform(sequence(lit(1), length(padded) - 2),
+          i => padded.substr(i, lit(3)))),
+      1)
     hashEmbed(grams, dim)
   }
 
