@@ -114,10 +114,20 @@ object Layout {
     * predicate (file granularity is an over-approximation; the
     * residual filter restores exact semantics — same contract as
     * parquet row-group skipping). An empty candidate set returns an
-    * empty frame with the manifest-independent schema. */
+    * empty frame with the manifest-independent schema.
+    *
+    * Staleness guard: a manifest is a snapshot — files added or
+    * rewritten after [[collectFileStats]] would be silently DROPPED
+    * by pruning (a wrong answer, not a slow one), so by default the
+    * directory listing is checked against the manifest's file set and
+    * an unknown data file raises. `verifyFresh = false` skips the
+    * O(files) driver listing for callers that own the write path and
+    * re-collect the manifest on every commit (the Iceberg-snapshot
+    * discipline). */
   def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
       manifest: DataFrame, c: String, lo: Column,
-      hi: Column): DataFrame = {
+      hi: Column, verifyFresh: Boolean = true): DataFrame = {
+    if (verifyFresh) requireManifestFresh(spark, path, manifest)
     val files = candidateFiles(manifest, c, lo, hi)
     val base =
       if (files.isEmpty)
@@ -125,5 +135,59 @@ object Layout {
           .parquet(path).limit(0)
       else spark.read.parquet(files: _*)
     base.filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  /** Raise unless every data file currently under `path` appears in
+    * the manifest. Compares by basename (parquet part names carry a
+    * per-job UUID; `input_file_name()` and Hadoop listings disagree
+    * only on scheme prefixes, which basenames sidestep). One driver
+    * listing, O(files) — never touches file contents. */
+  def requireManifestFresh(spark: org.apache.spark.sql.SparkSession,
+      path: String, manifest: DataFrame): Unit = {
+    val known = manifest.select(col("file")).collect()
+      .map(r => r.getString(0).split('/').last).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")
+        && !n.startsWith("."))
+    val unknown = listed.filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"stale manifest for $path: ${unknown.length} data file(s) not " +
+        s"in the manifest (e.g. ${unknown.take(3).mkString(", ")}) — " +
+        "re-run collectFileStats or pass verifyFresh = false")
+  }
+
+  /** Pruned read for file counts where a driver-side path list is
+    * hostile (a million-file table): the matched-file set stays a
+    * DataFrame end to end and prunes via a semi join on the hidden
+    * `_metadata.file_path` column — the driver never materializes
+    * file paths. The trade, stated plainly: unlike [[prunedRead]],
+    * every file is still OPENED (the pushed-down residual range
+    * predicate skips its row groups via footer stats — usually the
+    * bulk of the win on [[zOrderBy]]-clustered data), and rows of
+    * unmatched files drop at the join instead of never being
+    * scheduled. Below `maxDriverFiles` matched files it delegates to
+    * [[prunedRead]]'s true file skipping, so callers get the stronger
+    * form whenever the driver can afford it. No broadcast hint on the
+    * matched set: at the scale this path exists for it can exceed the
+    * broadcast limit, and AQE picks broadcast itself when it fits. */
+  def prunedReadDistributed(spark: org.apache.spark.sql.SparkSession,
+      path: String, manifest: DataFrame, c: String, lo: Column,
+      hi: Column, maxDriverFiles: Int = 100000): DataFrame = {
+    val cand = manifest
+      .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+      .select(regexp_extract(col("file"), "([^/]+)$", 1).as("__mf"))
+    if (cand.count() <= maxDriverFiles)
+      prunedRead(spark, path, manifest, c, lo, hi, verifyFresh = false)
+    else {
+      val base = spark.read.parquet(path)
+        .withColumn("__bf",
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
+        .filter(col(c) >= lo && col(c) <= hi)
+      base.join(cand, base("__bf") === cand("__mf"), "left_semi")
+        .drop("__bf")
+    }
   }
 }

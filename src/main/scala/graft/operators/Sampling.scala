@@ -72,24 +72,106 @@ object Sampling {
       trainPct: Int = 90): DataFrame =
     splitByHash(df, groupCol, trainPct) // same mechanism, keyed on the group
 
-  /** EXACT per-stratum quota sample: within each `stratumCol` value,
-    * keep exactly ceil(frac × stratum size) rows — the corpus-balancing
-    * operator (per-language / per-source quotas for training mixes).
-    * Row selection orders each stratum by the content hash (then id),
-    * so which rows survive is a pure function of the data: same result
-    * on any cluster, partitioning, or engine.
+  /** Result of [[groupScan]]: a SKINNY frame — (idCol, groupCol,
+    * `__gsw` weight, prefix) only, one row per input row — plus the
+    * tiny per-group totals frame (one row per group — reuse it
+    * instead of re-scanning the corpus for group counts). Callers
+    * filter the skinny frame to the selected ids and join BACK to the
+    * full rows: document bytes never enter the rank shuffles, and
+    * when the selection is small AQE broadcasts it, so the join-back
+    * costs no corpus shuffle at all. */
+  private[graft] final case class GroupScan(ranked: DataFrame,
+      totals: DataFrame)
+
+  /** Exact per-group ordered prefix scan (rank when `weight` is 1,
+    * running sum otherwise) WITHOUT a per-group window — the
+    * distributed two-phase rank of [[assignBalancedShards]]
+    * generalized to per-GROUP order. `Window.partitionBy(group)` makes
+    * a dominant group ONE task (AQE splits skewed joins/aggregations,
+    * never window partitions), so a 90%-whale language stratum turns
+    * an exact quota into a single-task sort of most of the corpus.
+    * Here instead:
     *
-    * Scale shape: one shuffle on the stratum key + per-partition sort
-    * (the window). Exact quotas REQUIRE per-stratum ranking, and a
-    * window partition is ONE task — AQE's skew handling splits shuffle
-    * joins/aggregations, not window partitions — so a dominant stratum
-    * (one language owning most of the corpus) becomes a single-task
-    * sort/straggler. For skewed strata either accept a few-percent
-    * deviation and use [[deterministicSample]] on the dominant stratum
-    * (narrow map, no shuffle, threshold on the same content hash), or
-    * pre-aggregate per-partition counts and rank in two phases. Exact
-    * single-pass quotas for balanced strata; approximate for whales —
-    * that is the honest 100 TB trade. */
+    *  1. range-partition on (group, contentHash(id), id) — every
+    *     partition holds a contiguous slice of the global group+order
+    *     key space, so a whale group spans MANY partitions, each a
+    *     balanced ~corpus/P slice; stamp `spark_partition_id()` and
+    *     materialize once (the side jobs below must observe the same
+    *     partition ids AQE planned);
+    *  2. aggregate per-(partition, group) weight sums — a frame of at
+    *     most P + groups − 1 rows (groups are range-contiguous), NOT
+    *     corpus-sized; its per-group prefix window is over ≤P rows per
+    *     group, and it broadcasts back (never a collect, unlike
+    *     [[assignBalancedShards]]'s driver offsets);
+    *  3. per-(partition, group) local prefix window + broadcast
+    *     offset = the exact global per-group prefix. The window key
+    *     includes the partition id, so no window partition ever
+    *     exceeds one range-slice — flat tasks regardless of skew.
+    *
+    * Both exchanges (range + the window's hash on (pid, group)) move
+    * only the SKINNY projection — (id, group, weight, hash), tens of
+    * bytes per row regardless of document size — and the
+    * materialized-once frame is that projection too, so the cache
+    * footprint is rank-state, never corpus bytes. Balanced at any
+    * group distribution. The prefix arithmetic is exact (integer
+    * weights), so output is bit-identical to the single-window form
+    * on any cluster, partitioning, or engine. Ordering is always
+    * (contentHash(id) asc, id asc) — the portable deterministic order
+    * every sampler here uses; ids are assumed unique and non-null
+    * (the precondition every deterministic operator in this module
+    * already carries). */
+  private[graft] def groupScan(df: DataFrame, groupCol: String,
+      idCol: String, weight: Column, outName: String): GroupScan = {
+    import org.apache.spark.sql.expressions.Window
+    Seq("__pid", "__gsp", "__gsg", "__gsw", "__gsh", "__gso", outName)
+      .foreach { c =>
+        require(!df.columns.contains(c),
+          s"groupScan reserves the column name $c")
+      }
+    val ord = Seq(col("__gsh").asc, col(idCol).asc)
+    val stamped = graft.dedup.Dedup.persistEager(
+      df.select(col(idCol), col(groupCol),
+          weight.cast("long").as("__gsw"),
+          contentHash(col(idCol)).as("__gsh"))
+        .repartitionByRange(col(groupCol).asc +: ord: _*)
+        .withColumn("__pid", spark_partition_id()))
+    // ≤ P + groups − 1 rows; materialized so the offsets window, the
+    // totals, and every caller-side consumer of totals read it instead
+    // of re-aggregating the cached corpus per consumer
+    val parts = graft.dedup.Dedup.persistEager(stamped
+      .groupBy(col("__pid").as("__gsp"), col(groupCol).as("__gsg"))
+      .agg(sum(col("__gsw")).as("__gw")))
+    val byG = Window.partitionBy(col("__gsg"))
+    // per-group weight mass in STRICTLY EARLIER partitions — the
+    // offset that turns a local prefix into the global one; the window
+    // runs over the tiny parts frame (≤ P rows per group)
+    val offs = parts.select(col("__gsp"), col("__gsg"),
+      coalesce(sum(col("__gw")).over(byG.orderBy(col("__gsp").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("__gso"))
+    val totals = parts.groupBy(col("__gsg").as(groupCol))
+      .agg(sum(col("__gw")).as("__total"))
+    val local = sum(col("__gsw")).over(
+      Window.partitionBy(col("__pid"), col(groupCol))
+        .orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val ranked = stamped
+      .join(broadcast(offs),
+        col("__pid") === col("__gsp") && (col(groupCol) <=> col("__gsg")))
+      .withColumn(outName, local + col("__gso"))
+      .select(col(idCol), col(groupCol), col("__gsw"), col(outName))
+    GroupScan(ranked, totals)
+  }
+
+  /** Join a filtered [[GroupScan]] selection back onto the full rows
+    * by id, restoring `df`'s exact column order plus `extra`. Inner
+    * join on the unique id: when the selection is small AQE broadcasts
+    * it and the corpus never shuffles. */
+  private def joinBack(df: DataFrame, idCol: String,
+      selected: DataFrame, extra: Seq[String]): DataFrame =
+    df.join(selected.select((idCol +: extra).map(col): _*), Seq(idCol))
+      .select((df.columns.toSeq ++ extra).map(col): _*)
+
   /** Temperature-based group sampling (the mT5/XLM-R α-sampling
     * mixture rule): draw `n_g ∝ c_g^α` documents per group, so
     * low-resource languages are UP-weighted relative to proportional
@@ -104,17 +186,17 @@ object Sampling {
     * any parallelism. Selection within a group is by portable
     * content-hash rank, ties by id.
     *
-    * Scale shape: one tiny count aggregate broadcast back, one rank
-    * window per group partition — identical to
-    * [[stratifiedSample]]'s shape (same whale-stratum caveat). */
+    * Scale shape: the [[groupScan]] two-phase distributed rank (no
+    * per-group single-task window — a 90%-whale language stays flat),
+    * whose tiny per-group totals feed the allocation broadcast — the
+    * corpus is scanned ONCE. */
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
       total: Long): DataFrame = {
     require(total > 0, s"total must be > 0, got $total")
-    import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__c"))
+    val scan = groupScan(df, groupCol, idCol, lit(1L), "__rn")
+    val counts = scan.totals
       .withColumn("__q",
-        floor(sqrt(col("__c").cast("double")) * 1e6).cast("long"))
+        floor(sqrt(col("__total").cast("double")) * 1e6).cast("long"))
     val tot = counts.agg(sum(col("__q")).as("__sq"))
     // allocation in DECIMAL(38,0): total·q_g overflows BIGINT once
     // total and a group's micro-unit weight are both large (2e9 docs
@@ -123,32 +205,40 @@ object Sampling {
     // any realistic product exactly and `div` stays integral
     val alloc = counts.crossJoin(broadcast(tot))
       .select(col(groupCol).as("__g"),
-        least(col("__c"),
+        least(col("__total"),
           expr(s"(CAST($total AS DECIMAL(38,0)) * __q) div __sq"))
           .cast("long").as("__n"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(contentHash(col(idCol)).asc, col(idCol).asc)
     // null-safe join: a NULL group key is a legitimate stratum (the
     // undetected-language slice) — it must receive its allocation
     // like any other group, not silently vanish while its weight
     // still sits in the Σq denominator (stratifiedSample samples the
     // NULL stratum too; the two must agree)
-    df.withColumn("__rn", row_number().over(w))
-      .join(broadcast(alloc), col(groupCol) <=> col("__g"))
+    val sel = scan.ranked.join(broadcast(alloc), col(groupCol) <=> col("__g"))
       .filter(col("__rn") <= col("__n"))
-      .drop("__rn", "__n", "__g")
+    joinBack(df, idCol, sel, Nil)
   }
 
+  /** EXACT per-stratum quota sample: within each `stratumCol` value,
+    * keep exactly ceil(frac × stratum size) rows — the corpus-balancing
+    * operator (per-language / per-source quotas for training mixes).
+    * Row selection orders each stratum by the content hash (then id),
+    * so which rows survive is a pure function of the data: same result
+    * on any cluster, partitioning, or engine.
+    *
+    * Scale shape: [[groupScan]]'s two-phase distributed rank — exact
+    * quotas at ANY stratum skew (a whale language spans many balanced
+    * range slices instead of one window task), stratum sizes ride the
+    * scan's tiny totals frame broadcast back (no second corpus
+    * aggregate). */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
       frac: Double): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0)
-    import org.apache.spark.sql.expressions.Window
-    val byStratum = Window.partitionBy(col(stratumCol))
-    val w = byStratum.orderBy(contentHash(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(byStratum))
+    val scan = groupScan(df, stratumCol, idCol, lit(1L), "__rn")
+    val sizes = scan.totals
+      .select(col(stratumCol).as("__g"), col("__total").as("__n"))
+    val sel = scan.ranked.join(broadcast(sizes), col(stratumCol) <=> col("__g"))
       .filter(col("__rn") <= ceil(lit(frac) * col("__n")))
-      .drop("__rn", "__n")
+    joinBack(df, idCol, sel, Nil)
   }
 
   /** Weighted TOKEN-budget mixture — the data-mixing step before
@@ -163,29 +253,38 @@ object Sampling {
     *
     * Deterministic (same portable hash as [[splitByHash]], DuckDB-
     * replayable) and reproducible on any cluster. Scale shape: one
-    * broadcast of the weight table + one window per group — the same
-    * per-stratum window shape (and the same whale-stratum caveat) as
-    * [[stratifiedSample]]. */
+    * broadcast of the weight table (unweighted groups are dropped
+    * BEFORE the scan, so they cost nothing), then [[groupScan]]'s
+    * two-phase distributed running sum — the greedy take stays exact
+    * at any group skew with no single-task window. Token counts must
+    * be an integral type: the split prefix sum (local + offset) is
+    * only order-independent, hence bit-reproducible, in integer
+    * arithmetic. */
   def mixToTokenBudget(df: DataFrame, idCol: String, groupCol: String,
       tokensCol: String, weights: Map[String, Double],
       totalTokens: Long): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
       "weights must be non-negative")
     require(totalTokens > 0)
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(tokensCol).dataType)
+    }, s"mixToTokenBudget needs an integral token count column, got " +
+      df.schema(tokensCol).dataType.simpleString)
     val spark = df.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val targets = weights.toSeq.toDF(groupCol, "__wt")
       .select(col(groupCol),
         (col("__wt") * totalTokens).cast("long").as("__target"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(contentHash(col(idCol)).asc, col(idCol).asc)
-    df.join(broadcast(targets), Seq(groupCol))
-      .withColumn("__running", sum(col(tokensCol)).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("__running") - col(tokensCol) < col("__target"))
-      .drop("__target")
-      .withColumnRenamed("__running", "running_tokens")
+    // unweighted groups drop at this join — they never enter the scan
+    val weighted = df.join(broadcast(targets), Seq(groupCol))
+    val sel = groupScan(weighted, groupCol, idCol, col(tokensCol),
+        "running_tokens")
+      .ranked
+      .join(broadcast(targets), Seq(groupCol))
+      .filter(col("running_tokens") - col("__gsw") < col("__target"))
+    joinBack(df, idCol, sel, Seq("running_tokens"))
   }
 
   /** Hashed-n-gram importance resampling (the DSIR shape, Xie et al.

@@ -169,7 +169,7 @@ object ScaleStress {
     "summary_hit", "summary_miss", "image_near_dup",
     "set_sim_join", "containment_join", "shard_balance",
     "boilerplate_strip", "kmv_distinct", "ngram_coverage",
-    "sliding_dedup", "sliding_incremental")
+    "sliding_dedup", "sliding_incremental", "whale_sample")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
     * producer instead, loudly. */
@@ -210,7 +210,7 @@ object ScaleStress {
     "chunk_sliding", "rag_search",
     "minhash_incremental", "set_sim_join", "sliding_dedup",
     "sliding_incremental", "boilerplate_strip", "kmv_distinct",
-    "ngram_coverage")
+    "ngram_coverage", "whale_sample")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "semantic_dedup", "ivf_append", "diverse_sample")
@@ -551,6 +551,19 @@ object ScaleStress {
         docs.withColumn("rk", row_number().over(w))
           .join(broadcast(quota), Seq("lang"))
           .filter(col("rk") <= col("quota"))
+      }
+      // whale-stratum sampling: 90% of the corpus forced into ONE
+      // group, then an exact per-group quota — the distribution that
+      // made the old Window.partitionBy(group) samplers a single-task
+      // sort of most of the corpus. groupScan's two-phase rank must
+      // keep wall/shuffle linear and spill at zero regardless of the
+      // whale (the whale spans many balanced range slices)
+      if (opEnabled("whale_sample")) rows += measureOp("whale_sample", m, nDocs) {
+        val whaled = docs.withColumn("wlang",
+          when(pmod(col("doc_id"), lit(10L)) < 9, lit("en"))
+            .otherwise(col("lang")))
+        graft.operators.Sampling
+          .stratifiedSample(whaled, "wlang", "doc_id", 0.2)
       }
       // sub-document span dedup: the boilerplate clone army means the
       // shared spans collapse to one winner each — rows out should

@@ -115,4 +115,58 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.candidateFiles(nullman, "v",
       lit(0L), lit(100L)).isEmpty)
   }
+
+  test("stale manifest raises instead of silently under-reading") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stale").toString
+    spark.range(100).toDF("v")
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    val manifest = Layout.collectFileStats(spark, dir, Seq("v"))
+      .collect() // snapshot BEFORE the append
+    val snap = spark.createDataFrame(
+      spark.sparkContext.parallelize(manifest.toIndexedSeq),
+      Layout.collectFileStats(spark, dir, Seq("v")).schema)
+    // rows 100..199 land in new files the snapshot knows nothing about
+    spark.range(100, 200).toDF("v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Layout.prunedRead(spark, dir, snap, "v", lit(0L), lit(500L))
+        .count()
+    }
+    assert(e.getMessage.contains("stale manifest"))
+    // opting out is explicit — and documented as under-reading
+    val under = Layout.prunedRead(spark, dir, snap, "v",
+      lit(0L), lit(500L), verifyFresh = false).count()
+    assert(under == 100L)
+  }
+
+  test("distributed pruned read handles a 10k-file table without a " +
+      "driver-side path list and matches the full-scan filter") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-skip-10k").toString
+    // 10,000 physical files, one narrow value range each
+    spark.range(100000).select(col("id").as("v"))
+      .repartitionByRange(10000, col("v"))
+      .write.mode("overwrite").parquet(dir)
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 10000, s"expected >=10k files, got $nFiles")
+    val manifest = graft.dedup.Dedup.persistEager(
+      Layout.collectFileStats(spark, dir, Seq("v")))
+    try {
+      // maxDriverFiles = 0 forces the semi-join path: the matched set
+      // stays a DataFrame, candidateFiles/collect is never invoked
+      val got = Layout.prunedReadDistributed(spark, dir, manifest, "v",
+        lit(41200L), lit(41300L), maxDriverFiles = 0)
+        .select("v").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (41200L to 41300L))
+      // the small-count delegation returns the same rows
+      val delegated = Layout.prunedReadDistributed(spark, dir, manifest,
+        "v", lit(41200L), lit(41300L), maxDriverFiles = 100000)
+        .select("v").collect().map(_.getLong(0)).sorted.toSeq
+      assert(delegated == got)
+    } finally graft.dedup.Dedup.releaseCaches()
+  }
 }

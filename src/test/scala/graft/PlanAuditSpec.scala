@@ -116,11 +116,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
 
-  test("stratified sample: one exchange on the stratum key, both " +
-      "windows share it") {
+  // A corpus-sized Window partitioned by the bare group column makes
+  // a dominant group ONE task (AQE never splits window partitions) —
+  // the samplers use groupScan's two-phase rank instead: every window
+  // over corpus rows must carry the stamped range-partition id in its
+  // partition spec. Windows keyed on __gsg run over the tiny
+  // per-(partition, group) aggregate (≤ P rows per group — bounded by
+  // the shuffle-partition setting, not the corpus) and are exempt.
+  private def assertNoWholeGroupWindow(p: String, group: String): Unit = {
+    val bare = ("""\], \[""" + group + """#\d+\], \[""").r
+    assert(bare.findFirstIn(p).isEmpty,
+      s"found a window partitioned by bare $group (whale = one task):\n$p")
+  }
+
+  test("stratified sample: two-phase rank — range exchange, no " +
+      "whole-stratum window, sizes broadcast back") {
     val p = plan("q_stratified_sample")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assertNoWholeGroupWindow(p, "lang")
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("token-budget mixture: two-phase running sum — no " +
+      "whole-group window, weights broadcast") {
+    val p = plan("q_mix_tokens")
+    assertNoWholeGroupWindow(p, "lang")
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("best-per-group argmax is a pure hash aggregate — no window, " +
@@ -762,17 +784,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
 
-  test("temperature sampling: rank window + broadcast allocation, " +
-      "no second corpus shuffle") {
+  test("temperature sampling: two-phase rank + broadcast allocation, " +
+      "no whole-group window") {
     val p = plan("q_temperature_sample")
-    assert(p.contains("Window"), p)
+    assertNoWholeGroupWindow(p, "lang")
+    assert(p.contains("Exchange rangepartitioning"), p)
     assert(p.contains("BroadcastHashJoin"),
       s"the per-group allocation must broadcast, not shuffle:\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    // corpus shuffles once for the rank window; the count aggregate
-    // feeding the allocation is its own small exchange
-    assert(!p.contains("Exchange SinglePartition") ||
-      p.contains("Window"), p)
   }
 
   test("ngram coverage: hash join on the gram key (sorting the fat " +
