@@ -190,7 +190,19 @@ object KmvFunctions {
 
   /** Union of two KMV sketches over the SAME hash: the k smallest of
     * the combined value set. Pure array built-ins — composable on
-    * stored sketch columns without touching the corpus. */
+    * stored sketch columns without touching the corpus.
+    *
+    * `k` contract: must not exceed the build-k of either input WHEN
+    * that input is full (size == its build-k). A full sketch's tail
+    * is truncated — values between the two originals' k-th minima are
+    * simply absent — so a larger-k "union" would be missing interior
+    * values and `kmv_estimate` over it biases LOW with no error. The
+    * array alone cannot distinguish "full at build-k = s" from
+    * "under-filled" (an under-filled sketch carries its WHOLE value
+    * set and unions exactly at any k), so this cannot be asserted
+    * here; record the build-k next to persisted sketch columns
+    * ([[graft.lake.Lake.writePartitionSketches]] fixes one k per
+    * table) and union at min(build-ks). */
   def kmv_union(a: Column, b: Column, k: Int): Column = {
     require(k >= 2, s"k must be >= 2, got $k")
     slice(array_sort(array_distinct(concat(a, b))), 1, k)

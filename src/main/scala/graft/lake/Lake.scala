@@ -3,7 +3,7 @@ package graft.lake
 import scala.util.chaining._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.util.Checkpointing
 
@@ -281,6 +281,34 @@ object Lake {
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol)
     sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+  }
+
+  /** Persist per-partition KMV sketch columns beside a silver table:
+    * one row per (partitionCol ++ groupCols) carrying the k-minimum-
+    * values sketch of `hashCol` ([[graft.functions.KMinValuesSketch]])
+    * plus the exact row count. Idempotent with the silver load itself:
+    * re-running a partition replaces exactly that partition's sketch
+    * rows (dynamic partition overwrite), so the sketch table tracks
+    * the data commit for commit.
+    *
+    * The 100 TB property this buys: cross-partition cardinality and
+    * overlap questions — "distinct documents across all of May",
+    * "how much does day N overlap day N+1" — are answered from this
+    * O(partitions · k) table ALONE, by pure sketch algebra (union =
+    * k smallest of the exploded stored arrays; estimates/Jaccard via
+    * [[graft.functions.KmvFunctions]]), never by re-scanning corpus
+    * bytes. All downstream arithmetic is integer-exact over the
+    * portable hash, so stored-sketch answers replay bit-identically
+    * in any engine. */
+  def writePartitionSketches(spark: SparkSession, df: DataFrame,
+      table: String, hashCol: String, k: Int,
+      partitionCol: String = "ingest_on",
+      groupCols: Seq[String] = Nil): Unit = {
+    val keys = (groupCols :+ partitionCol).map(col)
+    val sk = df.groupBy(keys: _*)
+      .agg(graft.functions.KmvFunctions.kmv_sketch(col(hashCol), k)
+        .as("sketch"), count(lit(1)).as("row_count"))
+    overwritePartitions(spark, sk, table, partitionCol)
   }
 
   /** Serving-layer table materialization (dbt `table` → CTAS; K7). */

@@ -181,10 +181,18 @@ object Sampling {
     * CORRECTLY-ROUNDED operation everywhere, where `pow` is not).
     * The allocation is integer-exact: each weight quantizes to
     * micro-units `q_g = floor(sqrt(c_g)·10⁶)` (sqrt, ×, floor — all
-    * correctly rounded), then `n_g = min(c_g, (total·q_g) div Σq)`,
-    * so the same counts give the same allocation in any engine at
-    * any parallelism. Selection within a group is by portable
-    * content-hash rank, ties by id.
+    * correctly rounded), base `n_g = min(c_g, (total·q_g) div Σq)`,
+    * then the floor shortfall `total − Σn_g` is distributed one seat
+    * each to the uncapped groups with the largest division remainders
+    * (ties by group value ascending, NULL last) — the
+    * largest-remainder / Hamilton apportionment rule in the same pure
+    * integer arithmetic, so the same counts give the same allocation
+    * in any engine at any parallelism. The draw is exactly `total`
+    * rows whenever no group's cap binds (and Σc_g ≥ total); binding
+    * caps can still leave a shortfall — a capped group cannot donate
+    * its seat in this single-pass rule, which is the documented trade
+    * against an iterative respill. Selection within a group is by
+    * portable content-hash rank, ties by id.
     *
     * Scale shape: the [[groupScan]] two-phase distributed rank (no
     * per-group single-task window — a 90%-whale language stays flat),
@@ -202,12 +210,29 @@ object Sampling {
     // total and a group's micro-unit weight are both large (2e9 docs
     // requested × a 2.5e10-doc group ⇒ ~3e20), and a wrapped-negative
     // product would silently empty every big group; 38 digits hold
-    // any realistic product exactly and `div` stays integral
-    val alloc = counts.crossJoin(broadcast(tot))
-      .select(col(groupCol).as("__g"),
+    // any realistic product exactly and `div` stays integral.
+    // Everything below runs on the groups-row counts frame — tiny, so
+    // its unpartitioned rank window is free
+    val based = counts.crossJoin(broadcast(tot))
+      .select(col(groupCol).as("__g"), col("__total"),
         least(col("__total"),
           expr(s"(CAST($total AS DECIMAL(38,0)) * __q) div __sq"))
-          .cast("long").as("__n"))
+          .cast("long").as("__base"),
+        expr(s"(CAST($total AS DECIMAL(38,0)) * __q) % __sq")
+          .as("__rem"))
+    val spent = based.agg(sum(col("__base")).as("__sb"))
+    // largest-remainder seats: rank UNCAPPED groups by remainder
+    // (partitioning on the eligibility flag keeps capped groups out
+    // of the seat order instead of absorbing seats they cannot take)
+    val rkW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__base") < col("__total"))
+      .orderBy(col("__rem").desc, col("__g").asc_nulls_last)
+    val alloc = based.crossJoin(broadcast(spent))
+      .withColumn("__rk", row_number().over(rkW))
+      .select(col("__g"),
+        (col("__base") + when(col("__base") < col("__total") &&
+          col("__rk") <= lit(total) - col("__sb"), 1L).otherwise(0L))
+          .as("__n"))
     // null-safe join: a NULL group key is a legitimate stratum (the
     // undetected-language slice) — it must receive its allocation
     // like any other group, not silently vanish while its weight

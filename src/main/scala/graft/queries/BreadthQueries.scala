@@ -19,6 +19,14 @@ object BreadthQueries {
   private def money(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** q_file_skip's range-clustered lineitem dir, one per (process,
+    * data dir) — the same reuse discipline as ExtensionQueries'
+    * stream-drain outputs: the write is deterministic, so bench
+    * repeats read the existing files instead of rewriting 8 parquet
+    * files (and leaking a temp dir) per run. */
+  private val fileSkipDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Shared oracle CTE: events with timestamps truncated to µs to match
     * Spark's timestamp precision (the parquet holds ns). */
   private val evCte =
@@ -906,13 +914,16 @@ object BreadthQueries {
     // (candidate files ≪ total) and that edge bands return empty.
     QueryDef("q_file_skip",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-skip-q").toString
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"),
-            col("l_shipdate").cast("date").as("sd"), col("l_quantity"))
-          .repartitionByRange(8, col("sd"))
-          .write.mode("overwrite").parquet(dir)
+        val dir = fileSkipDirs.getOrElseUpdate(d, {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft-skip-q").toString
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"),
+              col("l_shipdate").cast("date").as("sd"), col("l_quantity"))
+            .repartitionByRange(8, col("sd"))
+            .write.mode("overwrite").parquet(out)
+          out
+        })
         val manifest = Layout.collectFileStats(s, dir, Seq("sd"))
         Layout.prunedRead(s, dir, manifest, "sd",
             lit("1994-01-01").cast("date"), lit("1994-03-31").cast("date"))

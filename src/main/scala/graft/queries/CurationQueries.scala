@@ -326,11 +326,94 @@ object CurationQueries {
              |  est.kmv_union_est, est.kmv_jaccard_est
              |FROM est JOIN ex ON est.lang = ex.lang""".stripMargin)),
 
+    // PERSISTED per-partition sketches (the 100 TB discipline the KMV
+    // scaladoc promises): each ingest day's silver load also lands an
+    // O(k) sketch row via Lake.writePartitionSketches; cross-partition
+    // distinct/overlap questions are then answered from the STORED
+    // sketch table alone — the corpus is never re-scanned. Every
+    // downstream number is integer/single-division arithmetic over
+    // the portable md5-prefix hash, so DuckDB rebuilding the same
+    // sketches from raw rows must land bit-identically.
+    QueryDef("q_kmv_partitioned",
+      (s, d) => {
+        import graft.functions.KmvFunctions._
+        val tbl = "kmv_sketches_q"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.catalog.defaultTablePath(
+            s.sessionState.sqlParser.parseTableIdentifier(tbl)))
+        val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val docs = Tables.documents(s, d)
+          .withColumn("hv", kmv_hash48(col("text")))
+          .withColumn("ingest_on", concat(lit("2024_01_0"),
+            ((col("doc_id") % 3) + 1).cast("string")))
+        // one load per day — the sketch table accrues with the silver
+        // layer, partition by partition
+        for (day <- 1 to 3)
+          graft.lake.Lake.writePartitionSketches(s,
+            docs.filter(col("ingest_on") === s"2024_01_0$day"),
+            tbl, "hv", k = 16)
+        val stored = s.table(tbl)
+        val daily = stored.select(col("ingest_on"),
+          kmv_estimate(col("sketch"), 16).as("kmv_day"))
+        val allDays = stored
+          .select(explode(col("sketch")).as("hv"))
+          .agg(kmv_distinct(col("hv"), 16).as("kmv_all_days"))
+        val d1 = stored.filter(col("ingest_on") === "2024_01_01")
+          .select(col("sketch").as("sa"))
+        val d2 = stored.filter(col("ingest_on") === "2024_01_02")
+          .select(col("sketch").as("sb"))
+        val overlap = d1.crossJoin(d2).select(
+          kmv_estimate(kmv_union(col("sa"), col("sb"), 16), 16)
+            .as("kmv_union12"),
+          kmv_jaccard(col("sa"), col("sb"), 16).as("kmv_j12"))
+        daily.crossJoin(allDays).crossJoin(overlap)
+          .select(col("ingest_on"), col("kmv_day"),
+            col("kmv_all_days"), col("kmv_union12"), col("kmv_j12"))
+      },
+      Some("""WITH h AS (SELECT
+             |    concat('2024_01_0', CAST((doc_id % 3) + 1 AS VARCHAR))
+             |      AS ingest_on,
+             |    CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT)
+             |      AS hv FROM documents),
+             |sk AS (SELECT ingest_on,
+             |    list_slice(list_sort(list(DISTINCT hv)), 1, 16)
+             |      AS sketch
+             |  FROM h GROUP BY 1),
+             |day AS (SELECT ingest_on, CAST(CASE WHEN len(sketch) >= 16
+             |    THEN (CAST(15 AS BIGINT) * 281474976710656) // sketch[16]
+             |    ELSE len(sketch) END AS BIGINT) AS kmv_day FROM sk),
+             |allu AS (SELECT
+             |    list_slice(list_sort(list(DISTINCT hv)), 1, 16) AS u
+             |  FROM (SELECT unnest(sketch) AS hv FROM sk)),
+             |alle AS (SELECT CAST(CASE WHEN len(u) >= 16
+             |    THEN (CAST(15 AS BIGINT) * 281474976710656) // u[16]
+             |    ELSE len(u) END AS BIGINT) AS kmv_all_days FROM allu),
+             |ab AS (SELECT
+             |    (SELECT sketch FROM sk WHERE ingest_on = '2024_01_01')
+             |      AS sa,
+             |    (SELECT sketch FROM sk WHERE ingest_on = '2024_01_02')
+             |      AS sb),
+             |uni AS (SELECT sa, sb,
+             |    list_slice(list_sort(list_distinct(list_concat(sa, sb))),
+             |      1, 16) AS ku FROM ab),
+             |ov AS (SELECT CAST(CASE WHEN len(ku) >= 16
+             |    THEN (CAST(15 AS BIGINT) * 281474976710656) // ku[16]
+             |    ELSE len(ku) END AS BIGINT) AS kmv_union12,
+             |  CAST(len(list_intersect(list_intersect(ku, sa), sb))
+             |      AS DOUBLE) / CAST(len(ku) AS DOUBLE) AS kmv_j12
+             |  FROM uni)
+             |SELECT day.ingest_on, day.kmv_day, alle.kmv_all_days,
+             |  ov.kmv_union12, ov.kmv_j12
+             |FROM day CROSS JOIN alle CROSS JOIN ov""".stripMargin)),
+
     // temperature (α = 0.5) language sampling — the mT5/XLM-R mixture
     // rule upweighting low-resource languages: n_l ∝ sqrt(c_l),
     // allocation integer-quantized (sqrt/×/floor are all IEEE
     // correctly-rounded, so the micro-unit weights replay exactly),
-    // selection by portable content-hash rank.
+    // floor shortfall re-dealt by largest remainder to uncapped
+    // groups, selection by portable content-hash rank.
     QueryDef("q_temperature_sample",
       (s, d) => graft.operators.Sampling.temperatureSample(
         Tables.documents(s, d), "lang", "doc_id", total = 200L)
@@ -340,9 +423,18 @@ object CurationQueries {
              |q AS (SELECT lang, c,
              |    CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000.0)
              |      AS BIGINT) AS qi FROM c),
-             |a AS (SELECT lang, least(c,
-             |    (200 * qi) // (SELECT CAST(SUM(qi) AS BIGINT) FROM q))
-             |    AS n_l FROM q),
+             |b AS (SELECT lang, c,
+             |    least(c, (200 * qi) // sq) AS base,
+             |    (200 * qi) % sq AS rem
+             |  FROM q CROSS JOIN
+             |    (SELECT CAST(SUM(qi) AS BIGINT) AS sq FROM q)),
+             |rk AS (SELECT lang, c, base, row_number() OVER (
+             |    PARTITION BY (base < c)
+             |    ORDER BY rem DESC, lang ASC NULLS LAST) AS seat
+             |  FROM b),
+             |a AS (SELECT lang, base + (CASE WHEN base < c AND
+             |    seat <= 200 - (SELECT CAST(SUM(base) AS BIGINT) FROM b)
+             |    THEN 1 ELSE 0 END) AS n_l FROM rk),
              |h AS (SELECT doc_id, lang,
              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
              |    list_transform(string_split(CAST(doc_id AS VARCHAR), ''),

@@ -116,11 +116,19 @@ object Boilerplate {
   /** Character-distribution diversity: Simpson/Gini impurity of the
     * per-document character histogram, `1 - Σ cᵢ² / N²`, plus the
     * distinct-character count. The deterministic cousin of character
-    * entropy (no transcendental functions, so the score reproduces
-    * bit-for-bit in any engine): near 0 for single-character runs and
-    * other low-diversity junk, high for natural prose. Narrow per-row
-    * map — `O(distinctChars × len)` with the tiny alphabet bound that
-    * real text has. Documents with empty text are dropped. */
+    * entropy (no transcendental functions, so the arithmetic
+    * reproduces bit-for-bit in any engine): near 0 for
+    * single-character runs and other low-diversity junk, high for
+    * natural prose. Cross-engine-reproducibility scope: the "unit" is
+    * a Java UTF-16 code unit (Spark's `split(text, "")`), and engines
+    * disagree on segmentation above that level — DuckDB's
+    * `string_split(x, '')` yields grapheme clusters, so combining
+    * marks, ZWJ emoji and astral-plane characters produce different
+    * histograms there. Bit-identical replay holds for text whose
+    * characters are single BMP code points (all of ASCII/Latin-1 and
+    * most prose); normalize or re-segment explicitly before comparing
+    * scores across engines on corpora beyond that. Narrow per-row
+    * map, `O(len log len)`. Documents with empty text are dropped. */
   def charDiversity(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val chars = split(col(textCol), "")

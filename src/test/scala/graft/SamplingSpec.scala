@@ -273,14 +273,26 @@ class SamplingSpec extends AnyFunSuite {
     val out = Sampling.temperatureSample(docs, "lang", "doc_id", total)
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // replay the documented closed form
+    // replay the documented closed form: floor base + caps, then the
+    // floor shortfall dealt by largest remainder to uncapped groups
     val counts = Map("en" -> 900L, "sw" -> 100L, "yi" -> 4L)
     val qi = counts.view.mapValues(c =>
       math.floor(math.sqrt(c.toDouble) * 1e6).toLong).toMap
     val sq = qi.values.sum
-    val want = counts.map { case (g, c) =>
+    val base = counts.map { case (g, c) =>
       g -> math.min(c, total * qi(g) / sq) }
+    val seats = total - base.values.sum
+    val order = counts.keys.toSeq
+      .filter(g => base(g) < counts(g))
+      .sortBy(g => (-(total * qi(g) % sq), g))
+    val want = base.map { case (g, n) =>
+      g -> (n + (if (order.indexOf(g) >= 0 &&
+        order.indexOf(g) < seats) 1L else 0L)) }
     assert(out == want, s"got $out want $want")
+    // no cap binds except yi's, and yi's base already sat below its
+    // cap — the draw is exactly `total`
+    assert(out.values.sum == total,
+      s"largest-remainder must close the floor shortfall, got $out")
     // α = 0.5 beats proportional for the low-resource groups
     assert(want("sw") > 100 * 100 / 1004,
       "sqrt sampling must upweight sw vs proportional")
@@ -302,9 +314,12 @@ class SamplingSpec extends AnyFunSuite {
     val out = Sampling.temperatureSample(docs, "lang", "doc_id", 50L)
       .groupBy("lang").count().collect()
       .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
-    // closed form: q_en = floor(8*1e6), q_null = floor(6*1e6)
-    assert(out(Some("en")) == 50L * 8000000L / 14000000L)
+    // closed form: q_en = floor(8*1e6), q_null = floor(6*1e6);
+    // bases 28 + 21 leave one remainder seat, and en's remainder
+    // (400e6 mod 14e6 = 8e6) beats null's (6e6) — en takes it
+    assert(out(Some("en")) == 50L * 8000000L / 14000000L + 1L)
     assert(out(None) == 50L * 6000000L / 14000000L,
       s"null stratum must be sampled, got $out")
+    assert(out.values.sum == 50L)
   }
 }
