@@ -45,6 +45,31 @@ object Bench {
       x
     }
     val sink = new java.util.concurrent.atomic.AtomicLong
+    // memory-bandwidth probe: strided sweeps over a 64 MB long array
+    // (far beyond LLC) — the series spin and the cache-resident
+    // shuffle probe CANNOT feel. Added after r13's driver artifact
+    // proved a contention class (hypervisor-side I/O / memory-bus
+    // pressure) that inflated scans 2.9× while both existing probe
+    // series read idle. One thread per core, same shape as spinN.
+    val membwArr = Array.tabulate(8 * 1024 * 1024)(i => i.toLong)
+    def membwSweep(passes: Int): Long = {
+      var acc = 0L; var p = 0
+      while (p < passes) {
+        var i = (p * 7919) % 64 // vary the start so sweeps don't align
+        while (i < membwArr.length) { acc += membwArr(i); i += 64 }
+        var j = 0
+        while (j < membwArr.length) { acc += membwArr(j); j += 8 }
+        p += 1
+      }
+      acc
+    }
+    def membw(passes: Int): Double = {
+      val t = System.nanoTime()
+      val threads = (1 to cpus.toInt).map(_ =>
+        new Thread(() => { sink.addAndGet(membwSweep(passes)); () }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t) / 1e9
+    }
     def calibrate(): String = {
       val iters = 200000000L
       val t0 = System.nanoTime()
@@ -59,7 +84,8 @@ object Bench {
       spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
         .groupBy("k").sum("v").collect()
       val shuffle = (System.nanoTime() - t2) / 1e9
-      f"""{"spin1":$single%.3f,"spinN":$par%.3f,"shuffle":$shuffle%.3f}"""
+      val bw = membw(8)
+      f"""{"spin1":$single%.3f,"spinN":$par%.3f,"shuffle":$shuffle%.3f,"membw":$bw%.3f}"""
     }
     val calibPre = calibrate()
 
@@ -92,9 +118,10 @@ object Bench {
       spark.range(250000).selectExpr("id % 97 AS k", "id AS v")
         .groupBy("k").sum("v").collect()
       val sh = (System.nanoTime() - t2) / 1e9
+      val bw = membw(2)
       if (phase == "warm") warmProbes += ((at, s, sh))
       segProbes +=
-        f"""{"phase":"$phase","at":$at,"spinN":$s%.3f,"shuffle":$sh%.3f}"""
+        f"""{"phase":"$phase","at":$at,"spinN":$s%.3f,"shuffle":$sh%.3f,"membw":$bw%.3f}"""
     }
 
     // optional comma-separated filter: bench only the named queries
@@ -196,7 +223,8 @@ object Bench {
         val med = vals.sorted.apply(vals.size / 2)
         vals.count(v => v > 2 * med && v > med + 0.1) >= 2
       }
-    val contended = sustained(series("spinN")) || sustained(series("shuffle"))
+    val contended = sustained(series("spinN")) ||
+      sustained(series("shuffle")) || sustained(series("membw"))
     // probe-NORMALIZED warm total: a reader without this host's idle
     // record can discount a contended artifact from the artifact
     // alone. Rule (documented + validated in SCALING.md): a warm
@@ -225,15 +253,86 @@ object Bench {
           math.max(ratio(p._2, medS), ratio(p._3, medSh))
         }
       }
-    val normalizedWarm = resultsOrdered
+    val probeNormalizedWarm = resultsOrdered
       .map { case (_, med, _, _, i) => med / normFactor(i) }.sum
+
+    // ---- SUSTAINED-contention normalization (the r13 lesson) -------
+    // The per-segment rule above only catches contention WINDOWS: it
+    // compares probes against the run's own median, and a uniformly
+    // loaded host inflates that median itself. Worse, the r12-vs-r13
+    // driver artifacts proved the probes can be blind outright: both
+    // runs' warm probe medians sat at idle level (spinN ≈0.14/≈0.11,
+    // shuffle ≈0.46/≈0.53) while one run was 1.1× idle and the other
+    // 2.9× — whatever stole the throughput (I/O or memory-bus
+    // pressure on real scans) did not touch a register-only spin or a
+    // cache-resident 250k-row shuffle. So sustained detection anchors
+    // on the workload itself: bench_ratio, the median over anchored
+    // queries of this-run-time / committed-idle-time, from the
+    // per-query anchor file the idle record regenerates each round.
+    // The median is robust to the few genuine per-query code movers a
+    // round produces, and a real regression stays visible in the raw
+    // warm total and the per-query map, which always lead the
+    // artifact. The probe LEVEL vs idle constants is also computed
+    // and reported (level_ratio) but never normalizes — see below.
+    // normalized_warm is DIAGNOSTIC: min of the window rule and the
+    // sustained rule, never their composition (composing would
+    // double-discount a window that also lifted the slate median).
+    val anchors: Map[String, Double] = {
+      val in = Option(getClass.getResourceAsStream("/graft/bench_anchors.txt"))
+      in.map { s =>
+        val src = scala.io.Source.fromInputStream(s)
+        try src.getLines()
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .flatMap { l =>
+            l.split("\\s+") match {
+              case Array(n, t) => scala.util.Try(n -> t.toDouble).toOption
+              case _ => None
+            }
+          }.toMap
+        finally src.close()
+      }.getOrElse(Map.empty)
+    }
+    // machine constants of the documented idle host (SCALING.md "idle
+    // reference"): full-calibrate warm values and warm micro-probe
+    // medians. Shipped IN the artifact so a reader needs no side
+    // channel to judge probe levels.
+    val idleCalib = Map("spin1" -> 0.43, "spinN" -> 0.46, "shuffle" -> 0.45)
+    val idleMicro = Map("spinN" -> 0.13, "shuffle" -> 0.45)
+    // sub-0.2 s anchors are scheduler-noise-dominated; excluding them
+    // keeps one jittery 60 ms query from steering the median
+    val ratioPairs = resultsOrdered.flatMap { case (n, med, _, _, _) =>
+      anchors.get(n).filter(_ >= 0.2).map(a => med / a)
+    }
+    val benchRatio =
+      if (ratioPairs.size >= 20) medianD(ratioPairs.toSeq) else 1.0
+    val levelRatio = if (warmProbes.isEmpty) 1.0 else math.max(
+      medianD(warmProbes.map(_._2).toSeq) / idleMicro("spinN"),
+      medianD(warmProbes.map(_._3).toSeq) / idleMicro("shuffle"))
+    // Only the query-anchored signal NORMALIZES (engage at 1.5× —
+    // clean-epoch drift on this host is ~±10-40%, SCALING.md). The
+    // probe-level ratio is reported as corroborating evidence but
+    // never scales the total: measured on this host it diverges from
+    // query throughput in BOTH directions (r13 driver artifact: warm
+    // probes at idle level while queries ran 2.9×; round-14 smoke: a
+    // 2.4× spinN level over a subset whose queries ran FASTER than
+    // anchor). Normalizing by a probe that does not track the
+    // workload would manufacture numbers.
+    val sustainedRatio = if (benchRatio >= 1.5) benchRatio else 1.0
+    val contendedSustained = sustainedRatio > 1.0
+    val normalizedWarm =
+      math.min(probeNormalizedWarm, total / sustainedRatio)
     // The driver stores only the TAIL of stdout (last ~2000 chars), so
     // the big per-query maps go FIRST and the headline numbers LAST —
     // round 5's artifact lost its warm total to exactly this
     // truncation. A final compact totals-only line survives any tail
     // window on its own.
+    val anchorJson = {
+      def m(mp: Map[String, Double]) = mp.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"calib":${m(idleCalib)},"micro":${m(idleMicro)},"queries_anchored":${ratioPairs.size}}"""
+    }
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs_per_query":$runsPerQuery,"queries":$qs,"spread":$spreads,"cold":$colds,"value":$total,"normalized_warm":$normalizedWarm,"cold_total":$coldTotal,"err":$errs,"calib_pre":$calibPre,"calib_post":$calibPost,"calib_seg":$calibSeg}""")
-    println(s"""{"metric":"totals","warm":$total,"normalized_warm":$normalizedWarm,"cold":$coldTotal,"err_count":$errCount,"n_queries":${results.size},"sf":"$sfDir","calib_pre":$calibPre,"calib_post":$calibPost,"contended":$contended}""")
+    println(s"""{"metric":"totals","warm":$total,"normalized_warm":$normalizedWarm,"cold":$coldTotal,"err_count":$errCount,"n_queries":${results.size},"sf":"$sfDir","calib_pre":$calibPre,"calib_post":$calibPost,"contended":$contended,"contended_sustained":$contendedSustained,"bench_ratio":$benchRatio,"level_ratio":$levelRatio,"idle_anchors":$anchorJson}""")
     spark.stop()
   }
 }

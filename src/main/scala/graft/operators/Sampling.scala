@@ -122,25 +122,39 @@ object Sampling {
     * already carries). */
   private[graft] def groupScan(df: DataFrame, groupCol: String,
       idCol: String, weight: Column, outName: String): GroupScan = {
+    Seq("__gsw", "__gsh").foreach { c =>
+      require(!df.columns.contains(c),
+        s"groupScan reserves the column name $c")
+    }
+    val skinny = df.select(col(idCol), col(groupCol),
+      weight.cast("long").as("__gsw"),
+      contentHash(col(idCol)).as("__gsh"))
+    prefixCore(skinny, groupCol, idCol,
+      Seq(col("__gsh").asc, col(idCol).asc), col("__gsw"), outName)
+  }
+
+  /** The shared two-phase engine behind [[groupScan]], [[groupTopK]]
+    * and [[groupTopQuota]]: exact per-group ordered prefix sums of
+    * `weight` over an already-projected skinny frame, under an
+    * arbitrary deterministic total order `ord` (callers append the id
+    * tiebreak). See [[groupScan]] for the full scale rationale. */
+  private def prefixCore(skinny: DataFrame, groupCol: String,
+      idCol: String, ord: Seq[Column], weight: Column,
+      outName: String): GroupScan = {
     import org.apache.spark.sql.expressions.Window
-    Seq("__pid", "__gsp", "__gsg", "__gsw", "__gsh", "__gso", outName)
-      .foreach { c =>
-        require(!df.columns.contains(c),
-          s"groupScan reserves the column name $c")
-      }
-    val ord = Seq(col("__gsh").asc, col(idCol).asc)
-    val stamped = graft.dedup.Dedup.persistEager(
-      df.select(col(idCol), col(groupCol),
-          weight.cast("long").as("__gsw"),
-          contentHash(col(idCol)).as("__gsh"))
-        .repartitionByRange(col(groupCol).asc +: ord: _*)
-        .withColumn("__pid", spark_partition_id()))
+    Seq("__pid", "__gsp", "__gsg", "__gso", outName).foreach { c =>
+      require(!skinny.columns.contains(c),
+        s"prefixCore reserves the column name $c")
+    }
+    val stamped = graft.dedup.Dedup.persistEager(skinny
+      .repartitionByRange(col(groupCol).asc +: ord: _*)
+      .withColumn("__pid", spark_partition_id()))
     // ≤ P + groups − 1 rows; materialized so the offsets window, the
     // totals, and every caller-side consumer of totals read it instead
     // of re-aggregating the cached corpus per consumer
     val parts = graft.dedup.Dedup.persistEager(stamped
       .groupBy(col("__pid").as("__gsp"), col(groupCol).as("__gsg"))
-      .agg(sum(col("__gsw")).as("__gw")))
+      .agg(sum(weight).as("__gw")))
     val byG = Window.partitionBy(col("__gsg"))
     // per-group weight mass in STRICTLY EARLIER partitions — the
     // offset that turns a local prefix into the global one; the window
@@ -151,7 +165,7 @@ object Sampling {
         .as("__gso"))
     val totals = parts.groupBy(col("__gsg").as(groupCol))
       .agg(sum(col("__gw")).as("__total"))
-    val local = sum(col("__gsw")).over(
+    val local = sum(weight).over(
       Window.partitionBy(col("__pid"), col(groupCol))
         .orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -159,8 +173,59 @@ object Sampling {
       .join(broadcast(offs),
         col("__pid") === col("__gsp") && (col(groupCol) <=> col("__gsg")))
       .withColumn(outName, local + col("__gso"))
-      .select(col(idCol), col(groupCol), col("__gsw"), col(outName))
+      .select(skinny.columns.map(col).toIndexedSeq :+ col(outName): _*)
     GroupScan(ranked, totals)
+  }
+
+  /** (column name, descending?) orderings for the rank operators
+    * below, materialized into the skinny rank frame. The id tiebreak
+    * is always appended, so any ordering is a deterministic total
+    * order. */
+  private def rankScan(df: DataFrame, groupCol: String, idCol: String,
+      orderBy: Seq[(String, Boolean)], rankName: String): GroupScan = {
+    require(orderBy.nonEmpty, "orderBy must name at least one column")
+    val keep = (Seq(idCol, groupCol) ++ orderBy.map(_._1)).distinct
+    val ord = orderBy.map { case (n, desc) =>
+      if (desc) col(n).desc else col(n).asc } :+ col(idCol).asc
+    prefixCore(df.select(keep.map(col): _*), groupCol, idCol, ord,
+      lit(1L), rankName)
+  }
+
+  /** Exact top-k per group under an arbitrary (column, descending?)
+    * order — `SELECT *, row_number() OVER (PARTITION BY g ORDER BY …)
+    * AS rank … WHERE rank <= k` without the per-group window. Use
+    * this when the group key is LOW-cardinality or skewed (languages,
+    * sources, domains): a whale group spans many balanced range
+    * slices instead of becoming one sort task. For high-cardinality
+    * balanced keys (per-customer top orders) the plain window IS the
+    * right plan — millions of small partitions parallelize fine and
+    * skip this operator's join-back. Rank ties always break by id
+    * ascending, so the selection is deterministic on any engine. */
+  def groupTopK(df: DataFrame, groupCol: String, idCol: String,
+      orderBy: Seq[(String, Boolean)], k: Int,
+      rankName: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sel = rankScan(df, groupCol, idCol, orderBy, rankName)
+      .ranked.filter(col(rankName) <= k)
+    joinBack(df, idCol, sel, Seq(rankName))
+  }
+
+  /** [[groupTopK]] with PER-GROUP quotas: `quotas` is one row per
+    * group value carrying `quotaCol` (broadcast — group cardinality
+    * sized, never corpus sized). Groups absent from `quotas` are
+    * dropped, mirroring [[mixToTokenBudget]]'s weight semantics. The
+    * shape behind per-language keep-quotas (lang rebalancing) and any
+    * "rank within group, cut at a group-dependent threshold" rule. */
+  def groupTopQuota(df: DataFrame, groupCol: String, idCol: String,
+      orderBy: Seq[(String, Boolean)], quotas: DataFrame,
+      quotaCol: String, rankName: String = "rank"): DataFrame = {
+    val q = quotas.select(col(groupCol).as("__g"),
+      col(quotaCol).as("__q"))
+    val sel = rankScan(df, groupCol, idCol, orderBy, rankName)
+      .ranked
+      .join(broadcast(q), col(groupCol) <=> col("__g"))
+      .filter(col(rankName) <= col("__q"))
+    joinBack(df, idCol, sel, Seq(rankName))
   }
 
   /** Join a filtered [[GroupScan]] selection back onto the full rows

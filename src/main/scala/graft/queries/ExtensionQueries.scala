@@ -2423,20 +2423,21 @@ object ExtensionQueries {
     // correctly-rounded IEEE ops, so the quotas are bit-identical on
     // any engine; selection is deterministic (longest docs first,
     // doc_id tiebreak). Per-language quotas broadcast (one row per
-    // language); the rank is the same single lang-shuffle window as
-    // q_topk_per_group
+    // language); the rank rides Sampling.groupTopQuota's two-phase
+    // distributed form (lang is whale-prone), unlike q_topk_per_group
+    // whose per-customer key is balanced and keeps the plain window
     QueryDef("q_lang_rebalance",
       (s, d) => {
         val docs = Tables.documents(s, d)
         val quota = docs.groupBy(col("lang"))
           .agg(ceil(sqrt(count(lit(1)).cast("double")) * 5)
             .cast("long").as("quota"))
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(col("n_chars").desc, col("doc_id").asc)
-        docs.withColumn("rk", row_number().over(w))
-          .join(broadcast(quota), Seq("lang"))
-          .filter(col("rk") <= col("quota"))
-          .select(col("doc_id"), col("lang"), col("n_chars"), col("rk"))
+        // language is the canonical whale-prone group key — rank via
+        // the two-phase groupTopQuota, never a per-lang window
+        graft.operators.Sampling.groupTopQuota(docs, "lang", "doc_id",
+            Seq(("n_chars", true)), quota, "quota", rankName = "rk")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            col("rk").cast("int").as("rk"))
       },
       Some("""WITH q AS (SELECT lang,
              |  CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)) * 5) AS BIGINT)

@@ -307,10 +307,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(l_returnflag,R)"), p)
   }
 
-  test("language rebalancing broadcasts quotas against one rank window") {
+  test("language rebalancing broadcasts quotas against the two-phase " +
+      "rank — no whole-language window") {
     val p = plan("q_lang_rebalance")
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("Window"), p)
+    assertNoWholeGroupWindow(p, "lang")
+    assert(p.contains("Exchange rangepartitioning"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -306,6 +306,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(out1 == out2)
   }
 
+  test("groupTopK/groupTopQuota equal the window form exactly and " +
+      "stay deterministic under repartitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 500).map(i =>
+      (i.toLong, if (i % 10 == 0) "de" else "en", rnd.nextInt(1000)))
+      .toDF("id", "g", "w").repartition(9)
+    // brute-force reference: the plain window
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("w").desc, col("id").asc)
+    val ref = docs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val got = Sampling.groupTopK(docs, "g", "id", Seq(("w", true)), 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == ref)
+    val again = Sampling
+      .groupTopK(docs.repartition(3), "g", "id", Seq(("w", true)), 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == ref)
+    // per-group quotas: en keeps 3, de keeps 5; groups without a
+    // quota row are dropped
+    val quotas = Seq(("en", 3L), ("de", 5L)).toDF("g", "q")
+    val refQ = docs.withColumn("rank", row_number().over(w).cast("long"))
+      .join(quotas, Seq("g")).filter(col("rank") <= col("q"))
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    val gotQ = Sampling.groupTopQuota(docs, "g", "id",
+        Seq(("w", true)), quotas, "q")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(gotQ == refQ)
+    assert(Sampling.groupTopQuota(docs, "g", "id", Seq(("w", true)),
+      quotas.filter(col("g") === "de"), "q").select("g")
+      .distinct().collect().map(_.getString(0)).toSeq == Seq("de"))
+  }
+
   test("temperatureSample: NULL group is a real stratum and draws " +
       "its allocation") {
     val docs = ((1 to 64).map(i => (i.toLong, "en")) ++
