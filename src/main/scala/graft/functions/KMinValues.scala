@@ -160,6 +160,130 @@ case class KMinValuesSketch(child: Expression, k: Int,
   override def prettyName: String = "kmv_sketch"
 }
 
+/** kmv_sample(h, v, k): the ORDER-STATISTICS sibling of
+  * [[KMinValuesSketch]] — keep the k lexicographically-smallest
+  * distinct (hash, value) pairs, where `h` is a uniform hash of the
+  * row's IDENTITY (not its value: [[KmvFunctions.kmv_hash48]] over a
+  * unique id column). The carried values then form a simple random
+  * sample of the group's rows that is a pure function of the row SET
+  * — independent of row order, partitioning, merge order, and engine
+  * — so quantile estimates read off it replay bit-identically
+  * anywhere (no arithmetic is ever performed on the values; an
+  * estimate IS a sampled value).
+  *
+  * The algebra that makes it a sketch: the k smallest pairs of a
+  * union of per-partition k-smallest sets is EXACTLY the k smallest
+  * pairs of the union of the partitions — so bottom-k samples merge
+  * losslessly ([[KmvFunctions.kmv_sample_union]], pure array
+  * built-ins), and a persisted per-partition/day sample column
+  * answers later quantile questions over ARBITRARY partition unions
+  * without re-scanning the corpus — the same 100 TB property as the
+  * KMV cardinality sketch, extended from "how many" to "how
+  * distributed". Sampling error is the usual SRS bound (the p-th
+  * sample quantile is within O(√(p(1−p)/k)) quantile mass of the
+  * true one w.h.p.), vs `percentile_approx` whose sketch is neither
+  * mergeable-across-engines nor reproducible.
+  *
+  * Scale shape: O(k) bounded state per group (16·k bytes; a
+  * billion-row group costs the same as a healthy one), map-side
+  * partial aggregation, merges are capped pair-set unions.
+  *
+  * Hash ties (two ids colliding in 48 bits) keep BOTH pairs ordered
+  * by value — the pair-set semantics stays a pure set function.
+  * Null hashes or values are skipped. Output is the sorted
+  * array<struct<h,v>>; read values off it with
+  * [[KmvFunctions.kmv_sample_quantile]]. */
+case class KMinValuesSample(left: Expression, right: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[(Long, Double)]]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"kmv_sample needs a BIGINT hash input, " +
+          s"got ${left.dataType.simpleString}")
+    else if (right.dataType != org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"kmv_sample needs a DOUBLE value input, " +
+          s"got ${right.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = KmvFunctions.sampleEntryArrayType
+  override def nullable: Boolean = false
+
+  private val ord: Ordering[(Long, Double)] = Ordering.Tuple2(
+    Ordering.Long, Ordering.Double.TotalOrdering)
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, Double)] =
+    new java.util.TreeSet[(Long, Double)](ord)
+
+  private def insert(buf: java.util.TreeSet[(Long, Double)],
+      p: (Long, Double)): Unit = {
+    if (buf.size < k) { buf.add(p); () }
+    else if (ord.lt(p, buf.last())) { if (buf.add(p)) { buf.pollLast(); () } }
+  }
+
+  override def update(buf: java.util.TreeSet[(Long, Double)],
+      input: InternalRow): java.util.TreeSet[(Long, Double)] = {
+    val h = left.eval(input)
+    val v = right.eval(input)
+    if (h != null && v != null)
+      insert(buf, (h.asInstanceOf[Long], v.asInstanceOf[Double]))
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[(Long, Double)],
+      b2: java.util.TreeSet[(Long, Double)]): java.util.TreeSet[(Long, Double)] = {
+    val it = b2.iterator()
+    while (it.hasNext) insert(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[(Long, Double)]): Any = {
+    val arr = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val (h, v) = it.next()
+      arr(i) = InternalRow(h, v)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  // spill format: count + (hash long, value double-bits) pairs
+  override def serialize(buf: java.util.TreeSet[(Long, Double)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val (h, v) = it.next()
+      bb.putLong(h); bb.putDouble(v)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Long, Double)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add((bb.getLong, bb.getDouble)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KMinValuesSample =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KMinValuesSample =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "kmv_sample"
+}
+
 object KmvFunctions {
 
   /** Shared parameter validation: every path that evaluates the
@@ -231,6 +355,53 @@ object KmvFunctions {
     val ku = kmv_union(a, b, k)
     size(array_intersect(array_intersect(ku, a), b)).cast("double") /
       size(ku).cast("double")
+  }
+
+  private[functions] val sampleEntryArrayType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType, nullable = false))),
+    containsNull = false)
+
+  /** Bottom-k-by-hash row sample with carried values — the mergeable
+    * order-statistics sketch (see [[KMinValuesSample]]). `h` must be
+    * a uniform BIGINT hash of the row's unique id ([[kmv_hash48]]);
+    * `v` the DOUBLE measure to sample. */
+  def kmv_sample(h: Column, v: Column, k: Int): Column =
+    GraftSqlShims.column(
+      KMinValuesSample(GraftSqlShims.expression(h),
+        GraftSqlShims.expression(v), k).toAggregateExpression())
+
+  /** Union of two bottom-k samples over the SAME id hash: the k
+    * smallest distinct (h, v) pairs of the combined sets — EXACTLY
+    * the sample that [[kmv_sample]] would have built over the
+    * concatenated inputs (bottom-k-of-union == bottom-k of the union
+    * of bottom-ks), so stored per-partition sample columns compose
+    * losslessly. Pure array built-ins; same build-k contract as
+    * [[kmv_union]]. */
+  def kmv_sample_union(a: Column, b: Column, k: Int): Column = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+  }
+
+  /** The sample's values in ascending order — the empirical
+    * distribution the quantile reads index into. */
+  def kmv_sample_values(sketch: Column): Column =
+    array_sort(transform(sketch, e => e.getField("v")))
+
+  /** Quantile estimate read off a sample sketch: the sampled value at
+    * 1-based index floor(q·(n−1)) + 1 (lower-index rule — NO
+    * interpolation, so the result is always a genuinely observed
+    * value and replays bit-identically: the only arithmetic is one
+    * IEEE multiply both engines round identically). Null on an empty
+    * sketch. */
+  def kmv_sample_quantile(sketch: Column, q: Double): Column = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val idx = floor(lit(q) * (size(sketch) - 1).cast("double"))
+      .cast("int") + 1
+    when(size(sketch) === 0, lit(null).cast("double"))
+      .otherwise(element_at(kmv_sample_values(sketch), idx))
   }
 
   /** Portable 48-bit uniform hash: the numeric value of the first 12

@@ -408,6 +408,61 @@ object CurationQueries {
              |  ov.kmv_union12, ov.kmv_j12
              |FROM day CROSS JOIN alle CROSS JOIN ov""".stripMargin)),
 
+    // bottom-k-by-hash ORDER SAMPLE sketch (the quantile sibling of
+    // the KMV cardinality sketch): the k smallest (id-hash, value)
+    // pairs per language are a simple random sample of the rows that
+    // is a pure function of the row set, and the union of per-group
+    // bottom-k samples is EXACTLY the global bottom-k — so the stored
+    // per-lang sketch column answers the corpus-level median without
+    // re-touching the corpus. A quantile read is a genuinely observed
+    // value (lower-index rule, no interpolation), so every number
+    // replays bit-identically in DuckDB. percentile_approx can't do
+    // any of this: its sketch is engine-internal and unmergeable
+    // across engines.
+    QueryDef("q_kmv_quantile",
+      (s, d) => {
+        import graft.functions.KmvFunctions._
+        val docs = Tables.documents(s, d).select(col("lang"),
+          kmv_hash48(col("doc_id")).as("hv"),
+          col("n_chars").cast("double").as("v"))
+        val per = docs.groupBy(col("lang"))
+          .agg(kmv_sample(col("hv"), col("v"), 32).as("sk"))
+        val perQ = per.select(col("lang"),
+          size(col("sk")).cast("long").as("sample_n"),
+          kmv_sample_quantile(col("sk"), 0.5).as("p50"),
+          kmv_sample_quantile(col("sk"), 0.9).as("p90"))
+        // corpus-level median purely from the STORED per-lang
+        // sketches: explode + re-aggregate (lossless by the
+        // bottom-k-of-union property)
+        val global = per.select(explode(col("sk")).as("e"))
+          .agg(kmv_sample(col("e.h"), col("e.v"), 32).as("g"))
+          .select(kmv_sample_quantile(col("g"), 0.5).as("global_p50"))
+        perQ.crossJoin(global)
+      },
+      Some("""WITH h AS (SELECT lang,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+             |      1, 12)) AS BIGINT) AS hv,
+             |    CAST(n_chars AS DOUBLE) AS v FROM documents),
+             |d AS (SELECT DISTINCT lang, hv, v FROM h),
+             |r AS (SELECT lang, hv, v, row_number() OVER (
+             |    PARTITION BY lang ORDER BY hv, v) AS rn FROM d),
+             |sk AS (SELECT lang, list_sort(list(v)) AS vs,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM r WHERE rn <= 32 GROUP BY lang),
+             |per AS (SELECT lang, n AS sample_n,
+             |    vs[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1] AS p50,
+             |    vs[CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1] AS p90
+             |  FROM sk),
+             |g AS (SELECT hv, v, row_number() OVER (ORDER BY hv, v)
+             |    AS rn FROM (SELECT DISTINCT hv, v FROM h)),
+             |gs AS (SELECT list_sort(list(v)) AS vs, count(*) AS n
+             |  FROM g WHERE rn <= 32),
+             |gl AS (SELECT vs[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+             |    AS global_p50 FROM gs)
+             |SELECT per.lang, per.sample_n, per.p50, per.p90,
+             |  gl.global_p50
+             |FROM per CROSS JOIN gl""".stripMargin)),
+
     // temperature (α = 0.5) language sampling — the mT5/XLM-R mixture
     // rule upweighting low-resource languages: n_l ∝ sqrt(c_l),
     // allocation integer-quantized (sqrt/×/floor are all IEEE

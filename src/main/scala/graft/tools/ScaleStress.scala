@@ -168,7 +168,7 @@ object ScaleStress {
     "pagerank", "triangles", "ivf_append", "diverse_sample",
     "summary_hit", "summary_miss", "image_near_dup",
     "set_sim_join", "containment_join", "shard_balance",
-    "boilerplate_strip", "kmv_distinct", "ngram_coverage",
+    "boilerplate_strip", "kmv_distinct", "kmv_sample", "ngram_coverage",
     "sliding_dedup", "sliding_incremental", "whale_sample")
   /** dependent op → its producer: naming only the dependent used to
     * run zero measurements with no error (ADVICE r5) — auto-enable the
@@ -210,7 +210,7 @@ object ScaleStress {
     "chunk_sliding", "rag_search",
     "minhash_incremental", "set_sim_join", "sliding_dedup",
     "sliding_incremental", "boilerplate_strip", "kmv_distinct",
-    "ngram_coverage", "whale_sample")
+    "kmv_sample", "ngram_coverage", "whale_sample")
   private val embOps = Set("embed_near_dup", "ivf_train", "ivf_topk",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "semantic_dedup", "ivf_append", "diverse_sample")
@@ -530,6 +530,18 @@ object ScaleStress {
         import graft.functions.KmvFunctions._
         docs.groupBy(col("lang")).agg(
           kmv_distinct(kmv_hash48(col("text")), 1024).as("est"))
+      }
+      // the order-sample sibling: bounded (hash, value) pair state,
+      // so the shuffle stays O(groups x k x partitions) ROWS at any
+      // multiplier while the quantile read is exact replayable
+      // arithmetic over the stored sample
+      if (opEnabled("kmv_sample")) rows += measureOp("kmv_sample", m, nDocs) {
+        import graft.functions.KmvFunctions._
+        docs.groupBy(col("lang")).agg(
+          kmv_sample(kmv_hash48(col("doc_id")),
+            col("n_chars").cast("double"), 1024).as("sk"))
+          .select(col("lang"), kmv_sample_quantile(col("sk"), 0.5).as("p50"),
+            kmv_sample_quantile(col("sk"), 0.9).as("p90"))
       }
       // soft-contamination score of the held-out tenth against the
       // rest: both gram tables shuffle once on the gram key, the

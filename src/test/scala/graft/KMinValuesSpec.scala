@@ -168,6 +168,97 @@ class KMinValuesSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv_sample keeps the k lexicographically-smallest (hash, value) " +
+      "pairs; quantiles are genuinely observed values") {
+    import graft.functions.KmvFunctions.{kmv_sample, kmv_sample_quantile}
+    val n = 300
+    val df = (1 to n).map(i => ("g", i.toLong, (i * 7 % 100).toDouble))
+      .toDF("g", "id", "v").repartition(9)
+    val row = df.groupBy("g")
+      .agg(kmv_sample(kmv_hash48(col("id")), col("v"), 32).as("sk"))
+      .select(col("sk"), kmv_sample_quantile(col("sk"), 0.5).as("p50"),
+        kmv_sample_quantile(col("sk"), 0.9).as("p90")).head
+    // replay: scala-side md5 bottom-32 pairs
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash48(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(12), 16)
+    val pairs = (1 to n).map(i => (hash48(i.toString), (i * 7 % 100).toDouble))
+      .distinct.sorted.take(32)
+    val got = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got == pairs)
+    val vs = pairs.map(_._2).sorted
+    assert(row.getDouble(1) == vs(math.floor(0.5 * 31).toInt))
+    assert(row.getDouble(2) == vs(math.floor(0.9 * 31).toInt))
+    assert(vs.contains(row.getDouble(1)) && vs.contains(row.getDouble(2)))
+  }
+
+  test("kmv_sample union of per-group samples == the global sample " +
+      "(bottom-k-of-union is lossless), under-filled sample is exact") {
+    import graft.functions.KmvFunctions.{kmv_sample, kmv_sample_quantile, kmv_sample_union}
+    val df = (1 to 500).map(i => (s"g${i % 3}", i.toLong, i.toDouble))
+      .toDF("g", "id", "v").repartition(11)
+    val h = kmv_hash48(col("id"))
+    val per = df.groupBy("g").agg(kmv_sample(h, col("v"), 24).as("sk"))
+    // re-aggregate the stored per-group sketches: explode + kmv_sample
+    val viaUnion = per.select(explode(col("sk")).as("e"))
+      .agg(kmv_sample(col("e.h"), col("e.v"), 24).as("g"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val direct = df.agg(kmv_sample(h, col("v"), 24).as("g"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaUnion == direct)
+    // pairwise array-builtin union agrees with the aggregate form
+    val sks = per.collect().map(r => r.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getLong(0), x.getDouble(1)))).toSeq
+    val two = Seq((sks(0), sks(1))).toDF("sa", "sb")
+    val u = two.select(kmv_sample_union(col("sa"), col("sb"), 24).as("u"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(u == (sks(0) ++ sks(1)).distinct.sorted.take(24))
+    // under-filled: 5 rows < k -> the sample IS the data, quantile exact
+    val small = (1 to 5).map(i => ("g", i.toLong, i * 10.0))
+      .toDF("g", "id", "v")
+    val p50 = small.groupBy("g")
+      .agg(kmv_sample(kmv_hash48(col("id")), col("v"), 64).as("sk"))
+      .select(kmv_sample_quantile(col("sk"), 0.5)).head.getDouble(0)
+    assert(p50 == 30.0)
+  }
+
+  test("kmv_sample: order/partition independence, null skip, " +
+      "type-check failures at analysis") {
+    import graft.functions.KmvFunctions.kmv_sample
+    val vals = (1 to 200).map(i => (i.toLong, i * 1.5))
+    val a = vals.map { case (i, v) => ("g", i, v) }.toDF("g", "id", "v")
+      .repartition(3)
+    val b = scala.util.Random.shuffle(vals).map { case (i, v) => ("g", i, v) }
+      .toDF("g", "id", "v").repartition(17)
+    def run(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(kmv_sample(kmv_hash48(col("id")), col("v"), 16).as("sk"))
+      .head.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(run(a) == run(b))
+    // nulls skipped on either side
+    val withNulls = Seq(("g", Some(1L), Some(1.0)), ("g", None, Some(2.0)),
+      ("g", Some(3L), None), ("g", Some(4L), Some(4.0)))
+      .toDF("g", "id", "v")
+    val n = withNulls.groupBy("g")
+      .agg(kmv_sample(kmv_hash48(col("id")), col("v"), 8).as("sk"))
+      .select(size(col("sk"))).head.getInt(0)
+    assert(n == 2)
+    // wrong types fail analysis, not mid-stage
+    val bad = Seq(("g", 1, "x")).toDF("g", "id", "v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.groupBy("g").agg(kmv_sample(col("id"), lit(1.0), 8)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.groupBy("g")
+        .agg(kmv_sample(kmv_hash48(col("id")), col("v"), 8)).collect()
+    }
+  }
+
   test("per-group isolation under a grouped aggregate") {
     val df = (1 to 400).map(i => (s"g${i % 4}", s"t-$i"))
       .toDF("g", "v").repartition(7)

@@ -786,6 +786,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
 
+  test("kmv_sample partials map-side: one exchange on the group key, " +
+      "bounded pair-state sketches cross the wire, never rows") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.KmvFunctions._
+    val alone = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("lang"))
+      .agg(kmv_sample(kmv_hash48(col("doc_id")),
+        col("n_chars").cast("double"), 32).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert(alone.contains("partial_kmv_sample"), alone)
+    assert(alone.contains("ObjectHashAggregate"), alone)
+    assert("Exchange hashpartitioning".r.findAllIn(alone).length == 1,
+      alone)
+  }
+
   test("temperature sampling: two-phase rank + broadcast allocation, " +
       "no whole-group window") {
     val p = plan("q_temperature_sample")
