@@ -299,15 +299,30 @@ object Lake {
     * [[graft.functions.KmvFunctions]]), never by re-scanning corpus
     * bytes. All downstream arithmetic is integer-exact over the
     * portable hash, so stored-sketch answers replay bit-identically
-    * in any engine. */
+    * in any engine.
+    *
+    * `sampleValueCol` additionally lands a bottom-k ORDER SAMPLE of
+    * that (numeric) column keyed by the same hash
+    * ([[graft.functions.KMinValuesSample]], stored as `sample`) —
+    * the distribution sibling: cross-partition quantile questions
+    * ("May's median document length") are then answered from the
+    * stored samples alone too, since bottom-k samples union
+    * losslessly ([[graft.functions.KmvFunctions.kmv_sample_union]]).
+    * For the sample to be a uniform row sample, `hashCol` must hash a
+    * unique row id. */
   def writePartitionSketches(spark: SparkSession, df: DataFrame,
       table: String, hashCol: String, k: Int,
       partitionCol: String = "ingest_on",
-      groupCols: Seq[String] = Nil): Unit = {
+      groupCols: Seq[String] = Nil,
+      sampleValueCol: Option[String] = None): Unit = {
     val keys = (groupCols :+ partitionCol).map(col)
-    val sk = df.groupBy(keys: _*)
-      .agg(graft.functions.KmvFunctions.kmv_sketch(col(hashCol), k)
-        .as("sketch"), count(lit(1)).as("row_count"))
+    val aggs = Seq(
+      graft.functions.KmvFunctions.kmv_sketch(col(hashCol), k)
+        .as("sketch"),
+      count(lit(1)).as("row_count")) ++
+      sampleValueCol.map(v => graft.functions.KmvFunctions
+        .kmv_sample(col(hashCol), col(v).cast("double"), k).as("sample"))
+    val sk = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     overwritePartitions(spark, sk, table, partitionCol)
   }
 

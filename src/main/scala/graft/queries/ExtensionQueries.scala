@@ -47,6 +47,10 @@ object ExtensionQueries {
   private val streamKmvOuts =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** q_stream_quantile drain outputs, same discipline. */
+  private val streamQuantileOuts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Row shape streamed through the q_stream_quota cap (the typed
     * arbitrary-state API needs a product encoder). */
   final case class QuotaRow(event_id: Long, user_id: Long)
@@ -1328,6 +1332,59 @@ object ExtensionQueries {
              |    ELSE nd END AS BIGINT) AS kmv_estimate
              |FROM r
              |WHERE rn = CASE WHEN nd >= 16 THEN 16 ELSE nd END""".stripMargin)),
+
+    // streaming ORDER SAMPLE: the documents stream REDELIVERED
+    // (self-union, at-least-once) through a complete-mode kmv_sample
+    // aggregation. The bottom-k (id-hash, value) pair set is — like
+    // the KMV cardinality sketch — order-, merge-, and duplication-
+    // independent, so the drained streaming state equals the batch
+    // closed form EXACTLY and per-source quantiles read off it sit
+    // under the hash gate. Also the state-store round-trip proof for
+    // the pair-buffer serializer: the TreeSet crosses microbatch
+    // boundaries through serialize/deserialize.
+    QueryDef("q_stream_quantile",
+      (s, d) => {
+        import graft.functions.KmvFunctions._
+        val out = streamQuantileOuts.getOrElseUpdate(d, {
+          import org.apache.spark.sql.types._
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-stream-quantile").toString
+          def src = s.readStream
+            .option("pathGlobFilter", "documents.parquet")
+            .schema(StructType(Seq(
+              StructField("doc_id", LongType),
+              StructField("text", StringType),
+              StructField("lang", StringType),
+              StructField("source", StringType),
+              StructField("n_chars", LongType))))
+            .parquet(d)
+            .select(col("source"), col("doc_id"), col("n_chars"))
+          val agg = src.unionByName(src).groupBy(col("source")).agg(
+            kmv_sample(kmv_hash48(col("doc_id")),
+              col("n_chars").cast("double"), 16).as("sk"))
+          graft.streaming.StreamingIngest.drainCompleteToParquet(
+            agg, s, s"$root/out")
+          s"$root/out"
+        })
+        s.read.parquet(out).select(col("source"),
+          size(col("sk")).cast("long").as("sample_n"),
+          kmv_sample_quantile(col("sk"), 0.5).as("p50"),
+          kmv_sample_quantile(col("sk"), 0.9).as("p90"))
+      },
+      Some("""WITH h AS (SELECT source,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+             |      1, 12)) AS BIGINT) AS hv,
+             |    CAST(n_chars AS DOUBLE) AS v FROM documents),
+             |d AS (SELECT DISTINCT source, hv, v FROM h),
+             |r AS (SELECT source, hv, v, row_number() OVER (
+             |    PARTITION BY source ORDER BY hv, v) AS rn FROM d),
+             |sk AS (SELECT source, list_sort(list(v)) AS vs,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM r WHERE rn <= 16 GROUP BY source)
+             |SELECT source, n AS sample_n,
+             |  vs[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1] AS p50,
+             |  vs[CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1] AS p90
+             |FROM sk""".stripMargin)),
 
     // ------------------------------------------------------ text analysis
 

@@ -73,6 +73,41 @@ class LakeSpec extends AnyFunSuite {
       s"stored-sketch union estimate $est != raw-scan estimate $raw")
   }
 
+  test("writePartitionSketches with sampleValueCol: the stored order " +
+      "samples answer cross-partition quantiles exactly like a raw " +
+      "union scan; re-runs replace") {
+    import graft.functions.KmvFunctions._
+    val tbl = "lake_kmv_sample_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def day(ingestOn: String, ids: Seq[Int]) = ids
+      .toDF("id").withColumn("ingest_on", lit(ingestOn))
+      .withColumn("hv", kmv_hash48(col("id")))
+      .withColumn("v", (col("id") * 3).cast("double"))
+    Lake.writePartitionSketches(spark, day("d1", 1 to 40), tbl, "hv",
+      k = 8, sampleValueCol = Some("v"))
+    Lake.writePartitionSketches(spark, day("d2", 41 to 90), tbl, "hv",
+      k = 8, sampleValueCol = Some("v"))
+    // backfill re-run replaces d2's single row
+    Lake.writePartitionSketches(spark, day("d2", 41 to 90), tbl, "hv",
+      k = 8, sampleValueCol = Some("v"))
+    val t = spark.table(tbl)
+    assert(t.count() == 2)
+    // cross-partition median purely from the STORED samples: explode
+    // both days' pair sets, re-aggregate, read the quantile — must
+    // equal kmv_sample over the raw two-day union (lossless merge)
+    val fromStored = t.select(explode(col("sample")).as("e"))
+      .agg(kmv_sample(col("e.h"), col("e.v"), 8).as("g"))
+      .select(kmv_sample_quantile(col("g"), 0.5)).head.getDouble(0)
+    val fromRaw = day("d1", 1 to 40).unionByName(day("d2", 41 to 90))
+      .agg(kmv_sample(col("hv"), col("v"), 8).as("g"))
+      .select(kmv_sample_quantile(col("g"), 0.5)).head.getDouble(0)
+    assert(fromStored == fromRaw,
+      s"stored-sample quantile $fromStored != raw-scan $fromRaw")
+    // and the sampled median is an actually-observed value
+    assert(fromStored % 3.0 == 0.0 && fromStored >= 3.0 &&
+      fromStored <= 270.0)
+  }
+
   test("upsertByKey: latest version wins, untouched partitions intact") {
     val tbl = "lake_upsert_t"
     def kv(ingestOn: String, rows: Seq[(Long, String, Long)]) =

@@ -444,4 +444,37 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed $streamed must equal batch $batch exactly")
     assert(streamed.keySet == Set("g0", "g1"))
   }
+
+  test("kmv_sample pair-buffer state survives the state store across " +
+      "microbatches and drains to the exact batch sample") {
+    import graft.functions.KmvFunctions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-kmv-sample-stream").toString
+    // 4 microbatches: the (hash, value) TreeSet must round-trip the
+    // state store's serialize/deserialize between every pair
+    val rows = (1 to 200).map(i => (s"g${i % 2}", i.toLong, i * 2.0))
+    rows.grouped(50).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("g", "id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/in/part$i")
+    }
+    val src = spark.readStream
+      .schema("g STRING, id BIGINT, v DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$root/in")
+    val agg = src.groupBy($"g")
+      .agg(kmv_sample(kmv_hash48($"id"), $"v", 8).as("sk"))
+    graft.streaming.StreamingIngest.drainCompleteToParquet(
+      agg, spark, s"$root/out")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getDouble(1)))).toMap
+    val streamed = pairs(spark.read.parquet(s"$root/out"))
+    val batch = pairs(rows.toDF("g", "id", "v").groupBy($"g")
+      .agg(kmv_sample(kmv_hash48($"id"), $"v", 8).as("sk")))
+    assert(streamed == batch,
+      s"streamed $streamed must equal batch $batch exactly")
+    assert(streamed.keySet == Set("g0", "g1"))
+    streamed.values.foreach(sk => assert(sk.length == 8))
+  }
 }
