@@ -404,6 +404,53 @@ object KmvFunctions {
       .otherwise(element_at(kmv_sample_values(sketch), idx))
   }
 
+  /** Equi-join output-size estimate from two stored KEY-COUNT samples
+    * — the generic-join sibling of the EditJoin pre-flight: price a
+    * join from two O(k) sketches BEFORE shuffling a single corpus
+    * byte, and refuse loud when the product would explode.
+    *
+    * Contract: each input is [[kmv_sample]] built over the side's
+    * DISTINCT-KEY counts frame — `kmv_sample(kmv_hash48(key),
+    * count(*) per key, k)` — so a sampled pair is (key-hash, that
+    * key's row count). The estimator is the classic bottom-k join
+    * synopsis: take U = the k smallest hashes of the combined key
+    * sets (a valid KMV sketch of |keys(A) ∪ keys(B)|, so
+    * [[kmv_estimate]] prices the key domain), sum cA·cB over the
+    * sampled keys present on BOTH sides (every h ∈ U that a side
+    * holds is guaranteed inside that side's bottom-k: U's k-th
+    * minimum never exceeds either side's), and scale by
+    * |domain| / k. When U is under-filled both samples held ALL
+    * their keys and the sum IS the exact join size.
+    *
+    * Everything is order-independent exact arithmetic — counts are
+    * integer-valued doubles (exact to 2^53), the scale-up runs in
+    * DECIMAL(38,0) with integral `div` (a BIGINT product would wrap
+    * at ~3e9 × 3e9) — so the estimate replays bit-identically in any
+    * engine holding the same sketches. A 48-bit hash tie between two
+    * DIFFERENT keys fails loud at map construction (duplicate map
+    * key) rather than silently mis-pricing. */
+  def kmv_join_size(sa: Column, sb: Column, k: Int,
+      domainBits: Int = 48): Column = {
+    validateParams(k, domainBits)
+    val ha = transform(sa, e => e.getField("h"))
+    val hb = transform(sb, e => e.getField("h"))
+    val hu = slice(array_sort(array_distinct(concat(ha, hb))), 1, k)
+    val ma = map_from_entries(sa)
+    val mb = map_from_entries(sb)
+    val common = filter(hu, h =>
+      map_contains_key(ma, h) && map_contains_key(mb, h))
+    val sampledPairs = aggregate(common, lit(0.0),
+      (acc, h) => acc + element_at(ma, h) * element_at(mb, h))
+      .cast("long")
+    val scaled = GraftSqlShims.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftSqlShims.expression(
+          sampledPairs.cast("decimal(38,0)") *
+            kmv_estimate(hu, k, domainBits)),
+        GraftSqlShims.expression(lit(k.toLong))))
+    when(size(hu) < k, sampledPairs).otherwise(scaled)
+  }
+
   /** Portable 48-bit uniform hash: the numeric value of the first 12
     * hex digits of md5 over the value's STRING form — replayable in
     * any engine with an md5 and a hex-string→integer cast (DuckDB:

@@ -463,6 +463,92 @@ object CurationQueries {
              |  gl.global_p50
              |FROM per CROSS JOIN gl""".stripMargin)),
 
+    // equi-join size PREFLIGHT from stored sketches: price
+    // |lineitem ⋈ lineitem on l_partkey| (the self-join blowup
+    // preflights exist for) and |lineitem ⋈ part| from two O(k)
+    // key-count samples — never shuffling a corpus byte — next to
+    // the exact sizes computed from the count tables. The bottom-k
+    // join synopsis is deterministic integer/decimal arithmetic over
+    // the portable hash, so both estimates replay bit-identically in
+    // DuckDB. At sf0.01 the 2k-part key domain overfills k=256 and
+    // the scaled estimator path is live; at sf0.001 the sketches
+    // hold every key and the "estimate" is exact.
+    QueryDef("q_join_preflight",
+      (s, d) => {
+        import graft.functions.KmvFunctions._
+        val k = 256
+        val ca = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .select(col("l_partkey").as("key"), col("c"),
+            kmv_hash48(col("l_partkey")).as("h"))
+        val cb = Tables.part(s, d).groupBy(col("p_partkey"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .select(col("p_partkey").as("key"), col("c"),
+            kmv_hash48(col("p_partkey")).as("h"))
+        val ska = ca.agg(kmv_sample(col("h"), col("c"), k).as("sa"))
+        val skb = cb.agg(kmv_sample(col("h"), col("c"), k).as("sb"))
+        val exactSelf = ca.agg(
+          sum((col("c") * col("c")).cast("decimal(38,0)"))
+            .cast("long").as("exact_self_pairs"))
+        val exactAb = ca.join(cb, "key").agg(
+          sum((ca("c") * cb("c")).cast("decimal(38,0)"))
+            .cast("long").as("exact_li_part_pairs"))
+        ska.crossJoin(skb).crossJoin(exactSelf).crossJoin(exactAb)
+          .select(
+            kmv_join_size(col("sa"), col("sa"), k).as("est_self_pairs"),
+            col("exact_self_pairs"),
+            kmv_join_size(col("sa"), col("sb"), k)
+              .as("est_li_part_pairs"),
+            col("exact_li_part_pairs"))
+      },
+      Some("""WITH ca AS (SELECT l_partkey AS key,
+             |    CAST(count(*) AS DOUBLE) AS c,
+             |    CAST(concat('0x', substr(md5(CAST(l_partkey AS
+             |      VARCHAR)), 1, 12)) AS BIGINT) AS h
+             |  FROM lineitem GROUP BY l_partkey),
+             |cb AS (SELECT p_partkey AS key,
+             |    CAST(count(*) AS DOUBLE) AS c,
+             |    CAST(concat('0x', substr(md5(CAST(p_partkey AS
+             |      VARCHAR)), 1, 12)) AS BIGINT) AS h
+             |  FROM part GROUP BY p_partkey),
+             |sa AS (SELECT h, c FROM (SELECT h, c, row_number()
+             |    OVER (ORDER BY h, c) AS rn
+             |  FROM (SELECT DISTINCT h, c FROM ca)) WHERE rn <= 256),
+             |sb AS (SELECT h, c FROM (SELECT h, c, row_number()
+             |    OVER (ORDER BY h, c) AS rn
+             |  FROM (SELECT DISTINCT h, c FROM cb)) WHERE rn <= 256),
+             |hu2 AS (SELECT h FROM (SELECT h, row_number()
+             |    OVER (ORDER BY h) AS rn
+             |  FROM (SELECT DISTINCT h FROM (SELECT h FROM sa
+             |    UNION ALL SELECT h FROM sb))) WHERE rn <= 256),
+             |t2 AS (SELECT max(h) AS tau, CAST(count(*) AS BIGINT)
+             |    AS n FROM hu2),
+             |s2 AS (SELECT CAST(COALESCE(SUM(sa.c * sb.c), 0)
+             |    AS BIGINT) AS s
+             |  FROM hu2 JOIN sa USING (h) JOIN sb USING (h)),
+             |t1 AS (SELECT max(h) AS tau, CAST(count(*) AS BIGINT)
+             |    AS n FROM sa),
+             |s1 AS (SELECT CAST(SUM(sa.c * sa.c) AS BIGINT) AS s
+             |  FROM sa),
+             |ex AS (SELECT CAST(SUM(CAST(c * c AS DECIMAL(38,0)))
+             |    AS BIGINT) AS exact_self_pairs FROM ca),
+             |exab AS (SELECT CAST(SUM(CAST(ca.c * cb.c
+             |    AS DECIMAL(38,0))) AS BIGINT) AS exact_li_part_pairs
+             |  FROM ca JOIN cb USING (key))
+             |SELECT
+             |  CAST(CASE WHEN t1.n < 256 THEN s1.s
+             |    ELSE (CAST(s1.s AS HUGEINT) *
+             |      ((CAST(255 AS BIGINT) * 281474976710656) // t1.tau))
+             |      // 256 END AS BIGINT) AS est_self_pairs,
+             |  ex.exact_self_pairs,
+             |  CAST(CASE WHEN t2.n < 256 THEN s2.s
+             |    ELSE (CAST(s2.s AS HUGEINT) *
+             |      ((CAST(255 AS BIGINT) * 281474976710656) // t2.tau))
+             |      // 256 END AS BIGINT) AS est_li_part_pairs,
+             |  exab.exact_li_part_pairs
+             |FROM t1 CROSS JOIN s1 CROSS JOIN t2 CROSS JOIN s2
+             |CROSS JOIN ex CROSS JOIN exab""".stripMargin)),
+
     // temperature (α = 0.5) language sampling — the mT5/XLM-R mixture
     // rule upweighting low-resource languages: n_l ∝ sqrt(c_l),
     // allocation integer-quantized (sqrt/×/floor are all IEEE

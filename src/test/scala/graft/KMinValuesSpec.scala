@@ -259,6 +259,41 @@ class KMinValuesSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv_join_size: exact while under-filled, within SRS error when " +
+      "scaled, and a pure function of the stored sketches") {
+    import graft.functions.KmvFunctions.{kmv_join_size, kmv_sample}
+    // side A: 50 keys with count = key%5+1; side B: keys 26..75, count 2
+    val ca = (1 to 50).map(i => (i.toLong, (i % 5 + 1).toDouble))
+    val cb = (26 to 75).map(i => (i.toLong, 2.0))
+    val trueSize = ca.filter(_._1 >= 26).map(_._2 * 2.0).sum.toLong
+    def sketch(rows: Seq[(Long, Double)], k: Int) = rows
+      .toDF("key", "c").repartition(7)
+      .agg(kmv_sample(kmv_hash48(col("key")), col("c"), k).as("sk"))
+    // k = 128 > 75 distinct keys: union under-filled -> EXACT size
+    val a128 = sketch(ca, 128).select(col("sk").as("sa"))
+    val b128 = sketch(cb, 128).select(col("sk").as("sb"))
+    val got = a128.crossJoin(b128)
+      .select(kmv_join_size(col("sa"), col("sb"), 128)).head.getLong(0)
+    assert(got == trueSize, s"under-filled estimate $got != $trueSize")
+    // k = 16 < 75: scaled path; SRS bound is loose at k=16, assert
+    // ballpark (within 4x) + determinism across partitionings
+    val a16 = sketch(ca, 16).select(col("sk").as("sa"))
+    val b16 = sketch(scala.util.Random.shuffle(cb), 16)
+      .select(col("sk").as("sb"))
+    val est = a16.crossJoin(b16)
+      .select(kmv_join_size(col("sa"), col("sb"), 16)).head.getLong(0)
+    assert(est > trueSize / 4 && est < trueSize * 4,
+      s"scaled estimate $est vs true $trueSize")
+    val est2 = a16.crossJoin(b16)
+      .select(kmv_join_size(col("sa"), col("sb"), 16)).head.getLong(0)
+    assert(est == est2)
+    // self-join pricing: sum of squared counts, exact when under-filled
+    val selfTrue = ca.map(p => p._2 * p._2).sum.toLong
+    val gotSelf = a128.select(kmv_join_size(col("sa"), col("sa"), 128))
+      .head.getLong(0)
+    assert(gotSelf == selfTrue)
+  }
+
   test("per-group isolation under a grouped aggregate") {
     val df = (1 to 400).map(i => (s"g${i % 4}", s"t-$i"))
       .toDF("g", "v").repartition(7)
