@@ -157,6 +157,7 @@ object ScaleStress {
     "ivf_train", "ivf_topk", "curation_chain", "pack_sequential",
     "bigram_commonness", "lang_rebalance", "chunk_dedup", "salted_join",
     "bucket_stats", "interval_join", "join_cardinality",
+    "join_preflight_sketch",
     "stream_drain", "stream_quota",
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "bpe_train", "bpe_segment", "bm25", "maxsim_rerank",
@@ -215,7 +216,7 @@ object ScaleStress {
     "pq_train", "pq_index", "pq_search", "ivfpq_index", "ivfpq_search",
     "semantic_dedup", "ivf_append", "diverse_sample")
   private val evtOps = Set("interval_join", "join_cardinality",
-    "stream_drain", "stream_quota",
+    "join_preflight_sketch", "stream_drain", "stream_quota",
     "scd2_historize", "funnel", "retention_cohorts", "resample")
   private def anyEnabled(ops: Set[String]): Boolean = ops.exists(opEnabled)
 
@@ -896,6 +897,25 @@ object ScaleStress {
           graft.operators.Joins.joinCardinality(
             spark.read.parquet(evtsPath), "user_id",
             spark.read.parquet(evtsPath), "user_id")
+        }
+      // the sketch-preflight twin of join_cardinality: price the
+      // same self-join from two O(k) key-count samples. The cost is
+      // ONE map-side-combined count per side + a bounded sketch agg;
+      // at 100 TB the sketches persist with the table and re-pricing
+      // any later join is O(k) array math with no scan at all
+      if (opEnabled("join_preflight_sketch"))
+        rows += measureOp("join_preflight_sketch", m, nEvts) {
+          import graft.functions.KmvFunctions._
+          def cnts = spark.read.parquet(evtsPath)
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).cast("double").as("c"))
+            .select(kmv_hash48(col("user_id")).as("h"), col("c"))
+          val sa = cnts.agg(kmv_sample(col("h"), col("c"), 1024).as("s"))
+            .select(col("s").as("sa"))
+          val sb = cnts.agg(kmv_sample(col("h"), col("c"), 1024).as("s"))
+            .select(col("s").as("sb"))
+          sa.crossJoin(sb).select(
+            kmv_join_size(col("sa"), col("sb"), 1024).as("est_pairs"))
         }
       // edit-distance similarity join over templated ids — the
       // LOW-ENTROPY corpus (every string shares a prefix), i.e. the
