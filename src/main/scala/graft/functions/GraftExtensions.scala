@@ -130,5 +130,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Literal(i * 2 + j))
         terms.reduce[Expression](BitwiseOr(_, _))
       }))
+    // the KMV sketch family's aggregates are raw TypedImperativeAggregate
+    // nodes, so they register directly (the analyzer wraps an
+    // AggregateFunction in its AggregateExpression); the scalar algebra
+    // (kmv_estimate/union/jaccard/sample_quantile) is built from Column
+    // builders and stays Scala-API-only, same boundary as documented at
+    // z_value above
+    e.injectFunction((FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct",
+        "kmv_distinct(h, k) - KMV distinct-count estimate over a " +
+          "48-bit uniform hash"),
+      (exprs: Seq[Expression]) => {
+        arity("kmv_distinct", 2, exprs)
+        KMinValues(exprs(0), foldableInt("kmv_distinct", "k", exprs(1)))
+      }))
+    e.injectFunction((FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(h, k) - the k smallest distinct hashes, mergeable"),
+      (exprs: Seq[Expression]) => {
+        arity("kmv_sketch", 2, exprs)
+        KMinValuesSketch(exprs(0),
+          foldableInt("kmv_sketch", "k", exprs(1)))
+      }))
+    e.injectFunction((FunctionIdentifier("kmv_sample"),
+      info("kmv_sample",
+        "kmv_sample(h, v, k) - bottom-k-by-hash order sample of v"),
+      (exprs: Seq[Expression]) => {
+        arity("kmv_sample", 3, exprs)
+        KMinValuesSample(exprs(0), exprs(1),
+          foldableInt("kmv_sample", "k", exprs(2)))
+      }))
   }
 }

@@ -55,6 +55,19 @@ class ExtensionsSpec extends AnyFunSuite {
           |array(array(0.0, 1.0), array(1.0, 0.0))) AS c""".stripMargin)
         .collect().head
       assert(nc.getInt(0) == 1)
+      // the KMV aggregate family through SQL: the analyzer must wrap
+      // the raw TypedImperativeAggregates in AggregateExpressions, and
+      // values must agree with the Column API (KMinValuesSpec replays)
+      val kmv = spark.sql(
+        """SELECT kmv_distinct(h, 8) AS d,
+          |  size(kmv_sketch(h, 8)) AS sk,
+          |  size(kmv_sample(h, CAST(v AS DOUBLE), 4)) AS sp
+          |FROM (SELECT CAST(conv(substr(md5(CAST(CAST(id AS STRING)
+          |    AS BINARY)), 1, 12), 16, 10) AS BIGINT) AS h,
+          |  id AS v FROM range(6))""".stripMargin).collect().head
+      assert(kmv.getLong(0) == 6L) // under-filled -> exact
+      assert(kmv.getInt(1) == 6)
+      assert(kmv.getInt(2) == 4)
       // non-foldable k → clear analysis error, not an internal
       // unbound-reference failure (ADVICE r1)
       val err = intercept[Exception] {
