@@ -428,7 +428,14 @@ object KmvFunctions {
     * at ~3e9 × 3e9) — so the estimate replays bit-identically in any
     * engine holding the same sketches. A 48-bit hash tie between two
     * DIFFERENT keys fails loud at map construction (duplicate map
-    * key) rather than silently mis-pricing. */
+    * key) rather than silently mis-pricing.
+    *
+    * `k` contract (the same discipline as [[kmv_union]]): `k` must
+    * not exceed the build-k of either input when that input is FULL —
+    * a truncated sketch evaluated at a larger k can read as
+    * "under-filled" and return a silently-low "exact" size. Record
+    * the build-k next to persisted sketch columns and price at
+    * min(build-ks). */
   def kmv_join_size(sa: Column, sb: Column, k: Int,
       domainBits: Int = 48): Column = {
     validateParams(k, domainBits)
