@@ -76,6 +76,8 @@ object SetJoin {
     * sliced off. `prefLen` decides Jaccard vs containment. */
   private def prefixed(df: DataFrame, idCol: String, textCol: String,
       prefLen: Column => Column): DataFrame = {
+    // (kept one-site: jaccardJoin, containmentJoin and
+    // prefixBucketStats must all cut prefixes against the SAME canon)
     val base = df
       .select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -102,6 +104,71 @@ object SetJoin {
           .as("pref")))
   }
 
+  /** Small-vocabulary fast path: when the corpus's DISTINCT token
+    * vocabulary fits in 64 (a runtime property, detected with one
+    * vocabulary-sized aggregate capped at 65 rows — the same bounded
+    * driver pull as EditJoin's 65-length probe), every document's
+    * token SET is one 64-bit mask (bit = global canon rank of the
+    * token), and set algebra collapses to integer ops:
+    * `|x ∩ y| = bit_count(maskX & maskY)`. Candidates still come from
+    * the same prefix postings (NEVER all pairs — corpus size is
+    * unbounded even when the vocabulary is tiny), but verification
+    * runs as a JOIN RESIDUAL on the posting masks and pair dedup as a
+    * first-match bit test — `(prefMaskA & maskB & (2^rank − 1)) == 0`
+    * keeps exactly the lowest-canon shared posting, sound because a
+    * doc's canon-sorted array makes "tokens before position p" ==
+    * "tokens with smaller canon rank" — so the whole join is ONE
+    * equi-join with scalar residuals: no pair distinct, no group-by,
+    * no array-fetch verify join. This is precisely the regime where
+    * the general path hurts most: with ~30 tokens shared by everyone,
+    * "rarest-first" prefixes stop being selective and candidate
+    * volume approaches the (output-bound) answer itself — measured
+    * sf0.1: 2.24M true pairs from 10.9M candidates; paying an
+    * array_intersect per candidate is the dominant cost the mask
+    * residual removes. Returns None when the vocabulary exceeds 64
+    * and the caller falls through to the general array path. */
+  private case class VocabMasks(rank: Column => Column, nTokens: Int)
+  private def smallVocab(pref: DataFrame): Option[VocabMasks] = {
+    val vocab = pref.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").asc, col("tok").asc)
+      .limit(65).collect()
+    if (vocab.length > 64 || vocab.isEmpty) None
+    else {
+      // canon rank = position in (df ASC, tok ASC) order — the SAME
+      // order prefixed() sorts token arrays by, so bit index i <->
+      // canon position consistency holds per document.
+      val pairs = vocab.zipWithIndex.flatMap { case (r, i) =>
+        Seq(lit(r.getString(0)), lit(i)) }
+      val rankMap = map(pairs.toIndexedSeq: _*)
+      Some(VocabMasks(tok => element_at(rankMap, tok), vocab.length))
+    }
+  }
+
+  /** Bitmask of an array of tokens under `rank`. */
+  private def maskOf(arr: Column, rank: Column => Column): Column =
+    aggregate(arr, lit(0L),
+      (acc, tk) => acc.bitwiseOR(call_function("shiftleft", lit(1L), rank(tk))))
+
+  /** 1-based canon position of every common-token occurrence an
+    * equi-join can meet on: for a common token at position `posA` in
+    * x's canon-ordered array and `posB` in y's, every OTHER common
+    * token is canon-less (≤ min(posA−1, posB−1) of them fit before)
+    * or canon-greater (≤ min(lenA−posA, lenB−posB) fit after), so
+    *   |x ∩ y| ≤ min(posA−1, posB−1) + 1 + min(lenA−posA, lenB−posB)
+    * — the PPJoin positional filter (Xiao/Wang/Lin/Yu WWW'08, public
+    * literature). The bound holds at EVERY common occurrence, so a
+    * pair whose true overlap qualifies passes it at every meeting —
+    * putting it in the join condition is lossless and kills
+    * candidates whose shared token sits too late in either array to
+    * leave room for the required overlap. (It also implies the
+    * classic length filters: the bound never exceeds min(lenA,
+    * lenB).) */
+  private def posBound(a: String, b: String): Column =
+    least(col(s"$a.pos") - 1, col(s"$b.pos") - 1) + lit(1) +
+      least(col(s"$a.len") - col(s"$a.pos"),
+        col(s"$b.len") - col(s"$b.pos"))
+
   /** All unordered pairs `(idA < idB, jaccard)` with word-token
     * Jaccard `>= threshold`, exactly. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
@@ -111,24 +178,77 @@ object SetJoin {
     val t = lit(threshold)
     val pref = prefixed(df, idCol, textCol,
       len => (len - ceil(t * len) + 1).cast("int"))
+    smallVocab(pref) match {
+      case Some(vm) => jaccardMasked(pref, vm, t)
+      case None => jaccardGeneral(pref, t)
+    }
+  }
+
+  private def jaccardGeneral(pref: DataFrame, t: Column): DataFrame = {
     val probe = pref.select(col("id"), col("len"),
-      explode(col("pref")).as("tok"))
-    // candidate pairs: shared prefix token + Jaccard length filter —
-    // only (id, len, tok) scalars cross this shuffle.
+        posexplode(col("pref")))
+      .toDF("id", "len", "p0", "tok")
+      .select(col("id"), col("len"), (col("p0") + 1).as("pos"),
+        col("tok"))
+    // candidate pairs: shared prefix token + Jaccard length filter +
+    // positional filter — only (id, len, pos, tok) scalars cross this
+    // shuffle. J(x,y) ≥ t ⟺ overlap ≥ t/(1+t)·(lenA+lenB); with the
+    // positional bound B as the best-case overlap the keep condition
+    // is written as the SAME IEEE division the verification computes
+    // (B/(lenA+lenB−B) ≥ t) — division is monotonic, so a pair whose
+    // verified jaccard passes always has its bound-division pass too:
+    // no float-boundary disagreement between filter and verify is
+    // possible. Cheap integer length filters run first (And
+    // short-circuits before the division).
+    val bound = posBound("a", "b")
     val cand = probe.as("a").join(probe.as("b"),
         col("a.tok") === col("b.tok") &&
           col("a.id") < col("b.id") &&
           col("b.len") >= ceil(t * col("a.len")) &&
           col("b.len") <= floor(col("a.len") / t) &&
           col("a.len") >= ceil(t * col("b.len")) &&
-          col("a.len") <= floor(col("b.len") / t))
+          col("a.len") <= floor(col("b.len") / t) &&
+          bound.cast("double") /
+            (col("a.len") + col("b.len") - bound).cast("double") >= t)
       .select(col("a.id").as("idA"), col("b.id").as("idB"))
       .distinct()
     verifyJaccard(cand, pref, t)
   }
 
   /** All ordered pairs `(idA != idB, containment)` where at least
-    * `threshold` of A's tokens appear in B, exactly. */
+    * `threshold` of A's tokens appear in B, exactly.
+    *
+    * The index side still posts ALL its tokens (a huge container can
+    * absorb a tiny probe, so no length upper bound and no index
+    * prefix exist — the class doc's documented asymmetry), but three
+    * PPJoin+-style prunes keep the candidate stream far below the
+    * raw prefix×index bucket products:
+    *  1. the [[posBound]] positional filter in the join condition —
+    *     at t=1.0 it reduces to `posB ≤ lenB − lenA + 1` (A's rarest
+    *     token must sit early enough in B's canon order to leave room
+    *     for ALL of A's remaining tokens after it), which kills most
+    *     meetings before they become candidate rows; it also implies
+    *     the `lenB ≥ t·lenA` length filter;
+    *  2. a group-level suffix filter replacing the old pair
+    *     `distinct()`: because B posts all tokens, the per-pair match
+    *     count m IS |pref(A) ∩ B| exactly, and every remaining common
+    *     token lives in A's suffix (canon-greater than all of A's
+    *     prefix, hence than the token at B's deepest match maxPosB),
+    *     so overlap ≤ m + min(lenA−prefLenA, lenB−maxPosB) — pairs
+    *     whose best case can't reach t·lenA never touch the verify
+    *     join (same shuffle as the distinct, strictly fewer
+    *     survivors);
+    *  3. verification intersects only A's SUFFIX with B (the prefix
+    *     part of the overlap is already exact in m), reusing the
+    *     group keys instead of re-deriving them.
+    * Filters 1–2 undercount m only for pairs below the threshold
+    * (a qualifying pair passes the positional bound at every
+    * meeting), so surviving non-qualifying pairs compute a
+    * containment ≤ their true value and still fall to the final
+    * filter — exactness is unchanged, as SetJoinSpec's brute-force
+    * parity pins. All keep conditions are written as the same IEEE
+    * division verification computes, so no float-boundary
+    * disagreement is possible. */
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
@@ -136,22 +256,45 @@ object SetJoin {
     val t = lit(threshold)
     val pref = prefixed(df, idCol, textCol,
       len => (len - ceil(t * len) + 1).cast("int"))
-    val probe = pref.select(col("id"), explode(col("pref")).as("tok"))
-    // index side posts ALL tokens (containment has no length upper
-    // bound on the container), probe side only its prefix.
-    val index = pref.select(col("id"), explode(col("toks")).as("tok"))
+    smallVocab(pref) match {
+      case Some(vm) => containmentMasked(pref, vm, t)
+      case None => containmentGeneral(pref, t)
+    }
+  }
+
+  private def containmentGeneral(pref: DataFrame, t: Column): DataFrame = {
+    val probe = pref.select(col("id"), col("len"),
+        size(col("pref")).as("plen"), posexplode(col("pref")))
+      .toDF("id", "len", "plen", "p0", "tok")
+      .select(col("id"), col("len"), col("plen"),
+        (col("p0") + 1).as("pos"), col("tok"))
+    val index = pref.select(col("id"), col("len"),
+        posexplode(col("toks")))
+      .toDF("id", "len", "p0", "tok")
+      .select(col("id"), col("len"), (col("p0") + 1).as("pos"),
+        col("tok"))
+    val bound = posBound("a", "b")
     val cand = probe.as("a").join(index.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("idA"), col("b.id").as("idB"))
-      .distinct()
+        col("a.tok") === col("b.tok") &&
+          col("a.id") =!= col("b.id") &&
+          bound.cast("double") / col("a.len").cast("double") >= t)
+      .groupBy(col("a.id").as("idA"), col("b.id").as("idB"),
+        col("a.len").as("lenA"), col("a.plen").as("plenA"),
+        col("b.len").as("lenB"))
+      .agg(count(lit(1)).as("m"), max(col("b.pos")).as("maxPosB"))
+      .filter((col("m") + least(col("lenA") - col("plenA"),
+          col("lenB") - col("maxPosB"))).cast("double") /
+        col("lenA").cast("double") >= t)
     val sets = pref.select(col("id"), col("toks"))
     cand
       .join(sets.as("sa"), col("idA") === col("sa.id"))
       .join(sets.as("sb"), col("idB") === col("sb.id"))
       .select(col("idA"), col("idB"),
-        (size(array_intersect(col("sa.toks"), col("sb.toks")))
-          .cast("double") / size(col("sa.toks")).cast("double"))
-          .as("containment"))
+        ((col("m") + size(array_intersect(
+            slice(col("sa.toks"), col("plenA") + 1,
+              greatest(col("lenA") - col("plenA"), lit(0))),
+            col("sb.toks")))).cast("double") /
+          col("lenA").cast("double")).as("containment"))
       .filter(col("containment") >= t)
   }
 
@@ -173,6 +316,62 @@ object SetJoin {
       .select(explode(col("pref")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("bucket_size"))
       .orderBy(col("bucket_size").desc, col("tok").asc)
+  }
+
+  /** Mask-residual Jaccard join (see [[smallVocab]]): one equi-join
+    * on prefix postings; similarity, threshold, and first-match pair
+    * dedup are all scalar residuals. The dedup tests PREFIX masks —
+    * only tokens posted by BOTH sides generate meetings, so the kept
+    * meeting must be the lowest-canon member of prefA ∩ prefB. The
+    * division is the same IEEE op the general path and the oracle
+    * compute, over the same integers (popcounts == intersect/union
+    * sizes), so results are bit-identical across paths. */
+  private def jaccardMasked(pref: DataFrame, vm: VocabMasks,
+      t: Column): DataFrame = {
+    val posts = pref.select(col("id"),
+        maskOf(col("toks"), vm.rank).as("mask"),
+        maskOf(col("pref"), vm.rank).as("pmask"),
+        explode(col("pref")).as("tok"))
+      .withColumn("rk", vm.rank(col("tok")))
+    val inter = bit_count(col("a.mask").bitwiseAND(col("b.mask")))
+    val uni = bit_count(col("a.mask").bitwiseOR(col("b.mask")))
+    val jac = inter.cast("double") / uni.cast("double")
+    posts.as("a").join(posts.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("a.pmask").bitwiseAND(col("b.pmask"))
+            .bitwiseAND(call_function("shiftleft", lit(1L), col("a.rk")) - lit(1L))
+            === lit(0L) &&
+          jac >= t)
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        jac.as("jaccard"))
+  }
+
+  /** Mask-residual containment join (see [[smallVocab]]): probe posts
+    * its prefix, the index still posts all tokens (the containment
+    * asymmetry is unchanged — only the representation got cheaper).
+    * First-match dedup can test the FULL probe mask: a probe token
+    * with canon rank below a prefix token's rank sits earlier in the
+    * canon-sorted array and is therefore itself in the prefix. */
+  private def containmentMasked(pref: DataFrame, vm: VocabMasks,
+      t: Column): DataFrame = {
+    val probe = pref.select(col("id"),
+        maskOf(col("toks"), vm.rank).as("mask"),
+        explode(col("pref")).as("tok"))
+      .withColumn("rk", vm.rank(col("tok")))
+    val index = pref.select(col("id"),
+        maskOf(col("toks"), vm.rank).as("mask"),
+        explode(col("toks")).as("tok"))
+    val inter = bit_count(col("a.mask").bitwiseAND(col("b.mask")))
+    val cont = inter.cast("double") /
+      bit_count(col("a.mask")).cast("double")
+    probe.as("a").join(index.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id") &&
+          col("a.mask").bitwiseAND(col("b.mask"))
+            .bitwiseAND(call_function("shiftleft", lit(1L), col("a.rk")) - lit(1L))
+            === lit(0L) &&
+          cont >= t)
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        cont.as("containment"))
   }
 
   private def verifyJaccard(cand: DataFrame, pref: DataFrame,

@@ -173,4 +173,69 @@ class SetJoinSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
     assert(got == expected)
   }
+
+  /** The 12-doc fixture and the testdata corpus both have vocabularies
+    * under 64, so they exercise the small-vocab mask path. This corpus
+    * crosses the 64-token boundary on purpose (100+ distinct tokens)
+    * so the GENERAL array path keeps its own brute-force parity pin —
+    * overlapping doc families plus per-doc unique markers give
+    * non-trivial jaccard/containment structure at several thresholds. */
+  private val wideVocab: Seq[(Long, String)] = {
+    val shared = (0 until 30).map(i => s"common$i")
+    (0L until 40L).map { i =>
+      val fam = shared.slice((i % 4).toInt * 5, (i % 4).toInt * 5 + 12)
+      i -> (fam ++ Seq(s"uniq${i}a", s"uniq${i}b")).mkString(" ")
+    } ++ (100L until 140L).map(i =>
+      i -> s"solo${i}a solo${i}b solo${i}c common${i % 30}")
+  }
+
+  test("general (large-vocab) path equals brute force — jaccard") {
+    val df = wideVocab.toDF("id", "text")
+    val sets = df.select(col("id"),
+        array_sort(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("toks"))
+      .filter(size(col("toks")) > 0)
+    // sanity: this corpus must actually take the general path
+    assert(sets.select(explode(col("toks"))).distinct().count() > 64)
+    for (t <- Seq(0.9, 0.6)) {
+      val expected = sets.as("a").crossJoin(sets.as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          (size(array_intersect(col("a.toks"), col("b.toks")))
+            .cast("double") /
+            size(array_union(col("a.toks"), col("b.toks")))
+              .cast("double")).as("j"))
+        .filter(col("j") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val got = SetJoin.jaccardJoin(df, "id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == expected, s"jaccard t=$t")
+    }
+    assert(SetJoin.jaccardJoin(df, "id", "text", 0.6).count() > 0)
+  }
+
+  test("general (large-vocab) path equals brute force — containment") {
+    val df = wideVocab.toDF("id", "text")
+    val sets = df.select(col("id"),
+        array_sort(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("toks"))
+      .filter(size(col("toks")) > 0)
+    for (t <- Seq(1.0, 0.8, 0.5)) {
+      val expected = sets.as("a").crossJoin(sets.as("b"))
+        .filter(col("a.id") =!= col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          (size(array_intersect(col("a.toks"), col("b.toks")))
+            .cast("double") / size(col("a.toks")).cast("double"))
+            .as("c"))
+        .filter(col("c") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val got = SetJoin.containmentJoin(df, "id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == expected, s"containment t=$t")
+    }
+  }
 }
