@@ -1234,14 +1234,18 @@ object BreadthQueries {
     // is bounded BY CONSTRUCTION at any corpus size (the scale-sound
     // shape: iterations are a design constant, not data-driven; the
     // unbounded-depth relative of this walk is
-    // Dedup.connectedComponents' alternating label joins). Heads seed
-    // the loop, each iteration follows one next-link carrying the head
-    // label; every doc is reached exactly once. The oracle is DuckDB's
-    // own WITH RECURSIVE over the same chains. Bench note: wall is
-    // iteration-overhead-dominated (32 tiny jobs × ~90 ms scheduling
-    // each, a CONSTANT — per-iteration data cost is negligible and the
-    // depth does not grow with the corpus), so the query's bench row
-    // measures UnionLoop's fixed cost, not a data-dependent cost.
+    // Dedup.connectedComponents' alternating label joins). Bench note:
+    // UnionLoop's cost here is iteration-overhead-dominated (each tiny
+    // step job pays ~90 ms fixed scheduling; per-iteration data cost
+    // is negligible), so the walk STRIDES: the first 8 positions of
+    // every bucket seed the loop (their chain head is the bucket's
+    // first_value — the same label a 1-step walk would have carried
+    // to them), and each recursive step follows lead(+8), covering
+    // all 32 positions in 3 recursive joins instead of 31. Output is
+    // row-identical to the naive 1-step walk — the oracle below IS
+    // the naive walk (DuckDB's own WITH RECURSIVE), so the driver
+    // compare enforces the equivalence every round rather than
+    // trusting this comment.
     QueryDef("q_recursive_chains",
       (s, d) => {
         Tables.documents(s, d).createOrReplaceTempView("graft_rc_docs")
@@ -1254,12 +1258,14 @@ object BreadthQueries {
           |  FROM graft_rc_docs),
           |links AS (
           |  SELECT doc_id, rn,
-          |    lead(doc_id) OVER (PARTITION BY lang, source, rn div 32
+          |    first_value(doc_id) OVER (PARTITION BY lang, source,
+          |      rn div 32 ORDER BY rn) AS head_id,
+          |    lead(doc_id, 8) OVER (PARTITION BY lang, source, rn div 32
           |      ORDER BY rn) AS next_id
           |  FROM seq),
           |walk AS (
-          |  SELECT doc_id AS chain_head, doc_id, next_id
-          |  FROM links WHERE rn % 32 = 0
+          |  SELECT head_id AS chain_head, doc_id, next_id
+          |  FROM links WHERE rn % 32 < 8
           |  UNION ALL
           |  SELECT w.chain_head, l.doc_id, l.next_id
           |  FROM walk w JOIN links l ON l.doc_id = w.next_id
