@@ -324,13 +324,47 @@ object KmvFunctions {
     * array alone cannot distinguish "full at build-k = s" from
     * "under-filled" (an under-filled sketch carries its WHOLE value
     * set and unions exactly at any k), so this cannot be asserted
-    * here; record the build-k next to persisted sketch columns
-    * ([[graft.lake.Lake.writePartitionSketches]] fixes one k per
-    * table) and union at min(build-ks). */
+    * here — and a heuristic guard on the bare arrays (e.g. raising
+    * when both sizes are equal and below k) would be UNSOUND: two
+    * genuinely under-filled inputs of coincidentally equal size are a
+    * legitimate, exactly-unionable case that must not raise. The
+    * enforceable fix is to record the build-k next to persisted
+    * sketch columns ([[graft.lake.Lake.writePartitionSketches]] lands
+    * a `build_k` column beside every sketch) and union through
+    * [[kmv_union_checked]], which raises on the one provably-biased
+    * case: an input that is FULL at a build-k smaller than the
+    * requested k. */
   def kmv_union(a: Column, b: Column, k: Int): Column = {
     require(k >= 2, s"k must be >= 2, got $k")
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
   }
+
+  /** The truncated-tail runtime guard for one sketch input: `s` is
+    * provably biased for a size-`k` read iff it is FULL at its
+    * recorded build-k AND that build-k is smaller than `k` — its tail
+    * was cut, so interior values a k-union/k-estimate would need are
+    * absent. Under-filled inputs (size < build-k) carry their whole
+    * value set and pass at any k. Returns `s` unchanged when sound,
+    * raises otherwise — the `when` keeps the guard a pure expression,
+    * composable on stored sketch columns. */
+  private def checkedSketch(s: Column, buildK: Column, k: Int,
+      op: String): Column =
+    when(lit(k) <= buildK || size(s) < buildK, s)
+      .otherwise(raise_error(concat(
+        lit(s"$op: sketch is full at build_k="), buildK.cast("string"),
+        lit(s" < requested k=$k — its tail was truncated and a k=$k " +
+          "read would bias low; re-read at k <= build_k or rebuild " +
+          "the sketch at a larger k"))))
+
+  /** [[kmv_union]] with the build-k contract ASSERTED at runtime from
+    * the `build_k` values persisted beside stored sketches
+    * ([[graft.lake.Lake.writePartitionSketches]]): raises when either
+    * input is full at a build-k below `k` instead of returning a
+    * silently-low union. */
+  def kmv_union_checked(a: Column, buildKa: Column, b: Column,
+      buildKb: Column, k: Int): Column =
+    kmv_union(checkedSketch(a, buildKa, k, "kmv_union"),
+      checkedSketch(b, buildKb, k, "kmv_union"), k)
 
   /** Distinct-count estimate read off a sketch array (the same
     * closed form [[KMinValues]] evaluates internally): exact size
@@ -338,7 +372,16 @@ object KmvFunctions {
     * INTEGER division (a double round-trip could be off by an ulp
     * and break cross-engine hash equality). Same parameter guards as
     * the aggregate: an overflowing (k−1)<<domainBits must fail fast
-    * here too, not return negative estimates. */
+    * here too, not return negative estimates. Divisor edge: h_k = 0
+    * cannot arise from a well-formed sketch — entries are DISTINCT
+    * non-negative integers in ascending order, so h_k ≥ k−1 ≥ 1 for
+    * the k ≥ 2 this function requires (and every producer in this
+    * module builds distinct: the aggregates keep distinct hashes,
+    * [[kmv_union]] and [[kmv_join_size]] go through array_distinct).
+    * A malformed hand-built array with duplicates could reach a zero
+    * k-th minimum; the integral divide then fails loud under ANSI
+    * (division by zero) rather than returning a defined-looking
+    * estimate — the correct outcome for corrupt input. */
   def kmv_estimate(sketch: Column, k: Int, domainBits: Int = 48): Column = {
     validateParams(k, domainBits)
     when(size(sketch) < k, size(sketch).cast("long"))
@@ -379,11 +422,19 @@ object KmvFunctions {
     * concatenated inputs (bottom-k-of-union == bottom-k of the union
     * of bottom-ks), so stored per-partition sample columns compose
     * losslessly. Pure array built-ins; same build-k contract as
-    * [[kmv_union]]. */
+    * [[kmv_union]] — assert it from persisted `build_k` values via
+    * [[kmv_sample_union_checked]]. */
   def kmv_sample_union(a: Column, b: Column, k: Int): Column = {
     require(k >= 1, s"k must be >= 1, got $k")
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
   }
+
+  /** [[kmv_sample_union]] with the build-k contract ASSERTED at
+    * runtime (see [[kmv_union_checked]]). */
+  def kmv_sample_union_checked(a: Column, buildKa: Column, b: Column,
+      buildKb: Column, k: Int): Column =
+    kmv_sample_union(checkedSketch(a, buildKa, k, "kmv_sample_union"),
+      checkedSketch(b, buildKb, k, "kmv_sample_union"), k)
 
   /** The sample's values in ascending order — the empirical
     * distribution the quantile reads index into. */
@@ -427,8 +478,13 @@ object KmvFunctions {
     * DECIMAL(38,0) with integral `div` (a BIGINT product would wrap
     * at ~3e9 × 3e9) — so the estimate replays bit-identically in any
     * engine holding the same sketches. A 48-bit hash tie between two
-    * DIFFERENT keys fails loud at map construction (duplicate map
-    * key) rather than silently mis-pricing.
+    * DIFFERENT keys fails loud via an EXPLICIT duplicate-hash check
+    * on each input (size vs array_distinct size, raising with the
+    * offending side named) — deliberately not left to
+    * map_from_entries' duplicate-key error, which only fires while
+    * spark.sql.mapKeyDedupPolicy keeps its EXCEPTION default; a
+    * session configured LAST_WIN would otherwise silently drop one
+    * (hash, count) pair and mis-price the join with no error.
     *
     * `k` contract (the same discipline as [[kmv_union]]): `k` must
     * not exceed the build-k of either input when that input is FULL —
@@ -436,9 +492,18 @@ object KmvFunctions {
     * "under-filled" and return a silently-low "exact" size. Record
     * the build-k next to persisted sketch columns and price at
     * min(build-ks). */
-  def kmv_join_size(sa: Column, sb: Column, k: Int,
+  def kmv_join_size(sa0: Column, sb0: Column, k: Int,
       domainBits: Int = 48): Column = {
     validateParams(k, domainBits)
+    def distinctChecked(s: Column, side: String): Column =
+      when(size(array_distinct(transform(s, e => e.getField("h"))))
+          === size(s), s)
+        .otherwise(raise_error(lit(s"kmv_join_size: duplicate 48-bit " +
+          s"key hash in the $side sketch — two distinct keys " +
+          "collided (or the sample was built over a non-distinct key " +
+          "frame); rebuild over distinct keys or widen the hash")))
+    val sa = distinctChecked(sa0, "left")
+    val sb = distinctChecked(sb0, "right")
     val ha = transform(sa, e => e.getField("h"))
     val hb = transform(sb, e => e.getField("h"))
     val hu = slice(array_sort(array_distinct(concat(ha, hb))), 1, k)
@@ -457,6 +522,17 @@ object KmvFunctions {
         GraftSqlShims.expression(lit(k.toLong))))
     when(size(hu) < k, sampledPairs).otherwise(scaled)
   }
+
+  /** [[kmv_join_size]] with the build-k contract ASSERTED at runtime
+    * (see [[kmv_union_checked]]): `buildKa`/`buildKb` are the
+    * `build_k` values persisted beside the stored samples. Raises
+    * when either input is full at a build-k below `k` — exactly the
+    * case where the under-filled branch would return a silently-low
+    * "exact" size. */
+  def kmv_join_size_checked(sa: Column, buildKa: Column, sb: Column,
+      buildKb: Column, k: Int, domainBits: Int = 48): Column =
+    kmv_join_size(checkedSketch(sa, buildKa, k, "kmv_join_size"),
+      checkedSketch(sb, buildKb, k, "kmv_join_size"), k, domainBits)
 
   /** Portable 48-bit uniform hash: the numeric value of the first 12
     * hex digits of md5 over the value's STRING form — replayable in

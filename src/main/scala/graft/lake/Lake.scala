@@ -316,9 +316,16 @@ object Lake {
       groupCols: Seq[String] = Nil,
       sampleValueCol: Option[String] = None): Unit = {
     val keys = (groupCols :+ partitionCol).map(col)
+    // build_k rides beside every sketch row: it is the ONLY way a
+    // later reader can assert the k <= build-k union/estimate
+    // contract at runtime (a bare array cannot distinguish "full at
+    // build-k" from "under-filled") — kmv_union_checked /
+    // kmv_join_size_checked consume it and raise on truncated-tail
+    // reads instead of biasing low.
     val aggs = Seq(
       graft.functions.KmvFunctions.kmv_sketch(col(hashCol), k)
         .as("sketch"),
+      lit(k).as("build_k"),
       count(lit(1)).as("row_count")) ++
       sampleValueCol.map(v => graft.functions.KmvFunctions
         .kmv_sample(col(hashCol), col(v).cast("double"), k).as("sample"))

@@ -360,13 +360,16 @@ object CurationQueries {
         val allDays = stored
           .select(explode(col("sketch")).as("hv"))
           .agg(kmv_distinct(col("hv"), 16).as("kmv_all_days"))
+        // the union reads back through the CHECKED variant: build_k
+        // persisted beside the sketches proves k=16 is a sound read
+        // (a truncated-tail read would raise here, not bias low)
         val d1 = stored.filter(col("ingest_on") === "2024_01_01")
-          .select(col("sketch").as("sa"))
+          .select(col("sketch").as("sa"), col("build_k").as("ka"))
         val d2 = stored.filter(col("ingest_on") === "2024_01_02")
-          .select(col("sketch").as("sb"))
+          .select(col("sketch").as("sb"), col("build_k").as("kb"))
         val overlap = d1.crossJoin(d2).select(
-          kmv_estimate(kmv_union(col("sa"), col("sb"), 16), 16)
-            .as("kmv_union12"),
+          kmv_estimate(kmv_union_checked(col("sa"), col("ka"),
+            col("sb"), col("kb"), 16), 16).as("kmv_union12"),
           kmv_jaccard(col("sa"), col("sb"), 16).as("kmv_j12"))
         daily.crossJoin(allDays).crossJoin(overlap)
           .select(col("ingest_on"), col("kmv_day"),

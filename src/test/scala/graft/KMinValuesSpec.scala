@@ -294,6 +294,87 @@ class KMinValuesSpec extends AnyFunSuite {
     assert(gotSelf == selfTrue)
   }
 
+  test("checked variants: oversized k on FULL sketches raises; " +
+      "under-filled and k <= build_k pass through unchanged") {
+    import graft.functions.KmvFunctions.{kmv_union_checked,
+      kmv_join_size_checked, kmv_sample_union_checked}
+    // two sketches built at k=8 over >8 distinct values — FULL at 8
+    val full8 = (1 to 100).map(i => ("a", s"x-$i")).toDF("g", "v")
+      .groupBy("g").agg(kmv_sketch(kmv_hash48(col("v")), 8).as("s"),
+        lit(8).as("bk"))
+    val both = full8.select(col("s").as("sa"), col("bk").as("ka"))
+      .crossJoin(full8.select(col("s").as("sb"), col("bk").as("kb")))
+    // sound read: k == build_k — identical to the unchecked union
+    val ok = both.select(
+      kmv_union_checked(col("sa"), col("ka"), col("sb"), col("kb"), 8)
+        .as("u"),
+      kmv_union(col("sa"), col("sb"), 8).as("u0")).head
+    assert(ok.getSeq[Long](0) == ok.getSeq[Long](1))
+    // truncated-tail read: k=16 > build_k=8 on a FULL sketch → raise
+    val e = intercept[Exception] {
+      both.select(kmv_union_checked(col("sa"), col("ka"),
+        col("sb"), col("kb"), 16)).collect()
+    }
+    assert(e.getMessage.contains("build_k"), e.getMessage)
+    // under-filled at build_k: 5 distinct values under k=8 — a k=16
+    // union is EXACT and must NOT raise (the case that makes a
+    // bare-array guard unsound)
+    val under = (1 to 5).map(i => ("a", s"y-$i")).toDF("g", "v")
+      .groupBy("g").agg(kmv_sketch(kmv_hash48(col("v")), 8).as("s"),
+        lit(8).as("bk"))
+    val u2 = under.select(col("s").as("sa"), col("bk").as("ka"))
+      .crossJoin(under.select(col("s").as("sb"), col("bk").as("kb")))
+      .select(kmv_union_checked(col("sa"), col("ka"),
+        col("sb"), col("kb"), 16).as("u")).head.getSeq[Long](0)
+    assert(u2.length == 5)
+    // the sample/join-size siblings enforce the same contract
+    import graft.functions.KmvFunctions.kmv_sample
+    val samp8 = (1 to 100).map(i => ("a", i.toLong, i.toDouble))
+      .toDF("g", "id", "c")
+      .groupBy("g").agg(kmv_sample(kmv_hash48(col("id")), col("c"), 8)
+        .as("s"), lit(8).as("bk"))
+    val sboth = samp8.select(col("s").as("sa"), col("bk").as("ka"))
+      .crossJoin(samp8.select(col("s").as("sb"), col("bk").as("kb")))
+    val e2 = intercept[Exception] {
+      sboth.select(kmv_join_size_checked(col("sa"), col("ka"),
+        col("sb"), col("kb"), 16)).collect()
+    }
+    assert(e2.getMessage.contains("build_k"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      sboth.select(kmv_sample_union_checked(col("sa"), col("ka"),
+        col("sb"), col("kb"), 16)).collect()
+    }
+    assert(e3.getMessage.contains("build_k"), e3.getMessage)
+    // sound join-size read still works through the checked wrapper
+    val js = sboth.select(kmv_join_size_checked(col("sa"), col("ka"),
+      col("sb"), col("kb"), 8)).head.getLong(0)
+    assert(js > 0L)
+  }
+
+  test("kmv_join_size raises loud on duplicate key hashes regardless " +
+      "of spark.sql.mapKeyDedupPolicy") {
+    import graft.functions.KmvFunctions.kmv_join_size
+    // hand-built sample with a duplicated hash (two 'distinct keys'
+    // colliding) — must raise the explicit duplicate-hash error even
+    // under LAST_WIN, where map_from_entries would silently drop one
+    val dup = spark.sql(
+      """SELECT array(named_struct('h', CAST(1 AS BIGINT),
+        |                          'v', CAST(2.0 AS DOUBLE)),
+        |             named_struct('h', CAST(1 AS BIGINT),
+        |                          'v', CAST(3.0 AS DOUBLE))) AS s"""
+        .stripMargin)
+    val prev = spark.conf.getOption("spark.sql.mapKeyDedupPolicy")
+    try {
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      val e = intercept[Exception] {
+        dup.select(kmv_join_size(col("s"), col("s"), 4)).collect()
+      }
+      assert(e.getMessage.contains("duplicate 48-bit"), e.getMessage)
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.mapKeyDedupPolicy"))(
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", _))
+  }
+
   test("per-group isolation under a grouped aggregate") {
     val df = (1 to 400).map(i => (s"g${i % 4}", s"t-$i"))
       .toDF("g", "v").repartition(7)
