@@ -597,6 +597,21 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Raw LSH candidate pairs `(idA < idB)`, deduped across bands,
+    * WITHOUT the jaccard verification join — the generic "MinHash
+    * candidates + caller's own verifier" entry the dedup docs keep
+    * recommending (and [[graft.operators.EditJoin]]'s reroute path
+    * uses, with a banded levenshtein as the verifier). Same banding,
+    * bucket caps, and star-linking fallback as [[minHashPairs]];
+    * recall follows the LSH collision curve for the chosen
+    * (k, bands) — probabilistic, tunable, never exact. */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 200, starReps: Int = 1): DataFrame = {
+    val idx = buildMinHashIndex(df, idCol, textCol, shingleSize, k, bands)
+    bucketPairs(idx.bands, Seq("band", "bucket"), maxBucketSize, starReps)
+  }
+
   /** A materializable MinHash-LSH corpus index: `shingles` (id, sh —
     * the hashed shingle sets verification needs) and `bands`
     * (id, band, bucket — 3 scalars per doc per band), stamped with

@@ -233,9 +233,9 @@ object EditJoin {
           .as("max_key_product"))
   }
 
-  private def enforceMaxPairs(op: String, estimate: DataFrame,
+  private def enforceMaxPairs(op: String, estimate: => Row,
       maxPairs: Option[Long]): Unit = maxPairs.foreach { cap =>
-    val r: Row = estimate.head()
+    val r: Row = estimate
     val cand = r.getLong(0)
     require(cand <= cap,
       s"EditJoin.$op pre-flight: estimated $cand candidate pairs " +
@@ -314,7 +314,8 @@ object EditJoin {
     * entirely — zero overhead. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, stripCommonPrefix: Boolean = true,
-      maxPairs: Option[Long] = None): DataFrame = {
+      maxPairs: Option[Long] = None,
+      rerouteAbove: Option[Long] = None): DataFrame = {
     require(maxDist >= 1,
       "maxDist must be >= 1 — for exact string equality use " +
         "Dedup.exact (one hash aggregation, no candidate stage)")
@@ -327,10 +328,26 @@ object EditJoin {
     val withLen = withLenOf(base)
     val longSide = withLen.filter(col("__l") >= n)
 
-    enforceMaxPairs("selfJoin",
-      candidateCardinality(buildFrame(longSide, k),
-        probeFrame(longSide, longSide, k)),
-      maxPairs)
+    // `rerouteAbove`: the self-pricing escape hatch for the k≥2
+    // templated-corpus cliff (SCALING.md edit_join_k2) — the SAME
+    // pre-flight estimate maxPairs refuses on instead REROUTES to
+    // MinHash-LSH candidates verified with the banded levenshtein
+    // ([[minHashSelfJoin]]) when the exact pigeonhole join would
+    // exceed the cap. The reroute is evaluated BEFORE maxPairs: a
+    // caller setting both gets the fallback, not the refusal.
+    // Semantics shift honestly documented: the fallback's emitted
+    // pairs are still exact (verified, true distance attached) but
+    // recall becomes probabilistic — see minHashSelfJoin's contract
+    // for when that trade is appropriate. None (default) keeps
+    // selfJoin unconditionally exact.
+    if (rerouteAbove.isDefined || maxPairs.isDefined) {
+      val est: Row = candidateCardinality(buildFrame(longSide, k),
+        probeFrame(longSide, longSide, k)).head()
+      if (rerouteAbove.exists(est.getLong(0) > _))
+        return minHashSelfJoin(df, idCol, strCol, maxDist,
+          stripCommonPrefix)
+      enforceMaxPairs("selfJoin", est, maxPairs)
+    }
 
     val build = buildFrame(longSide, k)
     val probe = probeFrame(longSide, longSide, k)
@@ -418,6 +435,55 @@ object EditJoin {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 
+  /** Probabilistic-recall edit join: MinHash-LSH candidate pairs over
+    * character shingles ([[graft.dedup.Dedup.minHashCandidates]] —
+    * banded, bucket-capped, star-linked), verified with the banded
+    * 3-arg levenshtein. This is [[selfJoin]]'s `rerouteAbove` target
+    * past the k≥2 answer-set cliff, and callable directly.
+    *
+    * The contract shift, stated plainly: every EMITTED pair is exact
+    * (true distance attached, ≤ maxDist — candidates are verified,
+    * never trusted), but recall follows the LSH collision curve —
+    * pairs whose shingle-set Jaccard is low can be missed, and short
+    * strings at maxDist edits can have LOW Jaccard (two edits in an
+    * 8-char tail disturb up to 2·n of its shingles). Bigram shingles
+    * (`shingleSize = 2`) and 32 narrow bands (row width 2) are the
+    * short-string default: collision probability ≈ 1−(1−j²)³² — ~95%
+    * at j = 0.3, ~73% at j = 0.2. Appropriate when the join feeds
+    * dedup/clustering (mutually-similar families collide in many
+    * bands and star-linking restores family recall); NOT a substitute
+    * when the complete answer set is required — there, pay the exact
+    * join's output-bound price or refuse with `maxPairs`.
+    *
+    * Scale shape: candidate volume is bucket-capped (maxBucketSize +
+    * star fallback) — the property the exact pigeonhole join cannot
+    * have (exactness forbids skew caps) and the reason the reroute
+    * survives templated corpora the exact join cliffs on. The LCP
+    * strip runs first for the same reason as in [[selfJoin]]: a
+    * shared `"user-"`-style prefix contributes identical shingles
+    * that would push every pair's Jaccard toward 1 and flood the
+    * buckets. */
+  def minHashSelfJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, stripCommonPrefix: Boolean = true,
+      shingleSize: Int = 2, k: Int = 64, bands: Int = 32,
+      maxBucketSize: Int = 200, starReps: Int = 1): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val base0 = prep(df, idCol, strCol)
+    val base = if (stripCommonPrefix) stripLcp(Seq(base0)).head else base0
+    val cand = graft.dedup.Dedup.minHashCandidates(
+      base, "__id", "__s", shingleSize, k, bands, maxBucketSize,
+      starReps)
+    val strs = base.select(col("__id"), col("__s"))
+    cand
+      .join(strs.as("ia"), col("idA") === col("ia.__id"))
+      .join(strs.as("ib"), col("idB") === col("ib.__id"))
+      .select(col("idA").as("id_a"), col("idB").as("id_b"),
+        levenshtein(col("ia.__s"), col("ib.__s"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"),
+        col("dist").cast("int").as("dist"))
+  }
+
   /** Cross-TABLE edit-distance join — the entity-resolution lookup
     * (match scraped titles/names against a canonical catalog within
     * `maxDist` edits): every pair `(left_id, right_id, dist)` with
@@ -461,7 +527,7 @@ object EditJoin {
 
     enforceMaxPairs("join",
       candidateCardinality(buildFrame(lLong, k),
-        probeFrame(rLong, lLong, k)),
+        probeFrame(rLong, lLong, k)).head(),
       maxPairs)
 
     val build = buildFrame(lLong, k)

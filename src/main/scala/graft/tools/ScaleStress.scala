@@ -952,16 +952,32 @@ object ScaleStress {
         // k=2: probe fan-out is (k+1)(2k+1)² = 75 segment lookups per
         // string vs 27 at k=1, and on 8-digit templated ids the
         // threshold admits ~2.3k true neighbors per string — the
-        // OUTPUT-bound regime. Measured to show the first-match
-        // candidate dedup holds there: shuffle rows stay ≈ input
-        // fan-out (no output-sized distinct exchange, r11's 41 GB
-        // ×10 spill source), wall tracks the verified-pair count.
+        // OUTPUT-bound regime. The cell now exercises the
+        // rerouteAbove escape hatch END TO END: at ×1 the pre-flight
+        // prices ~327M candidate equi-matches (< the 1B cap) and the
+        // EXACT pigeonhole join runs — still measuring the
+        // first-match candidate dedup (no output-sized distinct
+        // exchange, r11's 41 GB ×10 spill source); at ×10 it prices
+        // ~11.8B (> cap) and selfJoin self-reroutes to MinHash
+        // candidates + banded-levenshtein verify WITHOUT the caller
+        // reading SCALING.md — wall then tracks the bucket-capped
+        // candidate volume, not the ~158M-pair exact answer set.
+        // Read the ×10 row's near-zero rows-out as the contract, not
+        // a bug: precision stays exact (every emitted pair verified)
+        // but on a pure digit-tail corpus maxDist=2 sits BELOW
+        // jaccard resolution (2 edits in a ~6-char stripped tail
+        // leave ~no shared shingles) and every bucket overflows into
+        // star-links, so recall collapses — the documented boundary
+        // (minHashSelfJoin scaladoc): the reroute bounds COST for
+        // dedup-style callers; answer-set-complete callers must use
+        // maxPairs refusal and pay the exact output-bound price.
         if (opEnabled("edit_join") || opEnabled("edit_join_k2"))
         rows += measureOp("edit_join_k2", m, n) {
           graft.operators.EditJoin.selfJoin(
             spark.range(n).select(col("id"),
               format_string("user-%08d", col("id")).as("name")),
-            "id", "name", maxDist = 2)
+            "id", "name", maxDist = 2,
+            rerouteAbove = Some(1000000000L))
         }
         // cross-table lookup: n scraped ids against an n/2-row
         // canonical catalog whose entries drop the last character —

@@ -339,6 +339,55 @@ class EditJoinSpec extends AnyFunSuite {
     assert(est >= lookupPairs, s"est $est < actual $lookupPairs")
   }
 
+  test("rerouteAbove: under the cap selfJoin stays the exact join; " +
+      "over it the MinHash fallback runs — precision exact, family " +
+      "recall complete") {
+    // a clone family (mutually within 1-2 edits) + distant singletons
+    val fam = (0 until 20).map(i =>
+      (i.toLong, s"acme corp unit ${"%02d".format(i)}"))
+    val far = (100 until 110).map(i =>
+      (i.toLong, s"totally unrelated entity number $i variant"))
+    val df = (fam ++ far).toDF("id", "name")
+    val exact = EditJoin.selfJoin(df, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(exact.nonEmpty)
+    // cap far above the estimate: byte-identical to the plain exact join
+    val under = EditJoin.selfJoin(df, "id", "name", maxDist = 2,
+        rerouteAbove = Some(Long.MaxValue))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(under == exact)
+    // cap 0: every corpus reroutes. Emitted pairs must be a SUBSET of
+    // the exact answer with true distances (verified candidates =
+    // exact precision)...
+    val rerouted = EditJoin.selfJoin(df, "id", "name", maxDist = 2,
+        rerouteAbove = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(rerouted.subsetOf(exact),
+      s"fallback invented pairs: ${rerouted -- exact}")
+    // ...and the mutually-similar family — the population the reroute
+    // exists for — is fully recalled: same-family near-pairs share
+    // most shingles, so they collide in many bands
+    val famExact = exact.filter { case (a, b, _) => a < 100 && b < 100 }
+    val famGot = rerouted.filter { case (a, b, _) => a < 100 && b < 100 }
+    assert(famGot == famExact,
+      s"family recall gap: ${famExact -- famGot}")
+  }
+
+  test("minHashSelfJoin is callable directly and never emits a pair " +
+      "past maxDist") {
+    // distinct tails survive the LCP strip with enough characters to
+    // shingle (a stripped 1-char tail has no bigrams and would drop)
+    val df = (0 until 30).map(i => (i.toLong, s"record ${i % 5} alpha"))
+      .toDF("id", "name")
+    val got = EditJoin.minHashSelfJoin(df, "id", "name", maxDist = 1)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getInt(2) <= 1))
+  }
+
   test("maxDist=0 is rejected with a pointer to exact dedup") {
     val err = intercept[IllegalArgumentException] {
       EditJoin.selfJoin(Seq(1L -> "a").toDF("id", "s"), "id", "s", 0)
