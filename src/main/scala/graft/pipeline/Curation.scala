@@ -122,6 +122,44 @@ object Curation {
     def write(df: DataFrame, s: String): StageOutcome = {
       df.write.mode("overwrite").parquet(stagePath(s)); StageOk
     }
+    // Stats ride the stage WRITE as an Observation (computed on the
+    // exact rows written, zero extra pass) and land as one tiny
+    // parquet row under stats/<stage>: later consumers — the DQ gate
+    // below, audits, cross-run comparisons — answer row-count /
+    // completeness / cardinality questions from the stats row, never
+    // re-scanning the staged corpus (at 100 TB the re-scan the gate
+    // used to do is a full extra pass over the stage). The KMV id
+    // sketch can't ride the Observation (CollectMetrics takes plain
+    // aggregates), so it costs one doc_id-column-pruned scan of the
+    // just-written files — skinny by column pruning, and the LAST
+    // time the stage's ids ever need reading for a cardinality
+    // question. build_k is stamped beside it, the same contract as
+    // the lake's writePartitionSketches, so stored-sketch algebra
+    // (kmv_union_checked etc.) composes across pipeline runs — "how
+    // much does today's curated output overlap yesterday's" is two
+    // stats rows, not two corpus scans.
+    def writeWithStats(df: DataFrame, s: String): StageOutcome = {
+      import spark.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs,
+          count(lit(1)).as("row_count"),
+          count(when(col("doc_id").isNull, 1)).as("null_doc_id"),
+          count(when(col("text").isNull, 1)).as("null_text"))
+        .write.mode("overwrite").parquet(stagePath(s))
+      val m = obs.get
+      val statsRow = Seq((m("row_count").asInstanceOf[Long],
+          m("null_doc_id").asInstanceOf[Long],
+          m("null_text").asInstanceOf[Long]))
+        .toDF("row_count", "null_doc_id", "null_text")
+      val sketch = read(s).agg(
+        graft.functions.KmvFunctions.kmv_sketch(
+          graft.functions.KmvFunctions.kmv_hash48(col("doc_id")), 1024)
+          .as("id_sketch"),
+        lit(1024).as("build_k"))
+      statsRow.crossJoin(sketch)
+        .write.mode("overwrite").parquet(stagePath(s"stats/$s"))
+      StageOk
+    }
 
     // line-level cleanup (C4 frequent-line strip, then the Gopher
     // duplicate-line gate on the STRIPPED text — removed boilerplate
@@ -201,20 +239,34 @@ object Curation {
         caches.release()
         result.get
       },
-      Stage("decontaminate", Seq("near_dedup"))(_ => write(
+      Stage("decontaminate", Seq("near_dedup"))(_ => writeWithStats(
         Dedup.decontaminate(read("near_dedup"),
           spark.read.parquet(cfg.benchPath), "doc_id", "text"),
         "decontaminate")),
+      // The gate's RowCount / IsComplete rules are answered from the
+      // write-observed stats row — same verdicts, no re-scan of the
+      // staged corpus. UniqueKey is the one rule that genuinely needs
+      // the data, and it reads ONLY the id column (column-pruned
+      // skinny scan) through the same Dqdl evaluator as before. Rule
+      // names in the failure report are unchanged.
       Stage("dq_gate", Seq("decontaminate")) { _ =>
-        val verdict = Dqdl.evaluate(read("decontaminate"),
-          Ruleset("curation_gate", Seq(
-            RowCount(">", 0L), IsComplete("doc_id"),
-            UniqueKey("doc_id"), IsComplete("text"))))
-        if (verdict.passed) StageOk
-        else GateFailed(verdict.ruleResults.filterNot(_._2).keys
+        val st = spark.read.parquet(stagePath("stats/decontaminate"))
+          .head()
+        val statRules = Map(
+          "row_count_gt_0" -> (st.getAs[Long]("row_count") > 0L),
+          "is_complete_doc_id" -> (st.getAs[Long]("null_doc_id") == 0L),
+          "is_complete_text" -> (st.getAs[Long]("null_text") == 0L))
+        val results =
+          if (statRules.forall(_._2)) statRules ++ Dqdl.evaluate(
+            read("decontaminate").select(col("doc_id")),
+            Ruleset("curation_gate", Seq(UniqueKey("doc_id"))))
+            .ruleResults
+          else statRules // stats already failed: skip the data scan
+        if (results.forall(_._2)) StageOk
+        else GateFailed(results.filterNot(_._2).keys
           .mkString("failed rules: ", ", ", ""))
       },
-      Stage("split", Seq("dq_gate"))(_ => write(
+      Stage("split", Seq("dq_gate"))(_ => writeWithStats(
         Sampling.splitByHash(read("decontaminate"), "doc_id",
           cfg.trainPct),
         "split")))

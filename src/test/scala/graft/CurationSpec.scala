@@ -167,6 +167,35 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count() <= Curation.result(spark, cfgMin).count())
   }
 
+  test("stage stats ride the writes: the gate's count/completeness " +
+      "verdicts come from the persisted stats row, and the split " +
+      "stage's KMV id sketch answers cardinality without a re-scan") {
+    val work = Files.createTempDirectory("curation_stats").toString
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val in = s"$work/in"; val bench = s"$work/bench"
+    docs.filter($"doc_id" >= 5).write.parquet(in)
+    docs.filter($"doc_id" < 5).write.parquet(bench)
+    val cfg = Curation.Config(in, bench, s"$work/stages")
+    assert(Curation.pipeline(spark, cfg).run(window).succeeded)
+    val out = Curation.result(spark, cfg)
+    // the decontaminate stats row matches the staged data exactly —
+    // the gate consumed THESE numbers, not a re-scan
+    val st = spark.read.parquet(s"$work/stages/stats/decontaminate").head()
+    val staged = spark.read.parquet(s"$work/stages/decontaminate")
+    assert(st.getAs[Long]("row_count") == staged.count())
+    assert(st.getAs[Long]("null_doc_id") == 0L)
+    assert(st.getAs[Long]("null_text") == 0L)
+    // the split stats row's build_k-stamped KMV sketch answers the
+    // output's distinct-id count FROM THE STATS ROW ALONE (exact
+    // while under-filled at this scale) — the corpus is not touched
+    val sp = spark.read.parquet(s"$work/stages/stats/split")
+    val est = sp.select(graft.functions.KmvFunctions.kmv_estimate(
+      col("id_sketch"), 1024)).head().getLong(0)
+    assert(sp.head().getAs[Int]("build_k") == 1024)
+    assert(est == out.select("doc_id").distinct().count(),
+      s"sketch estimate $est vs exact")
+  }
+
   test("DQ gate failure halts the split stage") {
     val work = Files.createTempDirectory("curation-fail").toString
     val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
