@@ -33,6 +33,41 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("set-similarity joins on a small-vocab corpus take the mask " +
+      "path: one equi-join, scalar residuals, no array verify") {
+    Seq("q_set_sim_join", "q_containment_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // the testdata corpus's vocabulary fits in 64 bits, so
+      // similarity + threshold + pair dedup all evaluate as popcount
+      // residuals ON the candidate join: no pair distinct, no
+      // group-by on the output pair, no array_intersect verify join
+      assert(p.contains("bit_count"), s"$q:\n$p")
+      assert(!p.contains("array_intersect"), s"$q:\n$p")
+      assert(!p.contains("keys=[idA"), s"$q:\n$p")
+    }
+  }
+
+  test("set-similarity joins on a >64-token vocabulary fall back to " +
+      "the array path: positional prefix filter + verify join, still " +
+      "no cartesian") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = ((0L until 40L).map(i =>
+      i -> ((i % 4) * 5 until (i % 4) * 5 + 12)
+        .map(j => s"common$j").mkString(" ")) ++
+      (100L until 170L).map(i => i -> s"solo${i}a solo${i}b solo${i}c"))
+      .toDF("id", "text")
+    val p = graft.operators.SetJoin
+      .containmentJoin(df, "id", "text", 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the exact verify intersects the probe's SUFFIX slice against
+    // the container's tokens — the array path's signature op
+    assert(p.contains("array_intersect"), p)
+    assert(p.contains("slice"), p)
+  }
+
   test("edit-join pre-flight never materializes candidates: per-key " +
       "counts map-side combine, join is key-sized, no verifier") {
     val p = plan("q_edit_join_preflight")
