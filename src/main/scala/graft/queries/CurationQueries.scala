@@ -22,6 +22,34 @@ object CurationQueries {
       |  list_distinct(string_split_regex(lower(trim(text)), '\s+')) toks
       |  FROM documents WHERE len(trim(text)) > 0)""".stripMargin
 
+  /** Bitmask representation of the token sets for the all-pairs
+    * oracles: one bit per distinct corpus token, so |A∩B| / |A∪B| /
+    * |A| read as popcounts of integer AND/OR. This is a
+    * REPRESENTATION change only — the oracle still compares every
+    * pair against the raw definition; set cardinalities as popcounts
+    * is elementary set theory, valid under ANY injective token→bit
+    * map (the map here is alphabetical, deliberately unrelated to the
+    * engine's canon-rank map, so the two sides cannot share an
+    * indexing bug). Without it the sf0.1 oracle ground through 25M
+    * list_intersect calls (~205 s per query); with it the same 25M
+    * pairs are vectorized integer ops. Fails LOUD via error() if the
+    * corpus vocabulary ever exceeds 63 tokens (bit 63 would overflow
+    * DuckDB's signed left-shift) — the list_intersect form in git
+    * history is the fallback for such a fixture. */
+  private val maskCtes =
+    """vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1
+      |    AS bit
+      |  FROM (SELECT DISTINCT unnest(toks) AS tok FROM s)),
+      |e AS (SELECT doc_id, unnest(toks) AS tok FROM s),
+      |m AS (SELECT e.doc_id,
+      |    bit_or(CASE WHEN (SELECT count(*) FROM vocab) <= 63
+      |      THEN CAST(1 AS BIGINT) << v.bit
+      |      ELSE CAST(error('oracle bitmask replay needs a <=63-token
+      | vocabulary; restore the list_intersect form') AS BIGINT)
+      |      END) AS mask
+      |  FROM e JOIN vocab v USING (tok)
+      |  GROUP BY e.doc_id)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // exact Jaccard similarity self-join via prefix filtering
@@ -33,14 +61,14 @@ object CurationQueries {
     QueryDef("q_set_sim_join",
       (s, d) => SetJoin.jaccardJoin(Tables.documents(s, d), "doc_id",
         "text", threshold = 0.9),
-      Some(s"""$tokenSetsCte
+      Some(s"""$tokenSetsCte,
+             |$maskCtes
              |SELECT a.doc_id AS idA, b.doc_id AS idB,
-             |CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             |  / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
-             |  AS jaccard
-             |FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             |  / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
+             |CAST(bit_count(a.mask & b.mask) AS DOUBLE)
+             |  / CAST(bit_count(a.mask | b.mask) AS DOUBLE) AS jaccard
+             |FROM m a JOIN m b ON a.doc_id < b.doc_id
+             |WHERE CAST(bit_count(a.mask & b.mask) AS DOUBLE)
+             |  / CAST(bit_count(a.mask | b.mask) AS DOUBLE)
              |  >= 0.9""".stripMargin)),
 
     // asymmetric containment join at t=1.0: every ordered pair where
@@ -51,13 +79,14 @@ object CurationQueries {
     QueryDef("q_containment_join",
       (s, d) => SetJoin.containmentJoin(Tables.documents(s, d),
         "doc_id", "text", threshold = 1.0),
-      Some(s"""$tokenSetsCte
+      Some(s"""$tokenSetsCte,
+             |$maskCtes
              |SELECT a.doc_id AS idA, b.doc_id AS idB,
-             |CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             |  / CAST(len(a.toks) AS DOUBLE) AS containment
-             |FROM s a JOIN s b ON a.doc_id <> b.doc_id
-             |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             |  / CAST(len(a.toks) AS DOUBLE) >= 1.0""".stripMargin)),
+             |CAST(bit_count(a.mask & b.mask) AS DOUBLE)
+             |  / CAST(bit_count(a.mask) AS DOUBLE) AS containment
+             |FROM m a JOIN m b ON a.doc_id <> b.doc_id
+             |WHERE CAST(bit_count(a.mask & b.mask) AS DOUBLE)
+             |  / CAST(bit_count(a.mask) AS DOUBLE) >= 1.0""".stripMargin)),
 
     // hashed-bigram importance resampling (DSIR shape) toward the
     // English sub-corpus: integer-quantized weights, so DuckDB replays

@@ -483,6 +483,31 @@ object ExtensionQueries {
     "CASE WHEN length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
 
+  /** Inverted-index evaluation of the exact all-pairs shingle
+    * jaccard, appended after a CTE `s(doc_id, sh)` whose `sh` lists
+    * are DISTINCT: explode to (doc_id, shingle) postings, count
+    * shared shingles per pair with a self-join on the shingle, and
+    * read |A∪B| as |A|+|B|−|A∩B|. A REPRESENTATION rewrite of the
+    * definition, not a pruning algorithm: every pair with a non-empty
+    * intersection is produced (pairs with empty intersections have
+    * jaccard 0, below every threshold the slate uses), the division
+    * runs over the same integers as the old list_intersect /
+    * list_distinct(concat) form, and no assumption from the engine's
+    * LSH/banding side is imported. Cost falls from n²/2 string-list
+    * intersections (~20 min per oracle at sf0.1) to Σ df(g)² integer
+    * join rows (~2.8M on this corpus). */
+  private val shingleJaccardCtes =
+    """e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
+      |ic AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |    any_value(a.n) AS na, any_value(b.n) AS nb,
+      |    count(*) AS cnt
+      |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (SELECT ida, idb,
+      |    CAST(cnt AS DOUBLE) / CAST(na + nb - cnt AS DOUBLE)
+      |      AS jaccard
+      |  FROM ic)""".stripMargin
+
   /** DuckDB replay of one greedy BPE merge pass ([[graft.text.Bpe
     * .applyMerge]]'s exact fold): elements wrap as singleton lists so
     * the reduce's accumulator and element types agree (the repo's
@@ -644,20 +669,16 @@ object ExtensionQueries {
     QueryDef("q_dedup_minhash",
       (s, d) => Dedup.minHashPairs(Tables.documents(s, d), "doc_id",
         "text", threshold = 0.3),
-      Some("""WITH t AS (SELECT doc_id,
-             |  string_split_regex(lower(trim(text)), '\s+') w
+      Some(s"""WITH t AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\\s+') w
              |  FROM documents),
              |s AS (SELECT doc_id, list_distinct(
              |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
              |   for i in range(1, len(w) - 1)]) sh
-             |  FROM t WHERE len(w) >= 3)
-             |SELECT a.doc_id AS idA, b.doc_id AS idB,
-             |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
-             |FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3"""
-        .stripMargin)),
+             |  FROM t WHERE len(w) >= 3),
+             |$shingleJaccardCtes
+             |SELECT ida AS idA, idb AS idB, jaccard FROM jp
+             |WHERE jaccard >= 0.3""".stripMargin)),
 
     // incremental near-dedup — the daily-ingest shape: the 80% slice
     // is the pre-indexed corpus (stored shingle sets + band triples),
@@ -691,21 +712,17 @@ object ExtensionQueries {
           docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
           threshold = 0.3)
       },
-      Some("""WITH t AS (SELECT doc_id,
-             |  string_split_regex(lower(trim(text)), '\s+') w
+      Some(s"""WITH t AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\\s+') w
              |  FROM documents),
              |s AS (SELECT doc_id, list_distinct(
              |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
              |   for i in range(1, len(w) - 1)]) sh
-             |  FROM t WHERE len(w) >= 3)
-             |SELECT a.doc_id AS idA, b.doc_id AS idB,
-             |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
-             |FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
-             |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3"""
-        .stripMargin)),
+             |  FROM t WHERE len(w) >= 3),
+             |$shingleJaccardCtes
+             |SELECT ida AS idA, idb AS idB, jaccard FROM jp
+             |WHERE (ida % 5 = 0 OR idb % 5 = 0)
+             |  AND jaccard >= 0.3""".stripMargin)),
 
     // survivors after near-dedup, keep-min-id policy. Oracle: survivors
     // of the exact all-pairs jaccard (valid on this bimodal corpus —
@@ -713,17 +730,16 @@ object ExtensionQueries {
     QueryDef("q_dedup_minhash_keep",
       (s, d) => Dedup.dedupMinHash(Tables.documents(s, d), "doc_id",
         "text", threshold = 0.3).select(col("doc_id"), col("lang")),
-      Some("""WITH t AS (SELECT doc_id,
-             |  string_split_regex(lower(trim(text)), '\s+') w
+      Some(s"""WITH t AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\\s+') w
              |  FROM documents),
              |s AS (SELECT doc_id, list_distinct(
              |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
              |   for i in range(1, len(w) - 1)]) sh
              |  FROM t WHERE len(w) >= 3),
-             |losers AS (SELECT DISTINCT b.doc_id
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |    / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3)
+             |$shingleJaccardCtes,
+             |losers AS (SELECT DISTINCT idb AS doc_id FROM jp
+             |  WHERE jaccard >= 0.3)
              |SELECT doc_id, lang FROM documents
              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
 
@@ -747,23 +763,22 @@ object ExtensionQueries {
           threshold = 0.3, maxBucketSize = 50)
           .select(col("doc_id"), col("lang"))
       },
-      Some("""WITH docs AS (SELECT doc_id, lang,
+      Some(s"""WITH docs AS (SELECT doc_id, lang,
              |  CASE WHEN doc_id < 250
              |  THEN 'all work and no play makes a dull corpus mark'
              |    || doc_id
              |  ELSE text END AS text
              |  FROM documents),
              |t AS (SELECT doc_id,
-             |  string_split_regex(lower(trim(text)), '\s+') w
+             |  string_split_regex(lower(trim(text)), '\\s+') w
              |  FROM docs),
              |s AS (SELECT doc_id, list_distinct(
              |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
              |   for i in range(1, len(w) - 1)]) sh
              |  FROM t WHERE len(w) >= 3),
-             |losers AS (SELECT DISTINCT b.doc_id
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |    / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3)
+             |$shingleJaccardCtes,
+             |losers AS (SELECT DISTINCT idb AS doc_id FROM jp
+             |  WHERE jaccard >= 0.3)
              |SELECT doc_id, lang FROM docs
              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
 
@@ -2575,10 +2590,16 @@ object ExtensionQueries {
              |  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
              |   for i in range(1, len(toks) - 1)]) AS sh
              |  FROM ex WHERE len(toks) >= 3),
-             |losers AS (SELECT DISTINCT b.doc_id
-             |  FROM s3 a JOIN s3 b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |    / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5),
+             |e3 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g
+             |  FROM s3),
+             |ic AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+             |    any_value(a.n) AS na, any_value(b.n) AS nb,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM e3 a JOIN e3 b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |losers AS (SELECT DISTINCT idb AS doc_id FROM ic
+             |  WHERE CAST(cnt AS DOUBLE)
+             |    / CAST(na + nb - cnt AS DOUBLE) >= 0.5),
              |nd AS (SELECT * FROM ex
              |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
              |s5 AS (SELECT doc_id, lang, CASE WHEN len(toks) >= 5 THEN
