@@ -791,18 +791,16 @@ object ExtensionQueries {
         Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.3))
         .select(col("id"), col("cluster").as("cluster_id")),
-      Some("""WITH RECURSIVE
+      Some(s"""WITH RECURSIVE
              |t AS (SELECT doc_id,
-             |  string_split_regex(lower(trim(text)), '\s+') w
+             |  string_split_regex(lower(trim(text)), '\\s+') w
              |  FROM documents),
              |s AS (SELECT doc_id, list_distinct(
              |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
              |   for i in range(1, len(w) - 1)]) sh
              |  FROM t WHERE len(w) >= 3),
-             |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |    / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.3),
+             |$shingleJaccardCtes,
+             |pairs AS (SELECT ida, idb FROM jp WHERE jaccard >= 0.3),
              |edges AS (SELECT ida AS a, idb AS b FROM pairs
              |  UNION SELECT idb, ida FROM pairs),
              |nodes AS (SELECT a AS id FROM edges),
