@@ -879,20 +879,16 @@ object ExtensionQueries {
     QueryDef("q_dedup_ngram",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
         "text", n = 3, threshold = 0.4),
-      Some("""WITH t AS (SELECT doc_id,
-             |  string_split_regex(lower(trim(text)), '\s+') w
+      Some(s"""WITH t AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\\s+') w
              |  FROM documents),
              |s AS (SELECT doc_id, list_distinct(
              |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
              |   for i in range(1, len(w) - 1)]) sh
-             |  FROM t WHERE len(w) >= 3)
-             |SELECT a.doc_id AS idA, b.doc_id AS idB,
-             |CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
-             |FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.4"""
-        .stripMargin)),
+             |  FROM t WHERE len(w) >= 3),
+             |$shingleJaccardCtes
+             |SELECT ida AS idA, idb AS idB, jaccard FROM jp
+             |WHERE jaccard >= 0.4""".stripMargin)),
 
     // embedding-cosine near-dup pairs (rows-only). Threshold 0.35 sits
     // at the top ~0.1% of this corpus's random-vector cosine
