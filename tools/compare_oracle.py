@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle correctness check.
 
-Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir> [shard/of]
+
+Optional "k/n" third argument runs only every n-th query starting at
+k (0-based) — launch n processes with k = 0..n-1 and sum their tail
+counts for a parallel full-slate compare (the big-SF self-check; the
+heavy all-pairs levenshtein oracles bound one shard's wall).
 
 For each query dir under verifyOutDir: load the Spark parquet result,
 run the corresponding oracle SQL from oracle_sql.json in DuckDB (with
@@ -13,6 +18,9 @@ import json, math, sys, glob, os
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+shard, nshards = (0, 1)
+if len(sys.argv) > 3:
+    shard, nshards = map(int, sys.argv[3].split("/"))
 
 
 def fresh_connection():
@@ -35,7 +43,11 @@ done_since_reconnect = 0
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
-for name, sql in sorted(oracle.items()):
+attempted = 0
+for qi, (name, sql) in enumerate(sorted(oracle.items())):
+    if qi % nshards != shard:
+        continue
+    attempted += 1
     if done_since_reconnect >= 20:
         con.close()
         con = fresh_connection()
@@ -80,5 +92,5 @@ for name, sql in sorted(oracle.items()):
         print(f"PASS {name} ({len(gs)} rows, dtype-warn)")
     else:
         print(f"PASS {name} ({len(gs)} rows)")
-print(f"\n{len(oracle) - fails}/{len(oracle)} passed")
+print(f"\n{attempted - fails}/{attempted} passed")
 sys.exit(1 if fails else 0)
