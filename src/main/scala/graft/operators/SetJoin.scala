@@ -105,9 +105,13 @@ object SetJoin {
   }
 
   /** Small-vocabulary fast path: when the corpus's DISTINCT token
-    * vocabulary fits in 64 (a runtime property, detected with one
-    * vocabulary-sized aggregate capped at 65 rows — the same bounded
-    * driver pull as EditJoin's 65-length probe), every document's
+    * vocabulary fits in 63 bits (a runtime property, detected with
+    * one vocabulary-sized aggregate capped at 64 rows — the same
+    * bounded driver pull as EditJoin's 65-length probe; 63 rather
+    * than 64 keeps every mask non-negative and the representation
+    * replayable in engines whose signed left-shift rejects bit 63 —
+    * DuckDB, where the oracle's own mask replay guards exactly this
+    * boundary), every document's
     * token SET is one 64-bit mask (bit = global canon rank of the
     * token), and set algebra collapses to integer ops:
     * `|x ∩ y| = bit_count(maskX & maskY)`. Candidates still come from
@@ -125,15 +129,15 @@ object SetJoin {
     * volume approaches the (output-bound) answer itself — measured
     * sf0.1: 2.24M true pairs from 10.9M candidates; paying an
     * array_intersect per candidate is the dominant cost the mask
-    * residual removes. Returns None when the vocabulary exceeds 64
+    * residual removes. Returns None when the vocabulary exceeds 63
     * and the caller falls through to the general array path. */
   private case class VocabMasks(rank: Column => Column, nTokens: Int)
   private def smallVocab(pref: DataFrame): Option[VocabMasks] = {
     val vocab = pref.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .orderBy(col("df").asc, col("tok").asc)
-      .limit(65).collect()
-    if (vocab.length > 64 || vocab.isEmpty) None
+      .limit(64).collect()
+    if (vocab.length > 63 || vocab.isEmpty) None
     else {
       // canon rank = position in (df ASC, tok ASC) order — the SAME
       // order prefixed() sorts token arrays by, so bit index i <->
