@@ -22,6 +22,14 @@ import graft.util.{Checkpointing, Tables}
   */
 object ExtensionQueries {
 
+  // the synthetic media fixtures (PNG/JPEG encodes in syntheticGrayPng
+  // / syntheticMjpegMp4) run inside executor UDFs that may evaluate
+  // before any Multimodal method loads that class there — mirror its
+  // ImageIO memory-cache switch so no encode ever pays the default
+  // temp-FILE stream cache (one disk round-trip per row; see
+  // Multimodal's header note for the measured cost)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Data dirs whose events table has already been stream-drained to
     * silver in this JVM (checkpointed streams are incremental — one
     * drain per process; repeats read the landed table). */
