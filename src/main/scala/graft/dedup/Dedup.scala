@@ -693,18 +693,47 @@ object Dedup {
     val candidates = bucketPairs(
       index.bands.unionByName(newIdx.bands),
       Seq("band", "bucket"), maxBucketSize, starReps)
-    val touching = candidates
-      .join(newIds.withColumnRenamed("id", "idA"), Seq("idA"), "left_semi")
-      .unionByName(candidates
-        .join(newIds.withColumnRenamed("id", "idB"), Seq("idB"),
-          "left_semi"))
+    // "touches the batch" as ONE pass over the candidate pairs: two
+    // broadcast left joins flag each endpoint against the (small by
+    // contract — batch ≪ corpus) batch-id set and a filter keeps
+    // pairs with either flag. The previous union-of-two-semi-joins +
+    // distinct evaluated the whole bucketPairs subtree once per
+    // branch — the full band aggregation ran twice for the same rows
+    // (and the distinct re-shuffled pairs bucketPairs had already
+    // deduped). Candidates are unique, each survives at most once —
+    // same output set, half the candidate work, no extra exchange.
+    val isNewA = newIds.select(col("id").as("idA"),
+      lit(true).as("__nA"))
+    val isNewB = newIds.select(col("id").as("idB"),
+      lit(true).as("__nB"))
+    // lazy persists: touching is materialized by neededSh's pruning
+    // scan and re-read by the final attach joins; neededSh by the two
+    // broadcast builds — all within the caller's one action chain, so
+    // no extra eager count jobs
+    val touching = trackPersist(candidates
+      .join(broadcast(isNewA), Seq("idA"), "left")
+      .join(broadcast(isNewB), Seq("idB"), "left")
+      .filter(col("__nA").isNotNull || col("__nB").isNotNull)
+      .select(col("idA"), col("idB")))
+    // Verification reads the CORPUS shingle table — never broadcast
+    // it and never scan it twice (the two unhinted attach joins below
+    // used to auto-broadcast the full corpus-side table once per
+    // endpoint: corpus-sized driver collects at scale). Instead,
+    // semi-prune the shingle table ONCE to the ids the surviving
+    // pairs actually touch (batch-bounded: every pair has a batch
+    // endpoint, so |ids| ≤ 2·|touching|), persist the pruned slice,
+    // and let the two attach joins broadcast that bounded slice.
+    val touchedIds = touching
+      .select(explode(array(col("idA"), col("idB"))).as("id"))
       .distinct()
     val allSh = index.shingles.unionByName(newIdx.shingles)
+    val neededSh = trackPersist(
+      allSh.join(broadcast(touchedIds), Seq("id"), "left_semi"))
     touching
-      .join(allSh.select(col("id").as("idA"), col("sh").as("shA")),
-        Seq("idA"))
-      .join(allSh.select(col("id").as("idB"), col("sh").as("shB")),
-        Seq("idB"))
+      .join(broadcast(neededSh.select(col("id").as("idA"),
+        col("sh").as("shA"))), Seq("idA"))
+      .join(broadcast(neededSh.select(col("id").as("idB"),
+        col("sh").as("shB"))), Seq("idB"))
       .select(col("idA"), col("idB"),
         jaccard(col("shA"), col("shB")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -935,9 +964,26 @@ object Dedup {
       elem: Column, maxSize: Int, starReps: Int = 1): DataFrame = {
     require(starReps >= 1, s"starReps must be >= 1, got $starReps")
     val keyCols = keys.map(col)
-    val agged = df.groupBy(keyCols: _*)
+    // TWO consumers read this aggregation (normalPairs and the
+    // oversized-bucket rep extraction — three with multi-rep
+    // starPairs); unpersisted, the full groupBy over every band row
+    // re-ran once per consumer — the single largest fixed cost of the
+    // whole LSH family (measured: the capped agg is ~0.5-0.6 s per
+    // pass at sf0.1 and every q_dedup_* paid it twice). LAZY persist,
+    // not persistEager: both consumers live in the SAME action here
+    // (a union in one plan), so the first stage to touch a partition
+    // populates the cache the sibling reads — an eager count would
+    // add a whole extra job for nothing (measured +0.2-0.3 s per
+    // query; worst case of the lazy race is recomputing a partition,
+    // i.e. exactly the pre-persist behavior). Rows are per-bucket
+    // capped lists (≤ maxSize elements), so the persisted footprint
+    // is bounded by the band-row input itself; MEMORY_AND_DISK spills
+    // rather than OOMs at scale, and the tracked registry frees it
+    // with releaseCaches()/scoped like every other multi-consumer
+    // intermediate.
+    val agged = trackPersist(df.groupBy(keyCols: _*)
       .agg(graft.functions.CappedCollectFunctions
-        .capped_collect_with_rep(elem, maxSize).as("__cm"))
+        .capped_collect_with_rep(elem, maxSize).as("__cm")))
     val grouped = agged
       .filter(col("__cm.items").isNotNull && size(col("__cm.items")) >= 2)
       .select(sort_array(col("__cm.items")).as("__es"))

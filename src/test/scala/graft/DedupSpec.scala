@@ -681,6 +681,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!inc.exists(p => !isNew(p._1) && !isNew(p._2)))
   }
 
+  test("incremental minhash verify prunes the corpus shingle table " +
+      "through one semi-join and attaches the persisted slice") {
+    val docs = (1L to 60L).map(i => (i, s"w${i % 7}a w${i % 7}b " +
+      s"w${i % 7}c w${i % 7}d w${i % 7}e")).toDF("doc_id", "text")
+    val idx = Dedup.buildMinHashIndex(
+      docs.filter(col("doc_id") <= 40), "doc_id", "text")
+    val inc = Dedup.incrementalMinHashPairs(idx,
+      docs.filter(col("doc_id") > 40), "doc_id", "text", threshold = 0.5)
+    val p = inc.queryExecution.executedPlan.toString
+    // the corpus-side shingle table is narrowed to the ids surviving
+    // pairs actually touch (broadcast semi-join), and the two attach
+    // joins read that persisted slice — never an unpruned broadcast
+    // of the corpus table, never a pair-side shuffle of it
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    Dedup.releaseCaches()
+  }
+
   test("incremental minhash fails loudly on parameter mismatch and " +
       "re-ingested ids") {
     val d = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
