@@ -286,7 +286,20 @@ object Dedup {
         "for single-token keys")
     val k = windowWords
     val base = spanTokenize(df, idCol, textCol)
+    // ONE explicit exchange on the window key, shared by BOTH
+    // consumers (winner election and the removals join): the two
+    // subtrees below reference the identical repartition node, so
+    // Spark's exchange reuse materializes the O(n·k) window-string
+    // expansion exactly once in shuffle files and both sides read it
+    // back — previously each consumer re-built every window string
+    // (the dominant cost of this operator) and shuffled it again.
+    // Shuffle files spill to local disk by design, so this stays safe
+    // at corpus scale where caching the expansion would not (SCALING:
+    // columnar-caching the token frames tripled the ×100 wall). The
+    // downstream groupBy and the equi-join both key on __key, so
+    // neither adds another exchange.
     val windows = spanWindows(base, idCol, k, hashKeys)
+      .repartition(col("__key"))
     // winner election: ONE aggregation per distinct window key
     val winners = windows
       .groupBy(col("__key").as("__win_key"))
@@ -424,7 +437,14 @@ object Dedup {
       s"batch ids already present in the span index (e.g. ${overlap
         .headOption.map(_.get(0)).getOrElse("")}) — dedupe re-ingests " +
         "before calling, or rebuild the index")
+    // one explicit exchange on the window key shared by EVERY consumer
+    // of the batch expansion (key-distinct, the two hit-key probes,
+    // winner election, the internal-removals join — five references):
+    // exchange reuse materializes the O(batch·k) window strings once
+    // in shuffle files instead of rebuilding them per consumer (same
+    // restructure as slidingSpanDedup; see the comment there)
     val windows = spanWindows(base, idCol, k, index.hashedKeys)
+      .repartition(col("__key"))
     val batchKeys = windows.select(col("__key")).distinct()
     // corpus probe: index scan pruned to __key, semi-joined by the
     // broadcast batch keys; the hits are at most batch-sized
