@@ -50,18 +50,18 @@ object TextAnalysis {
         len.cast("double"))
   }
 
-  /** Stopword tokens / total tokens (tiny built-in English list). */
-  def stopwordRatio(text: Column): Column = {
-    val ts = tokens(text)
+  /** Stopword tokens / total tokens (tiny built-in English list).
+    * Token split bound once (three references otherwise re-split). */
+  def stopwordRatio(text: Column): Column = bound(tokens(text)) { ts =>
     val stops = Seq("the", "a", "an", "and", "of", "to", "in", "is")
     when(size(ts) === 0, lit(0.0)).otherwise(
       size(filter(ts, t => t.isInCollection(stops))).cast("double") /
         size(ts).cast("double"))
   }
 
-  /** Mean token length in characters (0 for empty text). */
-  def meanTokenLength(text: Column): Column = {
-    val ts = tokens(text)
+  /** Mean token length in characters (0 for empty text). Token split
+    * bound once (three references otherwise re-split). */
+  def meanTokenLength(text: Column): Column = bound(tokens(text)) { ts =>
     when(size(ts) === 0, lit(0.0)).otherwise(
       aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         size(ts).cast("double"))
