@@ -52,6 +52,14 @@ object Bench {
     // pressure) that inflated scans 2.9× while both existing probe
     // series read idle. One thread per core, same shape as spinN.
     val membwArr = Array.tabulate(8 * 1024 * 1024)(i => i.toLong)
+    // NB: membwSweep MUST be JIT-warmed before its first timed use —
+    // see the warmup call below calibrate(); an interpreted first
+    // sweep reads 4-7× the compiled steady state and systematically
+    // tripped the contended flag at JVM start (measured idle-machine
+    // pre/post pairs 0.25-0.44 vs 0.06-0.07 across four r15 runs and
+    // the r14 artifact — the "pre-run membw contention" those
+    // artifacts flagged was partly this measurement bug, not the
+    // host)
     def membwSweep(passes: Int): Long = {
       var acc = 0L; var p = 0
       while (p < passes) {
@@ -87,6 +95,14 @@ object Bench {
       val bw = membw(8)
       f"""{"spin1":$single%.3f,"spinN":$par%.3f,"shuffle":$shuffle%.3f,"membw":$bw%.3f}"""
     }
+    // JIT-warm the probe kernels before the first timed calibration:
+    // the pre-run probes exist to read the MACHINE, and an
+    // interpreted first pass reads compiler state instead (membw
+    // measured 3.9× its idle constant on a verified-idle host purely
+    // from this). One single-threaded pass per kernel compiles the
+    // methods every timed (threaded) run then reuses.
+    sink.addAndGet(membwSweep(2))
+    sink.addAndGet(spin(20000000L))
     val calibPre = calibrate()
 
     // membw value of a calibrate() JSON string — the endpoint levels
