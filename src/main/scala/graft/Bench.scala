@@ -103,6 +103,17 @@ object Bench {
     // methods every timed (threaded) run then reuses.
     sink.addAndGet(membwSweep(2))
     sink.addAndGet(spin(20000000L))
+    // the SHUFFLE probe kernel needs the same treatment (round-16
+    // finding, same class as the membw JIT bug): the pre-run
+    // calibrate() used to issue the JVM's FIRST real groupBy shuffle,
+    // so its reading was shuffle-machinery init + codegen compilation,
+    // not the machine — measured 1.58 s pre vs 0.36 s post on a
+    // verified-clean run (bench_ratio 1.0) vs the 0.45 s idle
+    // constant, i.e. every clean run would trip a 3×-idle endpoint
+    // rule. One untimed pass of the exact probe query leaves the
+    // timed pre-run probe reading the host.
+    spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").sum("v").collect()
     val calibPre = calibrate()
 
     // membw value of a calibrate() JSON string — the endpoint levels
@@ -111,6 +122,9 @@ object Bench {
     // and the artifact still said contended:false)
     def membwOf(calib: String): Double =
       "\"membw\":([0-9.]+)".r.findFirstMatchIn(calib)
+        .map(_.group(1).toDouble).getOrElse(0.0)
+    def shuffleOf(calib: String): Double =
+      "\"shuffle\":([0-9.]+)".r.findFirstMatchIn(calib)
         .map(_.group(1).toDouble).getOrElse(0.0)
 
     // per-SEGMENT micro-probes: the pre/post pair proved round-9/10
@@ -270,9 +284,22 @@ object Bench {
     val membwMicroSustained =
       warmProbes.count(_._4 >= 3 * idleMicro("membw")) >= 2
     val membwEvidence = membwEndpoint || membwMicroSustained
+    // the SAME 3×-idle endpoint rule on the shuffle probe (round-15
+    // verdict hole: the contention class that inflated that run's
+    // tail was shuffle/disk-visible, not membw-visible, and the
+    // endpoint rule existed only for membw — the sustained-window
+    // rule alone can't see contention that brackets a pass). Sound
+    // only now that the probe kernel is JIT/init-warmed above:
+    // pre-warmup, a verified-clean run read 1.58 s (3.5× idle) on
+    // first-shuffle machinery init alone.
+    val shuffleEndpoint =
+      shuffleOf(calibPre) >= 3 * idleCalib("shuffle") ||
+        shuffleOf(calibPost) >= 3 * idleCalib("shuffle")
+    val shuffleEvidence = shuffleEndpoint ||
+      warmProbes.count(_._3 >= 3 * idleMicro("shuffle")) >= 2
     val contended = sustained(series("spinN")) ||
       sustained(series("shuffle")) || sustained(series("membw")) ||
-      membwEvidence
+      membwEvidence || shuffleEvidence
     // probe-NORMALIZED warm total: a reader without this host's idle
     // record can discount a contended artifact from the artifact
     // alone. Rule (documented + validated in SCALING.md): a warm
@@ -380,15 +407,18 @@ object Bench {
     // 2.4× spinN level over a subset whose queries ran FASTER than
     // anchor). Normalizing by a probe that does not track the
     // workload would manufacture numbers.
-    // The sum-ratio rule normalizes ONLY with corroborating membw
-    // evidence: without an externally-measured cause, a heavy-tail
+    // The sum-ratio rule normalizes ONLY with corroborating probe
+    // evidence — membw OR shuffle endpoint/window (the round-15 run's
+    // tail inflation was shuffle-visible while membw sat idle):
+    // without an externally-measured cause, a heavy-tail
     // inflation could be a genuine per-query regression that must
     // stay visible (it still does regardless — raw warm and the
     // per-query map lead the artifact; normalized_warm is
     // diagnostic). Engage threshold 1.5×, same as the median rule
     // (clean-epoch drift on this host is ~±10-40%, SCALING.md).
     val sumRuleRatio =
-      if (membwEvidence && anchoredSumRatio >= 1.5) anchoredSumRatio
+      if ((membwEvidence || shuffleEvidence) && anchoredSumRatio >= 1.5)
+        anchoredSumRatio
       else 1.0
     val sustainedRatio = math.max(
       if (benchRatio >= 1.5) benchRatio else 1.0, sumRuleRatio)
@@ -406,7 +436,7 @@ object Bench {
       s"""{"calib":${m(idleCalib)},"micro":${m(idleMicro)},"queries_anchored":${ratioPairs.size}}"""
     }
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs_per_query":$runsPerQuery,"queries":$qs,"spread":$spreads,"cold":$colds,"value":$total,"normalized_warm":$normalizedWarm,"cold_total":$coldTotal,"err":$errs,"calib_pre":$calibPre,"calib_post":$calibPost,"calib_seg":$calibSeg}""")
-    println(s"""{"metric":"totals","warm":$total,"normalized_warm":$normalizedWarm,"cold":$coldTotal,"err_count":$errCount,"n_queries":${results.size},"sf":"$sfDir","calib_pre":$calibPre,"calib_post":$calibPost,"contended":$contended,"contended_sustained":$contendedSustained,"bench_ratio":$benchRatio,"anchored_sum_ratio":$anchoredSumRatio,"membw_evidence":$membwEvidence,"level_ratio":$levelRatio,"idle_anchors":$anchorJson}""")
+    println(s"""{"metric":"totals","warm":$total,"normalized_warm":$normalizedWarm,"cold":$coldTotal,"err_count":$errCount,"n_queries":${results.size},"sf":"$sfDir","calib_pre":$calibPre,"calib_post":$calibPost,"contended":$contended,"contended_sustained":$contendedSustained,"bench_ratio":$benchRatio,"anchored_sum_ratio":$anchoredSumRatio,"membw_evidence":$membwEvidence,"shuffle_evidence":$shuffleEvidence,"level_ratio":$levelRatio,"idle_anchors":$anchorJson}""")
     spark.stop()
   }
 }
