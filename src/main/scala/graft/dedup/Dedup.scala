@@ -683,13 +683,19 @@ object Dedup {
     * corpus-internal pairs were known when the corpus was indexed).
     *
     * Scale shape: the batch pays the full shingle+sign cost for its
-    * own rows only; the corpus contributes its stored (id, band,
-    * bucket) triples — 3 scalars per doc per band, orders of
-    * magnitude under the corpus itself — to ONE capped bucket
-    * aggregation (the same skew-safe [[bucketPairs]] machinery,
-    * star-fallback included), and its stored shingle sets join in
-    * only for the pairs that survive candidate dedup. Old-old
-    * candidate pairs drop before the expensive verification joins.
+    * own rows only; the corpus band table is semi-join-PRUNED to the
+    * buckets the batch actually touches before any aggregation — a
+    * pair can only touch the batch if some bucket holds both of its
+    * endpoints and one endpoint is a batch row, so buckets with no
+    * batch row can never contribute a surviving pair and are never
+    * aggregated (the batch's distinct (band, bucket) keys broadcast:
+    * batch ≪ corpus is the operator's premise). The pruned triples —
+    * 3 scalars per doc, bounded by batch-bucket membership, not the
+    * corpus — feed ONE capped bucket aggregation (the same skew-safe
+    * [[bucketPairs]] machinery, star-fallback included), and the
+    * stored shingle sets join in only for the pairs that survive
+    * candidate dedup. Old-old candidate pairs drop before the
+    * expensive verification joins.
     * `index.union(newIndex)` is the caller's next-day index.
     *
     * The batch signs with the INDEX's own parameters (stamped on
@@ -710,8 +716,45 @@ object Dedup {
       s"batch ids already present in the index (e.g. ${overlap.headOption
         .map(_.get(0)).getOrElse("")}) — dedupe re-ingests before " +
         "calling, or rebuild the index")
+    // bucket prune (round-16): every surviving pair has a batch
+    // endpoint, and a pair is generated only inside a bucket holding
+    // BOTH endpoints — so buckets containing no batch row can only
+    // ever produce old-old pairs the touching-filter below discards.
+    // Semi-join the corpus band table down to the batch's buckets
+    // BEFORE the capped aggregation: the aggregation (previously a
+    // full pass over the corpus-sized band table, per batch) then
+    // scans only batch-touched buckets. Exactness: a touched bucket
+    // keeps its COMPLETE membership (the semi-join filters buckets,
+    // never members), so its capped collect sees the same element
+    // set (order-free: sort_array/count/min) and emits the same
+    // pairs, normal or star path; untouched buckets contributed
+    // nothing to the output before. The batch's distinct (band,
+    // bucket) key set is batch-bounded by construction — the same
+    // broadcast contract as the batch-id flags below.
+    //
+    // The prune is SIZE-GATED on the stored index's own statistics
+    // (file-footer bytes — free, no scan): below the threshold a
+    // full-table aggregation is cheaper than the extra broadcast
+    // build + semi-join stage the prune inserts (measured sf0.1:
+    // prune +0.65 s on a ~1 MB band table for zero aggregation
+    // saved), above it the aggregation dominates and the prune
+    // removes a corpus-sized scan+shuffle per batch. Data-derived,
+    // not tuned to local cores: any corpus whose band table crosses
+    // 256 MB gets the pruned plan regardless of deployment.
+    val pruneMinBytes = newDocs.sparkSession.conf
+      .get("spark.graft.dedup.pruneBandsMinBytes",
+        (256L * 1024 * 1024).toString).toLong
+    val atScale =
+      index.bands.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        pruneMinBytes
+    val corpusBands = if (!atScale) index.bands else {
+      val batchBuckets = newIdx.bands.select(col("band"), col("bucket"))
+        .distinct()
+      index.bands
+        .join(broadcast(batchBuckets), Seq("band", "bucket"), "left_semi")
+    }
     val candidates = bucketPairs(
-      index.bands.unionByName(newIdx.bands),
+      corpusBands.unionByName(newIdx.bands),
       Seq("band", "bucket"), maxBucketSize, starReps)
     // "touches the batch" as ONE pass over the candidate pairs: two
     // broadcast left joins flag each endpoint against the (small by
@@ -726,10 +769,11 @@ object Dedup {
       lit(true).as("__nA"))
     val isNewB = newIds.select(col("id").as("idB"),
       lit(true).as("__nB"))
-    // lazy persists: touching is materialized by neededSh's pruning
-    // scan and re-read by the final attach joins; neededSh by the two
-    // broadcast builds — all within the caller's one action chain, so
-    // no extra eager count jobs
+    // lazy persist on the small-corpus path: touching is materialized
+    // by neededSh's pruning scan and re-read by the final attach
+    // joins — all within the caller's one action chain. The at-scale
+    // path adds ONE eager count over it (noise next to batch signing
+    // there) because the count is the broadcast size gate below.
     val touching = trackPersist(candidates
       .join(broadcast(isNewA), Seq("idA"), "left")
       .join(broadcast(isNewB), Seq("idB"), "left")
@@ -740,19 +784,37 @@ object Dedup {
     // used to auto-broadcast the full corpus-side table once per
     // endpoint: corpus-sized driver collects at scale). Instead,
     // semi-prune the shingle table ONCE to the ids the surviving
-    // pairs actually touch (batch-bounded: every pair has a batch
-    // endpoint, so |ids| ≤ 2·|touching|), persist the pruned slice,
-    // and let the two attach joins broadcast that bounded slice.
+    // pairs actually touch (|ids| ≤ 2·|touching|), persist the pruned
+    // slice, and attach it to the pairs. Broadcast hints on the
+    // prune + attach joins are GATED (round-16, ADVICE): |touching|
+    // is batch-PROPORTIONAL but its constant is bands×maxBucketSize
+    // per batch doc, and each neededSh row carries a full
+    // shingle-hash array — a degenerate batch could push a forced
+    // broadcast past the 8 GB relation cap / driver memory, where an
+    // unhinted plan degrades gracefully to a partitioned join. On a
+    // small corpus (the stats gate above) everything is
+    // corpus-bounded and the hints are unconditionally safe; at scale
+    // the MEASURED pair count decides: below the limit (the typical
+    // daily-batch shape) the hints keep the pair table from ever
+    // shuffling, above it the planner/AQE picks from runtime sizes.
+    val gated: DataFrame => DataFrame =
+      if (!atScale) broadcast
+      else {
+        val bcastPairLimit = newDocs.sparkSession.conf
+          .get("spark.graft.dedup.broadcastVerifyMaxPairs", "2000000")
+          .toLong
+        if (touching.count() <= bcastPairLimit) broadcast else identity
+      }
     val touchedIds = touching
       .select(explode(array(col("idA"), col("idB"))).as("id"))
       .distinct()
     val allSh = index.shingles.unionByName(newIdx.shingles)
     val neededSh = trackPersist(
-      allSh.join(broadcast(touchedIds), Seq("id"), "left_semi"))
+      allSh.join(gated(touchedIds), Seq("id"), "left_semi"))
     touching
-      .join(broadcast(neededSh.select(col("id").as("idA"),
+      .join(gated(neededSh.select(col("id").as("idA"),
         col("sh").as("shA"))), Seq("idA"))
-      .join(broadcast(neededSh.select(col("id").as("idB"),
+      .join(gated(neededSh.select(col("id").as("idB"),
         col("sh").as("shB"))), Seq("idB"))
       .select(col("idA"), col("idB"),
         jaccard(col("shA"), col("shB")).as("jaccard"))

@@ -701,6 +701,45 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseCaches()
   }
 
+  test("incremental minhash at-scale path (bucket prune + gated " +
+      "verify broadcasts) is result-identical to the small-corpus path") {
+    val docs = ((1 to 40).map(i => (i.toLong, s"w${i % 7}a w${i % 7}b " +
+      s"w${i % 7}c w${i % 7}d w${i % 7}e")) ++
+      Seq((100L, "z1 z2 z3 z4 z5"), (101L, "z1 z2 z3 z4 z5 z6")))
+      .toDF("doc_id", "text")
+    val oldDocs = docs.filter(col("doc_id") <= 30)
+    val newDocs = docs.filter(col("doc_id") > 30)
+    def run(): Set[(Long, Long, Double)] = {
+      val idx = Dedup.buildMinHashIndex(oldDocs, "doc_id", "text")
+      val out = Dedup.incrementalMinHashPairs(idx, newDocs, "doc_id",
+          "text", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      Dedup.releaseCaches()
+      out
+    }
+    val smallCorpus = run()
+    // force the at-scale branch: band-table prune engages at any size
+    // AND the measured pair count exceeds the (zeroed) broadcast
+    // limit, so the verify slice joins run unhinted
+    val pruneKey = "spark.graft.dedup.pruneBandsMinBytes"
+    val bcastKey = "spark.graft.dedup.broadcastVerifyMaxPairs"
+    spark.conf.set(pruneKey, "0")
+    spark.conf.set(bcastKey, "0")
+    try {
+      val atScale = run()
+      assert(atScale == smallCorpus,
+        s"at-scale path changed results: " +
+          s"missing=${smallCorpus -- atScale} " +
+          s"extra=${atScale -- smallCorpus}")
+      assert(smallCorpus.nonEmpty)
+      // and with the prune on but broadcasts still allowed (the
+      // typical large-corpus daily batch), results are identical too
+      spark.conf.unset(bcastKey)
+      assert(run() == smallCorpus)
+    } finally { spark.conf.unset(pruneKey); spark.conf.unset(bcastKey) }
+  }
+
   test("incremental minhash fails loudly on parameter mismatch and " +
       "re-ingested ids") {
     val d = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
