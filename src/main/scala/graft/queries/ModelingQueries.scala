@@ -162,12 +162,26 @@ object ModelingQueries {
   /** Register the testdata parquet under the source schema as catalog
     * views (the "silver layer already in the warehouse" the reference's
     * dbt models select from). Views, not copies: the models' scans
-    * still hit the parquet files directly with pushdown intact. */
+    * still hit the parquet files directly with pushdown intact.
+    *
+    * Registered once per (session, data dir) — the same fixture
+    * memoization as the stored-index builds: each CREATE OR REPLACE
+    * VIEW over a bare parquet path runs a schema-inference job
+    * (file listing + footer read), ~0.5 s for the five sources per
+    * call, and re-issuing byte-identical DDL per bench iteration
+    * times the catalog, not the models. A dir CHANGE on the same
+    * session re-registers (the views must follow the data). */
+  private val lastSourceDir =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
   private def registerSources(spark: SparkSession, dir: String): Unit = {
-    spark.sql("CREATE DATABASE IF NOT EXISTS graft_transform")
-    sourceTables.foreach { t =>
-      spark.sql(s"CREATE OR REPLACE VIEW graft_transform.$t AS " +
-        s"SELECT * FROM parquet.`$dir/$t.parquet`")
+    val sess = System.identityHashCode(spark)
+    if (!lastSourceDir.get(sess).contains(dir)) {
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_transform")
+      sourceTables.foreach { t =>
+        spark.sql(s"CREATE OR REPLACE VIEW graft_transform.$t AS " +
+          s"SELECT * FROM parquet.`$dir/$t.parquet`")
+      }
+      lastSourceDir(sess) = dir
     }
   }
 
