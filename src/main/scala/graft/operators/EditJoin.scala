@@ -187,30 +187,28 @@ object EditJoin {
     * ~(2k+1)× before the shuffle. */
   private def probeFrame(probeSide: DataFrame, buildLens: DataFrame,
       k: Int): DataFrame = {
-    val n = k + 1
-    val lenFilter = {
+    // assumed lengths that exist on NO build string can never match:
+    // the tiny distinct agg embeds them into the generator's skip set
+    // when they fit the 64-value pull (fixed-format corpora typically
+    // have exactly one), pruning probe fan-out ~(2k+1)× at the source
+    val lens = {
       val ls = buildLens.select(col("__l")).distinct().limit(65)
         .collect().map(_.getInt(0))
-      if (ls.length <= 64 && ls.nonEmpty)
-        s"filter(sequence(greatest(__l - $k, $n), __l + $k), " +
-          s"l1 -> l1 IN (${ls.sorted.mkString(",")}))"
-      else s"sequence(greatest(__l - $k, $n), __l + $k)"
+      if (ls.length <= 64 && ls.nonEmpty) Some(ls.toSeq) else None
     }
-    val probeArr =
-      s"""flatten(flatten(transform(sequence(0, $k), i ->
-         |  transform($lenFilter, l1 ->
-         |    filter(transform(sequence(${st("i", "l1", n)} + 1 - $k,
-         |                              ${st("i", "l1", n)} + 1 + $k), q ->
-         |      CASE WHEN q >= 1
-         |             AND q + ${segLenE("i", "l1", n)} - 1 <= __l
-         |           THEN named_struct('i', i, 'l1', l1,
-         |             'seg', substring(__s, q, ${segLenE("i", "l1", n)}))
-         |      END), x -> x IS NOT NULL)))))""".stripMargin
+    // one fused generator (graft.functions.EditProbeSegments) emits
+    // the distinct (i, l1, seg) windows in a single compiled pass per
+    // row — semantically identical to the former five-level
+    // transform/filter/flatten/array_distinct/explode tree, whose
+    // lambdas all evaluated interpreted (guide §4: no HOF closures on
+    // the hot path)
     probeSide
       .select(col("__id"), col("__s").as("__sb"),
-        explode(array_distinct(expr(probeArr))).as("__p"))
-      .select(col("__id"), col("__sb"), col("__p.i").as("__i"),
-        col("__p.l1").as("__l1"), col("__p.seg").as("__seg"))
+        graft.functions.EditProbeSegments
+          .edit_probe_segments(col("__s"), k, lens))
+      .withColumnRenamed("i", "__i")
+      .withColumnRenamed("l1", "__l1")
+      .withColumnRenamed("seg", "__seg")
   }
 
   /** EXACT candidate-join cardinality from per-key counts (the

@@ -323,9 +323,23 @@ object AnalyticsQueries {
     // double + ONE IEEE division — bit-identical cross-engine.
     QueryDef("q_triangle_count",
       (s, d) => {
+        // co-purchase edges off ONE shared exchange (round-16, guide
+        // §2.4): repartition lineitem's (ok, p) projection by ok ONCE
+        // — the (ok, p) dedup runs as an aggregation on that
+        // partitioning (hash(ok) clusters every (ok, p) group, no
+        // second exchange) and BOTH self-join sides reference the
+        // identical subtree, so exchange reuse materializes the
+        // shuffle once. The former distinct → self-join chain
+        // exchanged on (ok, p) and then again on ok; same edge
+        // multiset, one fewer full exchange. (A collect_set +
+        // combination-explode variant was measured SLOWER both
+        // rounds — interpreted HOF pair emission loses to the
+        // codegen join; r15 §12, re-measured r16.)
         val lp = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"),
-            col("l_partkey").cast("long").as("p")).distinct()
+            col("l_partkey").cast("long").as("p"))
+          .repartition(col("ok"))
+          .dropDuplicates("ok", "p")
         val edges = lp.select(col("ok"), col("p").as("pa"))
           .join(lp.select(col("ok"), col("p").as("pb")), Seq("ok"))
           .filter(col("pa") < col("pb"))
