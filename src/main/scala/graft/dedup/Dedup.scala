@@ -143,6 +143,15 @@ object Dedup {
     p
   }
 
+  /** LAZY tracked persist — for multi-consumer intermediates whose
+    * first consumer materializes them as part of a larger action (no
+    * extra count job), still released by [[releaseCaches]]/[[scoped]]
+    * like every other tracked cache. */
+  private[graft] def persistLazy(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = trackPersist(df, level)
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on key columns: keeps the smallest id per group.
@@ -330,14 +339,28 @@ object Dedup {
       .filter(size(col("__toks")) > 0)
   }
 
-  /** Sliding windows (id, __pos, __key) for pos in [0, n-k]. */
+  /** Sliding windows (id, __pos, __key) for pos in [0, n-k].
+    *
+    * The explicit `idCol IS NOT NULL` filter exists for EXCHANGE
+    * REUSE, not semantics (a null-id document is degenerate input —
+    * its windows previously influenced occurrence counts but its own
+    * tokens could never be removed, null join keys never matching):
+    * the removals join infers IsNotNull(idCol) from its struct
+    * residual and pushes it into ITS copy of this subtree, while the
+    * winner-election aggregation does not — the two
+    * `repartition(__key)` exchanges then differ by that one filter,
+    * canonical equality fails, and the O(n·k) window expansion
+    * materializes TWICE (the round-15 plan dump shows exactly this;
+    * ADVICE r15). Filtering before the repartition makes both
+    * consumers' subtrees byte-identical so the shuffle materializes
+    * once and the second consumer reads a ReusedExchange. */
   private def spanWindows(base: DataFrame, idCol: String, k: Int,
       hashKeys: Boolean): DataFrame = {
     val windowStr =
       lower(array_join(slice(col("__toks"), col("__pos") + 1, lit(k)),
         " "))
     base
-      .filter(size(col("__toks")) >= k)
+      .filter(size(col("__toks")) >= k && col(idCol).isNotNull)
       .select(col(idCol),
         explode(sequence(lit(0), size(col("__toks")) - k)).as("__pos"),
         col("__toks"))

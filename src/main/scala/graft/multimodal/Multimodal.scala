@@ -40,17 +40,11 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  // ImageIO's stream wrappers default to a FILE-backed cache: every
-  // `ImageIO.write(img, fmt, outputStream)` / `ImageIO.read(inputStream)`
-  // creates, fills, and deletes a temp file under java.io.tmpdir — one
-  // disk round-trip PER ROW inside the decode/encode UDFs, and the
-  // per-row cost floats with whatever else owns the disk (measured:
-  // q_video_pixels stable at 1.32 s vs its 0.30 s idle anchor purely
-  // from tmpfile latency drift between epochs). All media here is
-  // in-memory byte arrays of KBs; the memory cache is strictly better.
-  // Set once per JVM at class init — every encode/decode path in this
-  // module (and the fixture builders) runs after this object loads.
-  javax.imageio.ImageIO.setUseCache(false)
+  // ImageIO file-cache switch — centralized in [[MediaIoDefaults]]
+  // (a JVM-global mutation; see the note there). This init covers the
+  // driver; each ImageIO-touching UDF body calls ensure() so executor
+  // JVMs flip it too.
+  MediaIoDefaults.ensure()
 
   /** media(media_id, kind, bytes, meta(width, height, sample_rate,
     * format)) — the canonical multimodal row. */
@@ -417,6 +411,7 @@ object Multimodal {
           c == "jpeg" || c == "mjpa" || c == "mjpb") =>
         mp4FrameSlices(bytes, n, st).flatMap { slices =>
           val imgs = slices.flatMap { s =>
+            MediaIoDefaults.ensure()
             try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(s)))
             catch { case scala.util.control.NonFatal(_) => None }
@@ -521,6 +516,7 @@ object Multimodal {
             if (javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
               .hasNext) fmt
             else "png"
+          MediaIoDefaults.ensure()
           javax.imageio.ImageIO.write(out, fmtOut, bos)
           Some(bos.toByteArray)
           } catch { case scala.util.control.NonFatal(_) => None }
@@ -658,6 +654,7 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    MediaIoDefaults.ensure()
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray

@@ -73,9 +73,13 @@ object SetJoin {
 
   /** `(id, len, toks, pref)` — documents with their distinct-token
     * arrays ordered rarest-first and the length-`prefLen(len)` prefix
-    * sliced off. `prefLen` decides Jaccard vs containment. */
+    * sliced off, plus the document-frequency table the canon was cut
+    * against (persisted — [[smallVocab]]'s probe reads it instead of
+    * re-aggregating the postings). `prefLen` decides Jaccard vs
+    * containment. */
+  private case class Prefixed(pref: DataFrame, docFreq: DataFrame)
   private def prefixed(df: DataFrame, idCol: String, textCol: String,
-      prefLen: Column => Column): DataFrame = {
+      prefLen: Column => Column): Prefixed = {
     // (kept one-site: jaccardJoin, containmentJoin and
     // prefixBucketStats must all cut prefixes against the SAME canon)
     val base = df
@@ -84,8 +88,14 @@ object SetJoin {
     // vocabulary-sized document-frequency table; the canon every
     // prefix is cut against must be GLOBAL, so this aggregation is
     // semantically required — one shuffle, then an equi-join back.
-    val docFreq = base.select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // Persisted LAZILY: pref's eager materialization below computes
+    // it exactly once, and the small-vocab probe then reads the
+    // cached vocabulary-sized rows instead of paying a second full
+    // postings pass (round-16; the probe used to re-explode and
+    // re-aggregate every document's token array per join call).
+    val docFreq = graft.dedup.Dedup.persistLazy(
+      base.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df")))
     val ranked = base
       .select(col("id"), size(col("toks")).as("len"),
         explode(col("toks")).as("tok"))
@@ -98,16 +108,17 @@ object SetJoin {
     // consumed three times (probe side a, probe side b, verification
     // sets): one materialization, or the tokenize → doc-frequency
     // shuffle → re-aggregate chain recomputes per consumer
-    graft.dedup.Dedup.persistEager(
+    Prefixed(graft.dedup.Dedup.persistEager(
       ranked.select(col("id"), col("len"), col("toks"),
         slice(col("toks"), lit(1), greatest(prefLen(col("len")), lit(1)))
-          .as("pref")))
+          .as("pref"))), docFreq)
   }
 
   /** Small-vocabulary fast path: when the corpus's DISTINCT token
     * vocabulary fits in 63 bits (a runtime property, detected with
-    * one vocabulary-sized aggregate capped at 64 rows — the same
-    * bounded driver pull as EditJoin's 65-length probe; 63 rather
+    * one bounded driver pull off the already-computed document-
+    * frequency table — vocabulary-sized, persisted by [[prefixed]],
+    * capped at 64 rows like EditJoin's 65-length probe; 63 rather
     * than 64 keeps every mask non-negative and the representation
     * replayable in engines whose signed left-shift rejects bit 63 —
     * DuckDB, where the oracle's own mask replay guards exactly this
@@ -132,9 +143,11 @@ object SetJoin {
     * residual removes. Returns None when the vocabulary exceeds 63
     * and the caller falls through to the general array path. */
   private case class VocabMasks(rank: Column => Column, nTokens: Int)
-  private def smallVocab(pref: DataFrame): Option[VocabMasks] = {
-    val vocab = pref.select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+  private def smallVocab(p: Prefixed): Option[VocabMasks] = {
+    // per-document token arrays are distinct sets, so docFreq's count
+    // is exactly the df the old postings re-aggregation computed; the
+    // (df ASC, tok ASC) order is the canon prefixed() ranked by
+    val vocab = p.docFreq
       .orderBy(col("df").asc, col("tok").asc)
       .limit(64).collect()
     if (vocab.length > 63 || vocab.isEmpty) None
@@ -180,11 +193,11 @@ object SetJoin {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccardJoin threshold must be in (0, 1], got $threshold")
     val t = lit(threshold)
-    val pref = prefixed(df, idCol, textCol,
+    val p = prefixed(df, idCol, textCol,
       len => (len - ceil(t * len) + 1).cast("int"))
-    smallVocab(pref) match {
-      case Some(vm) => jaccardMasked(pref, vm, t)
-      case None => jaccardGeneral(pref, t)
+    smallVocab(p) match {
+      case Some(vm) => jaccardMasked(p.pref, vm, t)
+      case None => jaccardGeneral(p.pref, t)
     }
   }
 
@@ -258,11 +271,11 @@ object SetJoin {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containmentJoin threshold must be in (0, 1], got $threshold")
     val t = lit(threshold)
-    val pref = prefixed(df, idCol, textCol,
+    val p = prefixed(df, idCol, textCol,
       len => (len - ceil(t * len) + 1).cast("int"))
-    smallVocab(pref) match {
-      case Some(vm) => containmentMasked(pref, vm, t)
-      case None => containmentGeneral(pref, t)
+    smallVocab(p) match {
+      case Some(vm) => containmentMasked(p.pref, vm, t)
+      case None => containmentGeneral(p.pref, t)
     }
   }
 
@@ -317,6 +330,7 @@ object SetJoin {
     val t = lit(threshold)
     prefixed(df, idCol, textCol,
         len => (len - ceil(t * len) + 1).cast("int"))
+      .pref
       .select(explode(col("pref")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("bucket_size"))
       .orderBy(col("bucket_size").desc, col("tok").asc)

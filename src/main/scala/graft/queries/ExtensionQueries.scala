@@ -22,13 +22,13 @@ import graft.util.{Checkpointing, Tables}
   */
 object ExtensionQueries {
 
-  // the synthetic media fixtures (PNG/JPEG encodes in syntheticGrayPng
-  // / syntheticMjpegMp4) run inside executor UDFs that may evaluate
-  // before any Multimodal method loads that class there — mirror its
-  // ImageIO memory-cache switch so no encode ever pays the default
-  // temp-FILE stream cache (one disk round-trip per row; see
-  // Multimodal's header note for the measured cost)
-  javax.imageio.ImageIO.setUseCache(false)
+  // ImageIO memory-cache switch (centralized in MediaIoDefaults; a
+  // JVM-global mutation — see the note there): the synthetic media
+  // fixtures (PNG/JPEG encodes in syntheticGrayPng/syntheticMjpegMp4)
+  // also call ensure() INSIDE their executor UDF bodies, so no encode
+  // ever pays the default temp-FILE stream cache regardless of which
+  // JVM evaluates it
+  graft.multimodal.MediaIoDefaults.ensure()
 
   /** Data dirs whose events table has already been stream-drained to
     * silver in this JVM (checkpointed streams are incremental — one
@@ -2860,6 +2860,7 @@ object ExtensionQueries {
       val v = if (m > 0 && x == 2 * m && y == m) (base + 128) % 251 else base
       img.setRGB(x, y, (v << 16) | (v << 8) | v)
     }
+    graft.multimodal.MediaIoDefaults.ensure()
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -2901,6 +2902,7 @@ object ExtensionQueries {
         gr.setColor(new java.awt.Color(g, g, g))
         gr.fillRect(0, 0, w, h)
       } finally gr.dispose()
+      graft.multimodal.MediaIoDefaults.ensure()
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray

@@ -42,20 +42,27 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))) +
       size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** The tiny built-in English stopword list and the punctuation
+    * character class — ONE definition each, shared by the per-metric
+    * helpers AND the terms [[qualityScore]] inlines over its bound
+    * variables (ADVICE r15: inlined copies would silently diverge
+    * from the composite score if either were ever edited alone). */
+  private val Stops = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  private val PunctClass = "[.,!?;:]"
+
   /** Punctuation chars / total chars (0 for empty text). */
   def punctRatio(text: Column): Column = {
     val len = length(text)
     when(len === 0, lit(0.0)).otherwise(
-      (len - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") /
+      (len - length(regexp_replace(text, PunctClass, ""))).cast("double") /
         len.cast("double"))
   }
 
   /** Stopword tokens / total tokens (tiny built-in English list).
     * Token split bound once (three references otherwise re-split). */
   def stopwordRatio(text: Column): Column = bound(tokens(text)) { ts =>
-    val stops = Seq("the", "a", "an", "and", "of", "to", "in", "is")
     when(size(ts) === 0, lit(0.0)).otherwise(
-      size(filter(ts, t => t.isInCollection(stops))).cast("double") /
+      size(filter(ts, t => t.isInCollection(Stops))).cast("double") /
         size(ts).cast("double"))
   }
 
@@ -86,12 +93,11 @@ object TextAnalysis {
       val lengthTerm = least(nToks.cast("double") / lit(100.0), lit(1.0))
       val len = length(t)
       val punct = when(len === 0, lit(0.0)).otherwise(
-        (len - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") /
+        (len - length(regexp_replace(t, PunctClass, ""))).cast("double") /
           len.cast("double"))
       val punctTerm = lit(1.0) - least(punct * lit(4.0), lit(1.0))
-      val stops = Seq("the", "a", "an", "and", "of", "to", "in", "is")
       val stopRatio = when(nToks === 0, lit(0.0)).otherwise(
-        size(filter(ts, w => w.isInCollection(stops))).cast("double") /
+        size(filter(ts, w => w.isInCollection(Stops))).cast("double") /
           nToks.cast("double"))
       val stopTerm = least(stopRatio * lit(4.0), lit(1.0))
       val meanLen = when(nToks === 0, lit(0.0)).otherwise(

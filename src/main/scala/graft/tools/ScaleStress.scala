@@ -1025,6 +1025,7 @@ object ScaleStress {
                 (base + 128) % 251 else base
               img.setRGB(x, y, (v << 16) | (v << 8) | v)
             }
+            graft.multimodal.MediaIoDefaults.ensure()
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(img, "png", bos)
             bos.toByteArray
