@@ -29,6 +29,14 @@ object PlanDump {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional session confs ("k=v;k=v") — used to dump the size-gated
+    // plan variants (e.g. the incremental-dedup bucket prune, which
+    // engages from measured index stats at scale) at local SF
+    sys.env.get("SPARK_GRAFT_PLAN_CONF").foreach(_.split(";")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     Files.createDirectories(Paths.get(outDir))
     val slate = graft.SparkEntry.queries
     names.foreach { name =>
