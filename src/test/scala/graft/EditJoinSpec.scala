@@ -394,4 +394,54 @@ class EditJoinSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("Dedup.exact"))
   }
+
+  test("fused probe generator equals the former expression-tree " +
+      "semantics on random strings (property)") {
+    // reference reimplementation of the r15 probe tree: for every
+    // segment index i, assumed length l1 (optionally IN-list-pruned),
+    // and window start q within ±k of the canonical position, the
+    // in-bounds substring — deduped by (i, l1, seg). Code-point
+    // arithmetic like Spark's substring (the gen includes a
+    // multibyte char to pin that).
+    def reference(s: String, k: Int,
+        lens: Option[Seq[Int]]): Set[(Int, Int, String)] = {
+      val cps = s.codePoints().toArray
+      val l = cps.length
+      val n = k + 1
+      val out = scala.collection.mutable.LinkedHashSet
+        .empty[(Int, Int, String)]
+      for {
+        i <- 0 to k
+        l1 <- math.max(l - k, n) to (l + k)
+        if lens.forall(_.contains(l1))
+      } {
+        val st = ((i.toLong * l1 + k) / n).toInt
+        val st1 = (((i + 1).toLong * l1 + k) / n).toInt
+        val len = st1 - st
+        for (q <- (st + 1 - k) to (st + 1 + k))
+          if (q >= 1 && q + len - 1 <= l)
+            out += ((i, l1, new String(cps, q - 1, len)))
+      }
+      out.toSet
+    }
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val str = Gen.choose(0, 12).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf("a", "b", "c", "é", "𝕏")).map(_.mkString))
+    val prop = forAll(str, Gen.choose(1, 3),
+        Gen.option(Gen.nonEmptyListOf(Gen.choose(1, 15)))) { (s, k, ls) =>
+      val lens = ls.map(_.distinct.sorted)
+      val got = Seq(s).toDF("__s")
+        .select(graft.functions.EditProbeSegments
+          .edit_probe_segments(col("__s"), k, lens))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+      // a generator row set AND no duplicate rows (the fused dedup
+      // must match array_distinct exactly)
+      got.toSet == reference(s, k, lens) && got.length == got.toSet.size
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(60),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
 }

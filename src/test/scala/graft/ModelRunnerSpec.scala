@@ -476,4 +476,40 @@ class ModelRunnerSpec extends AnyFunSuite {
     assert(sessionId.get.get("data_tests").map(_.items.map(_.str))
       .contains(Vector("unique", "not_null")))
   }
+
+  test("threads=1 (strict serial) produces the same runs and tables " +
+      "as the default concurrent pool") {
+    seedSource()
+    val root = writeProject(Seq(
+      "dbt_project.yml" -> baseProjectYml,
+      "models/core/s1.sql" ->
+        """SELECT id, amount FROM {{ var("source_schema") }}.raw_rows
+          |""".stripMargin,
+      "models/core/s2.sql" ->
+        """SELECT id, grp FROM {{ var("source_schema") }}.raw_rows
+          |""".stripMargin,
+      "models/core/s3.sql" ->
+        """SELECT grp, CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+          |  AS total
+          |FROM {{ var("source_schema") }}.raw_rows GROUP BY grp
+          |""".stripMargin,
+      "models/views/joined.sql" ->
+        """SELECT a.id, b.grp FROM {{ ref('s1') }} a
+          |JOIN {{ ref('s2') }} b ON a.id = b.id
+          |""".stripMargin))
+    def runsOf(): (Seq[(String, String, Seq[String])], Long) = {
+      val rs = ModelRunner.run(spark, ModelRunner.loadProject(root))
+      (rs.map(r => (r.name, r.materialized, r.deps)),
+        spark.table("mr_out.joined").count())
+    }
+    val pooled = runsOf()
+    spark.conf.set("spark.graft.model.threads", "1")
+    try {
+      val serial = runsOf()
+      assert(serial == pooled)
+      // three independent table models + the dependent view, in the
+      // deterministic topo (lexicographic-among-ready) order both ways
+      assert(pooled._1.map(_._1) == Seq("s1", "s2", "s3", "joined"))
+    } finally spark.conf.unset("spark.graft.model.threads")
+  }
 }
