@@ -452,9 +452,15 @@ object Dedup {
     val base = spanTokenize(batch, idCol, textCol)
     // alias the batch id before the guard join: when the caller's id
     // column is itself named "id", col("id") would be AMBIGUOUS
-    // between the batch side and index.ids("id")
-    val overlap = batch.select(col(idCol).as("__batch_id"))
-      .join(index.ids, col("__batch_id") === index.ids("id"), "left_semi")
+    // between the batch side and index.ids("id"). Oriented for scale
+    // (round-16): the stored corpus id column streams once probing
+    // the broadcast batch-id set with limit(1) early exit — the
+    // former batch-semi-corpus orientation made the corpus the
+    // join's build side.
+    val batchIds = batch.select(col(idCol).as("__batch_id"))
+    val overlap = index.ids
+      .join(broadcast(batchIds), col("id") === col("__batch_id"),
+        "left_semi")
       .limit(1).collect()
     require(overlap.isEmpty,
       s"batch ids already present in the span index (e.g. ${overlap
@@ -732,8 +738,14 @@ object Dedup {
     val newIdx = buildMinHashIndex(newDocs, idCol, textCol,
       index.shingleSize, index.k, index.nBands)
     val newIds = newIdx.shingles.select(col("id"))
-    val overlap = newIds
-      .join(index.shingles.select(col("id")), Seq("id"), "left_semi")
+    // re-ingest guard oriented for scale (round-16): scan the CORPUS
+    // id column probing the broadcast batch-id set — the former
+    // batch-semi-corpus orientation made the corpus the join's BUILD
+    // side (a corpus-sized shuffle or broadcast per batch); this way
+    // the corpus streams once, column-pruned, with limit(1) early
+    // exit. Same answer set (ids present in both).
+    val overlap = index.shingles.select(col("id"))
+      .join(broadcast(newIds), Seq("id"), "left_semi")
       .limit(1).collect()
     require(overlap.isEmpty,
       s"batch ids already present in the index (e.g. ${overlap.headOption
